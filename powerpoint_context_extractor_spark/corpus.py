@@ -1,0 +1,225 @@
+"""Deterministic synthetic page corpus (the fixture/oracle author).
+
+The reference ships zero tests (SURVEY.md §5), so the corpus is ours: a
+seeded generator that emits Common-Crawl-shaped pages matching
+BASELINE.json's ``input_hint`` schema
+``(url string, warc_ts timestamp, html binary, text string, lang string)``.
+
+Two generation modes:
+
+1. ``page_for_document(doc_id, text)`` — the *analytically invertible*
+   wrap used by the flagship query: a documents-table row becomes a page
+   whose extracted output is a pure SQL-expressible function of the
+   input text (title ``# Doc {id}`` + 20-token paragraphs). This is what
+   lets DuckDB act as an oracle for the real extraction kernel.
+2. ``fixture_pages()`` / ``generate_pages_rows()`` — edge-case fixture
+   classes (FIXTURES.md §1) and the bulk skewed corpus for bench runs.
+
+Everything is seeded; no wall clock, no global RNG.
+"""
+
+from __future__ import annotations
+
+import random
+from datetime import datetime, timedelta, timezone
+
+from .kernel import render_wdoc
+
+__all__ = [
+    "PARA_TOKENS",
+    "page_for_document",
+    "expected_text_for_document",
+    "fixture_pages",
+    "generate_pages_rows",
+    "FIXTURE_CLASSES",
+    "EPOCH",
+]
+
+PARA_TOKENS = 20  # tokens per generated <p> paragraph (frozen: oracle depends on it)
+EPOCH = datetime(2024, 1, 1, tzinfo=timezone.utc)
+
+_WORDS = (
+    "spark shuffle parquet arrow batch vector column filter join scan "
+    "window stream state commit snapshot lineage partition salt skew "
+    "broadcast codegen pushdown prune catalyst tungsten executor driver "
+    "query plan stage task row block span offset token corpus page"
+).split()
+
+_LANGS = ["en", "es", "zh", "de", "fr"]
+
+_BOILER = (
+    '<nav class="nav"><a href="/">Home</a><a href="/a">About</a>'
+    "<a href=\"/c\">Contact</a></nav>"
+    '<header id="site-header"><h1>Site Title Boilerplate</h1></header>'
+    '<div class="ad banner">Buy now! <a href="/buy">50% off everything</a></div>'
+)
+_FOOTER = (
+    '<aside class="related"><ul><li><a href="/r1">Related one</a></li>'
+    '<li><a href="/r2">Related two</a></li></ul></aside>'
+    '<footer class="footer">© 2024 Example — <a href="/tos">Terms</a></footer>'
+)
+
+
+def _chunks(tokens, n):
+    for i in range(0, len(tokens), n):
+        yield tokens[i:i + n]
+
+
+# ---------------------------------------------------------------------------
+# 1. invertible wrap of a documents-table row (flagship oracle path)
+# ---------------------------------------------------------------------------
+
+def page_for_document(doc_id: int, text: str) -> bytes:
+    """Wrap a testdata ``documents`` row into a full page. The kernel's
+    output over this page is exactly ``expected_text_for_document`` —
+    i.e. reconstructible in ANSI SQL, which is what makes the flagship
+    extraction query DuckDB-oracle-able."""
+    tokens = text.split(" ") if text else []
+    paras = "".join(
+        f"<p>{' '.join(c)}</p>" for c in _chunks(tokens, PARA_TOKENS)
+    )
+    html = (
+        "<html><body>"
+        f"{_BOILER}"
+        f"<main><article><h1>Doc {doc_id}</h1>{paras}</article></main>"
+        f"{_FOOTER}"
+        "</body></html>"
+    )
+    return html.encode("utf-8")
+
+
+def expected_text_for_document(doc_id: int, text: str) -> str:
+    """Pure-Python mirror of the SQL oracle (tests assert kernel == this)."""
+    tokens = text.split(" ") if text else []
+    parts = [f"# Doc {doc_id}"]
+    parts.extend(" ".join(c) for c in _chunks(tokens, PARA_TOKENS))
+    return "\n\n".join(parts)
+
+
+# ---------------------------------------------------------------------------
+# 2. fixture classes (FIXTURES.md §1) — edge cases, golden-tested
+# ---------------------------------------------------------------------------
+
+FIXTURE_CLASSES = [
+    "plain", "nested-inline", "entities", "link-dense", "table-layout",
+    "empty-main", "title-only", "multilang", "binary-payload", "malformed",
+    "duplicate-url-content",
+]
+
+
+def _page_shell(main: str) -> str:
+    return f"<html><body>{_BOILER}<main>{main}</main>{_FOOTER}</body></html>"
+
+
+def _sentence(rng: random.Random, n: int) -> str:
+    return " ".join(rng.choice(_WORDS) for _ in range(n))
+
+
+def _fixture_html(cls: str, rng: random.Random) -> bytes:
+    if cls == "plain":
+        main = (f"<h1>{_sentence(rng, 4)}</h1>"
+                + "".join(f"<p>{_sentence(rng, 18)}</p>" for _ in range(4)))
+    elif cls == "nested-inline":
+        main = (f"<h1>Inline {_sentence(rng, 3)}</h1>"
+                f"<p>Start <b>bold {rng.choice(_WORDS)}</b> mid "
+                f"<i>ital <a href='/x'>tiny link</a></i> "
+                f"and <code>x&lt;1</code> end {_sentence(rng, 12)}.</p>")
+    elif cls == "entities":
+        main = ("<h2>Entities &amp; refs</h2>"
+                "<p>fish &amp; chips &lt;tag&gt; &#65;&#x42;C "
+                "caf&eacute; &nosuch; done</p>")
+    elif cls == "link-dense":
+        # must be dropped: every block is nearly all link text
+        farm = "".join(f"<li><a href='/l{i}'>link item {i}</a></li>" for i in range(8))
+        main = (f"<ul>{farm}</ul>"
+                f"<p><a href='/big'>{_sentence(rng, 10)}</a> ok</p>"
+                f"<p>{_sentence(rng, 16)}</p>")
+    elif cls == "table-layout":
+        rows = "".join(
+            f"<tr><td>{_sentence(rng, 6)}</td><td>{rng.randrange(100)}</td></tr>"
+            for _ in range(3))
+        main = f"<h3>Table {rng.choice(_WORDS)}</h3><table>{rows}</table>"
+    elif cls == "empty-main":
+        main = "<p>   </p><div></div>"
+    elif cls == "title-only":
+        main = f"<h1>{_sentence(rng, 5)}</h1>"
+    elif cls == "multilang":
+        main = ("<h1>Köln – 北京 – Москва</h1>"
+                f"<p>Übergröße straße naïve façade 你好世界 {_sentence(rng, 8)}</p>")
+    elif cls == "binary-payload":
+        blocks = [("h1", 0, 0, f"WDOC title {rng.choice(_WORDS)}"),
+                  ("p", 20, 0, _sentence(rng, 15)),
+                  ("p", 10, 5, _sentence(rng, 12)),  # sorts before y=20
+                  ("li", 30, 0, f"point {rng.choice(_WORDS)}")]
+        return render_wdoc(blocks)
+    elif cls == "malformed":
+        main = (f"<h1>Broken {rng.choice(_WORDS)}</h1></div></div>"
+                f"<p>unclosed para {_sentence(rng, 10)}"
+                f"<p>next &badent; one</i>{_sentence(rng, 6)}")
+    elif cls == "duplicate-url-content":
+        main = f"<h1>Duplicate body</h1><p>{' '.join(_WORDS[:15])}</p>"
+    else:  # pragma: no cover
+        raise ValueError(cls)
+    return _page_shell(main).encode("utf-8")
+
+
+def fixture_pages(seed: int = 42, per_class: int = 3):
+    """Yield dict rows (url, warc_ts, html, text, lang) covering every
+    fixture class; deterministic in (seed, per_class)."""
+    rows = []
+    i = 0
+    for ci, cls in enumerate(FIXTURE_CLASSES):
+        for k in range(per_class):
+            # NB: index-based seed — Python's str hash is process-randomized
+            rng = random.Random((seed << 20) ^ (ci << 8) ^ k)
+            if cls == "duplicate-url-content":
+                rng = random.Random(seed)  # same content every time
+            html = _fixture_html(cls, rng)
+            if cls == "malformed" and k == 0:
+                html = b"\xff\xfe broken not-utf8 \x9f"  # decode_error path
+            rows.append({
+                "url": f"https://fixtures.example/{cls}/{k}",
+                "warc_ts": EPOCH + timedelta(seconds=i),
+                "html": html,
+                "text": f"fallback text for {cls}/{k}",
+                "lang": _LANGS[i % len(_LANGS)],
+            })
+            i += 1
+    return rows
+
+
+# ---------------------------------------------------------------------------
+# 3. bulk corpus for bench — Zipf-skewed hosts (one hot host ~30% of rows)
+# ---------------------------------------------------------------------------
+
+def generate_pages_rows(n: int, seed: int = 42, n_hosts: int = 50):
+    """Yield n page rows. Host 0 receives ~30% of urls (skew/salting
+    tests, SURVEY.md §2.10 U5); ~5% WDOC binary payloads; ~2% malformed."""
+    for i in range(n):
+        rng = random.Random((seed << 34) ^ i)
+        r = rng.random()
+        host = 0 if r < 0.30 else 1 + rng.randrange(n_hosts - 1)
+        lang = _LANGS[host % len(_LANGS)]
+        url = f"https://host{host}.example/p/{i}"
+        kind = rng.random()
+        if kind < 0.05:
+            html = render_wdoc([
+                ("h1", 0, 0, f"WDOC {i}"),
+                ("p", 10, 0, _sentence(rng, PARA_TOKENS)),
+                ("p", 20, 0, _sentence(rng, PARA_TOKENS)),
+            ])
+        elif kind < 0.07:
+            html = (f"<h1>Broken {i}</h1></div><p>{_sentence(rng, 10)}"
+                    f"<p>{_sentence(rng, 8)}</i>").encode("utf-8")
+        else:
+            n_paras = 2 + rng.randrange(6)
+            main = (f"<h1>Page {i} {rng.choice(_WORDS)}</h1>" + "".join(
+                f"<p>{_sentence(rng, PARA_TOKENS)}</p>" for _ in range(n_paras)))
+            html = _page_shell(main).encode("utf-8")
+        yield {
+            "url": url,
+            "warc_ts": EPOCH + timedelta(seconds=i % 86400, days=i % 30),
+            "html": html,
+            "text": _sentence(rng, 8),
+            "lang": lang,
+        }

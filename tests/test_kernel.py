@@ -1,0 +1,189 @@
+"""Spec tests for the pure-Python kernel — hand-derived expectations.
+
+These pin the frozen extraction contract (kernel.py docstring); golden
+fixture files pin the broader corpus in test_goldens.py.
+"""
+
+import random
+
+from powerpoint_context_extractor_spark import corpus, kernel
+from powerpoint_context_extractor_spark.kernel import (
+    extract_document, render_wdoc,
+)
+
+
+def _x(html: str):
+    return extract_document("u", html.encode("utf-8"))
+
+
+def test_plain_blocks_spans_title():
+    r = _x("<html><body><h1>Hello World</h1><p>First para.</p>"
+           "<p>Second  para.</p></body></html>")
+    assert r.error is None
+    assert r.title == "Hello World"
+    assert r.text == "# Hello World\n\nFirst para.\n\nSecond para."
+    assert r.n_blocks == 3
+    assert [s["block_id"] for s in r.spans] == [0, 1, 2]
+    for s in r.spans:
+        assert r.text[s["start"]:s["end"]]  # non-empty slice
+    assert r.text[r.spans[0]["start"]:r.spans[0]["end"]] == "# Hello World"
+    assert r.text[r.spans[2]["start"]:r.spans[2]["end"]] == "Second para."
+    assert r.spans[0]["path"] == "html:1>body:1>h1:1"
+    assert r.spans[2]["path"] == "html:1>body:1>p:3"
+
+
+def test_boilerplate_subtrees_dropped():
+    r = _x('<body><nav><a href="/">Home</a></nav>'
+           '<div class="ad banner">Buy now</div>'
+           '<header id="top">Site</header>'
+           "<p>Real text here</p>"
+           '<footer>legal</footer></body>')
+    assert r.text == "Real text here"
+    assert r.n_blocks == 1
+
+
+def test_link_density_rules():
+    # p: all link text -> dropped
+    assert _x("<p><a href='x'>all link text</a></p>").text == ""
+    # p: link <= 1/3 -> kept
+    r = _x("<p><a href='x'>link</a> plus lots of plain words here</p>")
+    assert r.text == "link plus lots of plain words here"
+    # li: all link -> dropped; li mostly text -> kept as bullet
+    assert _x("<ul><li><a href='x'>one</a></li></ul>").text == ""
+    assert _x("<ul><li>text mostly <a href='x'>x</a></li></ul>").text == \
+        "- text mostly x"
+
+
+def test_entities_decoded():
+    r = _x("<p>fish &amp; chips &lt;tag&gt; &#65;&#x42;C caf&eacute;</p>")
+    assert r.text == "fish & chips <tag> ABC café"
+
+
+def test_nested_inline_single_block():
+    r = _x("<p>Start <b>bold</b> <i>it <a href='x'>l</a></i> end</p>")
+    assert r.text == "Start bold it l end"
+    assert r.n_blocks == 1
+
+
+def test_pre_preserves_whitespace():
+    r = _x("<div><pre>line1\n  line2</pre></div>")
+    assert r.text == "line1\n  line2"
+
+
+def test_anonymous_text_block():
+    r = _x("<div>naked text outside blocks</div>")
+    assert r.text == "naked text outside blocks"
+    assert r.spans[0]["path"].endswith("#text")
+
+
+def test_empty_main():
+    r = _x("<body><p>   </p><div></div></body>")
+    assert r.error is None
+    assert r.text == ""
+    assert r.n_blocks == 0
+    assert r.title is None
+
+
+def test_heading_levels_and_bullets():
+    r = _x("<h2>Sub</h2><ul><li>alpha beta</li><li>gamma delta</li></ul>")
+    assert r.text == "## Sub\n\n- alpha beta\n\n- gamma delta"
+    assert r.title == "Sub"
+
+
+def test_br_becomes_space():
+    assert _x("<p>one<br>two</p>").text == "one two"
+
+
+def test_malformed_recovery_is_stable():
+    h = "<h1>T</h1></div><p>one<p>two"
+    r1 = _x(h)
+    r2 = _x(h)
+    assert r1 == r2
+    assert r1.error is None
+    assert r1.text == "# T\n\none\n\ntwo"
+
+
+def test_stray_close_and_unclosed_inline():
+    r = _x("<p>next one</i> more</p>")
+    assert r.text == "next one more"
+
+
+def test_decode_error_row():
+    r = extract_document("u", b"\xff\xfe broken \x9f")
+    assert r.error is not None and r.error.startswith("decode_error")
+    assert r.text is None and r.n_blocks == 0
+
+
+def test_pdf_stub():
+    r = extract_document("u", b"%PDF-1.4 whatever")
+    assert r.error == "unsupported_binary:pdf"
+
+
+def test_null_content():
+    assert extract_document("u", None).error == "null_content"
+
+
+def test_wdoc_sorts_by_layout_position():
+    payload = render_wdoc([
+        ("p", 20, 0, "below"),
+        ("h1", 0, 0, "Title"),
+        ("p", 10, 5, "above right"),
+        ("li", 10, 2, "above\tleft"),  # tab escape round-trip
+    ])
+    r = extract_document("u", payload)
+    assert r.error is None
+    assert r.text == "# Title\n\n- above left\n\nabove right\n\nbelow"
+    assert r.title == "Title"
+    # ids follow sorted layout order
+    assert [s["block_id"] for s in r.spans] == [0, 1, 2, 3]
+
+
+def test_wdoc_bad_payload_is_error():
+    r = extract_document("u", b"%WDOC1\nnot-a-number\n")
+    assert r.error is not None and r.text is None
+
+
+def test_document_wrap_matches_sql_oracle_mirror():
+    rng = random.Random(7)
+    for doc_id in range(20):
+        n = rng.randrange(0, 70)
+        text = " ".join(rng.choice(corpus._WORDS) for _ in range(n)) if n else ""
+        page = corpus.page_for_document(doc_id, text)
+        r = extract_document(f"doc://{doc_id}", page)
+        assert r.error is None
+        assert r.text == corpus.expected_text_for_document(doc_id, text)
+        assert r.title == f"Doc {doc_id}"
+
+
+def test_span_invariant_on_fixture_corpus():
+    for row in corpus.fixture_pages():
+        r = extract_document(row["url"], row["html"])
+        if r.error is not None:
+            assert r.text is None
+            continue
+        for s in r.spans:
+            seg = r.text[s["start"]:s["end"]]
+            assert seg and not seg.startswith("\n") and not seg.endswith("\n")
+        assert r.n_blocks == len(r.spans)
+
+
+def test_fixture_corpus_deterministic():
+    a = corpus.fixture_pages()
+    b = corpus.fixture_pages()
+    assert a == b
+    assert len(a) == len(corpus.FIXTURE_CLASSES) * 3
+
+
+def test_link_dense_class_drops_farm():
+    rows = [r for r in corpus.fixture_pages()
+            if r["url"].startswith("https://fixtures.example/link-dense/")]
+    for row in rows:
+        r = extract_document(row["url"], row["html"])
+        assert "link item" not in r.text   # farm dropped
+        assert r.n_blocks >= 1             # plain paragraph kept
+
+
+def test_kernel_sha256_stability():
+    row = corpus.fixture_pages()[0]
+    r = extract_document(row["url"], row["html"])
+    assert r.sha256() == kernel.KernelResult(**r.__dict__).sha256()
