@@ -1,0 +1,99 @@
+"""The extraction operator: Arrow-batched ``mapInPandas`` over pages.
+
+This is the Spark re-expression of the reference's whole extraction
+dataflow (the notes/animations/slides extractors are collectively one
+UDTF: document in, records out — SURVEY.md §2.10 U2). Zero per-row
+Python dispatch: one Python call per Arrow batch, the pure kernel does
+the per-document work, exactly as the reference amortizes one
+``zipfile.ZipFile`` open across all members (`notes/extractor.py:29`).
+
+Scale notes (100 TB design):
+- map-only: no shuffle is *required*; ``repartition_for_extract`` is an
+  optional explicit hash(url) spread for when upstream file splits are
+  few or skewed. urls are unique, so hash(url) is uniform even when
+  hosts are Zipf-skewed — host skew matters for host-level *aggregates*
+  (see operators/textstats.host_stats_salted), not for this map.
+- the input projection is exactly (url, html, text): Catalyst prunes
+  the parquet scan to those columns (F7).
+- J2 preference-merge (reference `notes/extractor.py:171-174`) runs
+  map-side inside the same batch — error rows fall back to the
+  pre-extracted ``text`` column with ``text_source='fallback'`` —
+  avoiding a big-table self-join at the sink.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark import TaskContext
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..kernel import extract_document
+
+SPAN_TYPE = T.ArrayType(T.StructType([
+    T.StructField("block_id", T.LongType()),
+    T.StructField("path", T.StringType()),
+    T.StructField("start", T.LongType()),
+    T.StructField("end", T.LongType()),
+]))
+
+EXTRACTED_SCHEMA = T.StructType([
+    T.StructField("url", T.StringType(), False),
+    T.StructField("title", T.StringType(), True),
+    T.StructField("text", T.StringType(), True),
+    T.StructField("spans", SPAN_TYPE, True),
+    T.StructField("n_blocks", T.LongType(), True),
+    T.StructField("error", T.StringType(), True),
+    T.StructField("text_source", T.StringType(), True),
+    T.StructField("partition_id", T.IntegerType(), True),
+    T.StructField("in_bytes", T.LongType(), True),
+])
+
+
+def _kernel_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    ctx = TaskContext.get()
+    pid = ctx.partitionId() if ctx is not None else -1
+    for pdf in batches:
+        urls = pdf["url"].tolist()
+        htmls = pdf["html"].tolist()
+        fallbacks = pdf["text"].tolist() if "text" in pdf.columns else [None] * len(urls)
+        out = {k: [] for k in ("url", "title", "text", "spans", "n_blocks",
+                               "error", "text_source", "in_bytes")}
+        for url, html, fb in zip(urls, htmls, fallbacks):
+            content = bytes(html) if html is not None else None
+            r = extract_document(url, content)
+            out["url"].append(url)
+            out["title"].append(r.title)
+            if r.error is None:
+                out["text"].append(r.text)
+                out["text_source"].append("kernel")
+            else:
+                out["text"].append(fb)
+                out["text_source"].append("fallback" if fb is not None else None)
+            out["spans"].append(r.spans)
+            out["n_blocks"].append(r.n_blocks)
+            out["error"].append(r.error)
+            out["in_bytes"].append(len(content) if content is not None else 0)
+        res = pd.DataFrame(out)
+        res["partition_id"] = pid
+        yield res[[f.name for f in EXTRACTED_SCHEMA.fields]]
+
+
+def repartition_for_extract(df: DataFrame, num_partitions: int,
+                            key: str = "url") -> DataFrame:
+    """Explicit uniform spread by hash(key) (U5). Deterministic per row —
+    re-salting never changes per-url output (kernel is per-row pure)."""
+    return df.repartition(num_partitions,
+                          F.pmod(F.xxhash64(F.col(key)), F.lit(num_partitions)))
+
+
+def extract_pages(pages: DataFrame, num_partitions: int | None = None) -> DataFrame:
+    """pages(url, html[, text]) -> extracted (EXTRACTED_SCHEMA)."""
+    cols = ["url", "html"] + (["text"] if "text" in pages.columns else [])
+    narrow = pages.select(*cols)  # column pruning reaches the scan (F7)
+    if num_partitions:
+        narrow = repartition_for_extract(narrow, num_partitions)
+    return narrow.mapInPandas(_kernel_batches, schema=EXTRACTED_SCHEMA)

@@ -1,0 +1,108 @@
+"""Pipeline-level tests: kernel-over-Spark byte-identity, lineage
+reconciliation, resume exactly-once, metamorphic properties
+(FIXTURES.md §5)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from powerpoint_context_extractor_spark import corpus
+from powerpoint_context_extractor_spark.kernel import extract_document
+from powerpoint_context_extractor_spark.operators.extract import extract_pages
+from powerpoint_context_extractor_spark.plans.flagship import (
+    run_extraction, write_pages_table,
+)
+from powerpoint_context_extractor_spark.sources.table_io import SnapshotTable
+
+
+@pytest.fixture(scope="module")
+def pages_dir(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("pages"))
+    rows = list(corpus.generate_pages_rows(300, seed=42)) + corpus.fixture_pages()
+    write_pages_table(spark, rows, d, num_partitions=6)
+    return d
+
+
+def test_spark_matches_kernel_byte_identical(spark, pages_dir):
+    pages = spark.read.parquet(pages_dir)
+    got = {r["url"]: r for r in extract_pages(pages, num_partitions=5).collect()}
+    rows = {r["url"]: r for r in pages.select("url", "html", "text").collect()}
+    assert set(got) == set(rows)
+    for url, src in rows.items():
+        expected = extract_document(url, bytes(src["html"]))
+        g = got[url]
+        if expected.error is None:
+            assert g["text"] == expected.text, url          # byte-identical
+            assert g["text_source"] == "kernel"
+            assert g["n_blocks"] == expected.n_blocks
+            assert [s.asDict() for s in (g["spans"] or [])] == expected.spans
+        else:
+            assert g["error"] == expected.error
+            assert g["text"] == src["text"]                  # J2 fallback
+            assert g["text_source"] == "fallback"
+
+
+def test_run_extraction_lineage_reconciles(spark, pages_dir, tmp_path):
+    out = str(tmp_path / "out")
+    pages = spark.read.parquet(pages_dir)
+    n_input = pages.count()
+    info = run_extraction(spark, pages, out, num_partitions=4)
+    assert info["snapshot"]["row_count"] == n_input
+    lineage = SnapshotTable(os.path.join(out, "lineage")).read(spark)
+    agg = lineage.agg(F.sum("row_count").alias("n"), F.sum("ok_count").alias("ok"),
+                      F.sum("fail_count").alias("fail")).collect()[0]
+    assert agg["n"] == n_input                       # sum(row_count)=input rows
+    assert agg["ok"] + agg["fail"] == n_input        # ok+fail reconciles
+    assert agg["fail"] > 0                           # corpus contains bad rows
+    per = lineage.select("partition_id").distinct().count()
+    assert 1 <= per <= 4  # AQE may coalesce the repartition(4)
+
+
+def test_resume_exactly_once(spark, pages_dir, tmp_path):
+    out = str(tmp_path / "out")
+    pages = spark.read.parquet(pages_dir)
+    first = pages.limit(120)
+    run_extraction(spark, first, out, num_partitions=3)
+    # second run over the FULL input resumes: only missing urls processed
+    info2 = run_extraction(spark, pages, out, num_partitions=3)
+    tbl = SnapshotTable(os.path.join(out, "extracted")).read(spark)
+    assert tbl.count() == pages.count()
+    assert tbl.select("url").distinct().count() == pages.count()  # exactly-once
+    assert info2["snapshot"]["row_count"] == pages.count() - 120
+    # idempotent third run: nothing left to do
+    info3 = run_extraction(spark, pages, out, num_partitions=3)
+    assert info3["snapshot"]["row_count"] == 0
+
+
+def test_salt_and_order_invariance(spark, pages_dir):
+    """Changing partition count / input order changes no per-url output
+    (FIXTURES.md §5: order independence + salt invariance)."""
+    pages = spark.read.parquet(pages_dir)
+    a = {r["url"]: (r["text"], r["n_blocks"], r["error"])
+         for r in extract_pages(pages, num_partitions=2).collect()}
+    shuffled = pages.orderBy(F.reverse(F.col("url")))
+    b = {r["url"]: (r["text"], r["n_blocks"], r["error"])
+         for r in extract_pages(shuffled, num_partitions=7).collect()}
+    assert a == b
+
+
+def test_subset_semantics(spark, pages_dir):
+    """Extracting a url-subset == subsetting the full run (the reference's
+    slide_filter contract, `pptx_extract.py:250-252`)."""
+    pages = spark.read.parquet(pages_dir)
+    full = {r["url"]: r["text"]
+            for r in extract_pages(pages).collect()}
+    subset_urls = sorted(full)[:50]
+    sub = {r["url"]: r["text"]
+           for r in extract_pages(pages.filter(F.col("url").isin(subset_urls))).collect()}
+    assert sub == {u: full[u] for u in subset_urls}
+
+
+def test_extract_plan_prunes_columns(spark, pages_dir):
+    """The parquet scan must read only (url, html, text) — never warc_ts/
+    lang (F7 / ReadSchema check)."""
+    pages = spark.read.parquet(pages_dir)
+    plan = extract_pages(pages)._jdf.queryExecution().executedPlan().toString()
+    assert "warc_ts" not in plan
+    assert "lang" not in plan
