@@ -1,38 +1,345 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship extraction over sf0.001;
+``queries()`` exposes one callable per implemented operator family from
+SURVEY.md §2; ``oracle_sql()`` carries the DuckDB-equivalent SQL.
+
+Cross-engine determinism rules used throughout (so value-hashes match):
+- money/measure aggregates are emitted as integer cents
+  (``CAST(ROUND(x*100) AS BIGINT)``) — double sums round-trip exactly;
+- every computed column is aliased identically on both sides;
+- float-formatting demos use integer-only printf paths.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+_CENTS = lambda c: F.round(F.col(c) * 100).cast("long")  # noqa: E731
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the real extraction kernel over sf0.001 documents."""
+    from powerpoint_context_extractor_spark.operators.extract import (
+        extract_wrapped_documents,
+    )
+    docs = _t(spark, "/root/testdata/sf0.001", "documents")
+    return extract_wrapped_documents(docs)
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+def _flagship_extract(spark, sf_dir):
+    from powerpoint_context_extractor_spark.operators.extract import (
+        extract_wrapped_documents,
+    )
+    return extract_wrapped_documents(_t(spark, sf_dir, "documents"))
+
+
+def _q1_pricing_summary(spark, sf_dir):
+    l = _t(spark, sf_dir, "lineitem")  # noqa: E741
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc * (1 + F.col("l_tax"))
+    return (l.filter(F.col("l_shipdate") <= "1998-09-02")
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.sum(_CENTS("l_quantity")).alias("sum_qty_cents"),
+                 F.sum(_CENTS("l_extendedprice")).alias("sum_base_cents"),
+                 F.sum(F.round(disc * 100).cast("long")).alias("sum_disc_cents"),
+                 F.sum(F.round(charge * 100).cast("long")).alias("sum_charge_cents"),
+                 F.count(F.lit(1)).alias("count_order")))
+
+
+def _f1_keyset_filter(spark, sf_dir):
+    l = _t(spark, sf_dir, "lineitem")  # noqa: E741
+    return (l.filter(F.col("l_linenumber").isin(1, 3, 5)
+                     & (F.col("l_quantity") >= 10) & (F.col("l_quantity") <= 30))
+            .select("l_orderkey", "l_linenumber",
+                    _CENTS("l_quantity").alias("qty_cents")))
+
+
+def _f2_pushdown_residual(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return (e.filter((F.col("ts") >= "2024-01-05") & (F.col("ts") < "2024-01-20")
+                     & (F.col("event_type") != "error"))
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(_CENTS("value")).alias("value_cents")))
+
+
+def _j1_full_outer_coalesce(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    joined = o.join(c, o.o_custkey == c.c_custkey, "full_outer")
+    return (joined.groupBy(F.coalesce(F.col("c_name"), F.lit("unknown")).alias("cust"))
+            .agg(F.count(F.col("o_orderkey")).alias("n_orders"),
+                 F.coalesce(F.sum(_CENTS("o_totalprice")), F.lit(0)).alias("total_cents")))
+
+
+def _j3_broadcast_dim_chain(spark, sf_dir):
+    l = _t(spark, sf_dir, "lineitem")  # noqa: E741
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+            .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+            .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+            .groupBy("r_name", "n_name")
+            .agg(F.sum(F.round(rev * 100).cast("long")).alias("revenue_cents"),
+                 F.count(F.lit(1)).alias("n_items")))
+
+
+def _o2_top1_per_group(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(),
+                                           F.col("o_orderkey").asc())
+    return (o.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+            .select("o_custkey", "o_orderkey",
+                    _CENTS("o_totalprice").alias("top_cents")))
+
+
+def _a3_groupby_distinct(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return (e.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.countDistinct("user_id").alias("n_users"),
+                 F.min(_CENTS("value")).alias("min_cents"),
+                 F.max(_CENTS("value")).alias("max_cents")))
+
+
+def _t1_explode_tokens(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return (d.select(F.explode(F.split(F.col("text"), " ")).alias("token"))
+            .groupBy("token").agg(F.count(F.lit(1)).alias("n")))
+
+
+def _setop_anti_resume(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    done = d.filter(F.col("doc_id") % 7 == 0).select("doc_id")
+    return (d.join(done, "doc_id", "left_anti")
+            .select("doc_id", "lang", "n_chars"))
+
+
+def _x1_regex_extract(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.regexp_extract("p_brand", r"Brand#(\d+)", 1).cast("long").alias("brand_num"),
+        F.translate("p_name", " ", "_").alias("sanitized"),
+        F.format_string("part_%03d", F.col("p_size")).alias("padded"))
+
+
+def _x7_unit_format(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    ms = F.round(F.col("value") * 1000).cast("long")
+    return e.select(
+        "event_id",
+        F.when(ms >= 100000,
+               F.format_string("%d s", (ms / 1000).cast("long")))
+         .otherwise(F.format_string("%d ms", ms)).alias("dur_label"))
+
+
+def _w_running_sum(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    w = (W.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(W.unboundedPreceding, 0))
+    return e.select("event_id", "user_id",
+                    F.sum(_CENTS("value")).over(w).alias("run_cents"))
+
+
+def _dedup_exact(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    dup = (d.filter(F.col("doc_id") < 50)
+           .withColumn("doc_id", F.col("doc_id") + 1000000))
+    u = d.unionByName(dup)
+    return (u.groupBy(F.sha2(F.col("text"), 256).alias("text_sha"))
+            .agg(F.min("doc_id").alias("canonical_id"),
+                 F.count(F.lit(1)).alias("dup_count")))
+
+
+def _j2_pref_merge(spark, sf_dir):
+    """Preference merge (reference notes/extractor.py:171-174): prefer a
+    'primary' value, fall back to secondary via NULLIF+COALESCE."""
+    o = _t(spark, sf_dir, "orders")
+    primary = F.when(F.col("o_orderstatus") == "O", F.col("o_orderpriority")) \
+               .otherwise(F.lit(""))
+    return o.select(
+        "o_orderkey",
+        F.coalesce(F.nullif(primary, F.lit("")), F.lit("fallback")).alias("pref"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "flagship_extract": _flagship_extract,
+        "q1_pricing_summary": _q1_pricing_summary,
+        "f1_keyset_filter": _f1_keyset_filter,
+        "f2_pushdown_residual": _f2_pushdown_residual,
+        "j1_full_outer_coalesce": _j1_full_outer_coalesce,
+        "j2_pref_merge": _j2_pref_merge,
+        "j3_broadcast_dim_chain": _j3_broadcast_dim_chain,
+        "o2_top1_per_group": _o2_top1_per_group,
+        "a3_groupby_distinct": _a3_groupby_distinct,
+        "t1_explode_tokens": _t1_explode_tokens,
+        "setop_anti_resume": _setop_anti_resume,
+        "x1_regex_extract": _x1_regex_extract,
+        "x7_unit_format": _x7_unit_format,
+        "w_running_sum": _w_running_sum,
+        "dedup_exact": _dedup_exact,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
 
+# ---------------------------------------------------------------------------
+# oracles (DuckDB dialect; tables pre-registered as views)
+# ---------------------------------------------------------------------------
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "flagship_extract": """
+            WITH toks AS (
+              SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+            ), flat AS (
+              SELECT doc_id, unnest(ts) AS tok,
+                     unnest(range(1, len(ts)+1)) AS i
+              FROM toks
+            ), chunks AS (
+              SELECT doc_id, (i-1)//20 AS cn,
+                     string_agg(tok, ' ' ORDER BY i) AS chunk
+              FROM flat GROUP BY doc_id, (i-1)//20
+            ), agg AS (
+              SELECT doc_id,
+                     string_agg(chunk, chr(10)||chr(10) ORDER BY cn) AS body,
+                     count(*) AS nc
+              FROM chunks GROUP BY doc_id
+            )
+            SELECT 'doc://' || t.doc_id AS url,
+                   'Doc ' || t.doc_id AS title,
+                   '# Doc ' || t.doc_id ||
+                     coalesce(chr(10)||chr(10)||a.body, '') AS text,
+                   CAST(1 + coalesce(a.nc, 0) AS BIGINT) AS n_blocks
+            FROM toks t LEFT JOIN agg a USING (doc_id)
+        """,
+        "q1_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   SUM(CAST(ROUND(l_quantity*100) AS BIGINT)) AS sum_qty_cents,
+                   SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS sum_base_cents,
+                   SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS sum_disc_cents,
+                   SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*(1+l_tax)*100) AS BIGINT)) AS sum_charge_cents,
+                   COUNT(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "f1_keyset_filter": """
+            SELECT l_orderkey, l_linenumber,
+                   CAST(ROUND(l_quantity*100) AS BIGINT) AS qty_cents
+            FROM lineitem
+            WHERE l_linenumber IN (1,3,5) AND l_quantity BETWEEN 10 AND 30
+        """,
+        "f2_pushdown_residual": """
+            SELECT event_type, COUNT(*) AS n,
+                   SUM(CAST(ROUND(value*100) AS BIGINT)) AS value_cents
+            FROM events
+            WHERE ts >= TIMESTAMP '2024-01-05 00:00:00'
+              AND ts <  TIMESTAMP '2024-01-20 00:00:00'
+              AND event_type <> 'error'
+            GROUP BY event_type
+        """,
+        "j1_full_outer_coalesce": """
+            SELECT coalesce(c_name, 'unknown') AS cust,
+                   COUNT(o_orderkey) AS n_orders,
+                   coalesce(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)), 0) AS total_cents
+            FROM orders FULL OUTER JOIN customer ON o_custkey = c_custkey
+            GROUP BY coalesce(c_name, 'unknown')
+        """,
+        "j2_pref_merge": """
+            SELECT o_orderkey,
+                   coalesce(nullif(CASE WHEN o_orderstatus='O'
+                                        THEN o_orderpriority ELSE '' END, ''),
+                            'fallback') AS pref
+            FROM orders
+        """,
+        "j3_broadcast_dim_chain": """
+            SELECT r_name, n_name,
+                   SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS revenue_cents,
+                   COUNT(*) AS n_items
+            FROM lineitem
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name, n_name
+        """,
+        "o2_top1_per_group": """
+            SELECT o_custkey, o_orderkey,
+                   CAST(ROUND(o_totalprice*100) AS BIGINT) AS top_cents
+            FROM (SELECT *, row_number() OVER (
+                    PARTITION BY o_custkey
+                    ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+                  FROM orders) WHERE rn = 1
+        """,
+        "a3_groupby_distinct": """
+            SELECT event_type, COUNT(*) AS n,
+                   COUNT(DISTINCT user_id) AS n_users,
+                   MIN(CAST(ROUND(value*100) AS BIGINT)) AS min_cents,
+                   MAX(CAST(ROUND(value*100) AS BIGINT)) AS max_cents
+            FROM events GROUP BY event_type
+        """,
+        "t1_explode_tokens": """
+            SELECT tok AS token, COUNT(*) AS n
+            FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+            GROUP BY tok
+        """,
+        "setop_anti_resume": """
+            SELECT doc_id, lang, n_chars FROM documents d
+            WHERE NOT EXISTS (SELECT 1 FROM documents p
+                              WHERE p.doc_id % 7 = 0 AND p.doc_id = d.doc_id)
+        """,
+        "x1_regex_extract": """
+            SELECT p_partkey,
+                   CAST(regexp_extract(p_brand, 'Brand#(\\d+)', 1) AS BIGINT) AS brand_num,
+                   translate(p_name, ' ', '_') AS sanitized,
+                   printf('part_%03d', p_size) AS padded
+            FROM part
+        """,
+        "x7_unit_format": """
+            SELECT event_id,
+                   CASE WHEN CAST(ROUND(value*1000) AS BIGINT) >= 100000
+                        THEN printf('%d s', CAST(ROUND(value*1000) AS BIGINT)//1000)
+                        ELSE printf('%d ms', CAST(ROUND(value*1000) AS BIGINT))
+                   END AS dur_label
+            FROM events
+        """,
+        "w_running_sum": """
+            SELECT event_id, user_id,
+                   SUM(CAST(ROUND(value*100) AS BIGINT)) OVER (
+                     PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_cents
+            FROM events
+        """,
+        "dedup_exact": """
+            WITH u AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 1000000 AS doc_id, text FROM documents
+              WHERE doc_id < 50
+            )
+            SELECT sha256(text) AS text_sha,
+                   MIN(doc_id) AS canonical_id,
+                   COUNT(*) AS dup_count
+            FROM u GROUP BY sha256(text)
+        """,
+    }

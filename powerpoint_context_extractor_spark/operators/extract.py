@@ -90,6 +90,39 @@ def repartition_for_extract(df: DataFrame, num_partitions: int,
                           F.pmod(F.xxhash64(F.col(key)), F.lit(num_partitions)))
 
 
+DOC_EXTRACT_SCHEMA = T.StructType([
+    T.StructField("url", T.StringType(), False),
+    T.StructField("title", T.StringType(), True),
+    T.StructField("text", T.StringType(), True),
+    T.StructField("n_blocks", T.LongType(), True),
+])
+
+
+def _doc_kernel_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from ..corpus import page_for_document
+    for pdf in batches:
+        out = {"url": [], "title": [], "text": [], "n_blocks": []}
+        for doc_id, text in zip(pdf["doc_id"].tolist(), pdf["text"].tolist()):
+            url = f"doc://{doc_id}"
+            r = extract_document(url, page_for_document(doc_id, text))
+            out["url"].append(url)
+            out["title"].append(r.title)
+            out["text"].append(r.text)
+            out["n_blocks"].append(r.n_blocks)
+        yield pd.DataFrame(out)
+
+
+def extract_wrapped_documents(docs: DataFrame) -> DataFrame:
+    """Flagship demo path: wrap each testdata ``documents`` row into a
+    full synthetic page (corpus.page_for_document) and run the REAL
+    extraction kernel over it. Because the wrap is analytically
+    invertible, the whole thing has an ANSI-SQL oracle (see
+    ``__spark_entry__.oracle_sql()['flagship_extract']``) — the driver's
+    DuckDB check exercises the actual kernel, not a stand-in."""
+    return docs.select("doc_id", "text").mapInPandas(
+        _doc_kernel_batches, schema=DOC_EXTRACT_SCHEMA)
+
+
 def extract_pages(pages: DataFrame, num_partitions: int | None = None) -> DataFrame:
     """pages(url, html[, text]) -> extracted (EXTRACTED_SCHEMA)."""
     cols = ["url", "html"] + (["text"] if "text" in pages.columns else [])
