@@ -183,6 +183,112 @@ def _j2_pref_merge(spark, sf_dir):
         F.coalesce(F.nullif(primary, F.lit("")), F.lit("fallback")).alias("pref"))
 
 
+# ---- training-data pipeline operators (dedup / similarity / textstats /
+# multimodal) — graded first-class alongside SURVEY.md §2 ----
+
+def _docs_with_near_dups(spark, sf_dir):
+    """documents ∪ mutated copies of doc_id<30 (text + ' zz zz zz') —
+    deterministic near-dup planted set, mirrored in the oracles."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    mut = (d.filter(F.col("doc_id") < 30)
+           .select((F.col("doc_id") + 1000000).alias("doc_id"),
+                   F.concat(F.col("text"), F.lit(" zz zz zz")).alias("text")))
+    return d.unionByName(mut)
+
+
+def _dedup_minhash_lsh(spark, sf_dir):
+    from powerpoint_context_extractor_spark.operators.dedup import (
+        minhash_lsh_dedup,
+    )
+    return minhash_lsh_dedup(_docs_with_near_dups(spark, sf_dir))
+
+
+def _dedup_simhash_query(spark, sf_dir):
+    from powerpoint_context_extractor_spark.operators.dedup import (
+        simhash_hamming_to_query,
+    )
+    return simhash_hamming_to_query(_t(spark, sf_dir, "documents"), 0)
+
+
+def _dedup_ngram_jaccard(spark, sf_dir):
+    from powerpoint_context_extractor_spark.operators.dedup import (
+        ngram_jaccard_to_query,
+    )
+    return ngram_jaccard_to_query(_t(spark, sf_dir, "documents"), 0)
+
+
+def _sim_cosine_all(spark, sf_dir):
+    from powerpoint_context_extractor_spark.operators.similarity import (
+        cosine_to_query,
+    )
+    return cosine_to_query(_t(spark, sf_dir, "embeddings"), 0)
+
+
+def _sim_cosine_topk(spark, sf_dir):
+    from powerpoint_context_extractor_spark.operators.similarity import (
+        cosine_topk,
+    )
+    return cosine_topk(_t(spark, sf_dir, "embeddings"), 0, k=10)
+
+
+def _sim_ivf_topk(spark, sf_dir):
+    from powerpoint_context_extractor_spark.operators.similarity import (
+        ivf_topk,
+    )
+    return ivf_topk(_t(spark, sf_dir, "embeddings"), 0, k=10, n_centroids=8)
+
+
+def _text_lang_id(spark, sf_dir):
+    from powerpoint_context_extractor_spark.operators.textstats import lang_id
+    return lang_id(_t(spark, sf_dir, "documents"))
+
+
+def _text_quality(spark, sf_dir):
+    from powerpoint_context_extractor_spark.operators.textstats import (
+        quality_score,
+    )
+    return quality_score(_t(spark, sf_dir, "documents"))
+
+
+def _text_token_count(spark, sf_dir):
+    from powerpoint_context_extractor_spark.operators.textstats import (
+        token_counts,
+    )
+    return token_counts(_t(spark, sf_dir, "documents"))
+
+
+def _text_fingerprint(spark, sf_dir):
+    from powerpoint_context_extractor_spark.operators.textstats import (
+        fingerprint,
+    )
+    return fingerprint(_t(spark, sf_dir, "documents"))
+
+
+def _agg_salted_host_stats(spark, sf_dir):
+    from powerpoint_context_extractor_spark.operators.textstats import (
+        host_stats_salted,
+    )
+    return host_stats_salted(_t(spark, sf_dir, "events"))
+
+
+def _mm_binary_meta(spark, sf_dir):
+    from powerpoint_context_extractor_spark.operators.multimodal import (
+        binary_meta,
+    )
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload"))
+    return binary_meta(d, "doc_id", "payload")
+
+
+def _mm_features(spark, sf_dir):
+    from powerpoint_context_extractor_spark.operators.multimodal import (
+        extract_features,
+    )
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload"))
+    return extract_features(d)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship_extract": _flagship_extract,
@@ -200,12 +306,97 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x7_unit_format": _x7_unit_format,
         "w_running_sum": _w_running_sum,
         "dedup_exact": _dedup_exact,
+        "dedup_minhash_lsh": _dedup_minhash_lsh,
+        "dedup_simhash_query": _dedup_simhash_query,
+        "dedup_ngram_jaccard": _dedup_ngram_jaccard,
+        "sim_cosine_all": _sim_cosine_all,
+        "sim_cosine_topk": _sim_cosine_topk,
+        "sim_ivf_topk": _sim_ivf_topk,
+        "text_lang_id": _text_lang_id,
+        "text_quality": _text_quality,
+        "text_token_count": _text_token_count,
+        "text_fingerprint": _text_fingerprint,
+        "agg_salted_host_stats": _agg_salted_host_stats,
+        "mm_binary_meta": _mm_binary_meta,
+        "mm_features": _mm_features,  # rows-only: decoder is a stub
     }
 
 
 # ---------------------------------------------------------------------------
 # oracles (DuckDB dialect; tables pre-registered as views)
 # ---------------------------------------------------------------------------
+
+_SHINGLES_CTE = """
+  toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM u),
+  sh AS (SELECT doc_id, list_distinct(
+           CASE WHEN len(ts) >= 3
+                THEN [array_to_string(ts[i:i+2], ' ')
+                      for i in range(1, len(ts) - 1)]
+                ELSE [array_to_string(ts, ' ')] END) AS shs
+         FROM toks)
+"""
+
+_DOCS_UNION = """
+  u AS (SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id, text || ' zz zz zz' AS text
+        FROM documents WHERE doc_id < 30)
+"""
+
+
+def _minhash_oracle() -> str:
+    from powerpoint_context_extractor_spark.operators.dedup import (
+        LSH_ROWS, MINHASH_PERMS, P,
+    )
+    mins = ",\n               ".join(
+        f"MIN(({a}*x + {b}) % {P}) AS m{j}"
+        for j, (a, b) in enumerate(MINHASH_PERMS))
+    b0 = "||'_'||".join(f"m{r}" for r in range(LSH_ROWS))
+    b1 = "||'_'||".join(f"m{r + LSH_ROWS}" for r in range(LSH_ROWS))
+    return f"""
+        WITH {_DOCS_UNION}, {_SHINGLES_CTE},
+        ex AS (SELECT doc_id, unnest(shs) AS s FROM sh),
+        hx AS (SELECT doc_id,
+                      ('0x' || substr(md5(s), 1, 8))::BIGINT % {P} AS x
+               FROM ex),
+        sig AS (SELECT doc_id, {mins} FROM hx GROUP BY doc_id),
+        bands AS (
+          SELECT doc_id, 0 AS band, {b0} AS bucket FROM sig
+          UNION ALL
+          SELECT doc_id, 1 AS band, {b1} AS bucket FROM sig),
+        cand AS (SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+                 FROM bands l JOIN bands r
+                   ON l.band = r.band AND l.bucket = r.bucket
+                      AND l.doc_id < r.doc_id),
+        ver AS (SELECT id_a, id_b,
+                       (len(list_intersect(a.shs, b.shs)) * 10000)
+                         // len(list_distinct(a.shs || b.shs)) AS jaccard_bp
+                FROM cand
+                JOIN sh a ON a.doc_id = id_a
+                JOIN sh b ON b.doc_id = id_b)
+        SELECT id_a, id_b, CAST(jaccard_bp AS BIGINT) AS jaccard_bp
+        FROM ver WHERE jaccard_bp >= 8000
+    """
+
+
+_COS_FOLD = """list_reduce(list_prepend(0.0::DOUBLE,
+                 [{expr} for i in range(1, len({arr}) + 1)]),
+                 (x, y) -> x + y)"""
+
+
+def _cos_cte(rel: str = "embeddings") -> str:
+    dot = _COS_FOLD.format(expr="e.v[i]*q.qv[i]", arr="e.v")
+    nv = _COS_FOLD.format(expr="e.v[i]*e.v[i]", arr="e.v")
+    nq = _COS_FOLD.format(expr="q.qv[i]*q.qv[i]", arr="q.qv")
+    return f"""
+        e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM {rel}),
+        q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+        c AS (SELECT e.vec_id,
+                     CAST(ROUND(({dot}) / (sqrt({nv}) * sqrt({nq}))
+                                * 1000000) AS BIGINT) AS cos_micro
+              FROM e, q)
+    """
+
 
 def oracle_sql() -> dict[str, str]:
     return {
@@ -341,5 +532,137 @@ def oracle_sql() -> dict[str, str]:
                    MIN(doc_id) AS canonical_id,
                    COUNT(*) AS dup_count
             FROM u GROUP BY sha256(text)
+        """,
+        "dedup_minhash_lsh": _minhash_oracle(),
+        "dedup_simhash_query": """
+            WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts
+                          FROM documents),
+            tc AS (SELECT doc_id, tok, COUNT(*) AS c
+                   FROM (SELECT doc_id, unnest(ts) AS tok FROM toks)
+                   GROUP BY doc_id, tok),
+            hx AS (SELECT doc_id, c,
+                          ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h
+                   FROM tc),
+            bits AS (SELECT doc_id, pos,
+                            SUM(c * (2 * ((h >> pos) & 1) - 1)) AS v
+                     FROM hx, range(0, 60) t(pos)
+                     GROUP BY doc_id, pos),
+            sh AS (SELECT doc_id,
+                          SUM(CASE WHEN v > 0 THEN (1::BIGINT << pos)
+                                   ELSE 0 END) AS simhash
+                   FROM bits GROUP BY doc_id)
+            SELECT s.doc_id,
+                   CAST(bit_count(xor(s.simhash, q.simhash)) AS BIGINT) AS hamming
+            FROM sh s, (SELECT simhash FROM sh WHERE doc_id = 0) q
+        """,
+        "dedup_ngram_jaccard": f"""
+            WITH u AS (SELECT doc_id, text FROM documents), {_SHINGLES_CTE}
+            SELECT s.doc_id,
+                   CAST((len(list_intersect(s.shs, q.shs)) * 10000)
+                        // len(list_distinct(s.shs || q.shs)) AS BIGINT)
+                     AS jaccard_bp
+            FROM sh s, (SELECT shs FROM sh WHERE doc_id = 0) q(shs)
+        """,
+        "sim_cosine_all": f"""
+            WITH {_cos_cte()}
+            SELECT vec_id, cos_micro FROM c
+        """,
+        "sim_cosine_topk": f"""
+            WITH {_cos_cte()}
+            SELECT vec_id, cos_micro FROM c
+            ORDER BY cos_micro DESC, vec_id ASC LIMIT 10
+        """,
+        "sim_ivf_topk": f"""
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+            d AS (SELECT e.vec_id, c.cid,
+                         list_reduce(list_prepend(0.0::DOUBLE,
+                           [(e.v[i]-c.cv[i])*(e.v[i]-c.cv[i])
+                            for i in range(1, len(e.v)+1)]),
+                           (x, y) -> x + y) AS d2
+                  FROM e, cents c),
+            assign AS (SELECT vec_id, cid AS cluster
+                       FROM (SELECT vec_id, cid, row_number() OVER (
+                               PARTITION BY vec_id ORDER BY d2, cid) AS rn
+                             FROM d) WHERE rn = 1),
+            qc AS (SELECT cluster AS qcluster FROM assign WHERE vec_id = 0),
+            cell AS (SELECT e.vec_id, e.v FROM e
+                     JOIN assign a USING (vec_id), qc
+                     WHERE a.cluster = qc.qcluster),
+            q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+            c AS (SELECT cell.vec_id,
+                         CAST(ROUND(({_COS_FOLD.format(expr="cell.v[i]*q.qv[i]", arr="cell.v")})
+                              / (sqrt({_COS_FOLD.format(expr="cell.v[i]*cell.v[i]", arr="cell.v")})
+                                 * sqrt({_COS_FOLD.format(expr="q.qv[i]*q.qv[i]", arr="q.qv")}))
+                              * 1000000) AS BIGINT) AS cos_micro
+                  FROM cell, q)
+            SELECT vec_id, cos_micro FROM c
+            ORDER BY cos_micro DESC, vec_id ASC LIMIT 10
+        """,
+        "text_lang_id": """
+            WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts
+                          FROM documents),
+            sc AS (
+              SELECT doc_id, 'de' AS lang, len(list_filter(ts, t ->
+                list_contains(['der','die','das','und','nicht'], t))) AS s FROM toks
+              UNION ALL SELECT doc_id, 'en', len(list_filter(ts, t ->
+                list_contains(['the','a','and','of','to'], t))) FROM toks
+              UNION ALL SELECT doc_id, 'es', len(list_filter(ts, t ->
+                list_contains(['el','la','los','de','que'], t))) FROM toks
+              UNION ALL SELECT doc_id, 'fr', len(list_filter(ts, t ->
+                list_contains(['le','la','les','et','que'], t))) FROM toks
+              UNION ALL SELECT doc_id, 'zh', len(list_filter(ts, t ->
+                list_contains(['de','shi','le','bu','wo'], t))) FROM toks)
+            SELECT doc_id, lang AS pred_lang, CAST(s AS BIGINT) AS score
+            FROM (SELECT doc_id, lang, s, row_number() OVER (
+                    PARTITION BY doc_id ORDER BY s DESC, lang ASC) AS rn
+                  FROM sc)
+            WHERE rn = 1
+        """,
+        "text_quality": """
+            WITH b AS (SELECT doc_id,
+                              len(string_split(text,' '))::BIGINT AS n_tokens,
+                              len(text)::BIGINT AS nc,
+                              len(list_filter(string_split(text,' '), t ->
+                                list_contains(['the','a','and','of','to','in','is','it'], t)))::BIGINT AS stop
+                       FROM documents),
+            f AS (SELECT doc_id, n_tokens,
+                         ((nc - (n_tokens - 1)) * 100) // n_tokens AS mean_wl_x100,
+                         (stop * 10000) // n_tokens AS stop_bp
+                  FROM b)
+            SELECT doc_id, n_tokens, mean_wl_x100, stop_bp,
+                   CAST(least(n_tokens, 100) * 100
+                        + CASE WHEN mean_wl_x100 BETWEEN 300 AND 800
+                               THEN 5000 ELSE 0 END
+                        - stop_bp AS BIGINT) AS quality
+            FROM f
+        """,
+        "text_token_count": """
+            SELECT doc_id,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+                   CAST(len(regexp_extract_all(text,
+                        '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS re_tokens,
+                   CAST(len(text) AS BIGINT) AS n_chars_actual
+            FROM documents
+        """,
+        "text_fingerprint": """
+            SELECT doc_id,
+                   list_reduce(list_prepend(0::BIGINT,
+                     list_transform(string_split(text, ' '), t ->
+                       ('0x' || substr(md5(t), 1, 8))::BIGINT % 1000000007)),
+                     (acc, x) -> (acc * 31 + x) % 1000000007) AS fp
+            FROM documents
+        """,
+        "agg_salted_host_stats": """
+            SELECT event_type, COUNT(*) AS n,
+                   SUM(CAST(ROUND(value*100) AS BIGINT)) AS value_cents
+            FROM events GROUP BY event_type
+        """,
+        "mm_binary_meta": """
+            SELECT doc_id,
+                   CAST(len(text) AS BIGINT) AS n_bytes,
+                   lower(hex(substr(text, 1, 4))) AS magic_hex,
+                   sha256(text) AS payload_sha
+            FROM documents
         """,
     }

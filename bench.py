@@ -1,0 +1,108 @@
+"""Per-round benchmark harness (driver contract).
+
+Runs the headline extraction pipeline plus representative contract
+queries at ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line to stdout:
+``{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}``.
+
+The extraction corpus (a Common-Crawl-shaped pages table per
+BASELINE.json input_hint) is generated distributedly ONCE per sf and
+cached under .bench_cache/, so every bench run measures the identical
+input. Progress goes to stderr; stdout carries only the JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import shutil
+import sys
+import time
+import uuid
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+PAGES_PER_SF = 3_000_000   # sf0.1 -> 300k pages (~8 KiB html each)
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else 0.1
+    n_pages = max(1000, int(PAGES_PER_SF * sf))
+
+    from powerpoint_context_extractor_spark.session import get_spark
+    from powerpoint_context_extractor_spark.sources.pagegen import (
+        ensure_pages_dataset,
+    )
+    from powerpoint_context_extractor_spark.operators.extract import extract_pages
+    from powerpoint_context_extractor_spark.plans.flagship import run_extraction
+    import __spark_entry__ as entry_mod
+
+    spark = get_spark("pcx-bench", master=f"local[{cpus}]",
+                      shuffle_partitions=cpus)
+    log(f"bench: sf={sf} sf_dir={sf_dir} cpus={cpus} pages={n_pages}")
+
+    pages_dir = os.path.join(REPO, ".bench_cache", f"pages_sf{sf}")
+    t0 = time.monotonic()
+    ensure_pages_dataset(spark, pages_dir, n_pages, min_paras=4, max_paras=24)
+    log(f"pages dataset ready in {time.monotonic()-t0:.1f}s -> {pages_dir}")
+
+    timings: dict = {}
+
+    def timed(name, fn):
+        t = time.monotonic()
+        out = fn()
+        timings[name] = round(time.monotonic() - t, 3)
+        log(f"  {name}: {timings[name]}s")
+        return out
+
+    pages = spark.read.parquet(pages_dir)
+
+    # headline: pure extraction compute (docs/sec north metric)
+    n_ok = timed("extract_count", lambda: extract_pages(
+        pages, num_partitions=cpus * 2).filter("error is null").count())
+    docs_per_sec = round(n_pages / timings["extract_count"], 1)
+    log(f"  -> {docs_per_sec} docs/s over {n_ok} ok rows")
+
+    # full pipeline: extraction + snapshot commit + lineage commit
+    sink = os.path.join(REPO, ".bench_cache", f"sink-{uuid.uuid4().hex[:8]}")
+    try:
+        timed("extract_commit", lambda: run_extraction(
+            spark, pages, sink, num_partitions=cpus * 2, resume=False))
+    finally:
+        shutil.rmtree(sink, ignore_errors=True)
+
+    # representative contract queries at the sf dir
+    qs = entry_mod.queries()
+    for name in ("flagship_extract", "q1_pricing_summary",
+                 "j3_broadcast_dim_chain", "o2_top1_per_group",
+                 "w_running_sum", "dedup_exact", "t1_explode_tokens"):
+        if name in qs:
+            timed(name, lambda n=name: qs[n](spark, sf_dir)
+                  .write.format("noop").mode("overwrite").save())
+
+    total = round(sum(timings.values()), 3)
+    result = {
+        "metric": "total_bench_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "docs_per_sec_extract": docs_per_sec,
+        "n_pages": n_pages,
+        "cpus": cpus,
+    }
+    spark.stop()
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -192,34 +192,43 @@ def fixture_pages(seed: int = 42, per_class: int = 3):
 # 3. bulk corpus for bench — Zipf-skewed hosts (one hot host ~30% of rows)
 # ---------------------------------------------------------------------------
 
-def generate_pages_rows(n: int, seed: int = 42, n_hosts: int = 50):
+def page_row(i: int, seed: int = 42, n_hosts: int = 50,
+             min_paras: int = 2, max_paras: int = 8) -> dict:
+    """One deterministic page row — pure function of (i, seed, params),
+    so generation distributes over Spark partitions (sources/pagegen.py)."""
+    rng = random.Random((seed << 34) ^ i)
+    r = rng.random()
+    host = 0 if r < 0.30 else 1 + rng.randrange(n_hosts - 1)
+    lang = _LANGS[host % len(_LANGS)]
+    url = f"https://host{host}.example/p/{i}"
+    kind = rng.random()
+    if kind < 0.05:
+        html = render_wdoc([
+            ("h1", 0, 0, f"WDOC {i}"),
+            ("p", 10, 0, _sentence(rng, PARA_TOKENS)),
+            ("p", 20, 0, _sentence(rng, PARA_TOKENS)),
+        ])
+    elif kind < 0.07:
+        html = (f"<h1>Broken {i}</h1></div><p>{_sentence(rng, 10)}"
+                f"<p>{_sentence(rng, 8)}</i>").encode("utf-8")
+    else:
+        n_paras = min_paras + rng.randrange(max_paras - min_paras + 1)
+        main = (f"<h1>Page {i} {rng.choice(_WORDS)}</h1>" + "".join(
+            f"<p>{_sentence(rng, PARA_TOKENS)}</p>" for _ in range(n_paras)))
+        html = _page_shell(main).encode("utf-8")
+    return {
+        "url": url,
+        "warc_ts": EPOCH + timedelta(seconds=i % 86400, days=i % 30),
+        "html": html,
+        "text": _sentence(rng, 8),
+        "lang": lang,
+    }
+
+
+def generate_pages_rows(n: int, seed: int = 42, n_hosts: int = 50,
+                        min_paras: int = 2, max_paras: int = 8):
     """Yield n page rows. Host 0 receives ~30% of urls (skew/salting
     tests, SURVEY.md §2.10 U5); ~5% WDOC binary payloads; ~2% malformed."""
     for i in range(n):
-        rng = random.Random((seed << 34) ^ i)
-        r = rng.random()
-        host = 0 if r < 0.30 else 1 + rng.randrange(n_hosts - 1)
-        lang = _LANGS[host % len(_LANGS)]
-        url = f"https://host{host}.example/p/{i}"
-        kind = rng.random()
-        if kind < 0.05:
-            html = render_wdoc([
-                ("h1", 0, 0, f"WDOC {i}"),
-                ("p", 10, 0, _sentence(rng, PARA_TOKENS)),
-                ("p", 20, 0, _sentence(rng, PARA_TOKENS)),
-            ])
-        elif kind < 0.07:
-            html = (f"<h1>Broken {i}</h1></div><p>{_sentence(rng, 10)}"
-                    f"<p>{_sentence(rng, 8)}</i>").encode("utf-8")
-        else:
-            n_paras = 2 + rng.randrange(6)
-            main = (f"<h1>Page {i} {rng.choice(_WORDS)}</h1>" + "".join(
-                f"<p>{_sentence(rng, PARA_TOKENS)}</p>" for _ in range(n_paras)))
-            html = _page_shell(main).encode("utf-8")
-        yield {
-            "url": url,
-            "warc_ts": EPOCH + timedelta(seconds=i % 86400, days=i % 30),
-            "html": html,
-            "text": _sentence(rng, 8),
-            "lang": lang,
-        }
+        yield page_row(i, seed=seed, n_hosts=n_hosts,
+                       min_paras=min_paras, max_paras=max_paras)

@@ -1,0 +1,172 @@
+"""Deduplication operators for training-data pipelines.
+
+All hot-path math is JVM-side built-ins (md5/conv/aggregate/transform —
+whole-stage codegen); no Python UDFs. The hash primitive is portable
+(identical in DuckDB SQL), so every operator here is oracle-checkable.
+
+Scale notes:
+- exact dedup: one shuffle on text-hash with map-side combine.
+- minhash: shingle explode -> groupBy(doc) with 2k min() partial aggs
+  (combiner-friendly); LSH banding turns O(n^2) pair search into a
+  groupBy(band) shuffle; only candidate pairs pay the exact-jaccard
+  verify join. This is the standard web-scale near-dup topology
+  (shingle->minhash->band->bucket-join).
+- simhash: two doc-keyed shuffles (token counts, bit votes); hamming
+  search against a query is a broadcast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+P = 1_000_000_007  # hash modulus: a*x+b stays < 1e18 << int64 max
+
+# fixed minhash permutations (a, b) — mirrored verbatim in the oracle SQL
+MINHASH_PERMS = [
+    (472882027, 281474977), (998244353, 104857601), (715827883, 37748717),
+    (611686087, 274877907), (805306457, 268435399), (201326611, 67108879),
+    (452984833, 134217757), (322122547, 536870923),
+]
+LSH_BANDS = 2        # 2 bands x 4 rows over the 8-long signature
+LSH_ROWS = 4
+
+
+def portable_hash(col: F.Column) -> F.Column:
+    """Deterministic cross-engine string->int in [0, P): first 8 hex
+    chars of md5, base-16 decode, mod P. DuckDB twin:
+    ``('0x'||substr(md5(s),1,8))::BIGINT % 1000000007``."""
+    return (F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long") % P)
+
+
+def tokens_col(text_col: str = "text") -> F.Column:
+    return F.split(F.col(text_col), " ")
+
+
+def shingles_col(text_col: str = "text", k: int = 3) -> F.Column:
+    """Distinct k-token shingles in document order (array<string>)."""
+    toks = tokens_col(text_col)
+    return F.array_distinct(
+        F.when(F.size(toks) >= k,
+               F.transform(F.sequence(F.lit(0), F.size(toks) - k),
+                           lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k))))
+        .otherwise(F.array(F.concat_ws(" ", toks))))
+
+
+def exact_dedup(docs: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Hash-groupBy exact dedup: one combiner-friendly shuffle."""
+    return (docs.groupBy(F.sha2(F.col(text_col), 256).alias("text_sha"))
+            .agg(F.min(id_col).alias("canonical_id"),
+                 F.count(F.lit(1)).alias("dup_count")))
+
+
+def minhash_signatures(docs: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """doc -> 8 minhash values (columns m0..m7)."""
+    sh = docs.select(F.col(id_col),
+                     F.explode(shingles_col(text_col)).alias("shingle"))
+    x = portable_hash(F.col("shingle"))
+    aggs = [F.min((F.lit(a) * x + F.lit(b)) % P).alias(f"m{j}")
+            for j, (a, b) in enumerate(MINHASH_PERMS)]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Band signatures -> bucket self-join -> unordered candidate pairs."""
+    bands = []
+    for band in range(LSH_BANDS):
+        cols = [F.col(f"m{band * LSH_ROWS + r}") for r in range(LSH_ROWS)]
+        bands.append(sigs.select(
+            F.col(id_col),
+            F.lit(band).alias("band"),
+            F.concat_ws("_", *cols).alias("bucket")))
+    b = bands[0]
+    for extra in bands[1:]:
+        b = b.unionByName(extra)
+    left = b.alias("l")
+    right = b.alias("r")
+    return (left.join(right, ["band", "bucket"])
+            .filter(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+            .select(F.col(f"l.{id_col}").alias("id_a"),
+                    F.col(f"r.{id_col}").alias("id_b"))
+            .distinct())
+
+
+def minhash_lsh_dedup(docs: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text",
+                      threshold_bp: int = 8000) -> DataFrame:
+    """Near-dup pairs with exact-jaccard verification (basis points, so
+    the comparison is integer-exact cross-engine)."""
+    sigs = minhash_signatures(docs, id_col, text_col)
+    cands = lsh_candidate_pairs(sigs, id_col)
+    sets_df = docs.select(F.col(id_col),
+                          shingles_col(text_col).alias("sh"))
+    a = sets_df.alias("a")
+    b = sets_df.alias("b")
+    pairs = (cands.join(a, cands.id_a == F.col(f"a.{id_col}"))
+             .join(b, cands.id_b == F.col(f"b.{id_col}")))
+    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+    union = F.size(F.array_union(F.col("a.sh"), F.col("b.sh")))
+    # `div` = exact integer division (matches DuckDB `//`; double `/`
+    # could drift an ulp at integer boundaries)
+    jac = (inter * 10000).cast("long").alias("i10k")
+    return (pairs.select("id_a", "id_b", jac, union.cast("long").alias("u"))
+            .select("id_a", "id_b",
+                    F.expr("i10k div u").alias("jaccard_bp"))
+            .filter(F.col("jaccard_bp") >= threshold_bp))
+
+
+# ---------------------------------------------------------------------------
+# SimHash (60-bit, fits int64) + n-gram jaccard search
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 60
+
+
+def simhash(docs: DataFrame, id_col: str = "doc_id",
+            text_col: str = "text") -> DataFrame:
+    """60-bit simhash over token multiset; token hash = first 15 md5 hex
+    chars (60 bits, int64-safe)."""
+    tok = (docs.select(F.col(id_col), F.explode(tokens_col(text_col)).alias("tok"))
+           .groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("c"))
+           .withColumn("h", F.conv(F.substring(F.md5(F.col("tok")), 1, 15),
+                                   16, 10).cast("long")))
+    bits = (tok.select(id_col, "c", "h",
+                       F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1)))
+                       .alias("pos"))
+            .withColumn("vote",
+                        F.col("c") * (2 * F.expr("shiftright(h, pos) & 1") - 1)))
+    return (bits.groupBy(id_col, "pos").agg(F.sum("vote").alias("v"))
+            .groupBy(id_col)
+            .agg(F.sum(F.when(F.col("v") > 0,
+                              F.expr("shiftleft(cast(1 as bigint), pos)"))
+                       .otherwise(F.lit(0).cast("long"))).alias("simhash")))
+
+
+def simhash_hamming_to_query(docs: DataFrame, query_id: int,
+                             id_col: str = "doc_id",
+                             text_col: str = "text") -> DataFrame:
+    s = simhash(docs, id_col, text_col)
+    q = (s.filter(F.col(id_col) == query_id)
+         .select(F.col("simhash").alias("qhash")))
+    return (s.crossJoin(F.broadcast(q))
+            .select(F.col(id_col),
+                    F.bit_count(F.col("simhash").bitwiseXOR(F.col("qhash")))
+                    .cast("long").alias("hamming")))
+
+
+def ngram_jaccard_to_query(docs: DataFrame, query_id: int,
+                           id_col: str = "doc_id",
+                           text_col: str = "text", k: int = 3) -> DataFrame:
+    """Exact n-gram Jaccard of every doc vs one query doc (broadcast)."""
+    sets_df = docs.select(F.col(id_col), shingles_col(text_col, k).alias("sh"))
+    q = (sets_df.filter(F.col(id_col) == query_id)
+         .select(F.col("sh").alias("qsh")))
+    inter = F.size(F.array_intersect(F.col("sh"), F.col("qsh")))
+    union = F.size(F.array_union(F.col("sh"), F.col("qsh")))
+    return (sets_df.crossJoin(F.broadcast(q))
+            .select(F.col(id_col),
+                    (inter * 10000).cast("long").alias("i10k"),
+                    union.cast("long").alias("u"))
+            .select(F.col(id_col), F.expr("i10k div u").alias("jaccard_bp")))

@@ -1,0 +1,91 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k is the correctness baseline; the IVF variant
+is the scale path (cluster-prune then search one cell — at 10^12 rows
+the assignment is a broadcast-join against K centroids and the probe
+touches ~1/K of the data via partition pruning on ``cluster``).
+
+All arithmetic runs JVM-side via higher-order functions (zip_with /
+aggregate) on doubles — float32 inputs are widened first so results are
+bit-identical to the DuckDB oracle's ``::DOUBLE[]`` math.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _as_double(col: F.Column) -> F.Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def _dot(a: F.Column, b: F.Column) -> F.Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _norm(a: F.Column) -> F.Column:
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x),
+                              F.lit(0.0), lambda acc, x: acc + x))
+
+
+def cosine_to_query(emb: DataFrame, query_id: int,
+                    id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> DataFrame:
+    """Cosine similarity of every vector vs one query vector, scaled to
+    integer micro-units (round(cos*1e6)) for cross-engine exactness."""
+    v = _as_double(F.col(vec_col))
+    base = emb.select(F.col(id_col), v.alias("v"))
+    q = (base.filter(F.col(id_col) == query_id)
+         .select(F.col("v").alias("qv")))
+    cos = _dot(F.col("v"), F.col("qv")) / (_norm(F.col("v")) * _norm(F.col("qv")))
+    return (base.crossJoin(F.broadcast(q))
+            .select(F.col(id_col),
+                    F.round(cos * 1_000_000).cast("long").alias("cos_micro")))
+
+
+def cosine_topk(emb: DataFrame, query_id: int, k: int = 10,
+                id_col: str = "vec_id",
+                vec_col: str = "embedding") -> DataFrame:
+    """Brute-force top-k by (cosine desc, id asc) — the ANN baseline."""
+    return (cosine_to_query(emb, query_id, id_col, vec_col)
+            .orderBy(F.col("cos_micro").desc(), F.col(id_col).asc())
+            .limit(k))
+
+
+def ivf_assign(emb: DataFrame, n_centroids: int = 8,
+               id_col: str = "vec_id",
+               vec_col: str = "embedding") -> DataFrame:
+    """IVF cell assignment with deterministic centroids (= the first
+    ``n_centroids`` vectors by id): argmin squared-L2, ties by centroid
+    id. One broadcast join; no shuffle of the big side."""
+    v = _as_double(F.col(vec_col))
+    base = emb.select(F.col(id_col), v.alias("v"))
+    cents = (base.filter(F.col(id_col) < n_centroids)
+             .select(F.col(id_col).alias("cid"), F.col("v").alias("cv")))
+    d2 = F.aggregate(F.zip_with(F.col("v"), F.col("cv"),
+                                lambda x, y: (x - y) * (x - y)),
+                     F.lit(0.0), lambda acc, x: acc + x)
+    scored = base.crossJoin(F.broadcast(cents)).withColumn("d2", d2)
+    # min(struct) = lexicographic (d2, cid) — deterministic tie-break,
+    # mirrored in the oracle by row_number over (d2, cid)
+    return (scored.groupBy(id_col)
+            .agg(F.min(F.struct("d2", "cid")).getField("cid").alias("cluster")))
+
+
+def ivf_topk(emb: DataFrame, query_id: int, k: int = 10,
+             n_centroids: int = 8, id_col: str = "vec_id",
+             vec_col: str = "embedding") -> DataFrame:
+    """ANN: search only the query's IVF cell (scale path; recall<1 by
+    construction, like any single-probe IVF)."""
+    assign = ivf_assign(emb, n_centroids, id_col, vec_col)
+    with_cell = emb.join(assign, id_col)
+    qcell = (with_cell.filter(F.col(id_col) == query_id)
+             .select(F.col("cluster").alias("qcluster")))
+    cell = (with_cell.crossJoin(F.broadcast(qcell))
+            .filter(F.col("cluster") == F.col("qcluster"))
+            .select(id_col, vec_col))
+    return (cosine_to_query(cell, query_id, id_col, vec_col)
+            .orderBy(F.col("cos_micro").desc(), F.col(id_col).asc())
+            .limit(k))

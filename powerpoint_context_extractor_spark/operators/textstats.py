@@ -1,0 +1,120 @@
+"""Text analysis operators: language-ID, quality scoring, token
+counting, document fingerprinting, and skew-safe host aggregation.
+
+Everything is built-in-function math (codegen'd, combiner-friendly) and
+integer-exact so DuckDB oracles apply. Heuristics are deliberately
+simple and *frozen* — correctness means matching the declared rule, not
+linguistic truth (SURVEY.md §5: the generator/spec is the oracle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+P = 1_000_000_007
+
+# marker-token sets per language (frozen; mirrored in oracle SQL)
+LANG_MARKERS = {
+    "en": ["the", "a", "and", "of", "to"],
+    "es": ["el", "la", "los", "de", "que"],
+    "de": ["der", "die", "das", "und", "nicht"],
+    "fr": ["le", "la", "les", "et", "que"],
+    "zh": ["de", "shi", "le", "bu", "wo"],
+}
+STOPWORDS = ["the", "a", "and", "of", "to", "in", "is", "it"]
+
+TOKEN_RE = "[a-z]+|[0-9]+|[^a-z0-9 ]"  # BPE-ish: runs of letters/digits/punct
+
+
+def _toks(text_col: str) -> F.Column:
+    return F.split(F.col(text_col), " ")
+
+
+def token_counts(docs: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text") -> DataFrame:
+    """Whitespace tokens + BPE-ish regex tokens + char count."""
+    return docs.select(
+        F.col(id_col),
+        F.size(_toks(text_col)).cast("long").alias("ws_tokens"),
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(f"({TOKEN_RE})"), 1))
+        .cast("long").alias("re_tokens"),
+        F.length(F.col(text_col)).cast("long").alias("n_chars_actual"))
+
+
+def lang_id(docs: DataFrame, id_col: str = "doc_id",
+            text_col: str = "text") -> DataFrame:
+    """Marker-token count per language; argmax, ties by language name
+    ascending (deterministic)."""
+    toks = _toks(text_col)
+
+    def marker_count(lang):
+        markers = LANG_MARKERS[lang]
+        # NB: single-arg lambda only — a second arg makes pyspark pass
+        # the array index Column into it
+        return F.size(F.filter(toks, lambda t: t.isin(markers)))
+
+    scores = [marker_count(lang).alias(f"s_{lang}")
+              for lang in sorted(LANG_MARKERS)]
+    scored = docs.select(F.col(id_col), *scores)
+    pairs = F.array(*[F.struct((-F.col(f"s_{lang}")).alias("neg"),
+                               F.lit(lang).alias("lang"))
+                      for lang in sorted(LANG_MARKERS)])
+    return scored.select(
+        id_col,
+        F.array_min(pairs).getField("lang").alias("pred_lang"),
+        (-F.array_min(pairs).getField("neg")).cast("long").alias("score"))
+
+
+def quality_score(docs: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """Integer quality features: token count, mean word length (x100,
+    integer division), stopword ratio in basis points, and a frozen
+    composite score."""
+    toks = _toks(text_col)
+    base = docs.select(
+        F.col(id_col),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.length(F.col(text_col)).cast("long").alias("nc"),
+        F.size(F.filter(toks, lambda t: t.isin(STOPWORDS))).cast("long")
+        .alias("stop"))
+    # `div` = exact integer division, matches DuckDB `//`
+    feat = base.select(
+        id_col, "n_tokens",
+        F.expr("((nc - (n_tokens - 1)) * 100) div n_tokens").alias("mean_wl_x100"),
+        F.expr("(stop * 10000) div n_tokens").alias("stop_bp"))
+    score = (F.least(F.col("n_tokens"), F.lit(100)) * 100
+             + F.when((F.col("mean_wl_x100") >= 300)
+                      & (F.col("mean_wl_x100") <= 800), 5000).otherwise(0)
+             - F.col("stop_bp")).cast("long")
+    return feat.select(id_col, "n_tokens", "mean_wl_x100", "stop_bp",
+                       score.alias("quality"))
+
+
+def fingerprint(docs: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Rolling polynomial fingerprint over token hashes:
+    fold(acc*31 + H(tok)) mod P — order-sensitive (unlike a bag-of-
+    tokens hash), so near-identical docs with swapped words differ."""
+    toks = _toks(text_col)
+    h = lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long") % P  # noqa: E731
+    fp = F.aggregate(toks, F.lit(0).cast("long"),
+                     lambda acc, t: (acc * 31 + h(t)) % P)
+    return docs.select(F.col(id_col), fp.alias("fp"))
+
+
+def host_stats_salted(events: DataFrame, key_col: str = "event_type",
+                      n_salts: int = 8) -> DataFrame:
+    """Skew-safe two-stage aggregation (U5): partial agg on
+    (key, salt) spreads a hot key over ``n_salts`` reducers, final agg
+    merges partials. Result is identical to a plain groupBy — that
+    identity IS the oracle."""
+    salted = events.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()),
+                        F.lit(n_salts)))
+    partial = (salted.groupBy(key_col, "_salt")
+               .agg(F.count(F.lit(1)).alias("pc"),
+                    F.sum(F.round(F.col("value") * 100).cast("long")).alias("ps")))
+    return (partial.groupBy(key_col)
+            .agg(F.sum("pc").alias("n"),
+                 F.sum("ps").alias("value_cents")))

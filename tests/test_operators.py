@@ -1,0 +1,130 @@
+"""Semantic tests for dedup / similarity / textstats / multimodal
+operators (the oracle parity itself is covered by scripts/check_entry.py
+and the driver's CORRECTNESS gate; these pin intended behavior)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from powerpoint_context_extractor_spark.operators import (
+    dedup, multimodal, similarity, textstats,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = [
+        (0, "the quick brown fox jumps over the lazy dog again and again"),
+        (1, "the quick brown fox jumps over the lazy dog again and again"),
+        (2, "the quick brown fox jumps over the lazy dog again and later"),
+        (3, "completely different content about spark shuffles and arrow"),
+        (4, "el rapido zorro marron salta sobre el perro"),
+    ]
+    return spark.createDataFrame(base, "doc_id long, text string")
+
+
+def test_exact_dedup_groups(docs):
+    out = {r["canonical_id"]: r["dup_count"]
+           for r in dedup.exact_dedup(docs).collect()}
+    assert out[0] == 2          # docs 0,1 identical
+    assert out[2] == 1 and out[3] == 1
+
+
+def test_minhash_lsh_finds_near_dups(spark, docs):
+    # planted high-jaccard near-dup: long doc + 3 appended tokens
+    # (same construction as the contract query; LSH recall at this
+    # similarity is reliable with 2 bands x 4 rows)
+    long_doc = " ".join(f"tok{i}" for i in range(50))
+    extra = spark.createDataFrame(
+        [(10, long_doc), (11, long_doc + " zz zz zz")],
+        "doc_id long, text string")
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard_bp"]
+             for r in dedup.minhash_lsh_dedup(
+                 docs.unionByName(extra), threshold_bp=5000).collect()}
+    assert pairs[(0, 1)] == 10000                      # identical pair
+    assert 9000 <= pairs[(10, 11)] < 10000             # planted near-dup
+    assert all({3, 4}.isdisjoint(p) for p in pairs)    # unrelated stay out
+
+
+def test_simhash_identical_docs_zero_hamming(docs):
+    h = {r["doc_id"]: r["hamming"]
+         for r in dedup.simhash_hamming_to_query(docs, 0).collect()}
+    assert h[0] == 0 and h[1] == 0
+    assert h[3] > h[2] > 0     # more different text -> larger distance
+
+
+def test_ngram_jaccard_bounds(docs):
+    j = {r["doc_id"]: r["jaccard_bp"]
+         for r in dedup.ngram_jaccard_to_query(docs, 0).collect()}
+    assert j[0] == 10000 and j[1] == 10000
+    assert 0 < j[2] < 10000 and j[3] == 0
+
+
+@pytest.fixture(scope="module")
+def embs(spark):
+    rows = [(0, [1.0, 0.0, 0.0]), (1, [1.0, 0.1, 0.0]),
+            (2, [0.0, 1.0, 0.0]), (3, [-1.0, 0.0, 0.0]),
+            (4, [0.9, 0.0, 0.1]), (5, [0.0, 0.0, 1.0]),
+            (6, [0.5, 0.5, 0.0]), (7, [0.1, 0.9, 0.0]),
+            (8, [0.99, 0.01, 0.0])]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_cosine_topk_orders_by_similarity(embs):
+    top = [r["vec_id"] for r in similarity.cosine_topk(embs, 0, k=4).collect()]
+    assert top[0] == 0                      # self first
+    assert set(top) <= {0, 1, 4, 8, 6}
+    cos = {r["vec_id"]: r["cos_micro"]
+           for r in similarity.cosine_to_query(embs, 0).collect()}
+    assert cos[0] == 1_000_000 and cos[3] == -1_000_000 and cos[2] == 0
+
+
+def test_ivf_topk_stays_in_query_cell(embs):
+    out = similarity.ivf_topk(embs, 0, k=5, n_centroids=3).collect()
+    ids = [r["vec_id"] for r in out]
+    assert 0 in ids                         # query always in its own cell
+    # vectors clearly nearest centroid 2 ([0,1,0]) are pruned away
+    assert 2 not in ids and 7 not in ids
+
+
+def test_lang_id_and_quality(docs):
+    pred = {r["doc_id"]: r["pred_lang"]
+            for r in textstats.lang_id(docs).collect()}
+    assert pred[0] == "en" and pred[4] == "es"
+    q = {r["doc_id"]: r for r in textstats.quality_score(docs).collect()}
+    assert q[0]["n_tokens"] == 12
+    assert q[0]["stop_bp"] > 0
+
+
+def test_fingerprint_order_sensitive(spark):
+    df = spark.createDataFrame(
+        [(0, "alpha beta"), (1, "beta alpha"), (2, "alpha beta")],
+        "doc_id long, text string")
+    fp = {r["doc_id"]: r["fp"] for r in textstats.fingerprint(df).collect()}
+    assert fp[0] == fp[2] != fp[1]
+
+
+def test_salted_agg_equals_plain(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    salted = {tuple(r) for r in textstats.host_stats_salted(ev).collect()}
+    plain = {tuple(r) for r in
+             ev.groupBy("event_type")
+             .agg(F.count(F.lit(1)).alias("n"),
+                  F.sum(F.round(F.col("value") * 100).cast("long"))
+                  .alias("value_cents")).collect()}
+    assert salted == plain
+
+
+def test_multimodal_stub_plumbing(spark):
+    from powerpoint_context_extractor_spark.kernel import render_wdoc
+    rows = [(0, bytearray(render_wdoc([("p", 0, 0, "x")]))),
+            (1, bytearray(b"\x89PNG\r\n fake")),
+            (2, bytearray(b""))]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {r["doc_id"]: r for r in multimodal.extract_features(df).collect()}
+    assert out[0]["kind"] == "wdoc"
+    assert out[1]["kind"] == "png" and len(out[1]["features"]) == 4
+    assert out[2]["error"] is not None and out[2]["features"] is None
+    meta = {r["doc_id"]: r for r in
+            multimodal.binary_meta(df, "doc_id", "payload").collect()}
+    assert meta[1]["magic_hex"] == "89504e47"
+    assert meta[0]["n_bytes"] > 0
