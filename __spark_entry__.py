@@ -289,6 +289,71 @@ def _mm_features(spark, sf_dir):
     return extract_features(d)
 
 
+# ---- second operator batch: multidim aggs, pivot, JSON, HOF exists,
+# case-mapping, truncation (SURVEY.md §2 A/F5/X6/O3-O4 analogs) ----
+
+def _a_cube_rollup(spark, sf_dir):
+    l = _t(spark, sf_dir, "lineitem")  # noqa: E741
+    return (l.cube("l_returnflag", "l_linestatus")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(_CENTS("l_quantity")).alias("qty_cents")))
+
+
+def _a_pivot_events(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    types = ["click", "view", "purchase", "signup", "error"]
+    p = (e.groupBy("user_id")
+         .pivot("event_type", types)
+         .agg(F.coalesce(F.sum(_CENTS("value")), F.lit(0))))
+    return p.select("user_id", *[F.col(t).alias(f"{t}_cents") for t in types])
+
+
+def _x_json_extract(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("k"))
+
+
+def _f5_exists_hof(spark, sf_dir):
+    """Existence probe over a nested array (reference
+    `animations/extractor.py:15-35` has_animations_in_xml analog):
+    does any token in the doc start with 'z'?"""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    return d.select(
+        "doc_id",
+        F.exists(toks, lambda t: t.startswith("z")).alias("has_z"),
+        F.size(F.filter(toks, lambda t: t.startswith("s"))).cast("long")
+        .alias("n_s_tokens"))
+
+
+def _x6_case_mapping(spark, sf_dir):
+    """Case-mapping dictionary (reference effect->verb tables,
+    `animations/extractor.py:273-346`) as a literal map + element_at."""
+    o = _t(spark, sf_dir, "orders")
+    m = F.create_map(
+        F.lit("1-URGENT"), F.lit("now"), F.lit("2-HIGH"), F.lit("soon"),
+        F.lit("3-MEDIUM"), F.lit("later"), F.lit("4-NOT SPECIFIED"),
+        F.lit("whenever"), F.lit("5-LOW"), F.lit("someday"))
+    return o.select(
+        "o_orderkey",
+        F.coalesce(F.element_at(m, F.col("o_orderpriority")),
+                   F.lit("unknown")).alias("urgency"))
+
+
+def _o3_truncate_slice(spark, sf_dir):
+    """Truncation + first-N cap (reference title[:100] and 'first 3
+    descriptions', `animations/extractor.py:254-256`,
+    `generator.py:64-68`)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    return d.select(
+        "doc_id",
+        F.substring(F.col("text"), 1, 40).alias("head40"),
+        F.concat_ws(" ", F.slice(toks, 1, 3)).alias("first3"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship_extract": _flagship_extract,
@@ -319,6 +384,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_salted_host_stats": _agg_salted_host_stats,
         "mm_binary_meta": _mm_binary_meta,
         "mm_features": _mm_features,  # rows-only: decoder is a stub
+        "a_cube_rollup": _a_cube_rollup,
+        "a_pivot_events": _a_pivot_events,
+        "x_json_extract": _x_json_extract,
+        "f5_exists_hof": _f5_exists_hof,
+        "x6_case_mapping": _x6_case_mapping,
+        "o3_truncate_slice": _o3_truncate_slice,
     }
 
 
@@ -663,6 +734,54 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(text) AS BIGINT) AS n_bytes,
                    lower(hex(substr(text, 1, 4))) AS magic_hex,
                    sha256(text) AS payload_sha
+            FROM documents
+        """,
+        "a_cube_rollup": """
+            SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+                   SUM(CAST(ROUND(l_quantity*100) AS BIGINT)) AS qty_cents
+            FROM lineitem
+            GROUP BY CUBE (l_returnflag, l_linestatus)
+        """,
+        "a_pivot_events": """
+            SELECT user_id,
+                   coalesce(SUM(CASE WHEN event_type='click'
+                     THEN CAST(ROUND(value*100) AS BIGINT) END), 0) AS click_cents,
+                   coalesce(SUM(CASE WHEN event_type='view'
+                     THEN CAST(ROUND(value*100) AS BIGINT) END), 0) AS view_cents,
+                   coalesce(SUM(CASE WHEN event_type='purchase'
+                     THEN CAST(ROUND(value*100) AS BIGINT) END), 0) AS purchase_cents,
+                   coalesce(SUM(CASE WHEN event_type='signup'
+                     THEN CAST(ROUND(value*100) AS BIGINT) END), 0) AS signup_cents,
+                   coalesce(SUM(CASE WHEN event_type='error'
+                     THEN CAST(ROUND(value*100) AS BIGINT) END), 0) AS error_cents
+            FROM events GROUP BY user_id
+        """,
+        "x_json_extract": """
+            SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+            FROM events
+        """,
+        "f5_exists_hof": """
+            SELECT doc_id,
+                   len(list_filter(string_split(text,' '),
+                       t -> t LIKE 'z%')) > 0 AS has_z,
+                   CAST(len(list_filter(string_split(text,' '),
+                       t -> t LIKE 's%')) AS BIGINT) AS n_s_tokens
+            FROM documents
+        """,
+        "x6_case_mapping": """
+            SELECT o_orderkey,
+                   CASE o_orderpriority
+                     WHEN '1-URGENT' THEN 'now'
+                     WHEN '2-HIGH' THEN 'soon'
+                     WHEN '3-MEDIUM' THEN 'later'
+                     WHEN '4-NOT SPECIFIED' THEN 'whenever'
+                     WHEN '5-LOW' THEN 'someday'
+                     ELSE 'unknown' END AS urgency
+            FROM orders
+        """,
+        "o3_truncate_slice": """
+            SELECT doc_id, substr(text, 1, 40) AS head40,
+                   array_to_string(string_split(text,' ')[1:3], ' ') AS first3
             FROM documents
         """,
     }

@@ -50,9 +50,15 @@ def main() -> None:
                       shuffle_partitions=cpus)
     log(f"bench: sf={sf} sf_dir={sf_dir} cpus={cpus} pages={n_pages}")
 
-    pages_dir = os.path.join(REPO, ".bench_cache", f"pages_sf{sf}")
+    pages_dir = os.path.join(REPO, ".bench_cache", f"pages_sf{sf}_v3")
     t0 = time.monotonic()
-    ensure_pages_dataset(spark, pages_dir, n_pages, min_paras=4, max_paras=24)
+    # many small snappy files + small split size = full scan parallelism
+    # with ZERO payload shuffle (the 100 TB pattern: tune splits, don't
+    # repartition multi-KB binary rows); page sizes ~5 KiB mean (CC-ish)
+    ensure_pages_dataset(spark, pages_dir, n_pages, min_paras=10,
+                         max_paras=60, num_files=cpus * 4)
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "4m")
+    spark.conf.set("spark.sql.files.openCostInBytes", "16k")
     log(f"pages dataset ready in {time.monotonic()-t0:.1f}s -> {pages_dir}")
 
     timings: dict = {}
@@ -66,9 +72,9 @@ def main() -> None:
 
     pages = spark.read.parquet(pages_dir)
 
-    # headline: pure extraction compute (docs/sec north metric)
-    n_ok = timed("extract_count", lambda: extract_pages(
-        pages, num_partitions=cpus * 2).filter("error is null").count())
+    # headline: pure extraction compute (docs/sec north metric), map-only
+    n_ok = timed("extract_count", lambda: extract_pages(pages)
+                 .filter("error is null").count())
     docs_per_sec = round(n_pages / timings["extract_count"], 1)
     log(f"  -> {docs_per_sec} docs/s over {n_ok} ok rows")
 
@@ -76,7 +82,7 @@ def main() -> None:
     sink = os.path.join(REPO, ".bench_cache", f"sink-{uuid.uuid4().hex[:8]}")
     try:
         timed("extract_commit", lambda: run_extraction(
-            spark, pages, sink, num_partitions=cpus * 2, resume=False))
+            spark, pages, sink, resume=False))
     finally:
         shutil.rmtree(sink, ignore_errors=True)
 

@@ -168,6 +168,11 @@ class _Extractor(HTMLParser):
         if b is None:
             return
         raw = "".join(b.parts)
+        # corpus hygiene: drop C0 control chars (NUL etc.) except the
+        # whitespace ones the collapse/pre rules handle
+        if not raw.isprintable():
+            raw = "".join(c for c in raw
+                          if ord(c) >= 32 or c in "\n\t\r\f\v")
         if b.tag == "pre":
             text = raw.strip()
         else:

@@ -1,0 +1,155 @@
+"""Structured Streaming: WARC-arrival-style ingestion and stateful ops.
+
+The reference is strictly batch (SURVEY.md §2.9); the target adds the
+natural streaming surface:
+
+* ``stream_extract``: file-source pages -> the SAME Arrow-batched
+  extraction kernel (mapInPandas works unchanged on streaming frames)
+  -> ``foreachBatch`` committing into the snapshot table with the
+  resume anti-join, so replayed micro-batches stay exactly-once
+  (at-least-once delivery + idempotent commit).
+* ``windowed_event_counts``: watermark + tumbling-window agg — the
+  deterministic demo (complete output over a bounded backlog equals
+  the batch date_trunc aggregation, which is its DuckDB oracle).
+* ``sessionize``: applyInPandasWithState custom stateful operator —
+  gap-based sessions per user.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from ..operators.extract import extract_pages
+from ..sources.pagegen import PAGES_SCHEMA
+from ..sources.table_io import SnapshotTable
+
+
+def _as_stream_dir(path: str) -> str:
+    """File-stream sources require a directory; testdata tables are
+    single parquet files. Wrap a file in a stable symlink dir."""
+    if os.path.isdir(path):
+        return path
+    import tempfile
+    d = os.path.join(tempfile.gettempdir(),
+                     f"pcx_streamdir_{abs(hash(path)) % 10 ** 10}")
+    os.makedirs(d, exist_ok=True)
+    link = os.path.join(d, os.path.basename(path))
+    if not os.path.exists(link):
+        os.symlink(path, link)
+    return d
+
+
+def stream_extract(spark: SparkSession, pages_dir: str, out_root: str,
+                   checkpoint_dir: str, run_id: str = "stream") -> None:
+    """Ingest a pages directory as a bounded stream (availableNow) and
+    commit extraction output per micro-batch, exactly-once."""
+    table = SnapshotTable(os.path.join(out_root, "extracted"))
+    stream = (spark.readStream.schema(PAGES_SCHEMA)
+              .option("maxFilesPerTrigger", 4)
+              .parquet(pages_dir))
+    extracted = extract_pages(stream)
+
+    def commit_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        done = table.committed_keys(batch_df.sparkSession, "url")
+        if done is not None:
+            batch_df = batch_df.join(done, "url", "left_anti")
+        table.append(batch_df, run_id=f"{run_id}-epoch{epoch_id}")
+
+    q = (extracted.writeStream
+         .foreachBatch(commit_batch)
+         .option("checkpointLocation", checkpoint_dir)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+
+
+def windowed_event_counts(spark: SparkSession, events_dir: str,
+                          window: str = "1 hour",
+                          watermark: str = "2 hours") -> DataFrame:
+    """Tumbling-window counts over a bounded event stream; returns the
+    final (complete-mode) result as a batch DataFrame. Epoch-aligned
+    windows == date_trunc in the oracle."""
+    events_dir = _as_stream_dir(events_dir)
+    schema = spark.read.parquet(events_dir).schema
+    stream = (spark.readStream.schema(schema).parquet(events_dir)
+              # watermarks need TIMESTAMP (ltz); testdata parquet is NTZ.
+              # session tz is pinned UTC so the cast is value-preserving.
+              .withColumn("ts", F.col("ts").cast("timestamp")))
+    agg = (stream
+           .withWatermark("ts", watermark)
+           .groupBy(F.window("ts", window).alias("w"), "event_type")
+           .agg(F.count(F.lit(1)).alias("n")))
+    name = f"win_{abs(hash(events_dir)) % 10 ** 8}"
+    q = (agg.writeStream.outputMode("complete")
+         .format("memory").queryName(name)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    return spark.sql(
+        f"SELECT w.start AS win_start, event_type, n FROM {name}")
+
+
+SESSION_SCHEMA = T.StructType([
+    T.StructField("user_id", T.LongType()),
+    T.StructField("n_sessions", T.LongType()),
+    T.StructField("n_events", T.LongType()),
+])
+
+_STATE_SCHEMA = T.StructType([
+    T.StructField("last_ts", T.DoubleType()),
+    T.StructField("n_sessions", T.LongType()),
+    T.StructField("n_events", T.LongType()),
+])
+
+SESSION_GAP_S = 1800.0
+
+
+def _session_fn(key, pdfs, state: GroupState):
+    (user_id,) = key
+    if state.exists:
+        last_ts, n_sessions, n_events = state.get
+    else:
+        last_ts, n_sessions, n_events = -1.0, 0, 0
+    for pdf in pdfs:
+        for ts in sorted(pdf["ts_s"].tolist()):
+            if last_ts < 0 or ts - last_ts > SESSION_GAP_S:
+                n_sessions += 1
+            last_ts = ts
+            n_events += 1
+    state.update((last_ts, n_sessions, n_events))
+    yield pd.DataFrame({"user_id": [user_id], "n_sessions": [n_sessions],
+                        "n_events": [n_events]})
+
+
+def sessionize(spark: SparkSession, events_dir: str) -> DataFrame:
+    """Custom stateful operator: gap-based session counting per user via
+    applyInPandasWithState (update mode; final state after a bounded
+    backlog is deterministic)."""
+    events_dir = _as_stream_dir(events_dir)
+    schema = spark.read.parquet(events_dir).schema
+    stream = (spark.readStream.schema(schema).parquet(events_dir)
+              .withColumn("ts_s",
+                          F.col("ts").cast("timestamp").cast("double"))
+              .select("user_id", "ts_s"))
+    out = (stream.groupBy("user_id")
+           .applyInPandasWithState(_session_fn, SESSION_SCHEMA, _STATE_SCHEMA,
+                                   "update", GroupStateTimeout.NoTimeout))
+    name = f"sess_{abs(hash(events_dir)) % 10 ** 8}"
+    q = (out.writeStream.outputMode("update")
+         .format("memory").queryName(name)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    # update mode may emit a row per micro-batch; keep the final one
+    from pyspark.sql import Window as W
+    res = spark.sql(f"SELECT * FROM {name}")
+    w = F.row_number().over(
+        W.partitionBy("user_id").orderBy(F.col("n_events").desc()))
+    return (res.withColumn("rn", w).filter(F.col("rn") == 1)
+            .select("user_id", "n_sessions", "n_events"))

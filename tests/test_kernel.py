@@ -108,6 +108,13 @@ def test_stray_close_and_unclosed_inline():
     assert r.text == "next one more"
 
 
+def test_control_chars_stripped():
+    assert _x("<p>a\x00b\x01c</p>").text == "abc"
+    # pre keeps its whitespace controls
+    assert _x("<div><pre>keep\n  tab\there</pre></div>").text == \
+        "keep\n  tab\there"
+
+
 def test_decode_error_row():
     r = extract_document("u", b"\xff\xfe broken \x9f")
     assert r.error is not None and r.error.startswith("decode_error")

@@ -1,0 +1,78 @@
+"""Structured Streaming tests: exactly-once stream ingestion, windowed
+aggregation == batch equivalence, custom stateful sessionization."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from powerpoint_context_extractor_spark import corpus
+from powerpoint_context_extractor_spark.plans.flagship import write_pages_table
+from powerpoint_context_extractor_spark.sources.table_io import SnapshotTable
+from powerpoint_context_extractor_spark.streaming.ingest import (
+    SESSION_GAP_S, sessionize, stream_extract, windowed_event_counts,
+)
+
+
+@pytest.fixture(scope="module")
+def pages_dir(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("stream_pages"))
+    write_pages_table(spark, corpus.generate_pages_rows(120, seed=7), d, 6)
+    return d
+
+
+def test_stream_extract_exactly_once(spark, pages_dir, tmp_path):
+    out = str(tmp_path / "out")
+    cp = str(tmp_path / "cp")
+    stream_extract(spark, pages_dir, out, cp)
+    tbl = SnapshotTable(os.path.join(out, "extracted")).read(spark)
+    assert tbl.count() == 120
+    assert tbl.select("url").distinct().count() == 120
+    # restart with a FRESH checkpoint (worst case: full replay) —
+    # resume anti-join keeps output exactly-once
+    stream_extract(spark, pages_dir, out, str(tmp_path / "cp2"))
+    tbl2 = SnapshotTable(os.path.join(out, "extracted")).read(spark)
+    assert tbl2.count() == 120
+
+
+def test_stream_matches_batch_extraction(spark, pages_dir, tmp_path):
+    from powerpoint_context_extractor_spark.operators.extract import (
+        extract_pages,
+    )
+    out = str(tmp_path / "out")
+    stream_extract(spark, pages_dir, out, str(tmp_path / "cp"))
+    streamed = {r["url"]: r["text"] for r in SnapshotTable(
+        os.path.join(out, "extracted")).read(spark).collect()}
+    batch = {r["url"]: r["text"] for r in
+             extract_pages(spark.read.parquet(pages_dir)).collect()}
+    assert streamed == batch
+
+
+def test_windowed_counts_equal_batch(spark, sf_dir):
+    events_dir = os.path.join(sf_dir, "events.parquet")
+    got = {(r["win_start"], r["event_type"]): r["n"]
+           for r in windowed_event_counts(spark, events_dir).collect()}
+    want = {(r["win_start"], r["event_type"]): r["n"]
+            for r in spark.read.parquet(events_dir)
+            .groupBy(F.date_trunc("hour", "ts").alias("win_start"),
+                     "event_type")
+            .agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert got == want
+
+
+def test_sessionize_stateful(spark, sf_dir):
+    events_dir = os.path.join(sf_dir, "events.parquet")
+    got = {r["user_id"]: (r["n_sessions"], r["n_events"])
+           for r in sessionize(spark, events_dir).collect()}
+    ev = spark.read.parquet(events_dir).select(
+        "user_id",
+        F.col("ts").cast("timestamp").cast("double").alias("ts_s")).collect()
+    by_user: dict = {}
+    for r in ev:
+        by_user.setdefault(r["user_id"], []).append(r["ts_s"])
+    for uid, tss in by_user.items():
+        tss.sort()
+        sessions = 1 + sum(1 for a, b in zip(tss, tss[1:])
+                           if b - a > SESSION_GAP_S)
+        assert got[uid] == (sessions, len(tss)), uid
+    assert set(got) == set(by_user)
