@@ -354,6 +354,41 @@ def _o3_truncate_slice(spark, sf_dir):
         F.concat_ws(" ", F.slice(toks, 1, 3)).alias("first3"))
 
 
+def _j_asof_backward(spark, sf_dir):
+    """As-of join (Spark lacks it natively; composed union-tag-window):
+    for each click event, the user's most recent prior-or-equal
+    purchase value. Oracle: DuckDB native ASOF JOIN."""
+    from powerpoint_context_extractor_spark.operators.joins import (
+        asof_join_backward,
+    )
+    e = _t(spark, sf_dir, "events")
+    clicks = (e.filter(F.col("event_type") == "click")
+              .select("user_id", "ts", "event_id"))
+    purchases = (e.filter(F.col("event_type") == "purchase")
+                 .select("user_id", "ts",
+                         _CENTS("value").alias("purchase_cents")))
+    out = asof_join_backward(clicks, purchases, key="user_id", ts="ts",
+                             value_cols=["purchase_cents"],
+                             order_tiebreak="event_id")
+    return out.select("event_id", "user_id", "purchase_cents")
+
+
+def _dedup_embedding_cosine(spark, sf_dir):
+    """Embedding near-dup via IVF-bucketed cosine: planted scaled
+    copies (same direction => cos=1) of vec_id<20 must be found."""
+    from powerpoint_context_extractor_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+    )
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    planted = (emb.filter(F.col("vec_id") < 20)
+               .select((F.col("vec_id") + 1000000).alias("vec_id"),
+                       F.transform(F.col("embedding"),
+                                   lambda x: x * F.lit(1.25).cast("float"))
+                       .alias("embedding")))
+    return embedding_near_dup_pairs(emb.unionByName(planted),
+                                    threshold_micro=999000)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship_extract": _flagship_extract,
@@ -390,6 +425,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f5_exists_hof": _f5_exists_hof,
         "x6_case_mapping": _x6_case_mapping,
         "o3_truncate_slice": _o3_truncate_slice,
+        "j_asof_backward": _j_asof_backward,
+        "dedup_embedding_cosine": _dedup_embedding_cosine,
     }
 
 
@@ -783,5 +820,50 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, substr(text, 1, 40) AS head40,
                    array_to_string(string_split(text,' ')[1:3], ' ') AS first3
             FROM documents
+        """,
+        "j_asof_backward": """
+            WITH clicks AS (SELECT user_id, ts, event_id FROM events
+                            WHERE event_type = 'click'),
+            purchases AS (SELECT user_id, ts,
+                                 CAST(ROUND(value*100) AS BIGINT) AS purchase_cents
+                          FROM events WHERE event_type = 'purchase')
+            SELECT c.event_id, c.user_id, p.purchase_cents
+            FROM clicks c ASOF LEFT JOIN purchases p
+              ON c.user_id = p.user_id AND c.ts >= p.ts
+        """,
+        "dedup_embedding_cosine": f"""
+            WITH u AS (
+              SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+              UNION ALL
+              SELECT vec_id + 1000000,
+                     (list_transform(embedding,
+                        x -> (x * 1.25::FLOAT)::FLOAT))::DOUBLE[]
+              FROM embeddings WHERE vec_id < 20
+            ),
+            cents AS (SELECT vec_id AS cid, v AS cv FROM u WHERE vec_id < 8),
+            d AS (SELECT u.vec_id, c.cid,
+                         list_reduce(list_prepend(0.0::DOUBLE,
+                           [(u.v[i]-c.cv[i])*(u.v[i]-c.cv[i])
+                            for i in range(1, len(u.v)+1)]),
+                           (x, y) -> x + y) AS d2
+                  FROM u, cents c),
+            assign AS (SELECT vec_id, cid AS cluster
+                       FROM (SELECT vec_id, cid, row_number() OVER (
+                               PARTITION BY vec_id ORDER BY d2, cid) AS rn
+                             FROM d) WHERE rn = 1),
+            base AS (SELECT u.vec_id, u.v, a.cluster
+                     FROM u JOIN assign a USING (vec_id)),
+            pr AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                          a.v AS va, b.v AS vb
+                   FROM base a JOIN base b
+                     ON a.cluster = b.cluster AND a.vec_id < b.vec_id),
+            c AS (SELECT id_a, id_b, CAST(ROUND(dot/(sqrt(na)*sqrt(nb))
+                         * 1000000) AS BIGINT) AS cos_micro
+                  FROM (SELECT id_a, id_b,
+                          {_COS_FOLD.format(expr="va[i]*vb[i]", arr="va")} AS dot,
+                          {_COS_FOLD.format(expr="va[i]*va[i]", arr="va")} AS na,
+                          {_COS_FOLD.format(expr="vb[i]*vb[i]", arr="vb")} AS nb
+                        FROM pr))
+            SELECT id_a, id_b, cos_micro FROM c WHERE cos_micro >= 999000
         """,
     }

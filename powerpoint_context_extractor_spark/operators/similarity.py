@@ -74,6 +74,29 @@ def ivf_assign(emb: DataFrame, n_centroids: int = 8,
             .agg(F.min(F.struct("d2", "cid")).getField("cid").alias("cluster")))
 
 
+def embedding_near_dup_pairs(emb: DataFrame, threshold_micro: int = 999000,
+                             n_centroids: int = 8, id_col: str = "vec_id",
+                             vec_col: str = "embedding") -> DataFrame:
+    """Embedding-cosine near-dup pairs, IVF-bucketed: candidate pairs
+    only form *within* an IVF cell (the scale path — self-join per
+    cell, never O(n^2) global), then exact cosine filters. Like any
+    single-probe IVF/LSH scheme, recall < 1 by construction; the
+    oracle mirrors the same cell restriction."""
+    v = _as_double(F.col(vec_col))
+    assign = ivf_assign(emb, n_centroids, id_col, vec_col)
+    base = (emb.select(F.col(id_col), v.alias("v"))
+            .join(assign, id_col))
+    a = base.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"),
+                    F.col("cluster"))
+    b = base.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"),
+                    F.col("cluster"))
+    pairs = a.join(b, "cluster").filter(F.col("id_a") < F.col("id_b"))
+    cos = _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))
+    return (pairs.select("id_a", "id_b",
+                         F.round(cos * 1_000_000).cast("long").alias("cos_micro"))
+            .filter(F.col("cos_micro") >= threshold_micro))
+
+
 def ivf_topk(emb: DataFrame, query_id: int, k: int = 10,
              n_centroids: int = 8, id_col: str = "vec_id",
              vec_col: str = "embedding") -> DataFrame:

@@ -1,0 +1,79 @@
+"""As-of join and embedding near-dup semantics."""
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from powerpoint_context_extractor_spark.operators.joins import (
+    asof_join_backward,
+)
+from powerpoint_context_extractor_spark.operators.similarity import (
+    embedding_near_dup_pairs,
+)
+
+
+def _ts(s):
+    return datetime.fromisoformat(s)
+
+
+def test_asof_backward_basic(spark):
+    left = spark.createDataFrame(
+        [(1, _ts("2024-01-01T10:00"), 100),
+         (1, _ts("2024-01-01T12:00"), 101),
+         (2, _ts("2024-01-01T09:00"), 200)],
+        "user_id long, ts timestamp, event_id long")
+    right = spark.createDataFrame(
+        [(1, _ts("2024-01-01T09:30"), 5),
+         (1, _ts("2024-01-01T11:00"), 7),
+         (1, _ts("2024-01-01T12:00"), 9),   # equal ts: inclusive match
+         (2, _ts("2024-01-01T09:30"), 99)], # after left -> no match
+        "user_id long, ts timestamp, purchase_cents long")
+    out = {r["event_id"]: r["purchase_cents"]
+           for r in asof_join_backward(
+               left, right, key="user_id", ts="ts",
+               value_cols=["purchase_cents"],
+               order_tiebreak="event_id").collect()}
+    assert out[100] == 5        # latest at-or-before 10:00
+    assert out[101] == 9        # equal timestamp matches (inclusive)
+    assert out[200] is None     # nothing before 09:00
+
+
+def test_asof_matches_bruteforce_on_events(spark, sf_dir):
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id")
+    purch = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.round(F.col("value") * 100).cast("long")
+        .alias("purchase_cents"))
+    got = {r["event_id"]: r["purchase_cents"]
+           for r in asof_join_backward(clicks, purch, "user_id", "ts",
+                                       ["purchase_cents"],
+                                       order_tiebreak="event_id").collect()}
+    # brute force in python
+    p_by_user: dict = {}
+    for r in purch.collect():
+        p_by_user.setdefault(r["user_id"], []).append((r["ts"], r["purchase_cents"]))
+    for v in p_by_user.values():
+        v.sort()
+    for r in clicks.collect():
+        cands = [c for t, c in p_by_user.get(r["user_id"], []) if t <= r["ts"]]
+        want = cands[-1] if cands else None
+        assert got[r["event_id"]] == want, r["event_id"]
+
+
+def test_embedding_near_dup_finds_scaled_copies(spark):
+    rows = [(i, [float(i + 1), float((i * 7) % 5), 1.0]) for i in range(12)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    # small scale (1.01): same direction (cos=1) AND stays in the same
+    # IVF cell; a big scale may hop cells — that recall<1 is by design
+    planted = emb.filter(F.col("vec_id") < 3).select(
+        (F.col("vec_id") + 100).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(1.01).cast("float"))
+        .alias("embedding"))
+    pairs = {(r["id_a"], r["id_b"]): r["cos_micro"]
+             for r in embedding_near_dup_pairs(
+                 emb.unionByName(planted), threshold_micro=999999,
+                 n_centroids=3).collect()}
+    for i in range(3):
+        assert (i, i + 100) in pairs          # same direction -> cos 1
+        assert pairs[(i, i + 100)] == 1_000_000
