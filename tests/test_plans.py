@@ -1,0 +1,77 @@
+"""Physical-plan audits: the plans we'd want at 100 TB, asserted.
+
+These freeze the Catalyst behaviors the engine relies on (SURVEY.md §4):
+filters reach the parquet scan, small dims broadcast, the extraction
+path has no Exchange, columns prune to the kernel projection.
+"""
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def sf(sf_dir):
+    return sf_dir
+
+
+def test_filter_pushdown_reaches_scan(spark, sf):
+    l = spark.read.parquet(f"{sf}/lineitem.parquet")  # noqa: E741
+    q = l.filter(F.col("l_linenumber").isin(1, 3)).select("l_orderkey")
+    plan = _plan(q)
+    assert "PushedFilters" in plan and "l_linenumber" in plan.split(
+        "PushedFilters")[1][:200]
+
+
+def test_column_pruning_reaches_scan(spark, sf):
+    l = spark.read.parquet(f"{sf}/lineitem.parquet")  # noqa: E741
+    q = l.select("l_orderkey", "l_quantity")
+    m = re.search(r"ReadSchema: ([^\n]+)", _plan(q))
+    assert m and "l_extendedprice" not in m.group(1)
+    assert "l_orderkey" in m.group(1)
+
+
+def test_dim_chain_goes_broadcast(spark, sf):
+    import __spark_entry__ as entry_mod
+    q = entry_mod.queries()["j3_broadcast_dim_chain"](spark, sf)
+    plan = _plan(q)
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in plan
+
+
+def test_extract_path_has_no_shuffle(spark, sf):
+    """Map-only contract: extraction without explicit repartition must
+    contain no Exchange (the 100 TB invariant — payloads never shuffle)."""
+    from powerpoint_context_extractor_spark.operators.extract import (
+        extract_pages,
+    )
+    pages = spark.createDataFrame(
+        [("u", bytearray(b"<p>x</p>"), "f")], "url string, html binary, text string")
+    plan = _plan(extract_pages(pages))
+    assert "Exchange" not in plan
+    assert "MapInPandas" in plan or "mapInPandas" in plan.lower()
+
+
+def test_whole_stage_codegen_on_relational_path(spark, sf):
+    l = spark.read.parquet(f"{sf}/lineitem.parquet")  # noqa: E741
+    q = (l.groupBy("l_returnflag")
+         .agg(F.sum(F.round(F.col("l_quantity") * 100).cast("long"))
+              .alias("c")))
+    q.collect()  # AQE only materializes codegen spans in the FINAL plan
+    # Spark 4 marks whole-stage-codegen stages with '*(n)' in the plan
+    assert "*(1)" in _plan(q)
+
+
+def test_salted_agg_is_two_stage(spark, sf):
+    from powerpoint_context_extractor_spark.operators.textstats import (
+        host_stats_salted,
+    )
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    plan = _plan(host_stats_salted(ev))
+    # two HashAggregate pairs (partial+final per stage)
+    assert plan.count("HashAggregate") >= 4
