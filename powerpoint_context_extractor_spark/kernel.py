@@ -199,7 +199,8 @@ class _Extractor(HTMLParser):
             return
         boiler = False
         if self.drop_depth == 0:
-            boiler = tag in DROP_TAGS or _is_boiler_attrs(attrs)
+            boiler = tag in DROP_TAGS or (bool(attrs)
+                                          and _is_boiler_attrs(attrs))
         if self.drop_depth > 0 or boiler:
             self._flush_block()
             self.drop_depth += 1
@@ -221,15 +222,19 @@ class _Extractor(HTMLParser):
     def handle_endtag(self, tag):
         if tag in VOID_TAGS:
             return
-        # pop to the matching open tag if present (lenient recovery keeps
-        # ordering stable under malformed HTML)
-        depth = None
-        for i in range(len(self.stack) - 1, -1, -1):
-            if self.stack[i][0] == tag:
-                depth = i
-                break
-        if depth is None:
-            return  # stray end tag: ignore
+        # fast path: well-formed HTML closes the top of stack
+        if self.stack and self.stack[-1][0] == tag:
+            depth = len(self.stack) - 1
+        else:
+            # pop to the matching open tag if present (lenient recovery
+            # keeps ordering stable under malformed HTML)
+            depth = None
+            for i in range(len(self.stack) - 1, -1, -1):
+                if self.stack[i][0] == tag:
+                    depth = i
+                    break
+            if depth is None:
+                return  # stray end tag: ignore
         while len(self.stack) > depth:
             frame = self.stack.pop()
             ftag, fboiler = frame[0], frame[1]
@@ -257,7 +262,10 @@ class _Extractor(HTMLParser):
             self.block = _Block(tag="text", path=self._parent_path() + ">#text"
                                 if self._parent_path() else "#text")
         self.block.parts.append(data)
-        n = sum(1 for c in data if not c.isspace())
+        # non-whitespace char count; str.split() uses the same unicode
+        # whitespace class as isspace() but runs in C (~40% of kernel
+        # time went to a per-char generator here)
+        n = sum(map(len, data.split()))
         self.block.total_chars += n
         if self.a_depth > 0:
             self.block.link_chars += n
