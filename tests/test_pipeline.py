@@ -75,6 +75,39 @@ def test_resume_exactly_once(spark, pages_dir, tmp_path):
     assert info3["snapshot"]["row_count"] == 0
 
 
+def test_uncommitted_snapshot_dir_is_invisible(spark, pages_dir, tmp_path):
+    """Crash-safety: a snap- dir without a manifest entry (simulating a
+    job killed mid-write, before the atomic manifest swap) must be
+    invisible to readers and to resume."""
+    import shutil
+    out = str(tmp_path / "out")
+    pages = spark.read.parquet(pages_dir)
+    run_extraction(spark, pages.limit(50), out, num_partitions=2)
+    ext_root = os.path.join(out, "extracted")
+    committed = SnapshotTable(ext_root).read(spark).count()
+    # fake a torn write: copy a real snap dir under a new uncommitted name
+    snaps = [d for d in os.listdir(ext_root) if d.startswith("snap-")]
+    shutil.copytree(os.path.join(ext_root, snaps[0]),
+                    os.path.join(ext_root, "snap-deadbeef-uncommitted"))
+    assert SnapshotTable(ext_root).read(spark).count() == committed
+    # resume still sees only committed urls: full rerun adds the rest once
+    run_extraction(spark, pages, out, num_partitions=2)
+    tbl = SnapshotTable(ext_root).read(spark)
+    assert tbl.count() == pages.count()
+    assert tbl.select("url").distinct().count() == pages.count()
+
+
+def test_heavy_hitter_detection_on_skewed_hosts(spark, pages_dir):
+    from powerpoint_context_extractor_spark.operators.textstats import (
+        detect_heavy_hitters,
+    )
+    pages = spark.read.parquet(pages_dir)
+    hosts = pages.select(
+        F.regexp_extract("url", r"https://([^./]+)\.", 1).alias("host"))
+    hh = detect_heavy_hitters(hosts, "host", fraction_threshold=0.15)
+    assert hh == ["host0"]  # corpus plants ~30% of rows on host0
+
+
 def test_salt_and_order_invariance(spark, pages_dir):
     """Changing partition count / input order changes no per-url output
     (FIXTURES.md §5: order independence + salt invariance)."""

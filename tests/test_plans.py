@@ -54,7 +54,8 @@ def test_extract_path_has_no_shuffle(spark, sf):
         [("u", bytearray(b"<p>x</p>"), "f")], "url string, html binary, text string")
     plan = _plan(extract_pages(pages))
     assert "Exchange" not in plan
-    assert "MapInPandas" in plan or "mapInPandas" in plan.lower()
+    low = plan.lower()
+    assert "mapinarrow" in low or "mapinpandas" in low
 
 
 def test_whole_stage_codegen_on_relational_path(spark, sf):
