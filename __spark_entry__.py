@@ -389,6 +389,28 @@ def _dedup_embedding_cosine(spark, sf_dir):
                                     threshold_micro=999000)
 
 
+def _pipeline_corpus_filter(spark, sf_dir):
+    """Capstone composition — the actual training-data use case in one
+    plan: quality gate ∧ near-dup removal (MinHash+LSH survivors keep
+    the lowest doc_id) over the planted-dup corpus; emits surviving
+    docs with their quality and fingerprint."""
+    from powerpoint_context_extractor_spark.operators.dedup import (
+        minhash_lsh_dedup,
+    )
+    from powerpoint_context_extractor_spark.operators.textstats import (
+        fingerprint, quality_score,
+    )
+    docs = _docs_with_near_dups(spark, sf_dir)
+    q = quality_score(docs)
+    fp = fingerprint(docs)
+    dup_pairs = minhash_lsh_dedup(docs, threshold_bp=8000)
+    losers = dup_pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    return (docs.join(losers, "doc_id", "left_anti")
+            .join(q, "doc_id").join(fp, "doc_id")
+            .filter(F.col("quality") >= 5000)
+            .select("doc_id", "quality", "fp"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship_extract": _flagship_extract,
@@ -427,6 +449,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "o3_truncate_slice": _o3_truncate_slice,
         "j_asof_backward": _j_asof_backward,
         "dedup_embedding_cosine": _dedup_embedding_cosine,
+        "pipeline_corpus_filter": _pipeline_corpus_filter,
     }
 
 
@@ -452,7 +475,7 @@ _DOCS_UNION = """
 """
 
 
-def _minhash_oracle() -> str:
+def _minhash_cte_body() -> str:
     from powerpoint_context_extractor_spark.operators.dedup import (
         LSH_ROWS, MINHASH_PERMS, P,
     )
@@ -461,8 +484,7 @@ def _minhash_oracle() -> str:
         for j, (a, b) in enumerate(MINHASH_PERMS))
     b0 = "||'_'||".join(f"m{r}" for r in range(LSH_ROWS))
     b1 = "||'_'||".join(f"m{r + LSH_ROWS}" for r in range(LSH_ROWS))
-    return f"""
-        WITH {_DOCS_UNION}, {_SHINGLES_CTE},
+    return f"""{_DOCS_UNION}, {_SHINGLES_CTE},
         ex AS (SELECT doc_id, unnest(shs) AS s FROM sh),
         hx AS (SELECT doc_id,
                       ('0x' || substr(md5(s), 1, 8))::BIGINT % {P} AS x
@@ -481,9 +503,49 @@ def _minhash_oracle() -> str:
                          // len(list_distinct(a.shs || b.shs)) AS jaccard_bp
                 FROM cand
                 JOIN sh a ON a.doc_id = id_a
-                JOIN sh b ON b.doc_id = id_b)
+                JOIN sh b ON b.doc_id = id_b)"""
+
+
+def _minhash_oracle() -> str:
+    return f"""
+        WITH {_minhash_cte_body()}
         SELECT id_a, id_b, CAST(jaccard_bp AS BIGINT) AS jaccard_bp
         FROM ver WHERE jaccard_bp >= 8000
+    """
+
+
+def _pipeline_oracle() -> str:
+    from powerpoint_context_extractor_spark.operators.dedup import P
+    return f"""
+        WITH {_minhash_cte_body()},
+        losers AS (SELECT DISTINCT id_b AS doc_id FROM ver
+                   WHERE jaccard_bp >= 8000),
+        qb AS (SELECT doc_id,
+                      len(string_split(text,' '))::BIGINT AS n_tokens,
+                      len(text)::BIGINT AS nc,
+                      len(list_filter(string_split(text,' '), t ->
+                        list_contains(['the','a','and','of','to','in','is','it'], t)))::BIGINT AS stop
+               FROM u),
+        qf AS (SELECT doc_id, n_tokens,
+                      ((nc - (n_tokens - 1)) * 100) // n_tokens AS mwl,
+                      (stop * 10000) // n_tokens AS stop_bp
+               FROM qb),
+        q AS (SELECT doc_id,
+                     CAST(least(n_tokens, 100) * 100
+                          + CASE WHEN mwl BETWEEN 300 AND 800
+                                 THEN 5000 ELSE 0 END
+                          - stop_bp AS BIGINT) AS quality
+              FROM qf),
+        fp AS (SELECT doc_id,
+                      list_reduce(list_prepend(0::BIGINT,
+                        list_transform(string_split(text, ' '), t ->
+                          ('0x' || substr(md5(t), 1, 8))::BIGINT % {P})),
+                        (acc, x) -> (acc * 31 + x) % {P}) AS fp
+               FROM u)
+        SELECT u.doc_id, q.quality, fp.fp
+        FROM u JOIN q USING (doc_id) JOIN fp USING (doc_id)
+        WHERE q.quality >= 5000
+          AND NOT EXISTS (SELECT 1 FROM losers l WHERE l.doc_id = u.doc_id)
     """
 
 
@@ -642,6 +704,7 @@ def oracle_sql() -> dict[str, str]:
             FROM u GROUP BY sha256(text)
         """,
         "dedup_minhash_lsh": _minhash_oracle(),
+        "pipeline_corpus_filter": _pipeline_oracle(),
         "dedup_simhash_query": """
             WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts
                           FROM documents),
