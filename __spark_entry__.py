@@ -389,6 +389,30 @@ def _dedup_embedding_cosine(spark, sf_dir):
                                     threshold_micro=999000)
 
 
+def _x2_param_regex(spark, sf_dir):
+    """Two-group parameter parse (reference scale_x(\\d+)_y(\\d+),
+    `animations/extractor.py:354-359`): synthesize param strings from
+    events, extract both groups, arithmetic on them."""
+    e = _t(spark, sf_dir, "events")
+    s = F.format_string("scale_x%d_y%d", F.col("user_id"),
+                        (F.col("event_id") % 7))
+    return e.select(
+        "event_id", s.alias("param"),
+        F.regexp_extract(s, r"scale_x(\d+)_y(\d+)", 1).cast("long").alias("px"),
+        (F.regexp_extract(s, r"scale_x(\d+)_y(\d+)", 2).cast("long") * 10)
+        .alias("py10"))
+
+
+def _a_approx_stats(spark, sf_dir):
+    """Approximate aggregates (sketch-based — engine-specific sketches,
+    so rows-only check): approx distinct users + p50/p95 value."""
+    e = _t(spark, sf_dir, "events")
+    return (e.groupBy("event_type")
+            .agg(F.approx_count_distinct("user_id").alias("approx_users"),
+                 F.percentile_approx("value", 0.5).alias("p50"),
+                 F.percentile_approx("value", 0.95).alias("p95")))
+
+
 def _pipeline_corpus_filter(spark, sf_dir):
     """Capstone composition — the actual training-data use case in one
     plan: quality gate ∧ near-dup removal (MinHash+LSH survivors keep
@@ -450,6 +474,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j_asof_backward": _j_asof_backward,
         "dedup_embedding_cosine": _dedup_embedding_cosine,
         "pipeline_corpus_filter": _pipeline_corpus_filter,
+        "x2_param_regex": _x2_param_regex,
+        "a_approx_stats": _a_approx_stats,  # rows-only: engine sketches differ
     }
 
 
@@ -883,6 +909,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, substr(text, 1, 40) AS head40,
                    array_to_string(string_split(text,' ')[1:3], ' ') AS first3
             FROM documents
+        """,
+        "x2_param_regex": """
+            SELECT event_id,
+                   printf('scale_x%d_y%d', user_id, event_id % 7) AS param,
+                   CAST(regexp_extract(printf('scale_x%d_y%d', user_id,
+                        event_id % 7), 'scale_x(\\d+)_y(\\d+)', 1) AS BIGINT) AS px,
+                   CAST(regexp_extract(printf('scale_x%d_y%d', user_id,
+                        event_id % 7), 'scale_x(\\d+)_y(\\d+)', 2) AS BIGINT) * 10 AS py10
+            FROM events
         """,
         "j_asof_backward": """
             WITH clicks AS (SELECT user_id, ts, event_id FROM events

@@ -192,7 +192,11 @@ def main() -> None:
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     stamp = datetime.now(timezone.utc).isoformat(timespec="seconds")
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w", encoding="utf-8") as f:
+    # per-pair report; the headline BENCH/BASELINE.md is composed from
+    # the full history by scripts/compose_baseline.py
+    out_md = os.path.join(REPO, "BENCH",
+                          f"run_{args.n_cores}v{args.xn_cores}.md")
+    with open(out_md, "w", encoding="utf-8") as f:
         f.write(f"""# BENCH/BASELINE.md — measured scaling evidence
 
 North rule: >=0.8 throughput scaling efficiency between N and 4N
