@@ -244,7 +244,8 @@ warm-up pass then best-of-3 measured passes, best of {args.repeat}
 repeat(s) — the sandbox VM shows intermittent multi-second stalls, so
 min-of-N is the steady-state estimator. Raw JSON: {json.dumps(best)}
 """)
-    print("wrote BENCH/BASELINE.md")
+    print(f"wrote {out_md}; run scripts/compose_baseline.py "
+          "to refresh BENCH/BASELINE.md")
 
 
 if __name__ == "__main__":
