@@ -413,6 +413,24 @@ def _a_approx_stats(spark, sf_dir):
                  F.percentile_approx("value", 0.95).alias("p95")))
 
 
+def _w_sessionize_batch(spark, sf_dir):
+    """Batch sessionization (lag + cumulative gap-count window — the
+    batch twin of streaming/ingest.sessionize): session ordinal per
+    event, 1800s gap rule."""
+    e = _t(spark, sf_dir, "events")
+    # exact integer microseconds on both engines (DuckDB epoch()
+    # truncates to seconds; unix_micros <-> epoch_us are lossless)
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.when(
+        (ts_us - F.lag(ts_us).over(w)) > 1_800_000_000, 1).otherwise(0)
+    wc = w.rowsBetween(W.unboundedPreceding, 0)
+    return (e.select("event_id", "user_id", "ts")
+            .withColumn("session_id",
+                        (F.sum(gap).over(wc) + 1).cast("long"))
+            .select("event_id", "user_id", "session_id"))
+
+
 def _pipeline_corpus_filter(spark, sf_dir):
     """Capstone composition — the actual training-data use case in one
     plan: quality gate ∧ near-dup removal (MinHash+LSH survivors keep
@@ -476,6 +494,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_corpus_filter": _pipeline_corpus_filter,
         "x2_param_regex": _x2_param_regex,
         "a_approx_stats": _a_approx_stats,  # rows-only: engine sketches differ
+        "w_sessionize_batch": _w_sessionize_batch,
     }
 
 
@@ -918,6 +937,17 @@ def oracle_sql() -> dict[str, str]:
                    CAST(regexp_extract(printf('scale_x%d_y%d', user_id,
                         event_id % 7), 'scale_x(\\d+)_y(\\d+)', 2) AS BIGINT) * 10 AS py10
             FROM events
+        """,
+        "w_sessionize_batch": """
+            SELECT event_id, user_id,
+                   CAST(1 + SUM(CASE WHEN gap > 1800000000 THEN 1 ELSE 0 END)
+                        OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS BIGINT) AS session_id
+            FROM (SELECT event_id, user_id, ts,
+                         epoch_us(ts) - epoch_us(lag(ts) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id)) AS gap
+                  FROM events)
         """,
         "j_asof_backward": """
             WITH clicks AS (SELECT user_id, ts, event_id FROM events

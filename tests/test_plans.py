@@ -68,6 +68,39 @@ def test_whole_stage_codegen_on_relational_path(spark, sf):
     assert "*(1)" in _plan(q)
 
 
+def test_bucketed_join_is_shuffle_free(spark, sf, tmp_path):
+    """Bucketing co-locates join keys at write time so the join needs
+    no Exchange (the 100 TB repeated-join pattern: pay the shuffle once
+    at ingest, never again)."""
+    li = spark.read.parquet(f"{sf}/lineitem.parquet").select(
+        "l_orderkey", "l_quantity")
+    od = spark.read.parquet(f"{sf}/orders.parquet").select(
+        "o_orderkey", "o_totalprice")
+    spark.sql("DROP TABLE IF EXISTS li_b")
+    spark.sql("DROP TABLE IF EXISTS od_b")
+    (li.write.mode("overwrite").bucketBy(8, "l_orderkey")
+       .sortBy("l_orderkey").saveAsTable("li_b"))
+    (od.write.mode("overwrite").bucketBy(8, "o_orderkey")
+       .sortBy("o_orderkey").saveAsTable("od_b"))
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = (spark.table("li_b")
+             .join(spark.table("od_b"),
+                   F.col("l_orderkey") == F.col("o_orderkey")))
+        plan = _plan(j)
+        assert "Exchange" not in plan      # co-located: no shuffle
+        assert "SortMergeJoin" in plan
+        # and it computes the right thing
+        n = j.count()
+        plain = li.join(od, li.l_orderkey == od.o_orderkey).count()
+        assert n == plain
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS li_b")
+        spark.sql("DROP TABLE IF EXISTS od_b")
+
+
 def test_salted_agg_is_two_stage(spark, sf):
     from powerpoint_context_extractor_spark.operators.textstats import (
         host_stats_salted,
