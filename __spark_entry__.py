@@ -640,11 +640,13 @@ def oracle_sql() -> dict[str, str]:
             FROM toks t LEFT JOIN agg a USING (doc_id)
         """,
         "q1_pricing_summary": """
+            -- outer CAST: DuckDB SUM(BIGINT) -> HUGEINT -> float64 via
+            -- fetchdf(), which the driver hashes as "123.0" vs "123"
             SELECT l_returnflag, l_linestatus,
-                   SUM(CAST(ROUND(l_quantity*100) AS BIGINT)) AS sum_qty_cents,
-                   SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS sum_base_cents,
-                   SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS sum_disc_cents,
-                   SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*(1+l_tax)*100) AS BIGINT)) AS sum_charge_cents,
+                   CAST(SUM(CAST(ROUND(l_quantity*100) AS BIGINT)) AS BIGINT) AS sum_qty_cents,
+                   CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+                   CAST(SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS BIGINT) AS sum_disc_cents,
+                   CAST(SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*(1+l_tax)*100) AS BIGINT)) AS BIGINT) AS sum_charge_cents,
                    COUNT(*) AS count_order
             FROM lineitem
             WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -658,7 +660,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "f2_pushdown_residual": """
             SELECT event_type, COUNT(*) AS n,
-                   SUM(CAST(ROUND(value*100) AS BIGINT)) AS value_cents
+                   CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS value_cents
             FROM events
             WHERE ts >= TIMESTAMP '2024-01-05 00:00:00'
               AND ts <  TIMESTAMP '2024-01-20 00:00:00'
@@ -668,7 +670,7 @@ def oracle_sql() -> dict[str, str]:
         "j1_full_outer_coalesce": """
             SELECT coalesce(c_name, 'unknown') AS cust,
                    COUNT(o_orderkey) AS n_orders,
-                   coalesce(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)), 0) AS total_cents
+                   CAST(coalesce(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)), 0) AS BIGINT) AS total_cents
             FROM orders FULL OUTER JOIN customer ON o_custkey = c_custkey
             GROUP BY coalesce(c_name, 'unknown')
         """,
@@ -681,7 +683,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "j3_broadcast_dim_chain": """
             SELECT r_name, n_name,
-                   SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS revenue_cents,
+                   CAST(SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS BIGINT) AS revenue_cents,
                    COUNT(*) AS n_items
             FROM lineitem
             JOIN supplier ON l_suppkey = s_suppkey
@@ -731,9 +733,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "w_running_sum": """
             SELECT event_id, user_id,
-                   SUM(CAST(ROUND(value*100) AS BIGINT)) OVER (
+                   CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) OVER (
                      PARTITION BY user_id ORDER BY ts, event_id
-                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_cents
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run_cents
             FROM events
         """,
         "dedup_exact": """
@@ -871,7 +873,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "agg_salted_host_stats": """
             SELECT event_type, COUNT(*) AS n,
-                   SUM(CAST(ROUND(value*100) AS BIGINT)) AS value_cents
+                   CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS value_cents
             FROM events GROUP BY event_type
         """,
         "mm_binary_meta": """
@@ -883,22 +885,22 @@ def oracle_sql() -> dict[str, str]:
         """,
         "a_cube_rollup": """
             SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
-                   SUM(CAST(ROUND(l_quantity*100) AS BIGINT)) AS qty_cents
+                   CAST(SUM(CAST(ROUND(l_quantity*100) AS BIGINT)) AS BIGINT) AS qty_cents
             FROM lineitem
             GROUP BY CUBE (l_returnflag, l_linestatus)
         """,
         "a_pivot_events": """
             SELECT user_id,
-                   coalesce(SUM(CASE WHEN event_type='click'
-                     THEN CAST(ROUND(value*100) AS BIGINT) END), 0) AS click_cents,
-                   coalesce(SUM(CASE WHEN event_type='view'
-                     THEN CAST(ROUND(value*100) AS BIGINT) END), 0) AS view_cents,
-                   coalesce(SUM(CASE WHEN event_type='purchase'
-                     THEN CAST(ROUND(value*100) AS BIGINT) END), 0) AS purchase_cents,
-                   coalesce(SUM(CASE WHEN event_type='signup'
-                     THEN CAST(ROUND(value*100) AS BIGINT) END), 0) AS signup_cents,
-                   coalesce(SUM(CASE WHEN event_type='error'
-                     THEN CAST(ROUND(value*100) AS BIGINT) END), 0) AS error_cents
+                   CAST(coalesce(SUM(CASE WHEN event_type='click'
+                     THEN CAST(ROUND(value*100) AS BIGINT) END), 0) AS BIGINT) AS click_cents,
+                   CAST(coalesce(SUM(CASE WHEN event_type='view'
+                     THEN CAST(ROUND(value*100) AS BIGINT) END), 0) AS BIGINT) AS view_cents,
+                   CAST(coalesce(SUM(CASE WHEN event_type='purchase'
+                     THEN CAST(ROUND(value*100) AS BIGINT) END), 0) AS BIGINT) AS purchase_cents,
+                   CAST(coalesce(SUM(CASE WHEN event_type='signup'
+                     THEN CAST(ROUND(value*100) AS BIGINT) END), 0) AS BIGINT) AS signup_cents,
+                   CAST(coalesce(SUM(CASE WHEN event_type='error'
+                     THEN CAST(ROUND(value*100) AS BIGINT) END), 0) AS BIGINT) AS error_cents
             FROM events GROUP BY user_id
         """,
         "x_json_extract": """

@@ -1,7 +1,14 @@
 """Pre-validate the driver contract: run every queries()[k] on Spark at
 sf0.01 and diff against oracle_sql()[k] via DuckDB — row count, sorted
-column names, and an order-insensitive value multiset (the same shape
-of check the driver records into CORRECTNESS_r{N}.json).
+column names, and the driver's value canonicalization.
+
+IMPORTANT (round-1 lesson): this mirrors the driver's *pandas* path —
+DuckDB ``fetchdf()`` and Spark ``toPandas()``, columns sorted by name,
+rows sorted with ``sort_values``, every cell stringified with ``str``.
+Round 1 used ``fetchall()`` (HUGEINT -> Python int) and falsely passed
+8 queries whose DuckDB SUM(BIGINT) came back as HUGEINT -> float64
+("123.0" vs "123") under the driver's fetchdf. Do not "improve" this
+back to typed comparison.
 
 Usage: python scripts/check_entry.py [--sf /root/testdata/sf0.01] [name ...]
 """
@@ -9,8 +16,6 @@ Usage: python scripts/check_entry.py [--sf /root/testdata/sf0.01] [name ...]
 from __future__ import annotations
 
 import argparse
-import decimal
-import math
 import os
 import sys
 import time
@@ -21,25 +26,16 @@ TABLES = ("region nation customer supplier part orders lineitem events "
           "documents embeddings").split()
 
 
-def _norm(v):
-    if v is None:
-        return "\x00NULL"
-    if isinstance(v, bool):
-        return str(int(v))
-    if isinstance(v, decimal.Decimal):
-        v = float(v)
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        return repr(round(v, 9))
-    if isinstance(v, (list, tuple)):
-        return "[" + ",".join(_norm(x) for x in v) + "]"
-    return str(v)
-
-
-def _rowset(cols, rows):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    return sorted("\x01".join(_norm(r[i]) for i in order) for r in rows)
+def _canon(df):
+    """Driver-shaped canonicalization: sorted columns, sort_values over
+    all columns (crashes on unhashable cells — by design, the driver
+    does too), then str() every cell."""
+    df = df[sorted(df.columns)]
+    if len(df):
+        df = df.sort_values(by=list(df.columns), kind="mergesort")
+    df = df.reset_index(drop=True)
+    return [tuple(str(v) for v in row)
+            for row in df.itertuples(index=False, name=None)]
 
 
 def main() -> int:
@@ -68,40 +64,49 @@ def main() -> int:
         t0 = time.monotonic()
         try:
             sdf = qs[name](spark, args.sf)
-            srows = sdf.collect()
-            scols = sdf.columns
+            spdf = sdf.toPandas()
         except Exception as exc:  # noqa: BLE001
             print(f"FAIL {name}: spark error: {exc}")
             failures.append(name)
             continue
         if name not in oracles:
-            print(f"ok?  {name}: rows={len(srows)} (rows-only, no oracle)")
+            # still exercise the driver's canonicalizer (catches
+            # unhashable columns like array<double> even rows-only)
+            try:
+                _canon(spdf)
+                print(f"ok?  {name}: rows={len(spdf)} (rows-only, no oracle)")
+            except Exception as exc:  # noqa: BLE001
+                print(f"FAIL {name}: canonicalizer would crash: {exc}")
+                failures.append(name)
             continue
         try:
-            ores = con.sql(oracles[name])
-            ocols = [d[0] for d in ores.description]
-            orows = ores.fetchall()
+            opdf = con.sql(oracles[name]).fetchdf()
         except Exception as exc:  # noqa: BLE001
             print(f"FAIL {name}: duckdb error: {exc}")
             failures.append(name)
             continue
         dt = time.monotonic() - t0
         problems = []
-        if sorted(scols) != sorted(ocols):
-            problems.append(f"cols spark={sorted(scols)} duck={sorted(ocols)}")
-        if len(srows) != len(orows):
-            problems.append(f"rowcount spark={len(srows)} duck={len(orows)}")
+        if sorted(spdf.columns) != sorted(opdf.columns):
+            problems.append(f"cols spark={sorted(spdf.columns)} "
+                            f"duck={sorted(opdf.columns)}")
+        if len(spdf) != len(opdf):
+            problems.append(f"rowcount spark={len(spdf)} duck={len(opdf)}")
         if not problems:
-            a = _rowset(scols, [tuple(r) for r in srows])
-            b = _rowset(ocols, orows)
-            if a != b:
-                diff = [(x, y) for x, y in zip(a, b) if x != y][:3]
-                problems.append(f"values differ; first diffs: {diff}")
+            try:
+                a = _canon(spdf)
+                b = _canon(opdf)
+            except Exception as exc:  # noqa: BLE001
+                problems.append(f"canonicalizer crash: {exc}")
+            else:
+                if a != b:
+                    diff = [(x, y) for x, y in zip(a, b) if x != y][:3]
+                    problems.append(f"values differ; first diffs: {diff}")
         if problems:
             print(f"FAIL {name}: " + " | ".join(problems))
             failures.append(name)
         else:
-            print(f"PASS {name}: rows={len(srows)} ({dt:.1f}s)")
+            print(f"PASS {name}: rows={len(spdf)} ({dt:.1f}s)")
     spark.stop()
     if failures:
         print(f"\n{len(failures)} FAILED: {failures}")
