@@ -281,12 +281,25 @@ def _mm_binary_meta(spark, sf_dir):
 
 
 def _mm_features(spark, sf_dir):
+    """Arrow-batched feature extraction. The stub decoder is
+    deterministic integer byte-math (multimodal._decode_stub), so the
+    query is fully DuckDB-oracle-checkable; the array<double> column is
+    projected to a CSV of exact integers because the driver's pandas
+    canonicalizer cannot sort/hash list cells (r01 lesson)."""
     from powerpoint_context_extractor_spark.operators.multimodal import (
         extract_features,
     )
     d = _t(spark, sf_dir, "documents").select(
         "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload"))
-    return extract_features(d)
+    out = extract_features(d)
+    feats_csv = F.concat_ws(
+        ",", F.transform(F.col("features"),
+                         lambda x: x.cast("long").cast("string")))
+    return out.select(
+        "doc_id", "kind", "n_bytes",
+        F.when(F.col("features").isNull(), F.lit(None))
+         .otherwise(feats_csv).alias("features_csv"),
+        "error")
 
 
 # ---- second operator batch: multidim aggs, pivot, JSON, HOF exists,
@@ -405,12 +418,29 @@ def _x2_param_regex(spark, sf_dir):
 
 def _a_approx_stats(spark, sf_dir):
     """Approximate aggregates (sketch-based — engine-specific sketches,
-    so rows-only check): approx distinct users + p50/p95 value."""
+    so NOT in the graded queries(); tests/test_operators.py checks them
+    against the exact twin under tolerance): approx distinct users +
+    p50/p95 value."""
     e = _t(spark, sf_dir, "events")
     return (e.groupBy("event_type")
             .agg(F.approx_count_distinct("user_id").alias("approx_users"),
                  F.percentile_approx("value", 0.5).alias("p50"),
                  F.percentile_approx("value", 0.95).alias("p95")))
+
+
+def _a_exact_stats(spark, sf_dir):
+    """Exact twin of the sketch stats (checkable cross-engine): exact
+    distinct + exact interpolated percentiles over integer cents,
+    scaled x100 so interpolation fractions (multiples of 0.05 at q=.95)
+    round-trip as exact integers on both engines."""
+    e = _t(spark, sf_dir, "events")
+    cents = _CENTS("value")
+    return (e.groupBy("event_type")
+            .agg(F.countDistinct("user_id").alias("n_users"),
+                 F.round(F.percentile(cents, F.lit(0.5)) * 100).cast("long")
+                 .alias("p50_cents_x100"),
+                 F.round(F.percentile(cents, F.lit(0.95)) * 100).cast("long")
+                 .alias("p95_cents_x100")))
 
 
 def _w_sessionize_batch(spark, sf_dir):
@@ -482,7 +512,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": _text_fingerprint,
         "agg_salted_host_stats": _agg_salted_host_stats,
         "mm_binary_meta": _mm_binary_meta,
-        "mm_features": _mm_features,  # rows-only: decoder is a stub
+        "mm_features": _mm_features,
         "a_cube_rollup": _a_cube_rollup,
         "a_pivot_events": _a_pivot_events,
         "x_json_extract": _x_json_extract,
@@ -493,7 +523,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_cosine": _dedup_embedding_cosine,
         "pipeline_corpus_filter": _pipeline_corpus_filter,
         "x2_param_regex": _x2_param_regex,
-        "a_approx_stats": _a_approx_stats,  # rows-only: engine sketches differ
+        "a_exact_stats": _a_exact_stats,
         "w_sessionize_batch": _w_sessionize_batch,
     }
 
@@ -874,6 +904,37 @@ def oracle_sql() -> dict[str, str]:
         "agg_salted_host_stats": """
             SELECT event_type, COUNT(*) AS n,
                    CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS value_cents
+            FROM events GROUP BY event_type
+        """,
+        "mm_features": """
+            -- the stub decoder (multimodal._decode_stub) is exact
+            -- integer byte-math: [len, first byte, last byte,
+            -- sum(first 64 bytes) % 997]; documents.text is ASCII at
+            -- test SFs (mm_binary_meta relies on the same), so byte
+            -- arithmetic == ascii() arithmetic
+            WITH b AS (
+              SELECT doc_id,
+                     len(text)::BIGINT AS n_bytes,
+                     ascii(substr(text, 1, 1))::BIGINT AS first_b,
+                     ascii(substr(text, len(text), 1))::BIGINT AS last_b,
+                     list_reduce(list_prepend(0::BIGINT,
+                       [ascii(substr(text, i, 1))::BIGINT
+                        for i in range(1, least(len(text), 64) + 1)]),
+                       (a, x) -> a + x) % 997 AS sum64
+              FROM documents)
+            SELECT doc_id, 'unknown' AS kind, n_bytes,
+                   printf('%d,%d,%d,%d', n_bytes, first_b, last_b, sum64)
+                     AS features_csv,
+                   CAST(NULL AS VARCHAR) AS error
+            FROM b
+        """,
+        "a_exact_stats": """
+            SELECT event_type,
+                   COUNT(DISTINCT user_id) AS n_users,
+                   CAST(ROUND(quantile_cont(CAST(ROUND(value*100) AS BIGINT),
+                        0.5) * 100) AS BIGINT) AS p50_cents_x100,
+                   CAST(ROUND(quantile_cont(CAST(ROUND(value*100) AS BIGINT),
+                        0.95) * 100) AS BIGINT) AS p95_cents_x100
             FROM events GROUP BY event_type
         """,
         "mm_binary_meta": """

@@ -114,6 +114,27 @@ def test_salted_agg_equals_plain(spark, sf_dir):
     assert salted == plain
 
 
+def test_approx_stats_within_tolerance_of_exact(spark, sf_dir):
+    """The sketch aggregates (approx_count_distinct / percentile_approx)
+    are engine-specific, so they are graded indirectly: pinned here
+    against the exact twin (a_exact_stats, DuckDB-oracled) under
+    tolerance."""
+    import __spark_entry__ as entry_mod
+    approx = {r["event_type"]: r
+              for r in entry_mod._a_approx_stats(spark, sf_dir).collect()}
+    exact = {r["event_type"]: r
+             for r in entry_mod._a_exact_stats(spark, sf_dir).collect()}
+    assert approx.keys() == exact.keys()
+    for et, ex in exact.items():
+        ap = approx[et]
+        # HLL++ default rsd = 0.05; allow 3x margin
+        assert abs(ap["approx_users"] - ex["n_users"]) <= 0.15 * ex["n_users"]
+        # percentile_approx returns an actual data value; compare in
+        # cents against the interpolated exact value (x100 scale)
+        assert abs(ap["p50"] * 10000 - ex["p50_cents_x100"]) <= 0.1 * abs(ex["p50_cents_x100"])
+        assert abs(ap["p95"] * 10000 - ex["p95_cents_x100"]) <= 0.1 * abs(ex["p95_cents_x100"])
+
+
 def test_multimodal_stub_plumbing(spark):
     from powerpoint_context_extractor_spark.kernel import render_wdoc
     rows = [(0, bytearray(render_wdoc([("p", 0, 0, "x")]))),
