@@ -203,6 +203,30 @@ def _dedup_minhash_lsh(spark, sf_dir):
     return minhash_lsh_dedup(_docs_with_near_dups(spark, sf_dir))
 
 
+def _docs_with_degenerate(spark, sf_dir, n_clones: int = 200):
+    """documents ∪ 200 byte-identical clones of doc 0 — a degenerate
+    LSH bucket (mass-duplicated boilerplate). Mirrored in _DOCS_DEGEN."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    q0 = (d.filter(F.col("doc_id") == 0)
+          .select(F.col("text").alias("qtext")))
+    clones = (d.filter(F.col("doc_id") < n_clones)
+              .crossJoin(F.broadcast(q0))
+              .select((F.col("doc_id") + 2000000).alias("doc_id"),
+                      F.col("qtext").alias("text")))
+    return d.unionByName(clones)
+
+
+def _dedup_minhash_lsh_capped(spark, sf_dir):
+    """LSH near-dup over a corpus with a 200-member degenerate bucket,
+    max_bucket=16: oversized buckets emit star pairs around the bucket
+    min id, so candidates stay O(n) instead of O(n^2)."""
+    from powerpoint_context_extractor_spark.operators.dedup import (
+        minhash_lsh_dedup,
+    )
+    return minhash_lsh_dedup(_docs_with_degenerate(spark, sf_dir),
+                             max_bucket=16)
+
+
 def _dedup_simhash_query(spark, sf_dir):
     from powerpoint_context_extractor_spark.operators.dedup import (
         simhash_hamming_to_query,
@@ -501,6 +525,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w_running_sum": _w_running_sum,
         "dedup_exact": _dedup_exact,
         "dedup_minhash_lsh": _dedup_minhash_lsh,
+        "dedup_minhash_lsh_capped": _dedup_minhash_lsh_capped,
         "dedup_simhash_query": _dedup_simhash_query,
         "dedup_ngram_jaccard": _dedup_ngram_jaccard,
         "sim_cosine_all": _sim_cosine_all,
@@ -550,7 +575,19 @@ _DOCS_UNION = """
 """
 
 
-def _minhash_cte_body() -> str:
+# degenerate-bucket corpus: 200 byte-identical clones of doc 0 — the
+# mass-duplicated-boilerplate shape that blows up uncapped LSH
+_DOCS_DEGEN = """
+  u AS (SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT d.doc_id + 2000000 AS doc_id, q.text AS text
+        FROM documents d, (SELECT text FROM documents WHERE doc_id = 0) q
+        WHERE d.doc_id < 200)
+"""
+
+
+def _minhash_cte_body(docs_union: str = _DOCS_UNION,
+                      cap: int | None = None) -> str:
     from powerpoint_context_extractor_spark.operators.dedup import (
         LSH_ROWS, MINHASH_PERMS, P,
     )
@@ -559,7 +596,33 @@ def _minhash_cte_body() -> str:
         for j, (a, b) in enumerate(MINHASH_PERMS))
     b0 = "||'_'||".join(f"m{r}" for r in range(LSH_ROWS))
     b1 = "||'_'||".join(f"m{r + LSH_ROWS}" for r in range(LSH_ROWS))
-    return f"""{_DOCS_UNION}, {_SHINGLES_CTE},
+    if cap is None:
+        cand = """
+        cand AS (SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+                 FROM bands l JOIN bands r
+                   ON l.band = r.band AND l.bucket = r.bucket
+                      AND l.doc_id < r.doc_id)"""
+    else:
+        # mirrors lsh_candidate_pairs(max_bucket=cap): all pairs in
+        # small buckets, (bucket_min, member) star pairs in big ones
+        cand = f"""
+        stats AS (SELECT band, bucket, COUNT(*) AS bkt_n,
+                         MIN(doc_id) AS bkt_min
+                  FROM bands GROUP BY band, bucket),
+        bs AS (SELECT bands.doc_id, bands.band, bands.bucket,
+                      s.bkt_n, s.bkt_min
+               FROM bands JOIN stats s USING (band, bucket)),
+        cand AS (
+          SELECT DISTINCT id_a, id_b FROM (
+            SELECT l.doc_id AS id_a, r.doc_id AS id_b
+            FROM bs l JOIN bs r
+              ON l.band = r.band AND l.bucket = r.bucket
+                 AND l.doc_id < r.doc_id
+            WHERE l.bkt_n <= {cap}
+            UNION ALL
+            SELECT bkt_min AS id_a, doc_id AS id_b FROM bs
+            WHERE bkt_n > {cap} AND doc_id <> bkt_min))"""
+    return f"""{docs_union}, {_SHINGLES_CTE},
         ex AS (SELECT doc_id, unnest(shs) AS s FROM sh),
         hx AS (SELECT doc_id,
                       ('0x' || substr(md5(s), 1, 8))::BIGINT % {P} AS x
@@ -568,11 +631,7 @@ def _minhash_cte_body() -> str:
         bands AS (
           SELECT doc_id, 0 AS band, {b0} AS bucket FROM sig
           UNION ALL
-          SELECT doc_id, 1 AS band, {b1} AS bucket FROM sig),
-        cand AS (SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
-                 FROM bands l JOIN bands r
-                   ON l.band = r.band AND l.bucket = r.bucket
-                      AND l.doc_id < r.doc_id),
+          SELECT doc_id, 1 AS band, {b1} AS bucket FROM sig),{cand},
         ver AS (SELECT id_a, id_b,
                        (len(list_intersect(a.shs, b.shs)) * 10000)
                          // len(list_distinct(a.shs || b.shs)) AS jaccard_bp
@@ -584,6 +643,14 @@ def _minhash_cte_body() -> str:
 def _minhash_oracle() -> str:
     return f"""
         WITH {_minhash_cte_body()}
+        SELECT id_a, id_b, CAST(jaccard_bp AS BIGINT) AS jaccard_bp
+        FROM ver WHERE jaccard_bp >= 8000
+    """
+
+
+def _minhash_capped_oracle() -> str:
+    return f"""
+        WITH {_minhash_cte_body(docs_union=_DOCS_DEGEN, cap=16)}
         SELECT id_a, id_b, CAST(jaccard_bp AS BIGINT) AS jaccard_bp
         FROM ver WHERE jaccard_bp >= 8000
     """
@@ -781,6 +848,7 @@ def oracle_sql() -> dict[str, str]:
             FROM u GROUP BY sha256(text)
         """,
         "dedup_minhash_lsh": _minhash_oracle(),
+        "dedup_minhash_lsh_capped": _minhash_capped_oracle(),
         "pipeline_corpus_filter": _pipeline_oracle(),
         "dedup_simhash_query": """
             WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts

@@ -11,8 +11,8 @@ Scale notes:
   groupBy(band) shuffle; only candidate pairs pay the exact-jaccard
   verify join. This is the standard web-scale near-dup topology
   (shingle->minhash->band->bucket-join).
-- simhash: two doc-keyed shuffles (token counts, bit votes); hamming
-  search against a query is a broadcast.
+- simhash: one doc-keyed shuffle with 60 partial-agg vote slots;
+  hamming search against a query is a broadcast.
 """
 
 from __future__ import annotations
@@ -72,8 +72,21 @@ def minhash_signatures(docs: DataFrame, id_col: str = "doc_id",
     return sh.groupBy(id_col).agg(*aggs)
 
 
-def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """Band signatures -> bucket self-join -> unordered candidate pairs."""
+# Above this bucket cardinality the all-pairs self-join degenerates to
+# O(n^2) (mass-duplicated boilerplate is common in web corpora); such
+# buckets fall back to a star topology around the bucket's min id —
+# O(n) pairs, and dedup connectivity is preserved (every member still
+# verifies against the representative).
+DEFAULT_MAX_BUCKET = 4096
+
+
+def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id",
+                        max_bucket: int | None = DEFAULT_MAX_BUCKET) -> DataFrame:
+    """Band signatures -> bucket self-join -> unordered candidate pairs.
+
+    Buckets larger than ``max_bucket`` emit (bucket_min_id, member)
+    star pairs instead of all pairs — deterministic and mirrored in the
+    DuckDB oracle of the capped contract query."""
     bands = []
     for band in range(LSH_BANDS):
         cols = [F.col(f"m{band * LSH_ROWS + r}") for r in range(LSH_ROWS)]
@@ -84,22 +97,43 @@ def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     b = bands[0]
     for extra in bands[1:]:
         b = b.unionByName(extra)
-    left = b.alias("l")
-    right = b.alias("r")
-    return (left.join(right, ["band", "bucket"])
-            .filter(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
-            .select(F.col(f"l.{id_col}").alias("id_a"),
-                    F.col(f"r.{id_col}").alias("id_b"))
-            .distinct())
+    if max_bucket is None:
+        left = b.alias("l")
+        right = b.alias("r")
+        return (left.join(right, ["band", "bucket"])
+                .filter(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+                .select(F.col(f"l.{id_col}").alias("id_a"),
+                        F.col(f"r.{id_col}").alias("id_b"))
+                .distinct())
+    # bucket stats join is co-partitioned with the pair join (same
+    # band+bucket key), so the cap costs no extra wide shuffle stage
+    stats = b.groupBy("band", "bucket").agg(
+        F.count(F.lit(1)).alias("bkt_n"),
+        F.min(id_col).alias("bkt_min"))
+    bs = b.join(stats, ["band", "bucket"])
+    small = (bs.filter(F.col("bkt_n") <= max_bucket)
+             .select("band", "bucket", id_col))
+    left = small.alias("l")
+    right = small.alias("r")
+    small_pairs = (left.join(right, ["band", "bucket"])
+                   .filter(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+                   .select(F.col(f"l.{id_col}").alias("id_a"),
+                           F.col(f"r.{id_col}").alias("id_b")))
+    big_pairs = (bs.filter((F.col("bkt_n") > max_bucket)
+                           & (F.col(id_col) != F.col("bkt_min")))
+                 .select(F.col("bkt_min").alias("id_a"),
+                         F.col(id_col).alias("id_b")))
+    return small_pairs.unionByName(big_pairs).distinct()
 
 
 def minhash_lsh_dedup(docs: DataFrame, id_col: str = "doc_id",
                       text_col: str = "text",
-                      threshold_bp: int = 8000) -> DataFrame:
+                      threshold_bp: int = 8000,
+                      max_bucket: int | None = DEFAULT_MAX_BUCKET) -> DataFrame:
     """Near-dup pairs with exact-jaccard verification (basis points, so
     the comparison is integer-exact cross-engine)."""
     sigs = minhash_signatures(docs, id_col, text_col)
-    cands = lsh_candidate_pairs(sigs, id_col)
+    cands = lsh_candidate_pairs(sigs, id_col, max_bucket=max_bucket)
     sets_df = docs.select(F.col(id_col),
                           shingles_col(text_col).alias("sh"))
     a = sets_df.alias("a")
@@ -127,21 +161,29 @@ SIMHASH_BITS = 60
 def simhash(docs: DataFrame, id_col: str = "doc_id",
             text_col: str = "text") -> DataFrame:
     """60-bit simhash over token multiset; token hash = first 15 md5 hex
-    chars (60 bits, int64-safe)."""
-    tok = (docs.select(F.col(id_col), F.explode(tokens_col(text_col)).alias("tok"))
-           .groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("c"))
-           .withColumn("h", F.conv(F.substring(F.md5(F.col("tok")), 1, 15),
-                                   16, 10).cast("long")))
-    bits = (tok.select(id_col, "c", "h",
-                       F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1)))
-                       .alias("pos"))
-            .withColumn("vote",
-                        F.col("c") * (2 * F.expr("shiftright(h, pos) & 1") - 1)))
-    return (bits.groupBy(id_col, "pos").agg(F.sum("vote").alias("v"))
-            .groupBy(id_col)
-            .agg(F.sum(F.when(F.col("v") > 0,
-                              F.expr("shiftleft(cast(1 as bigint), pos)"))
-                       .otherwise(F.lit(0).cast("long"))).alias("simhash")))
+    chars (60 bits, int64-safe).
+
+    Scale shape: ONE doc-keyed shuffle with 60 combiner-friendly SUM
+    slots (round-1 version exploded a 0..59 sequence per (doc, token) —
+    a x60 shuffle amplification — then needed two more shuffles; the
+    per-bit vote of a token instance is 2*((h>>i)&1)-1, so summing it
+    per instance directly is the same multiset math with no explode)."""
+    inst = (docs
+            .select(F.col(id_col), F.explode(tokens_col(text_col)).alias("tok"))
+            .select(F.col(id_col),
+                    F.conv(F.substring(F.md5(F.col("tok")), 1, 15),
+                           16, 10).cast("long").alias("h")))
+    votes = [
+        F.sum(2 * (F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1))) - 1)
+        .alias(f"v{i}")
+        for i in range(SIMHASH_BITS)
+    ]
+    per_doc = inst.groupBy(id_col).agg(*votes)
+    sim = F.lit(0).cast("long")
+    for i in range(SIMHASH_BITS):
+        sim = sim + F.when(F.col(f"v{i}") > 0,
+                           F.lit(1 << i).cast("long")).otherwise(F.lit(0))
+    return per_doc.select(F.col(id_col), sim.alias("simhash"))
 
 
 def simhash_hamming_to_query(docs: DataFrame, query_id: int,

@@ -45,6 +45,25 @@ def test_minhash_lsh_finds_near_dups(spark, docs):
     assert all({3, 4}.isdisjoint(p) for p in pairs)    # unrelated stay out
 
 
+def test_lsh_bucket_cap_bounds_degenerate_bucket(spark):
+    """10k byte-identical docs (mass-duplicated boilerplate): capped
+    LSH must emit exactly n-1 star pairs around the min id, not the
+    ~5*10^7 all-pairs blowup."""
+    n = 10_000
+    ident = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.lit("the same boilerplate text repeated on every page of the "
+              "site footer with enough tokens to shingle").alias("text"))
+    sigs = dedup.minhash_signatures(ident)
+    cands = dedup.lsh_candidate_pairs(sigs, max_bucket=64)
+    rows = cands.collect()
+    assert len(rows) == n - 1
+    assert all(r["id_a"] == 0 for r in rows)          # star around min id
+    pairs = dedup.minhash_lsh_dedup(ident, max_bucket=64).collect()
+    assert len(pairs) == n - 1                         # all verify at 10000
+    assert all(r["jaccard_bp"] == 10000 for r in pairs)
+
+
 def test_simhash_identical_docs_zero_hamming(docs):
     h = {r["doc_id"]: r["hamming"]
          for r in dedup.simhash_hamming_to_query(docs, 0).collect()}
