@@ -440,6 +440,37 @@ def _x2_param_regex(spark, sf_dir):
         .alias("py10"))
 
 
+def _j4_regex_key_join(spark, sf_dir):
+    """Regex-key equi-join (reference joins image filenames to slides by
+    the extracted ordinal, `pptx_extract.py:283-288`): synthesize media
+    paths from events, regexp-extract the ordinal, broadcast-join to
+    the documents dim on it."""
+    e = _t(spark, sf_dir, "events")
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    paths = e.select(
+        "event_id",
+        F.format_string("media/image%d.png",
+                        F.col("event_id") % 500).alias("path"))
+    keyed = paths.withColumn(
+        "ordinal",
+        F.regexp_extract("path", r"image(\d+)\.png", 1).cast("long"))
+    return (keyed.join(F.broadcast(d), keyed.ordinal == d.doc_id)
+            .select("event_id", "path", "doc_id", "lang"))
+
+
+def _s6_artifact_manifest(spark, sf_dir):
+    """Binary artifact sink plan (reference slide-image save,
+    `slides/extractor.py:332-346`): deterministic zero-padded filename
+    + size + sha per payload. The byte-writing sink itself
+    (sources/artifact_sink.write_artifacts) is pytest-verified."""
+    from powerpoint_context_extractor_spark.sources.artifact_sink import (
+        artifact_manifest,
+    )
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload"))
+    return artifact_manifest(d, "doc_id", "payload", prefix="doc")
+
+
 def _a_approx_stats(spark, sf_dir):
     """Approximate aggregates (sketch-based — engine-specific sketches,
     so NOT in the graded queries(); tests/test_operators.py checks them
@@ -548,6 +579,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_cosine": _dedup_embedding_cosine,
         "pipeline_corpus_filter": _pipeline_corpus_filter,
         "x2_param_regex": _x2_param_regex,
+        "j4_regex_key_join": _j4_regex_key_join,
+        "s6_artifact_manifest": _s6_artifact_manifest,
         "a_exact_stats": _a_exact_stats,
         "w_sessionize_batch": _w_sessionize_batch,
     }
@@ -973,6 +1006,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, COUNT(*) AS n,
                    CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS value_cents
             FROM events GROUP BY event_type
+        """,
+        "j4_regex_key_join": """
+            WITH paths AS (
+              SELECT event_id,
+                     printf('media/image%d.png', event_id % 500) AS path
+              FROM events)
+            SELECT p.event_id, p.path, d.doc_id, d.lang
+            FROM paths p
+            JOIN documents d
+              ON CAST(regexp_extract(p.path, 'image(\\d+)\\.png', 1)
+                      AS BIGINT) = d.doc_id
+        """,
+        "s6_artifact_manifest": """
+            SELECT printf('doc_%05d.bin', doc_id) AS filename,
+                   CAST(len(text) AS BIGINT) AS n_bytes,
+                   sha256(text) AS payload_sha
+            FROM documents
         """,
         "mm_features": """
             -- the stub decoder (multimodal._decode_stub) is exact
