@@ -23,7 +23,7 @@ from __future__ import annotations
 import random
 from datetime import datetime, timedelta, timezone
 
-from .kernel import render_wdoc
+from .kernel import render_pdf, render_wdoc
 
 __all__ = [
     "PARA_TOKENS",
@@ -102,8 +102,8 @@ def expected_text_for_document(doc_id: int, text: str) -> str:
 
 FIXTURE_CLASSES = [
     "plain", "nested-inline", "entities", "link-dense", "table-layout",
-    "empty-main", "title-only", "multilang", "binary-payload", "malformed",
-    "duplicate-url-content",
+    "empty-main", "title-only", "multilang", "binary-payload",
+    "pdf-payload", "malformed", "duplicate-url-content",
 ]
 
 
@@ -152,6 +152,14 @@ def _fixture_html(cls: str, rng: random.Random) -> bytes:
                   ("p", 10, 5, _sentence(rng, 12)),  # sorts before y=20
                   ("li", 30, 0, f"point {rng.choice(_WORDS)}")]
         return render_wdoc(blocks)
+    elif cls == "pdf-payload":
+        return render_pdf([
+            ("h1", 40, 72, f"PDF title {rng.choice(_WORDS)}"),
+            ("p", 120, 72, _sentence(rng, 15)),
+            ("p", 80, 72, _sentence(rng, 12)),   # higher on page: sorts first
+            ("li", 160, 90, f"pdf point ({rng.choice(_WORDS)})"),
+            ("h2", 200, 72, f"Köln §{rng.randrange(100)}"),  # octal-escape path
+        ])
     elif cls == "malformed":
         main = (f"<h1>Broken {rng.choice(_WORDS)}</h1></div></div>"
                 f"<p>unclosed para {_sentence(rng, 10)}"
@@ -208,7 +216,13 @@ def page_row(i: int, seed: int = 42, n_hosts: int = 50,
             ("p", 10, 0, _sentence(rng, PARA_TOKENS)),
             ("p", 20, 0, _sentence(rng, PARA_TOKENS)),
         ])
-    elif kind < 0.07:
+    elif kind < 0.08:
+        html = render_pdf([
+            ("h1", 40, 72, f"PDF {i}"),
+            ("p", 80, 72, _sentence(rng, PARA_TOKENS)),
+            ("p", 120, 72, _sentence(rng, PARA_TOKENS)),
+        ])
+    elif kind < 0.10:
         html = (f"<h1>Broken {i}</h1></div><p>{_sentence(rng, 10)}"
                 f"<p>{_sentence(rng, 8)}</i>").encode("utf-8")
     else:
@@ -228,7 +242,8 @@ def page_row(i: int, seed: int = 42, n_hosts: int = 50,
 def generate_pages_rows(n: int, seed: int = 42, n_hosts: int = 50,
                         min_paras: int = 2, max_paras: int = 8):
     """Yield n page rows. Host 0 receives ~30% of urls (skew/salting
-    tests, SURVEY.md §2.10 U5); ~5% WDOC binary payloads; ~2% malformed."""
+    tests, SURVEY.md §2.10 U5); ~5% WDOC + ~3% PDF binary payloads;
+    ~2% malformed."""
     for i in range(n):
         yield page_row(i, seed=seed, n_hosts=n_hosts,
                        min_paras=min_paras, max_paras=max_paras)

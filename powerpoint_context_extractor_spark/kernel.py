@@ -12,11 +12,11 @@ character-span offsets per block.
 
 Design contract (frozen; golden fixtures under tests/fixtures/ pin it):
 
-* Input is raw bytes. ``%WDOC1`` magic routes to the layout parser (the
-  analog of the reference's PPTX->PDF->image binary path,
-  `slides/extractor.py:38-109`, re-expressed as an in-process parse —
-  never a subprocess per row). ``%PDF`` is a clearly-marked stub (real
-  pdf decode libs are not in this environment). Everything else is
+* Input is raw bytes. ``%WDOC1`` magic routes to the simple layout
+  parser; ``%PDF`` routes to the pdfminer-style PDF-subset layout
+  parser (both are the analog of the reference's PPTX->PDF->image
+  binary path, `slides/extractor.py:38-109`, re-expressed as
+  in-process parses — never a subprocess per row). Everything else is
   parsed as UTF-8 HTML with the lenient stdlib parser.
 * Traversal is strictly document order; every candidate block gets a
   monotonically increasing ``block_id`` whether or not it is kept, so
@@ -43,6 +43,7 @@ Design contract (frozen; golden fixtures under tests/fixtures/ pin it):
 from __future__ import annotations
 
 import hashlib
+import re
 from dataclasses import dataclass, field
 from html.parser import HTMLParser
 
@@ -50,9 +51,12 @@ __all__ = [
     "extract_document",
     "extract_html",
     "extract_wdoc",
+    "extract_pdf",
     "render_wdoc",
+    "render_pdf",
     "KernelResult",
     "WDOC_MAGIC",
+    "PDF_MAGIC",
 ]
 
 WDOC_MAGIC = b"%WDOC1\n"
@@ -357,6 +361,212 @@ def extract_wdoc(url: str, payload: bytes) -> KernelResult:
 
 
 # ---------------------------------------------------------------------------
+# PDF: pdfminer-style layout parse of a minimal-but-real PDF 1.4 subset
+# (the reference's PPTX->PDF binary path, slides/extractor.py:38-109,
+# re-expressed as an in-process parse — no subprocess per row, no
+# external pdf libs in this environment). The *renderer* below writes
+# honest PDF bytes (catalog/pages/page/contents objects, correct xref
+# offsets, uncompressed content streams); the *parser* reads content
+# streams with a small operand-stack tokenizer over the standard text
+# operators (Tf/Td/TD/Tm/T*/Tj/TJ), reconstructs layout order by
+# (page, top-down y, left-right x, stream order), and maps font size to
+# heading level — the classic pdfminer/Boilerpipe layout heuristic.
+#
+# Frozen role contract (goldens pin it): font /F2 => li; /F1 size
+# >=24 h1, >=20 h2, >=18 h3, >=16 h4, >=15 h5, >=14 h6, else p.
+# Strings are PDF literal strings; bytes outside printable ASCII are
+# octal-escaped by the renderer and the parser decodes octal + the
+# standard \n \r \t \b \f \( \) \\ escapes, then UTF-8-decodes.
+# Subset note: literal strings with *unescaped* nested parens are not
+# supported (our renderer always escapes them).
+# ---------------------------------------------------------------------------
+
+PDF_PAGE_H = 792  # US-Letter height in points; device y points up
+
+_PDF_ROLE_SIZE = {"h1": 24, "h2": 20, "h3": 18, "h4": 16, "h5": 15,
+                  "h6": 14, "p": 12, "li": 12}
+
+
+def _pdf_role_for_font(name: str, size: float) -> str:
+    if name == "F2":
+        return "li"
+    for role in ("h1", "h2", "h3", "h4", "h5", "h6"):
+        if size >= _PDF_ROLE_SIZE[role]:
+            return role
+    return "p"
+
+
+def _pdf_escape(text: str) -> str:
+    """UTF-8 bytes -> PDF literal-string body (latin-1-safe str)."""
+    out = []
+    for b in text.encode("utf-8"):
+        if b in (0x28, 0x29, 0x5C):          # ( ) backslash
+            out.append("\\" + chr(b))
+        elif 32 <= b < 127:
+            out.append(chr(b))
+        else:
+            out.append(f"\\{b:03o}")
+    return "".join(out)
+
+
+def _pdf_unescape(s: str) -> bytes:
+    """PDF literal-string body (latin-1 chars) -> raw bytes."""
+    out = bytearray()
+    i, n = 0, len(s)
+    while i < n:
+        c = s[i]
+        if c != "\\":
+            out.append(ord(c))
+            i += 1
+            continue
+        if i + 1 >= n:
+            break
+        nxt = s[i + 1]
+        if nxt in "nrtbf":
+            out.append({"n": 10, "r": 13, "t": 9, "b": 8, "f": 12}[nxt])
+            i += 2
+        elif nxt in "()\\":
+            out.append(ord(nxt))
+            i += 2
+        elif nxt in "01234567":
+            j = i + 1
+            digits = ""
+            while j < n and len(digits) < 3 and s[j] in "01234567":
+                digits += s[j]
+                j += 1
+            out.append(int(digits, 8) & 0xFF)
+            i = j
+        else:                                 # line continuation etc.
+            i += 2
+    return bytes(out)
+
+
+def render_pdf(blocks) -> bytes:
+    """blocks: iterable of (role, y, x, text) with y measured from the
+    page top (same convention as render_wdoc). Emits a complete valid
+    single-page PDF 1.4 with a correct xref table."""
+    parts = []
+    for role, y, x, text in blocks:
+        if role not in _PDF_ROLE_SIZE:
+            raise ValueError(f"pdf: unknown role {role!r}")
+        font = "F2" if role == "li" else "F1"
+        size = _PDF_ROLE_SIZE[role]
+        parts.append(f"BT /{font} {size} Tf {int(x)} {PDF_PAGE_H - int(y)} Td "
+                     f"({_pdf_escape(text)}) Tj ET")
+    content = "\n".join(parts).encode("latin-1")
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        (b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+         b"/Contents 4 0 R /Resources << /Font << /F1 5 0 R /F2 6 0 R "
+         b">> >> >>"),
+        (b"<< /Length " + str(len(content)).encode() + b" >>\nstream\n"
+         + content + b"\nendstream"),
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica-Bold >>",
+    ]
+    buf = bytearray(b"%PDF-1.4\n")
+    offsets = []
+    for i, body in enumerate(objs, start=1):
+        offsets.append(len(buf))
+        buf += f"{i} 0 obj\n".encode() + body + b"\nendobj\n"
+    xref_at = len(buf)
+    buf += f"xref\n0 {len(objs) + 1}\n".encode()
+    buf += b"0000000000 65535 f \n"
+    for off in offsets:
+        buf += f"{off:010d} 00000 n \n".encode()
+    buf += (f"trailer\n<< /Size {len(objs) + 1} /Root 1 0 R >>\n"
+            f"startxref\n{xref_at}\n%%EOF\n").encode()
+    return bytes(buf)
+
+
+_PDF_TOKEN = re.compile(
+    r"\((?P<str>(?:\\.|[^\\()])*)\)"      # literal string (escaped parens)
+    r"|/(?P<name>[^\s/()<>\[\]{}%]+)"     # name
+    r"|(?P<num>[+-]?(?:\d+\.?\d*|\.\d+))"  # number
+    r"|(?P<arr>[\[\]])"                   # array delimiters (TJ)
+    r"|(?P<op>[A-Za-z'\"][A-Za-z0-9*'\"]{0,2})")  # operator
+
+
+def _pdf_parse_content(stream: str):
+    """Yield (font_name, size, x, y_dev, text_bytes) per BT..ET block
+    that shows text. Operand-stack walk of the text operators; Td/TD
+    accumulate (real PDF line-move semantics), Tm sets absolutely."""
+    font, size = "F1", 12.0
+    x = y = 0.0
+    stack: list = []
+    shown: list = []
+    in_bt = False
+    for m in _PDF_TOKEN.finditer(stream):
+        kind = m.lastgroup
+        if kind == "str":
+            stack.append(("s", m.group("str")))
+        elif kind == "name":
+            stack.append(("n", m.group("name")))
+        elif kind == "num":
+            stack.append(("f", float(m.group("num"))))
+        elif kind == "arr":
+            continue                     # TJ arrays: strings stay on stack
+        else:
+            op = m.group("op")
+            if op == "BT":
+                in_bt, x, y = True, 0.0, 0.0
+                shown, stack = [], []
+            elif op == "ET":
+                if in_bt and shown:
+                    yield (font, size, x, y,
+                           b"".join(_pdf_unescape(s) for s in shown))
+                in_bt, shown, stack = False, [], []
+            elif op == "Tf" and len(stack) >= 2:
+                if stack[-1][0] == "f" and stack[-2][0] == "n":
+                    font, size = stack[-2][1], stack[-1][1]
+                stack = []
+            elif op in ("Td", "TD") and len(stack) >= 2:
+                if stack[-1][0] == "f" and stack[-2][0] == "f":
+                    x += stack[-2][1]
+                    y += stack[-1][1]
+                stack = []
+            elif op == "Tm" and len(stack) >= 6:
+                if stack[-1][0] == "f" and stack[-2][0] == "f":
+                    x, y = stack[-2][1], stack[-1][1]
+                stack = []
+            elif op == "Tj":
+                if stack and stack[-1][0] == "s":
+                    shown.append(stack[-1][1])
+                stack = []
+            elif op == "TJ":
+                shown.extend(v for t, v in stack if t == "s")
+                stack = []
+            elif op == "T*":
+                stack = []
+            else:                        # any other operator clears operands
+                stack = []
+
+
+def extract_pdf(url: str, payload: bytes) -> KernelResult:
+    data = payload.decode("latin-1")
+    streams = re.findall(r"stream\r?\n(.*?)\s*endstream", data, re.S)
+    recs = []
+    order = 0
+    for pg, body in enumerate(streams):
+        if "BT" not in body:
+            continue
+        for fname, fsize, bx, by, text_bytes in _pdf_parse_content(body):
+            y_top = int(round(PDF_PAGE_H - by))
+            recs.append((pg, y_top, int(round(bx)), order,
+                         _pdf_role_for_font(fname, fsize),
+                         text_bytes.decode("utf-8")))
+            order += 1
+    recs.sort(key=lambda r: (r[0], r[1], r[2], r[3]))
+    kept = []
+    for block_id, (pg, y, x, _o, role, text) in enumerate(recs):
+        text = " ".join(text.split())
+        if text:
+            kept.append((block_id, role, f"pdf:pg{pg}:y{y}:x{x}", text))
+    return _assemble(url, kept)
+
+
+# ---------------------------------------------------------------------------
 # dispatch
 # ---------------------------------------------------------------------------
 
@@ -379,10 +589,7 @@ def extract_document(url: str, content: bytes | None,
         if content.startswith(WDOC_MAGIC):
             return extract_wdoc(url, content)
         if content.startswith(PDF_MAGIC):
-            # STUB: real PDF decode needs pdfminer/poppler, absent in this
-            # environment. The Spark-side plumbing (binary column, schema,
-            # batching) is real; only the decoder is stubbed.
-            return _error_result(url, "unsupported_binary:pdf")
+            return extract_pdf(url, content)
         return extract_html(url, content.decode("utf-8"))
     except UnicodeDecodeError as exc:
         return _error_result(url, f"decode_error: {exc.reason}")

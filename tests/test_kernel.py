@@ -121,9 +121,55 @@ def test_decode_error_row():
     assert r.text is None and r.n_blocks == 0
 
 
-def test_pdf_stub():
+def test_pdf_layout_order_roles_and_escapes():
+    """PDF subset parser (reference slides/extractor.py:38-109 analog):
+    blocks re-ordered top-down/left-right, font-size -> heading role,
+    /F2 -> li, literal-string escapes + octal-encoded UTF-8 decode."""
+    payload = kernel.render_pdf([
+        ("p", 120, 72, "second  para   collapsed"),
+        ("h1", 40, 72, "Report (2024) \\ backslash"),
+        ("p", 80, 72, "first para"),
+        ("li", 160, 90, "bullet"),
+        ("h2", 200, 72, "Köln 北京"),
+    ])
+    assert payload.startswith(b"%PDF-1.4")
+    r = extract_document("u", payload)
+    assert r.error is None
+    assert r.title == "Report (2024) \\ backslash"
+    assert r.text == ("# Report (2024) \\ backslash\n\nfirst para\n\n"
+                      "second para collapsed\n\n- bullet\n\n## Köln 北京")
+    assert [s["path"] for s in r.spans] == [
+        "pdf:pg0:y40:x72", "pdf:pg0:y80:x72", "pdf:pg0:y120:x72",
+        "pdf:pg0:y160:x90", "pdf:pg0:y200:x72"]
+    for s in r.spans:
+        assert r.text[s["start"]:s["end"]]  # span invariant
+
+
+def test_pdf_repeat_extraction_byte_identical():
+    payload = kernel.render_pdf([("h1", 10, 10, "t"), ("p", 20, 10, "x y")])
+    a = extract_document("u", payload)
+    b = extract_document("u", payload)
+    assert a.text == b.text and a.spans == b.spans and a.text == "# t\n\nx y"
+
+
+def test_pdf_empty_and_textless():
+    assert extract_document("u", kernel.render_pdf([])).text == ""
+    # a %PDF payload with no parseable text objects extracts empty, not error
     r = extract_document("u", b"%PDF-1.4 whatever")
-    assert r.error == "unsupported_binary:pdf"
+    assert r.error is None and r.text == ""
+
+
+def test_pdf_tj_array_and_tm_operators():
+    """Hand-written content stream exercising TJ arrays (kerned show)
+    and Tm absolute positioning — shapes real writers emit."""
+    content = (b"BT /F1 24 Tf 1 0 0 1 72 752 Tm "
+               b"[(Hel) -20 (lo) 5 ( wor) (ld)] TJ ET\n"
+               b"BT /F1 12 Tf 72 700 Td (body) Tj T* (more) Tj ET")
+    pdf = (b"%PDF-1.4\n4 0 obj << /Length " + str(len(content)).encode()
+           + b" >>\nstream\n" + content + b"\nendstream endobj\n%%EOF\n")
+    r = extract_document("u", pdf)
+    assert r.error is None
+    assert r.text == "# Hello world\n\nbodymore"
 
 
 def test_null_content():
