@@ -157,12 +157,15 @@ def main() -> None:
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     hist_path = os.path.join(REPO, "BENCH", "history.jsonl")
     stamp0 = datetime.now(timezone.utc).isoformat(timespec="seconds")
+    run_n = results[args.n_cores][0]["n"]  # this invocation's input size
     with open(hist_path, "a", encoding="utf-8") as hf:
         for c, rs in results.items():
             for r in rs:
-                hf.write(json.dumps({"ts": stamp0, **r}) + "\n")
+                hf.write(json.dumps({"ts": stamp0,
+                                     "pages_dir": pages_dir, **r}) + "\n")
         for c, v in ceiling.items():
             hf.write(json.dumps({"ts": stamp0, "kind": "ceiling",
+                                 "pages_dir": pages_dir,
                                  "cores": c, "docs_per_sec": v}) + "\n")
     history: dict = {args.n_cores: [], args.xn_cores: []}
     ceil_hist: dict = {args.n_cores: [ceiling[args.n_cores]],
@@ -172,9 +175,14 @@ def main() -> None:
             rec = json.loads(line)
             if rec.get("cores") not in history:
                 continue
+            # only merge history from the SAME corpus (dir + size):
+            # corpus revisions change page content, so cross-corpus
+            # best-of would contaminate the estimate
+            if rec.get("pages_dir") != pages_dir:
+                continue
             if rec.get("kind") == "ceiling":
                 ceil_hist[rec["cores"]].append(rec["docs_per_sec"])
-            elif rec.get("n") == 300000:
+            elif rec.get("n") == run_n:
                 history[rec["cores"]].append(rec)
     ceiling = {c: max(v) for c, v in ceil_hist.items()}  # quietest window
     best = {c: max(rs, key=lambda r: r["docs_per_sec"])

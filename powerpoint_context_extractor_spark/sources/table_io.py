@@ -29,6 +29,13 @@ from pyspark.sql import DataFrame, SparkSession
 MANIFEST = "_snapshots.json"
 
 
+def _footer_row_count(files: list) -> int:
+    """Sum of parquet-footer num_rows — metadata-only, no data pages
+    touched (the Iceberg-manifest analog of per-file record counts)."""
+    import pyarrow.parquet as pq
+    return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+
+
 class SnapshotTable:
     def __init__(self, root: str) -> None:
         self.root = root
@@ -67,8 +74,11 @@ class SnapshotTable:
         files = sorted(
             os.path.join(out_dir, f) for f in os.listdir(out_dir)
             if f.endswith(".parquet"))
-        spark = df.sparkSession
-        row_count = (spark.read.parquet(*files).count() if files else 0)
+        # O(metadata) commit: row counts come from the parquet footers
+        # (what a real Iceberg manifest records), NOT a second Spark
+        # scan of the just-written data — at 100 TB a count() here
+        # re-reads every committed batch.
+        row_count = _footer_row_count(files)
         entry = {
             "snapshot_id": snap_id,
             "run_id": run_id,

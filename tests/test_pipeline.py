@@ -139,3 +139,27 @@ def test_extract_plan_prunes_columns(spark, pages_dir):
     plan = extract_pages(pages)._jdf.queryExecution().executedPlan().toString()
     assert "warc_ts" not in plan
     assert "lang" not in plan
+
+
+def test_snapshot_commit_is_metadata_only(spark, tmp_path, monkeypatch):
+    """The commit path must not rescan the just-written data: row_count
+    comes from parquet footers (Iceberg-manifest analog). Spies on
+    DataFrameReader.parquet — zero reads during append()."""
+    from pyspark.sql.readwriter import DataFrameReader
+    from powerpoint_context_extractor_spark.sources.table_io import (
+        SnapshotTable,
+    )
+    reads = []
+    orig = DataFrameReader.parquet
+
+    def spy(self, *paths, **kw):
+        reads.append(paths)
+        return orig(self, *paths, **kw)
+
+    monkeypatch.setattr(DataFrameReader, "parquet", spy)
+    tbl = SnapshotTable(str(tmp_path / "t"))
+    entry = tbl.append(spark.range(1234).toDF("id"), "run-x")
+    assert entry["row_count"] == 1234
+    assert reads == []          # no Spark re-read of committed data
+    # readers still see exactly the committed rows
+    assert tbl.read(spark).count() == 1234
