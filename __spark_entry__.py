@@ -746,6 +746,11 @@ def _cos_cte(rel: str = "embeddings") -> str:
 def oracle_sql() -> dict[str, str]:
     return {
         "flagship_extract": """
+            -- ASSUMES driver testdata invariants (hold at every sf;
+            -- verified sf0.001/0.01/0.1): documents.text is non-empty
+            -- and single-space tokenized. The kernel collapses
+            -- whitespace runs and emits '# Doc N' alone for empty text;
+            -- this SQL twin would diverge on such rows (ADVICE r1).
             WITH toks AS (
               SELECT doc_id, string_split(text, ' ') AS ts FROM documents
             ), flat AS (
