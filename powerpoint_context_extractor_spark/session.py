@@ -13,13 +13,24 @@ import os
 
 from pyspark.sql import SparkSession
 
-# Arrow batching is bounded by BYTES (scale-safe for multi-KB html rows:
-# a 32 MiB batch is ~14k small synthetic pages or ~650 real 50 KiB CC
-# pages); the records bound is a backstop. Measured on this host:
-# 512-row batches cost ~20% extraction throughput at 32 cores vs
-# byte-bounded large batches.
+# Arrow batching is bounded by BYTES (scale-safe for multi-KB html rows);
+# the records bound is a backstop. Measured on this host: 512-row batches
+# cost ~20% extraction throughput at 32 cores (per-batch Python overhead),
+# while 32 MiB batches starve Python workers at full width (chunky
+# JVM-produce -> Python-consume pipeline: 32-wide runs never beat 17.2s
+# over 300k pages at 32m across 5 JVMs, vs 10.5-13.5s repeatedly at
+# 8-16m; the 8-wide arm is insensitive). 16 MiB ~= 3k synthetic pages
+# per batch keeps both amortization and pipelining.
 DEFAULT_ARROW_BATCH = 65536
-DEFAULT_ARROW_BYTES = "32m"
+DEFAULT_ARROW_BYTES = "16m"
+
+
+def _gc_opts(driver_memory: str) -> str:
+    opts = "-XX:+UseParallelGC"
+    m = driver_memory.lower().rstrip("gb")
+    if driver_memory.lower().endswith("g") and m.isdigit() and int(m) >= 8:
+        opts += " -Xmn4g"
+    return opts
 
 
 def get_spark(app: str = "pcx-extract", master: str | None = None,
@@ -47,8 +58,13 @@ def get_spark(app: str = "pcx-extract", master: str | None = None,
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.compression.codec", "zstd")
         # throughput GC: G1 pause targets cost ~10-20% on scan-heavy
-        # local runs; Parallel matches batch workloads
-        .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC")
+        # local runs; Parallel matches batch workloads. The 4g young-gen
+        # cap bounds stop-the-world pause size at full width: transient
+        # Arrow batch buffers die young, and with an unbounded young gen
+        # 32-wide runs showed 1.6-7.5s single pauses (amplified by VM
+        # steal) vs <=353ms capped — measured 23s vs 2s total GC over a
+        # 300k-page pass set.
+        .config("spark.driver.extraJavaOptions", _gc_opts(driver_memory))
     )
     spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

