@@ -240,3 +240,52 @@ def test_kernel_sha256_stability():
     row = corpus.fixture_pages()[0]
     r = extract_document(row["url"], row["html"])
     assert r.sha256() == kernel.KernelResult(**r.__dict__).sha256()
+
+
+# ---- property-based round-trip (hypothesis is in the environment) ----
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    _HYP = True
+except ImportError:  # pragma: no cover
+    _HYP = False
+
+if _HYP:
+    _ROLES = st.sampled_from(["h1", "h2", "h3", "h4", "h5", "h6", "p", "li"])
+    _TEXT = st.text(
+        alphabet=st.characters(blacklist_categories=("Cs",)),
+        min_size=0, max_size=40)
+    _BLOCK = st.tuples(_ROLES, st.integers(0, 700), st.integers(0, 500), _TEXT)
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.lists(_BLOCK, max_size=8))
+    def test_pdf_roundtrip_properties(blocks):
+        """For ANY block list: render_pdf -> extract_pdf never errors,
+        every whitespace-collapsed non-empty text survives byte-exact,
+        spans reproduce the text, and extraction is deterministic."""
+        payload = kernel.render_pdf(blocks)
+        r = extract_document("u", payload)
+        assert r.error is None
+        for _role, _y, _x, text in blocks:
+            t = " ".join(text.split())
+            if t:
+                assert t in r.text
+        for s in r.spans:
+            assert 0 <= s["start"] <= s["end"] <= len(r.text)
+        r2 = extract_document("u", payload)
+        assert r2.text == r.text and r2.spans == r.spans
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.lists(st.tuples(_ROLES, st.integers(0, 1000),
+                              st.integers(0, 1000), _TEXT), max_size=8))
+    def test_wdoc_roundtrip_properties(blocks):
+        payload = render_wdoc(
+            [(role, y, x, t) for role, y, x, t in blocks])
+        r = extract_document("u", payload)
+        assert r.error is None
+        for _role, _y, _x, text in blocks:
+            t = " ".join(text.split())
+            if t:
+                assert t in r.text
+        assert extract_document("u", payload).text == r.text
