@@ -98,6 +98,10 @@ no Spark — the host's own scaling curve, which no framework can beat.
 
 ## Analysis — where the 8->32 loss comes from (all measured)
 
+0. **Spark holds a near-constant fraction of the raw ceiling at every
+   width** ({', '.join(f"{best[c][0] / ceil[c]:.0%} at {c}" for c in sorted(best))})
+   — the pipeline's own overhead does not grow with parallelism; what
+   changes between widths is the host itself.
 1. **Hardware control**: the raw Python kernel alone (no Spark, one
    pinned process per core, same rows) scales 8->32 at
    {fmt(hw832)} efficiency — all-core turbo droop + VM noise. The
