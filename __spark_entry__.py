@@ -227,6 +227,31 @@ def _dedup_minhash_lsh_capped(spark, sf_dir):
                              max_bucket=16)
 
 
+def _dedup_clusters(spark, sf_dir):
+    """Near-dup cluster labels (connected components over LSH-verified
+    pairs; cluster id = min reachable doc id) — the canonicalization
+    step downstream of pair generation in every dedup pipeline."""
+    from powerpoint_context_extractor_spark.operators.dedup import (
+        minhash_lsh_dedup, near_dup_clusters,
+    )
+    docs = _docs_with_near_dups(spark, sf_dir)
+    pairs = minhash_lsh_dedup(docs)
+    return near_dup_clusters(docs.select("doc_id"), pairs)
+
+
+def _sim_ivf_topk_indexed(spark, sf_dir):
+    """IVF probe over the MATERIALIZED cluster-partitioned index
+    (similarity.ivf_build_index): same result as sim_ivf_topk, but the
+    scan prunes to the query cell's partition directory."""
+    from powerpoint_context_extractor_spark.operators.similarity import (
+        ivf_build_index, ivf_topk_indexed,
+    )
+    out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "spark-warehouse", "ivf_index_contract")
+    ivf_build_index(_t(spark, sf_dir, "embeddings"), out, n_centroids=8)
+    return ivf_topk_indexed(spark, out, 0, k=10)
+
+
 def _dedup_simhash_query(spark, sf_dir):
     from powerpoint_context_extractor_spark.operators.dedup import (
         simhash_hamming_to_query,
@@ -557,11 +582,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _dedup_exact,
         "dedup_minhash_lsh": _dedup_minhash_lsh,
         "dedup_minhash_lsh_capped": _dedup_minhash_lsh_capped,
+        "dedup_clusters": _dedup_clusters,
         "dedup_simhash_query": _dedup_simhash_query,
         "dedup_ngram_jaccard": _dedup_ngram_jaccard,
         "sim_cosine_all": _sim_cosine_all,
         "sim_cosine_topk": _sim_cosine_topk,
         "sim_ivf_topk": _sim_ivf_topk,
+        "sim_ivf_topk_indexed": _sim_ivf_topk_indexed,
         "text_lang_id": _text_lang_id,
         "text_quality": _text_quality,
         "text_token_count": _text_token_count,
@@ -689,6 +716,24 @@ def _minhash_capped_oracle() -> str:
     """
 
 
+def _clusters_oracle() -> str:
+    """Exact connected-components fixpoint via recursive reachability
+    (UNION dedups paths, so it terminates) + MIN per source."""
+    return f"""
+        WITH RECURSIVE {_minhash_cte_body()},
+        edges AS (
+          SELECT id_a AS src, id_b AS dst FROM ver WHERE jaccard_bp >= 8000
+          UNION ALL
+          SELECT id_b AS src, id_a AS dst FROM ver WHERE jaccard_bp >= 8000),
+        reach(src, node) AS (
+          SELECT doc_id, doc_id FROM u
+          UNION
+          SELECT r.src, e.dst FROM reach r JOIN edges e ON r.node = e.src)
+        SELECT src AS doc_id, CAST(MIN(node) AS BIGINT) AS cluster
+        FROM reach GROUP BY src
+    """
+
+
 def _pipeline_oracle() -> str:
     from powerpoint_context_extractor_spark.operators.dedup import P
     return f"""
@@ -744,7 +789,7 @@ def _cos_cte(rel: str = "embeddings") -> str:
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    d = {
         "flagship_extract": """
             -- ASSUMES driver testdata invariants (hold at every sf;
             -- verified sf0.001/0.01/0.1): documents.text is non-empty
@@ -887,6 +932,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_minhash_lsh": _minhash_oracle(),
         "dedup_minhash_lsh_capped": _minhash_capped_oracle(),
+        "dedup_clusters": _clusters_oracle(),
         "pipeline_corpus_filter": _pipeline_oracle(),
         "dedup_simhash_query": """
             WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts
@@ -1181,3 +1227,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT id_a, id_b, cos_micro FROM c WHERE cos_micro >= 999000
         """,
     }
+    # the materialized-index probe returns exactly the in-memory IVF
+    # result (same deterministic assignment), so it shares the oracle
+    d["sim_ivf_topk_indexed"] = d["sim_ivf_topk"]
+    return d

@@ -158,6 +158,44 @@ def minhash_lsh_dedup(docs: DataFrame, id_col: str = "doc_id",
 SIMHASH_BITS = 60
 
 
+def near_dup_clusters(ids: DataFrame, pairs: DataFrame,
+                      id_col: str = "doc_id",
+                      max_iter: int = 20) -> DataFrame:
+    """Connected components over near-dup pairs: cluster id = MIN doc
+    id reachable through the pair graph (the canonical-representative
+    rule every dedup pipeline needs downstream of pair generation).
+
+    Iterative min-label propagation — a driver loop over ROUNDS (not
+    rows): each round is one distributed join+groupBy; rounds needed =
+    graph diameter, which for near-dup graphs is tiny (stars/cliques
+    around a template). Converged when no label changes; lineage is
+    truncated per round with localCheckpoint so plans stay flat.
+    DuckDB oracle: recursive reachability CTE + MIN (exact fixpoint).
+    """
+    edges = (pairs.select(F.col("id_a").alias("src"),
+                          F.col("id_b").alias("dst"))
+             .unionByName(pairs.select(F.col("id_b").alias("src"),
+                                       F.col("id_a").alias("dst"))))
+    labels = ids.select(F.col(id_col), F.col(id_col).alias("label"))
+    for _ in range(max_iter):
+        nbr = (edges.join(labels, edges.dst == labels[id_col])
+               .groupBy("src").agg(F.min("label").alias("nbr_label")))
+        new_labels = (
+            labels.join(nbr, labels[id_col] == nbr.src, "left")
+            .select(labels[id_col],
+                    F.least(F.col("label"),
+                            F.coalesce(F.col("nbr_label"), F.col("label")))
+                    .alias("label"))
+            .localCheckpoint())
+        changed = (new_labels.alias("n")
+                   .join(labels.alias("o"), id_col)
+                   .filter(F.col("n.label") != F.col("o.label")).count())
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col(id_col), F.col("label").alias("cluster"))
+
+
 def simhash(docs: DataFrame, id_col: str = "doc_id",
             text_col: str = "text") -> DataFrame:
     """60-bit simhash over token multiset; token hash = first 15 md5 hex

@@ -168,3 +168,36 @@ def test_multimodal_stub_plumbing(spark):
             multimodal.binary_meta(df, "doc_id", "payload").collect()}
     assert meta[1]["magic_hex"] == "89504e47"
     assert meta[0]["n_bytes"] > 0
+
+
+def test_ivf_index_partition_pruning(spark, sf_dir, tmp_path):
+    """The materialized IVF index must actually prune: the probe's scan
+    touches only the query cell's partition directory, and results
+    equal the in-memory IVF probe."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    idx_dir = str(tmp_path / "ivf")
+    similarity.ivf_build_index(emb, idx_dir, n_centroids=8)
+    out = similarity.ivf_topk_indexed(spark, idx_dir, 0, k=10)
+    rows = out.collect()
+    baseline = similarity.ivf_topk(emb, 0, k=10, n_centroids=8).collect()
+    assert [tuple(r) for r in rows] == [tuple(r) for r in baseline]
+    # plan audit: the literal cluster predicate must reach the scan as
+    # a PartitionFilter (directory-level pruning, not a post-scan
+    # filter); inputFiles() can't show this — read the physical plan
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    import re
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m, plan
+    assert "cluster" in m.group(1) and "=" in m.group(1), m.group(1)
+
+
+def test_near_dup_clusters_connected_components(spark):
+    """Hand graph: {0-1, 1-2} chain + {5-6} pair + isolated 9 — labels
+    must reach the transitive min, not just the direct neighbor."""
+    ids = spark.createDataFrame([(i,) for i in (0, 1, 2, 5, 6, 9)],
+                                "doc_id long")
+    pairs = spark.createDataFrame([(1, 2), (0, 1), (5, 6)],
+                                  "id_a long, id_b long")
+    out = {r["doc_id"]: r["cluster"]
+           for r in dedup.near_dup_clusters(ids, pairs).collect()}
+    assert out == {0: 0, 1: 0, 2: 0, 5: 5, 6: 5, 9: 9}
