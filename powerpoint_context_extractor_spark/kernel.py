@@ -300,10 +300,185 @@ def _assemble(url: str, kept: list) -> KernelResult:
                         spans=spans, n_blocks=len(kept), error=None)
 
 
-def extract_html(url: str, html_text: str) -> KernelResult:
+# ---------------------------------------------------------------------------
+# Fast tokenizer: a single-pass scanner that drives the SAME _Extractor
+# handlers as html.parser (classification logic stays single-sourced).
+# ~2x the stdlib parser, which spends >half its time in per-event regex
+# bookkeeping (goahead/updatepos/parse_starttag — see bench notes).
+# Behavior contract: byte-identical output to the stdlib engine — pinned
+# by tests/test_kernel.py differential tests over every fixture class,
+# the bulk corpus, and hypothesis-generated tag soup. The three
+# tolerant-parsing regexes mirror html.parser's (CPython, PSF license).
+# ---------------------------------------------------------------------------
+
+from html import unescape as _unescape  # noqa: E402 (single import point)
+
+_STARTTAG_END = re.compile(r"""
+  <[a-zA-Z][^\t\n\r\f />\x00]*        # tag name
+  (?:[\s/]*                           # optional whitespace before attr name
+    (?:(?<=['"\s/])[^\s/>][^\s/=>]*   # attribute name
+      (?:\s*=+\s*                     # value indicator
+        (?:'[^']*'                    # LITA-enclosed value
+          |"[^"]*"                    # LIT-enclosed value
+          |(?!['"])[^>\s]*            # bare value
+        )
+        (?:\s*,)*                     # possibly followed by a comma
+      )?(?:\s|/(?!>))*
+     )*
+   )?
+  \s*                                 # trailing whitespace
+""", re.VERBOSE)
+_ATTRFIND = re.compile(
+    r'((?<=[\'"\s/])[^\s/>][^\s/=>]*)(\s*=+\s*'
+    r'(\'[^\']*\'|"[^"]*"|(?![\'"])[^>\s]*))?(?:\s|/(?!>))*')
+_ENDTAG = re.compile(r'</\s*([a-zA-Z][-.a-zA-Z0-9:_]*)\s*>')
+_TAGNAME = re.compile(r'([a-zA-Z][^\t\n\r\f />\x00]*)(?:\s|/(?!>))*')
+_CDATA_CLOSE = {
+    "script": re.compile(r"</\s*script", re.I),
+    "style": re.compile(r"</\s*style", re.I),
+}
+
+
+def _fast_feed(p: "_Extractor", s: str) -> None:
+    """Tokenize ``s`` and emit handle_starttag/endtag/data events with
+    html.parser(convert_charrefs=True) semantics."""
+    i, n = 0, len(s)
+    find = s.find
+    while i < n:
+        lt = find("<", i)
+        if lt < 0:
+            p.handle_data(_unescape(s[i:]))
+            break
+        if lt > i:
+            p.handle_data(_unescape(s[i:lt]))
+        i = lt
+        nxt = s[lt + 1:lt + 2]
+        if nxt and (nxt.isascii() and nxt.isalpha()):
+            # faithful port of html.parser's check_for_whole_start_tag
+            # + parse_starttag endgame (which chars end the tag, when
+            # '/>' means self-closing vs a bare attr value, raw-data
+            # fallback on a malformed tail)
+            m = _STARTTAG_END.match(s, lt)
+            j = m.end()
+            after = s[j:j + 1]
+            if after == ">":
+                endpos = j + 1
+            elif after == "/" and s.startswith("/>", j):
+                endpos = j + 2
+            elif after == "" or after == "/" or after == "=" or \
+                    (after.isascii() and after.isalpha()):
+                i = _emit_bogus(p, s, lt)   # EOF-truncated start tag
+                continue
+            else:
+                endpos = j                   # malformed tail: no '>'
+            tm = _TAGNAME.match(s, lt + 1)
+            tag = tm.group(1).lower()
+            attrs = []
+            k = tm.end()
+            while k < endpos:
+                am = _ATTRFIND.match(s, k)
+                if not am or am.end() == am.start():
+                    break
+                name, rest, value = am.group(1, 2, 3)
+                if not rest:
+                    value = None
+                elif value[:1] == "'" == value[-1:] or \
+                        value[:1] == '"' == value[-1:]:
+                    value = value[1:-1]
+                if value:
+                    value = _unescape(value)
+                attrs.append((name.lower(), value))
+                k = am.end()
+            tail = s[k:endpos].strip()
+            if tail not in (">", "/>"):
+                p.handle_data(s[lt:endpos])  # raw, like parse_starttag
+                i = endpos
+                continue
+            if tail == "/>":
+                p.handle_startendtag(tag, attrs)
+                i = endpos
+                continue
+            p.handle_starttag(tag, attrs)
+            i = endpos
+            if tag in _CDATA_CLOSE:      # raw-text elements
+                cm = _CDATA_CLOSE[tag].search(s, i)
+                if cm is None:
+                    if i < n:
+                        p.handle_data(s[i:])  # raw, no unescape
+                    break
+                if cm.start() > i:
+                    p.handle_data(s[i:cm.start()])
+                em = _ENDTAG.match(s, cm.start())
+                if em:
+                    p.handle_endtag(em.group(1).lower())
+                    i = em.end()
+                else:
+                    gt = find(">", cm.start())
+                    p.handle_endtag(tag)
+                    i = n if gt < 0 else gt + 1
+        elif nxt == "/":
+            em = _ENDTAG.match(s, lt)
+            if em:
+                p.handle_endtag(em.group(1).lower())
+                i = em.end()
+                continue
+            gt = find(">", lt + 2)
+            if gt < 0:
+                i = _emit_bogus(p, s, lt)
+                continue
+            tm = _TAGNAME.match(s, lt + 2)
+            if tm:                        # junk-tolerant end tag </tag junk>
+                p.handle_endtag(tm.group(1).lower())
+            # else: bogus comment ("</>"
+            #  or "</ ...>") — ignored, no handler
+            i = gt + 1
+        elif nxt == "!":
+            if s.startswith("<!--", lt):
+                j = find("-->", lt + 4)
+                if j < 0:
+                    i = _emit_bogus(p, s, lt)
+                    continue
+                i = j + 3                 # comment: ignored
+            else:
+                gt = find(">", lt + 2)
+                if gt < 0:
+                    i = _emit_bogus(p, s, lt)
+                    continue
+                i = gt + 1                # declaration/bogus: ignored
+        elif nxt == "?":
+            gt = find(">", lt + 2)
+            if gt < 0:
+                i = _emit_bogus(p, s, lt)
+                continue
+            i = gt + 1                    # processing instr: ignored
+        else:
+            p.handle_data("<")            # lone '<' is text
+            i = lt + 1
+    p._flush_block()
+
+
+def _emit_bogus(p: "_Extractor", s: str, i: int) -> int:
+    """EOF-truncated construct: html.parser's close() emits it as data
+    up to the next '>'+1, else the next '<', else one char."""
+    k = s.find(">", i + 1)
+    if k >= 0:
+        k += 1
+    else:
+        k = s.find("<", i + 1)
+        if k < 0:
+            k = i + 1
+    p.handle_data(_unescape(s[i:k]))
+    return k
+
+
+def extract_html(url: str, html_text: str,
+                 engine: str = "fast") -> KernelResult:
     parser = _Extractor()
-    parser.feed(html_text)
-    parser.close()
+    if engine == "fast":
+        _fast_feed(parser, html_text)
+    else:                                 # stdlib reference engine
+        parser.feed(html_text)
+        parser.close()
     return _assemble(url, parser.kept)
 
 

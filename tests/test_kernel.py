@@ -289,3 +289,77 @@ if _HYP:
             if t:
                 assert t in r.text
         assert extract_document("u", payload).text == r.text
+
+
+# ---- fast-engine differential contract: the fast tokenizer must be
+# byte-identical to the stdlib html.parser reference engine ----
+
+_SOUP_CASES = [
+    "", "<", "<p", "<p ", "<p class", '<p class="x', "x<", "a < b", "a <3 b",
+    "<>", "</>", "</ >", "</ p>", "</p junk>", "</p", "<!", "<!-", "<!--",
+    "<!-- x", "<!-- x --><p>a</p>", "<!DOCTYPE html><p>a</p>", "<?php ?><p>a",
+    "<p/>text", "<div/>text", "<p//>x", "<p attr=x/>y", "<p / >x</p>",
+    "<p>&amp</p>", "<p>&nosuch;</p>", "<p>&#65;&#x42;</p>", "<p>&ampx</p>",
+    "<P CLASS='NAV'>x</P>", "<p class=bare>x</p>", "<p class = 'x'>y</p>",
+    '<a href="x?a>b">t</a><p>q</p>', "<p a='1'b='2'>x</p>",
+    "<script>if(a<b){}</script><p>x</p>", "<script><p>no</p></script><p>y</p>",
+    "<script>unterminated", "<script >x</script ><p>k</p>",
+    "<style>p>div{}</style><p>s</p>",
+    "<p>one<p>two", "<h1>T</h1></div></div><p>x", "<li>a</li></ul><li>b",
+    "<pre>a<b>c</b>d</pre>", "<div class='ad'>drop</div><p>keep</p>",
+    "<p title='a>b'>text</p>", "<p foo=>x</p>", "<p =bad>x</p>", "<p 'q'>x</p>",
+    "</closes nothing><p>x</p>", "<p>end with entity &am",
+]
+
+
+def _both(t):
+    a = kernel.extract_html("u", t, engine="fast")
+    b = kernel.extract_html("u", t, engine="stdlib")
+    return a, b
+
+
+def test_fast_engine_matches_stdlib_on_adversarial_cases():
+    for t in _SOUP_CASES:
+        a, b = _both(t)
+        assert (a.text, a.title, a.spans, a.n_blocks) == \
+               (b.text, b.title, b.spans, b.n_blocks), repr(t)
+
+
+def test_fast_engine_matches_stdlib_on_fixture_corpus():
+    for row in corpus.fixture_pages():
+        if row["html"].startswith(b"%"):
+            continue
+        try:
+            t = row["html"].decode("utf-8")
+        except UnicodeDecodeError:
+            continue
+        a, b = _both(t)
+        assert (a.text, a.title, a.spans, a.n_blocks) == \
+               (b.text, b.title, b.spans, b.n_blocks), row["url"]
+
+
+def test_fast_engine_matches_stdlib_on_bulk_pages():
+    for row in corpus.generate_pages_rows(400, min_paras=1, max_paras=6):
+        if row["html"].startswith(b"%"):
+            continue
+        t = row["html"].decode("utf-8")
+        a, b = _both(t)
+        assert (a.text, a.title, a.spans, a.n_blocks) == \
+               (b.text, b.title, b.spans, b.n_blocks), row["url"]
+
+
+if _HYP:
+    _FRAG = st.one_of(
+        st.text(alphabet="<>/!?&;#= \n\t'\"-abcpdilh123%", max_size=12),
+        st.sampled_from([
+            "<p>", "</p>", "<div class='ad'>", "</div>", "<h1>", "</h1>",
+            "<li>", "<a href='x'>", "</a>", "&amp;", "&#65;", "&nosuch;",
+            "<script>", "</script>", "<pre>", "</pre>", "<!--", "-->",
+            "<br/>", "<p/>", "text words here", "<nav>", "</nav>"]))
+
+    @settings(max_examples=400, deadline=None)
+    @given(st.lists(_FRAG, max_size=25).map("".join))
+    def test_fast_engine_matches_stdlib_fuzz(t):
+        a, b = _both(t)
+        assert (a.text, a.title, a.spans, a.n_blocks) == \
+               (b.text, b.title, b.spans, b.n_blocks), repr(t)
