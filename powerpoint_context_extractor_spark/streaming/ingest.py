@@ -153,3 +153,29 @@ def sessionize(spark: SparkSession, events_dir: str) -> DataFrame:
         W.partitionBy("user_id").orderBy(F.col("n_events").desc()))
     return (res.withColumn("rn", w).filter(F.col("rn") == 1)
             .select("user_id", "n_sessions", "n_events"))
+
+
+def stream_dedup_exact(spark: SparkSession, docs_dir: str,
+                       id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """Streaming exact-dedup gate: emit each distinct content hash at
+    most once across ALL micro-batches (stateful ``dropDuplicates`` —
+    the don't-retrain-on-seen-content filter in a live ingestion
+    pipeline). State is keyed by the 32-byte hash, not the payload, so
+    it stays bounded by distinct-content count at 100 TB. Over a
+    bounded backlog the emitted hash-set equals the batch DISTINCT
+    (order within a duplicate group is intentionally not part of the
+    contract); tests pin stream == batch."""
+    docs_dir = _as_stream_dir(docs_dir)
+    schema = spark.read.parquet(docs_dir).schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(docs_dir)
+              .select(F.sha2(F.col(text_col), 256).alias("text_sha")))
+    uniq = stream.dropDuplicates(["text_sha"])
+    name = f"dedup_{abs(hash(docs_dir)) % 10 ** 8}"
+    q = (uniq.writeStream.outputMode("append")
+         .format("memory").queryName(name)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    return spark.sql(f"SELECT text_sha FROM {name}")

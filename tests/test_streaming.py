@@ -76,3 +76,21 @@ def test_sessionize_stateful(spark, sf_dir):
                            if b - a > SESSION_GAP_S)
         assert got[uid] == (sessions, len(tss)), uid
     assert set(got) == set(by_user)
+
+
+def test_stream_dedup_exact_equals_batch_distinct(spark, sf_dir):
+    """The streaming dedup gate's emitted hash-set over a bounded
+    backlog equals the batch DISTINCT — each content hash exactly
+    once."""
+    from powerpoint_context_extractor_spark.streaming.ingest import (
+        stream_dedup_exact,
+    )
+    docs = f"{sf_dir}/documents.parquet"
+    streamed = [r["text_sha"]
+                for r in stream_dedup_exact(spark, docs).collect()]
+    batch = {r["text_sha"] for r in
+             spark.read.parquet(docs)
+             .select(F.sha2(F.col("text"), 256).alias("text_sha"))
+             .distinct().collect()}
+    assert len(streamed) == len(set(streamed))  # exactly-once per hash
+    assert set(streamed) == batch
