@@ -51,6 +51,31 @@ def _flagship_extract(spark, sf_dir):
     return extract_wrapped_documents(_t(spark, sf_dir, "documents"))
 
 
+def _flagship_extract_pdf(spark, sf_dir):
+    """PDF twin of the flagship: the same documents rows wrapped as
+    real PDF payloads (corpus.pdf_page_for_document) and extracted by
+    kernel.extract_pdf — graded by the SAME SQL oracle, so the PDF
+    layout parser sits under the driver's correctness gate."""
+    from powerpoint_context_extractor_spark.operators.extract import (
+        extract_wrapped_documents,
+    )
+    return extract_wrapped_documents(_t(spark, sf_dir, "documents"),
+                                     wrap="pdf")
+
+
+def _text_url_host(spark, sf_dir):
+    """URL normalization/host extraction (the per-host bookkeeping
+    every CC pipeline needs): synthesize urls from documents, extract
+    scheme/host/path with one regex (identical pattern both engines),
+    and count docs per host."""
+    d = _t(spark, sf_dir, "documents")
+    url = F.format_string("https://host%d.example/docs/%d",
+                          F.col("doc_id") % 37, F.col("doc_id"))
+    host = F.regexp_extract(url, r"^[a-z]+://([^/]+)/", 1)
+    return (d.select(host.alias("host"))
+            .groupBy("host").agg(F.count(F.lit(1)).alias("n_docs")))
+
+
 def _q1_pricing_summary(spark, sf_dir):
     l = _t(spark, sf_dir, "lineitem")  # noqa: E741
     disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
@@ -566,6 +591,8 @@ def _pipeline_corpus_filter(spark, sf_dir):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship_extract": _flagship_extract,
+        "flagship_extract_pdf": _flagship_extract_pdf,
+        "text_url_host": _text_url_host,
         "q1_pricing_summary": _q1_pricing_summary,
         "f1_keyset_filter": _f1_keyset_filter,
         "f2_pushdown_residual": _f2_pushdown_residual,
@@ -1230,4 +1257,16 @@ def oracle_sql() -> dict[str, str]:
     # the materialized-index probe returns exactly the in-memory IVF
     # result (same deterministic assignment), so it shares the oracle
     d["sim_ivf_topk_indexed"] = d["sim_ivf_topk"]
+    # the PDF-wrapped flagship reconstructs the same expected text as
+    # the HTML wrap (both are invertible wraps of the same rows)
+    d["flagship_extract_pdf"] = d["flagship_extract"]
+    d["text_url_host"] = """
+        SELECT host, COUNT(*) AS n_docs
+        FROM (SELECT regexp_extract(
+                printf('https://host%d.example/docs/%d',
+                       doc_id % 37, doc_id),
+                '^[a-z]+://([^/]+)/', 1) AS host
+              FROM documents)
+        GROUP BY host
+    """
     return d

@@ -88,6 +88,18 @@ def page_for_document(doc_id: int, text: str) -> bytes:
     return html.encode("utf-8")
 
 
+def pdf_page_for_document(doc_id: int, text: str) -> bytes:
+    """PDF twin of ``page_for_document``: the same invertible wrap
+    rendered as a real PDF payload (title at the top, one text block
+    per 20-token paragraph down the page), so the PDF layout parser is
+    exercised under the SAME SQL oracle as the HTML path."""
+    tokens = text.split(" ") if text else []
+    blocks = [("h1", 40, 72, f"Doc {doc_id}")]
+    for i, c in enumerate(_chunks(tokens, PARA_TOKENS)):
+        blocks.append(("p", 80 + 40 * i, 72, " ".join(c)))
+    return render_pdf(blocks)
+
+
 def expected_text_for_document(doc_id: int, text: str) -> str:
     """Pure-Python mirror of the SQL oracle (tests assert kernel == this)."""
     tokens = text.split(" ") if text else []

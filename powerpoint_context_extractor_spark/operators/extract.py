@@ -164,29 +164,38 @@ DOC_EXTRACT_SCHEMA = T.StructType([
 ])
 
 
-def _doc_kernel_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    from ..corpus import page_for_document
-    for pdf in batches:
-        out = {"url": [], "title": [], "text": [], "n_blocks": []}
-        for doc_id, text in zip(pdf["doc_id"].tolist(), pdf["text"].tolist()):
-            url = f"doc://{doc_id}"
-            r = extract_document(url, page_for_document(doc_id, text))
-            out["url"].append(url)
-            out["title"].append(r.title)
-            out["text"].append(r.text)
-            out["n_blocks"].append(r.n_blocks)
-        yield pd.DataFrame(out)
+def _make_doc_kernel_batches(wrap_name: str):
+    def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .. import corpus
+        wrap = getattr(corpus, wrap_name)
+        for pdf in batches:
+            out = {"url": [], "title": [], "text": [], "n_blocks": []}
+            for doc_id, text in zip(pdf["doc_id"].tolist(),
+                                    pdf["text"].tolist()):
+                url = f"doc://{doc_id}"
+                r = extract_document(url, wrap(doc_id, text))
+                out["url"].append(url)
+                out["title"].append(r.title)
+                out["text"].append(r.text)
+                out["n_blocks"].append(r.n_blocks)
+            yield pd.DataFrame(out)
+    return _batches
 
 
-def extract_wrapped_documents(docs: DataFrame) -> DataFrame:
+def extract_wrapped_documents(docs: DataFrame,
+                              wrap: str = "html") -> DataFrame:
     """Flagship demo path: wrap each testdata ``documents`` row into a
-    full synthetic page (corpus.page_for_document) and run the REAL
+    full synthetic page (corpus.page_for_document, or the PDF twin
+    corpus.pdf_page_for_document when ``wrap='pdf'``) and run the REAL
     extraction kernel over it. Because the wrap is analytically
     invertible, the whole thing has an ANSI-SQL oracle (see
     ``__spark_entry__.oracle_sql()['flagship_extract']``) — the driver's
-    DuckDB check exercises the actual kernel, not a stand-in."""
+    DuckDB check exercises the actual kernel, not a stand-in. Both
+    wraps reconstruct to the SAME expected text, so the PDF layout
+    parser is graded by the same oracle as the HTML DOM walk."""
+    fn = "pdf_page_for_document" if wrap == "pdf" else "page_for_document"
     return docs.select("doc_id", "text").mapInPandas(
-        _doc_kernel_batches, schema=DOC_EXTRACT_SCHEMA)
+        _make_doc_kernel_batches(fn), schema=DOC_EXTRACT_SCHEMA)
 
 
 def extract_pages(pages: DataFrame, num_partitions: int | None = None,
