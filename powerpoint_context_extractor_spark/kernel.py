@@ -44,6 +44,7 @@ from __future__ import annotations
 
 import hashlib
 import re
+import zlib
 from dataclasses import dataclass, field
 from html.parser import HTMLParser
 
@@ -54,6 +55,7 @@ __all__ = [
     "extract_pdf",
     "render_wdoc",
     "render_pdf",
+    "render_pdf_pages",
     "KernelResult",
     "WDOC_MAGIC",
     "PDF_MAGIC",
@@ -333,9 +335,12 @@ _ATTRFIND = re.compile(
     r'(\'[^\']*\'|"[^"]*"|(?![\'"])[^>\s]*))?(?:\s|/(?!>))*')
 _ENDTAG = re.compile(r'</\s*([a-zA-Z][-.a-zA-Z0-9:_]*)\s*>')
 _TAGNAME = re.compile(r'([a-zA-Z][^\t\n\r\f />\x00]*)(?:\s|/(?!>))*')
+# Python 3.11 html.parser set_cdata_mode: in raw-text elements the scanner
+# only stops at a FULL well-formed close tag; '</script foo>', '</scriptx>',
+# or a '>'-less tail are plain character data and parsing stays in CDATA.
 _CDATA_CLOSE = {
-    "script": re.compile(r"</\s*script", re.I),
-    "style": re.compile(r"</\s*style", re.I),
+    "script": re.compile(r"</\s*script\s*>", re.I),
+    "style": re.compile(r"</\s*style\s*>", re.I),
 }
 
 
@@ -401,21 +406,18 @@ def _fast_feed(p: "_Extractor", s: str) -> None:
             p.handle_starttag(tag, attrs)
             i = endpos
             if tag in _CDATA_CLOSE:      # raw-text elements
+                # Exact port of html.parser (3.11) CDATA mode: everything
+                # up to the next FULL '</\s*tag\s*>' is one raw data chunk
+                # (no unescape); unterminated raw text at EOF is dropped
+                # (goahead breaks with cdata_elem set; close() only
+                # flushes when cdata_elem is None).
                 cm = _CDATA_CLOSE[tag].search(s, i)
                 if cm is None:
-                    if i < n:
-                        p.handle_data(s[i:])  # raw, no unescape
-                    break
+                    break                     # drop unterminated raw text
                 if cm.start() > i:
                     p.handle_data(s[i:cm.start()])
-                em = _ENDTAG.match(s, cm.start())
-                if em:
-                    p.handle_endtag(em.group(1).lower())
-                    i = em.end()
-                else:
-                    gt = find(">", cm.start())
-                    p.handle_endtag(tag)
-                    i = n if gt < 0 else gt + 1
+                p.handle_endtag(tag)
+                i = cm.end()
         elif nxt == "/":
             em = _ENDTAG.match(s, lt)
             if em:
@@ -616,30 +618,57 @@ def _pdf_unescape(s: str) -> bytes:
     return bytes(out)
 
 
-def render_pdf(blocks) -> bytes:
+def render_pdf(blocks, *, compress: bool = False,
+               hex_strings: bool = False) -> bytes:
     """blocks: iterable of (role, y, x, text) with y measured from the
     page top (same convention as render_wdoc). Emits a complete valid
     single-page PDF 1.4 with a correct xref table."""
-    parts = []
-    for role, y, x, text in blocks:
-        if role not in _PDF_ROLE_SIZE:
-            raise ValueError(f"pdf: unknown role {role!r}")
-        font = "F2" if role == "li" else "F1"
-        size = _PDF_ROLE_SIZE[role]
-        parts.append(f"BT /{font} {size} Tf {int(x)} {PDF_PAGE_H - int(y)} Td "
-                     f"({_pdf_escape(text)}) Tj ET")
-    content = "\n".join(parts).encode("latin-1")
-    objs = [
-        b"<< /Type /Catalog /Pages 2 0 R >>",
-        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
-        (b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
-         b"/Contents 4 0 R /Resources << /Font << /F1 5 0 R /F2 6 0 R "
-         b">> >> >>"),
-        (b"<< /Length " + str(len(content)).encode() + b" >>\nstream\n"
-         + content + b"\nendstream"),
-        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
-        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica-Bold >>",
-    ]
+    return render_pdf_pages([list(blocks)], compress=compress,
+                            hex_strings=hex_strings)
+
+
+def render_pdf_pages(pages, *, compress: bool = False,
+                     hex_strings: bool = False) -> bytes:
+    """Multi-page renderer: ``pages`` is a list of block lists, one per
+    page, each block (role, y, x, text). ``compress`` writes FlateDecode
+    content streams; ``hex_strings`` shows text via PDF hex strings
+    <...> instead of literal strings — both exist to exercise the
+    parser's real-world feature set under round-trip property tests."""
+    pages = [list(blocks) for blocks in pages]
+    npg = len(pages)
+    # file/object order: 1 catalog, 2 pages node, 3..2+npg page objects,
+    # 3+npg..2+2*npg content streams, then the two font objects
+    f1, f2 = 3 + 2 * npg, 4 + 2 * npg
+    objs = [b"<< /Type /Catalog /Pages 2 0 R >>"]
+    kids = " ".join(f"{3 + i} 0 R" for i in range(npg))
+    objs.append(f"<< /Type /Pages /Kids [{kids}] /Count {npg} >>".encode())
+    for i in range(npg):
+        objs.append((f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+                     f"/Contents {3 + npg + i} 0 R /Resources << /Font "
+                     f"<< /F1 {f1} 0 R /F2 {f2} 0 R >> >> >>").encode())
+    for blocks in pages:
+        parts = []
+        for role, y, x, text in blocks:
+            if role not in _PDF_ROLE_SIZE:
+                raise ValueError(f"pdf: unknown role {role!r}")
+            font = "F2" if role == "li" else "F1"
+            size = _PDF_ROLE_SIZE[role]
+            if hex_strings:
+                shown = "<" + text.encode("utf-8").hex() + ">"
+            else:
+                shown = "(" + _pdf_escape(text) + ")"
+            parts.append(f"BT /{font} {size} Tf {int(x)} "
+                         f"{PDF_PAGE_H - int(y)} Td {shown} Tj ET")
+        content = "\n".join(parts).encode("latin-1")
+        filt = b""
+        if compress:
+            content = zlib.compress(content)
+            filt = b" /Filter /FlateDecode"
+        objs.append(b"<< /Length " + str(len(content)).encode() + filt
+                    + b" >>\nstream\n" + content + b"\nendstream")
+    objs.append(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    objs.append(b"<< /Type /Font /Subtype /Type1 /BaseFont "
+                b"/Helvetica-Bold >>")
     buf = bytearray(b"%PDF-1.4\n")
     offsets = []
     for i, body in enumerate(objs, start=1):
@@ -655,12 +684,237 @@ def render_pdf(blocks) -> bytes:
     return bytes(buf)
 
 
-_PDF_TOKEN = re.compile(
-    r"\((?P<str>(?:\\.|[^\\()])*)\)"      # literal string (escaped parens)
-    r"|/(?P<name>[^\s/()<>\[\]{}%]+)"     # name
-    r"|(?P<num>[+-]?(?:\d+\.?\d*|\.\d+))"  # number
-    r"|(?P<arr>[\[\]])"                   # array delimiters (TJ)
-    r"|(?P<op>[A-Za-z'\"][A-Za-z0-9*'\"]{0,2})")  # operator
+_PDF_NAME = re.compile(r"/([^\s/()<>\[\]{}%]*)")
+_PDF_NUM = re.compile(r"[+-]?(?:\d+\.?\d*|\.\d+)")
+_PDF_WORD = re.compile(r"[A-Za-z'\"][A-Za-z0-9*'\"]*")
+_PDF_REF = re.compile(r"(\d+)\s+\d+\s+R\b")
+_PDF_WS = " \t\r\n\f\x00"
+_OBJ_HEAD = re.compile(r"(\d+)\s+\d+\s+obj\b")
+_STREAM_HEAD = re.compile(r"\s*stream(?:\r\n|\n|\r)")
+
+
+class _Ref(int):
+    """An indirect object reference (the object number)."""
+
+
+def _scan_literal(s: str, i: int):
+    """Scan a PDF literal string starting at the '(' at s[i]. Handles
+    escapes AND balanced unescaped nested parens (PDF 32000 §7.3.4.2).
+    Returns (body_str, index_after_close_paren)."""
+    depth, j, n = 1, i + 1, len(s)
+    buf = []
+    while j < n:
+        ch = s[j]
+        if ch == "\\" and j + 1 < n:
+            buf.append(s[j:j + 2])
+            j += 2
+            continue
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth == 0:
+                return "".join(buf), j + 1
+        buf.append(ch)
+        j += 1
+    return "".join(buf), n                # unterminated: best-effort
+
+
+def _scan_hex(s: str, i: int):
+    """Scan a hex string starting at the '<' at s[i] -> (bytes, next)."""
+    j = s.find(">", i + 1)
+    body = s[i + 1:(j if j >= 0 else len(s))]
+    hx = "".join(body.split())
+    if len(hx) % 2:                       # odd count: pad 0 (spec rule)
+        hx += "0"
+    try:
+        raw = bytes.fromhex(hx)
+    except ValueError:
+        raw = b""
+    return raw, (j + 1) if j >= 0 else len(s)
+
+
+def _pdf_value(s: str, i: int):
+    """Recursive-descent parse of one PDF object value at s[i:]:
+    dict / array / name / number / ref / literal / hex string / bool /
+    null. Names parse to str, strings to bytes. Returns (value, next)."""
+    n = len(s)
+    while i < n and s[i] in _PDF_WS:
+        i += 1
+    if s.startswith("<<", i):
+        d: dict = {}
+        i += 2
+        while i < n:
+            while i < n and s[i] in _PDF_WS:
+                i += 1
+            if s.startswith(">>", i):
+                return d, i + 2
+            if i >= n:
+                break
+            if s[i] != "/":               # tolerant: skip junk between keys
+                i += 1
+                continue
+            m = _PDF_NAME.match(s, i)
+            key = m.group(1)
+            val, i = _pdf_value(s, m.end())
+            d[key] = val
+        return d, i
+    if s.startswith("[", i):
+        arr: list = []
+        i += 1
+        while i < n:
+            while i < n and s[i] in _PDF_WS:
+                i += 1
+            if i >= n or s[i] == "]":
+                return arr, min(i + 1, n)
+            val, i = _pdf_value(s, i)
+            arr.append(val)
+        return arr, i
+    if s.startswith("(", i):
+        body, j = _scan_literal(s, i)
+        return _pdf_unescape(body), j
+    if s.startswith("<", i):
+        return _scan_hex(s, i)
+    if s[i] == "/":
+        m = _PDF_NAME.match(s, i)
+        return m.group(1), m.end()
+    rm = _PDF_REF.match(s, i)
+    if rm:
+        return _Ref(int(rm.group(1))), rm.end()
+    m = _PDF_NUM.match(s, i)
+    if m:
+        tok = m.group()
+        return (float(tok) if "." in tok else int(tok)), m.end()
+    if s.startswith("true", i):
+        return True, i + 4
+    if s.startswith("false", i):
+        return False, i + 5
+    if s.startswith("null", i):
+        return None, i + 4
+    return None, i + 1                    # tolerant skip
+
+
+def _pdf_load(data: str):
+    """Object-level pass: returns ({num: value}, {num: decoded_stream}).
+    Stream bytes are sliced by /Length (so 'endstream' inside the data
+    can't truncate — r3 ADVICE fix), indirect /Length refs resolved in a
+    second pass, and /FlateDecode streams inflated with stdlib zlib.
+    finditer matches that fall inside a known stream body are skipped so
+    compressed bytes can't fake an object header."""
+    objs: dict = {}
+    pending: dict = {}                    # num -> (start, length_spec, dict)
+    skip_until = 0
+    for m in _OBJ_HEAD.finditer(data):
+        if m.start() < skip_until:
+            continue
+        num = int(m.group(1))
+        val, j = _pdf_value(data, m.end())
+        objs[num] = val
+        sm = _STREAM_HEAD.match(data, j)
+        if sm and isinstance(val, dict):
+            start = sm.end()
+            ln = val.get("Length")
+            if isinstance(ln, int) and ln >= 0:
+                skip_until = start + ln
+            else:
+                e = data.find("endstream", start)
+                skip_until = e if e >= 0 else len(data)
+            pending[num] = (start, ln, val)
+    streams: dict = {}
+    for num, (start, ln, d) in pending.items():
+        if isinstance(ln, _Ref):
+            ln = objs.get(int(ln))
+        if isinstance(ln, (int, float)) and not isinstance(ln, bool):
+            body = data[start:start + int(ln)]
+        else:                             # no usable /Length: best-effort
+            e = data.find("endstream", start)
+            body = data[start:(e if e >= 0 else len(data))].rstrip("\r\n")
+        filt = d.get("Filter")
+        filters = filt if isinstance(filt, list) else [filt]
+        if "FlateDecode" in filters or "Fl" in filters:
+            body = zlib.decompress(body.encode("latin-1")).decode("latin-1")
+        streams[num] = body
+    return objs, streams
+
+
+def _pdf_page_streams(data: str) -> list:
+    """Walk trailer /Root -> /Pages -> Kids tree (depth-first, so page
+    order is the document's reading order) and return one concatenated
+    decoded content string per page. Falls back to all streams in file
+    order when the tree is absent/broken (legacy subset behavior)."""
+    objs, streams = _pdf_load(data)
+    pages: list = []
+
+    def walk(ref, depth=0):
+        if depth > 64:
+            return
+        obj = objs.get(int(ref))
+        if not isinstance(obj, dict):
+            return
+        kids = obj.get("Kids")
+        if isinstance(kids, list):
+            for kid in kids:
+                if isinstance(kid, _Ref):
+                    walk(kid, depth + 1)
+        elif obj.get("Type") == "Page" or "Contents" in obj:
+            c = obj.get("Contents")
+            refs = c if isinstance(c, list) else [c]
+            pages.append("\n".join(streams.get(int(r), "")
+                                   for r in refs if isinstance(r, _Ref)))
+
+    # find /Root in the trailer dict (fall back to anywhere in the file)
+    t = data.rfind("trailer")
+    rm = (re.search(r"/Root\s+(\d+)\s+\d+\s+R\b", data[t:]) if t >= 0
+          else None) or re.search(r"/Root\s+(\d+)\s+\d+\s+R\b", data)
+    root = objs.get(int(rm.group(1))) if rm else None
+    if isinstance(root, dict) and isinstance(root.get("Pages"), _Ref):
+        walk(root["Pages"])
+    if not pages:
+        pages = list(streams.values())    # file order (dict preserves it)
+    return pages
+
+
+def _pdf_content_tokens(stream: str):
+    """Content-stream tokenizer: yields ('s', bytes) for literal/hex
+    strings, ('n', name), ('f', float), ('op', word); array/dict
+    delimiters and comments are consumed silently."""
+    i, n = 0, len(stream)
+    while i < n:
+        c = stream[i]
+        if c in _PDF_WS:
+            i += 1
+        elif c == "%":                    # comment to end of line
+            j = stream.find("\n", i)
+            i = n if j < 0 else j + 1
+        elif c == "(":
+            body, i = _scan_literal(stream, i)
+            yield ("s", _pdf_unescape(body))
+        elif c == "<":
+            if stream.startswith("<<", i):
+                i += 2
+            else:
+                raw, i = _scan_hex(stream, i)
+                yield ("s", raw)
+        elif c == ">":
+            i += 2 if stream.startswith(">>", i) else 1
+        elif c == "/":
+            m = _PDF_NAME.match(stream, i)
+            yield ("n", m.group(1))
+            i = m.end()
+        elif c in "[]{}":
+            i += 1
+        else:
+            m = _PDF_NUM.match(stream, i)
+            if m:
+                yield ("f", float(m.group()))
+                i = m.end()
+                continue
+            m = _PDF_WORD.match(stream, i)
+            if m:
+                yield ("op", m.group())
+                i = m.end()
+                continue
+            i += 1
 
 
 def _pdf_parse_content(stream: str):
@@ -672,25 +926,21 @@ def _pdf_parse_content(stream: str):
     stack: list = []
     shown: list = []
     in_bt = False
-    for m in _PDF_TOKEN.finditer(stream):
-        kind = m.lastgroup
-        if kind == "str":
-            stack.append(("s", m.group("str")))
-        elif kind == "name":
-            stack.append(("n", m.group("name")))
-        elif kind == "num":
-            stack.append(("f", float(m.group("num"))))
-        elif kind == "arr":
-            continue                     # TJ arrays: strings stay on stack
+    for kind, val in _pdf_content_tokens(stream):
+        if kind == "s":
+            stack.append(("s", val))
+        elif kind == "n":
+            stack.append(("n", val))
+        elif kind == "f":
+            stack.append(("f", val))
         else:
-            op = m.group("op")
+            op = val
             if op == "BT":
                 in_bt, x, y = True, 0.0, 0.0
                 shown, stack = [], []
             elif op == "ET":
                 if in_bt and shown:
-                    yield (font, size, x, y,
-                           b"".join(_pdf_unescape(s) for s in shown))
+                    yield (font, size, x, y, b"".join(shown))
                 in_bt, shown, stack = False, [], []
             elif op == "Tf" and len(stack) >= 2:
                 if stack[-1][0] == "f" and stack[-2][0] == "n":
@@ -720,10 +970,9 @@ def _pdf_parse_content(stream: str):
 
 def extract_pdf(url: str, payload: bytes) -> KernelResult:
     data = payload.decode("latin-1")
-    streams = re.findall(r"stream\r?\n(.*?)\s*endstream", data, re.S)
     recs = []
     order = 0
-    for pg, body in enumerate(streams):
+    for pg, body in enumerate(_pdf_page_streams(data)):
         if "BT" not in body:
             continue
         for fname, fsize, bx, by, text_bytes in _pdf_parse_content(body):

@@ -159,6 +159,56 @@ def test_pdf_empty_and_textless():
     assert r.error is None and r.text == ""
 
 
+def test_pdf_endstream_token_in_text_survives():
+    # r3 ADVICE: streams are sliced by /Length, so a literal 'endstream'
+    # inside shown text cannot truncate the content stream
+    payload = kernel.render_pdf([("p", 40, 72, "before endstream after"),
+                                 ("h1", 20, 72, "Title")])
+    r = extract_document("u", payload)
+    assert r.error is None
+    assert r.text == "# Title\n\nbefore endstream after"
+
+
+def test_pdf_flatedecode_hex_and_multipage():
+    pages = [[("h1", 20, 72, "Page one"), ("p", 40, 72, "alpha")],
+             [("h2", 20, 72, "Page two"), ("p", 40, 72, "beta")]]
+    for compress in (False, True):
+        for hexs in (False, True):
+            payload = kernel.render_pdf_pages(pages, compress=compress,
+                                              hex_strings=hexs)
+            r = extract_document("u", payload)
+            assert r.error is None, (compress, hexs, r.error)
+            assert r.text == "# Page one\n\nalpha\n\n## Page two\n\nbeta"
+            assert r.title == "Page one"
+    # page order comes from the Kids tree, not byte order of streams
+    assert "pg1" in extract_document(
+        "u", kernel.render_pdf_pages(pages)).spans[-1]["path"]
+
+
+def test_pdf_nested_unescaped_parens():
+    import re as _re
+    raw = kernel.render_pdf([("p", 40, 72, "placeholder")]).decode("latin-1")
+    new = _re.sub(r"\(.*?\) Tj", "(outer (nested) tail) Tj", raw, count=1)
+    m = _re.search(r"/Length (\d+) >>\nstream\n(.*?)\nendstream", new, _re.S)
+    new = new[:m.start(1)] + str(len(m.group(2))) + new[m.end(1):]
+    r = extract_document("u", new.encode("latin-1"))
+    assert r.error is None
+    assert r.text == "outer (nested) tail"
+
+
+def test_pdf_indirect_length_ref():
+    # /Length as an indirect reference resolves via the second pass
+    import re as _re
+    raw = kernel.render_pdf([("p", 40, 72, "indirect len")]).decode("latin-1")
+    m = _re.search(r"/Length (\d+) >>", raw)
+    n = m.group(1)
+    patched = (raw[:m.start(1)] + "9 0 R" + raw[m.end(1):]
+               + f"9 0 obj\n{n}\nendobj\n")
+    r = extract_document("u", patched.encode("latin-1"))
+    assert r.error is None
+    assert r.text == "indirect len"
+
+
 def test_pdf_tj_array_and_tm_operators():
     """Hand-written content stream exercising TJ arrays (kerned show)
     and Tm absolute positioning — shapes real writers emit."""
@@ -276,6 +326,26 @@ if _HYP:
         r2 = extract_document("u", payload)
         assert r2.text == r.text and r2.spans == r.spans
 
+    @settings(max_examples=150, deadline=None)
+    @given(st.lists(st.lists(_BLOCK, max_size=5), min_size=1, max_size=4),
+           st.booleans(), st.booleans())
+    def test_pdf_multipage_roundtrip_properties(pages, compress, hexs):
+        """Multi-page + FlateDecode + hex-string variants of the PDF
+        round-trip: page order is preserved (page index majorizes the
+        layout sort) and the feature flags never change extracted text."""
+        payload = kernel.render_pdf_pages(pages, compress=compress,
+                                          hex_strings=hexs)
+        r = extract_document("u", payload)
+        assert r.error is None
+        for blocks in pages:
+            for _role, _y, _x, text in blocks:
+                t = " ".join(text.split())
+                if t:
+                    assert t in r.text
+        plain = extract_document(
+            "u", kernel.render_pdf_pages(pages))
+        assert r.text == plain.text and r.spans == plain.spans
+
     @settings(max_examples=200, deadline=None)
     @given(st.lists(st.tuples(_ROLES, st.integers(0, 1000),
                               st.integers(0, 1000), _TEXT), max_size=8))
@@ -309,6 +379,16 @@ _SOUP_CASES = [
     "<pre>a<b>c</b>d</pre>", "<div class='ad'>drop</div><p>keep</p>",
     "<p title='a>b'>text</p>", "<p foo=>x</p>", "<p =bad>x</p>", "<p 'q'>x</p>",
     "</closes nothing><p>x</p>", "<p>end with entity &am",
+    # CDATA-mode end-tag soup (r3 ADVICE: junk end tags must stay in CDATA)
+    "<script>x</script foo>bar<p>keep</p>",
+    "<style>a{}</style junk>leak<p>ok</p>",
+    "<script>x</scriptx>bar</script><p>keep</p>",
+    "<script>x</script notgt", "<script>x</script", "<script>x</scr",
+    "<script>a</ script>b</script><p>z</p>",
+    "<script>a</SCRIPT  >c<p>z</p>",
+    "<script>a</script x>b</script y>c</script><p>tail</p>",
+    "<style>a</style >b</style><p>nbsp</p>",
+    "<script>a</script<b</script><p>lt</p>",
 ]
 
 
