@@ -225,7 +225,11 @@ def _dedup_minhash_lsh(spark, sf_dir):
     from powerpoint_context_extractor_spark.operators.dedup import (
         minhash_lsh_dedup,
     )
-    return minhash_lsh_dedup(_docs_with_near_dups(spark, sf_dir))
+    # max_bucket=None: this query's oracle is the UNCAPPED all-pairs SQL,
+    # so the Spark side must be uncapped at every scale factor too; the
+    # production cap is graded separately by dedup_minhash_lsh_capped
+    return minhash_lsh_dedup(_docs_with_near_dups(spark, sf_dir),
+                             max_bucket=None)
 
 
 def _docs_with_degenerate(spark, sf_dir, n_clones: int = 200):
@@ -260,7 +264,7 @@ def _dedup_clusters(spark, sf_dir):
         minhash_lsh_dedup, near_dup_clusters,
     )
     docs = _docs_with_near_dups(spark, sf_dir)
-    pairs = minhash_lsh_dedup(docs)
+    pairs = minhash_lsh_dedup(docs, max_bucket=None)  # matches uncapped oracle
     return near_dup_clusters(docs.select("doc_id"), pairs)
 
 

