@@ -76,6 +76,20 @@ def _text_url_host(spark, sf_dir):
             .groupBy("host").agg(F.count(F.lit(1)).alias("n_docs")))
 
 
+def _text_charset_breakdown(spark, sf_dir):
+    """Charset-detection contract (r3 VERDICT #1): documents wrapped as
+    pages in four deterministic encodings (utf-8 / utf-8 BOM / utf-16 /
+    declared-cp1252), decoded by the kernel's BOM+meta sniffer, text
+    verified by md5 against the SQL reconstruction — zero decode_error
+    rows by construction."""
+    from powerpoint_context_extractor_spark.operators.extract import (
+        extract_documents_charset,
+    )
+    out = extract_documents_charset(_t(spark, sf_dir, "documents"))
+    return out.select(F.col("doc_id"), F.col("charset"),
+                      F.md5(F.col("text").cast("binary")).alias("text_md5"))
+
+
 def _q1_pricing_summary(spark, sf_dir):
     l = _t(spark, sf_dir, "lineitem")  # noqa: E741
     disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
@@ -597,6 +611,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "flagship_extract": _flagship_extract,
         "flagship_extract_pdf": _flagship_extract_pdf,
         "text_url_host": _text_url_host,
+        "text_charset_breakdown": _text_charset_breakdown,
         "q1_pricing_summary": _q1_pricing_summary,
         "f1_keyset_filter": _f1_keyset_filter,
         "f2_pushdown_residual": _f2_pushdown_residual,
@@ -1272,5 +1287,33 @@ def oracle_sql() -> dict[str, str]:
                 '^[a-z]+://([^/]+)/', 1) AS host
               FROM documents)
         GROUP BY host
+    """
+    # charset sniffer contract: detected label is a pure function of
+    # doc_id % 4 (the wrap's encoding choice) and the decoded text md5
+    # must equal the flagship reconstruction — graded per row
+    d["text_charset_breakdown"] = """
+        WITH toks AS (
+          SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+        ), flat AS (
+          SELECT doc_id, unnest(ts) AS tok,
+                 unnest(range(1, len(ts)+1)) AS i
+          FROM toks
+        ), chunks AS (
+          SELECT doc_id, (i-1)//20 AS cn,
+                 string_agg(tok, ' ' ORDER BY i) AS chunk
+          FROM flat GROUP BY doc_id, (i-1)//20
+        ), agg AS (
+          SELECT doc_id,
+                 string_agg(chunk, chr(10)||chr(10) ORDER BY cn) AS body
+          FROM chunks GROUP BY doc_id
+        )
+        SELECT t.doc_id,
+               CASE t.doc_id % 4 WHEN 0 THEN 'utf-8'
+                                 WHEN 1 THEN 'utf-8-bom'
+                                 WHEN 2 THEN 'utf-16'
+                                 ELSE 'cp1252' END AS charset,
+               md5('# Doc ' || t.doc_id ||
+                   coalesce(chr(10)||chr(10)||a.body, '')) AS text_md5
+        FROM toks t LEFT JOIN agg a USING (doc_id)
     """
     return d

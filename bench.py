@@ -50,7 +50,7 @@ def main() -> None:
                       shuffle_partitions=cpus)
     log(f"bench: sf={sf} sf_dir={sf_dir} cpus={cpus} pages={n_pages}")
 
-    pages_dir = os.path.join(REPO, ".bench_cache", f"pages_sf{sf}_v4")
+    pages_dir = os.path.join(REPO, ".bench_cache", f"pages_sf{sf}_v5")
     t0 = time.monotonic()
     # many small snappy files + small split size = full scan parallelism
     # with ZERO payload shuffle (the 100 TB pattern: tune splits, don't

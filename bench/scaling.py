@@ -126,7 +126,7 @@ def main() -> None:
     # page size 10-60 paras (~5 KiB mean): Common-Crawl pages are tens of
     # KiB, so parse compute dominating scan decode is the realistic regime
     pages_dir = args.pages_dir or os.path.join(REPO, ".bench_cache",
-                                               "pages_scaling_v4")
+                                               "pages_scaling_v5")
     if not os.path.exists(os.path.join(pages_dir, "_COMPLETE")):
         from powerpoint_context_extractor_spark.session import get_spark
         from powerpoint_context_extractor_spark.sources.pagegen import (

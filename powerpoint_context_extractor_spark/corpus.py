@@ -23,7 +23,7 @@ from __future__ import annotations
 import random
 from datetime import datetime, timedelta, timezone
 
-from .kernel import render_pdf, render_wdoc
+from .kernel import WDOC_MAGIC, render_pdf, render_wdoc
 
 __all__ = [
     "PARA_TOKENS",
@@ -115,7 +115,7 @@ def expected_text_for_document(doc_id: int, text: str) -> str:
 FIXTURE_CLASSES = [
     "plain", "nested-inline", "entities", "link-dense", "table-layout",
     "empty-main", "title-only", "multilang", "binary-payload",
-    "pdf-payload", "malformed", "duplicate-url-content",
+    "pdf-payload", "malformed", "duplicate-url-content", "legacy-charset",
 ]
 
 
@@ -178,9 +178,35 @@ def _fixture_html(cls: str, rng: random.Random) -> bytes:
                 f"<p>next &badent; one</i>{_sentence(rng, 6)}")
     elif cls == "duplicate-url-content":
         main = f"<h1>Duplicate body</h1><p>{' '.join(_WORDS[:15])}</p>"
+    elif cls == "legacy-charset":
+        return _legacy_charset_html(rng)
     else:  # pragma: no cover
         raise ValueError(cls)
     return _page_shell(main).encode("utf-8")
+
+
+_LEGACY_KINDS = ("cp1252-meta", "utf-16", "utf-8-bom")
+
+
+def _legacy_charset_html(rng: random.Random, kind: str | None = None) -> bytes:
+    """Non-UTF-8 page variants (several percent of any real web corpus):
+    cp1252 bytes with a <meta charset> declaration, a UTF-16 page with
+    BOM, and a UTF-8 page with BOM. The cp1252 body carries curly
+    quotes/é (bytes invalid as UTF-8, forcing the sniff path)."""
+    kind = kind or rng.choice(_LEGACY_KINDS)
+    title = f"Legacy {rng.choice(_WORDS)}"
+    body = _sentence(rng, 14)
+    if kind == "cp1252-meta":
+        html = (f"<html><head><meta charset=\"iso-8859-1\"></head><body>"
+                f"{_BOILER}<main><h1>{title} café</h1>"
+                f"<p>“{body}” — résumé</p></main>"
+                f"{_FOOTER}</body></html>")
+        return html.encode("cp1252")
+    if kind == "utf-16":
+        html = _page_shell(f"<h1>{title}</h1><p>{body}</p>")
+        return html.encode("utf-16")      # LE with BOM
+    html = _page_shell(f"<h1>{title}</h1><p>{body}</p>")
+    return b"\xef\xbb\xbf" + html.encode("utf-8")
 
 
 def fixture_pages(seed: int = 42, per_class: int = 3):
@@ -194,9 +220,16 @@ def fixture_pages(seed: int = 42, per_class: int = 3):
             rng = random.Random((seed << 20) ^ (ci << 8) ^ k)
             if cls == "duplicate-url-content":
                 rng = random.Random(seed)  # same content every time
-            html = _fixture_html(cls, rng)
+            if cls == "legacy-charset":
+                # one fixture per encoding kind, round-robin over k
+                html = _legacy_charset_html(rng, kind=_LEGACY_KINDS[k % 3])
+            else:
+                html = _fixture_html(cls, rng)
             if cls == "malformed" and k == 0:
-                html = b"\xff\xfe broken not-utf8 \x9f"  # decode_error path
+                # guaranteed error row (F6 / J2 fallback path): corrupt
+                # WDOC header. (Was invalid-utf-8 HTML until r3 — HTML
+                # decode is now total via charset sniff + latin-1.)
+                html = WDOC_MAGIC + b"notanumber\n"
             rows.append({
                 "url": f"https://fixtures.example/{cls}/{k}",
                 "warc_ts": EPOCH + timedelta(seconds=i),
@@ -237,6 +270,10 @@ def page_row(i: int, seed: int = 42, n_hosts: int = 50,
     elif kind < 0.10:
         html = (f"<h1>Broken {i}</h1></div><p>{_sentence(rng, 10)}"
                 f"<p>{_sentence(rng, 8)}</i>").encode("utf-8")
+    elif kind < 0.13:
+        # ~3% legacy-encoding pages (real CC corpora are several % non-
+        # UTF-8) — exercises the charset sniff in every bulk/bench run
+        html = _legacy_charset_html(rng)
     else:
         n_paras = min_paras + rng.randrange(max_paras - min_paras + 1)
         main = (f"<h1>Page {i} {rng.choice(_WORDS)}</h1>" + "".join(
@@ -255,7 +292,7 @@ def generate_pages_rows(n: int, seed: int = 42, n_hosts: int = 50,
                         min_paras: int = 2, max_paras: int = 8):
     """Yield n page rows. Host 0 receives ~30% of urls (skew/salting
     tests, SURVEY.md §2.10 U5); ~5% WDOC + ~3% PDF binary payloads;
-    ~2% malformed."""
+    ~2% malformed HTML; ~3% legacy-charset (cp1252/utf-16/BOM)."""
     for i in range(n):
         yield page_row(i, seed=seed, n_hosts=n_hosts,
                        min_paras=min_paras, max_paras=max_paras)

@@ -51,6 +51,7 @@ from html.parser import HTMLParser
 __all__ = [
     "extract_document",
     "extract_html",
+    "decode_html_bytes",
     "extract_wdoc",
     "extract_pdf",
     "render_wdoc",
@@ -113,6 +114,7 @@ class KernelResult:
     spans: list  # list of dicts {block_id, path, start, end}
     n_blocks: int
     error: str | None
+    charset: str | None = None  # decode path taken (None for error rows)
 
     def sha256(self) -> str | None:
         if self.text is None:
@@ -471,6 +473,54 @@ def _emit_bogus(p: "_Extractor", s: str, i: int) -> int:
             k = i + 1
     p.handle_data(_unescape(s[i:k]))
     return k
+
+
+# --- charset detection (r3: the #1 real-corpus gap) -----------------------
+# Real web corpora are several percent non-UTF-8; the reference pins utf-8
+# because PPTX guarantees it (pptx_extractor/notes/extractor.py:55) — a web
+# engine has no such guarantee. Deterministic decode policy, in order:
+#   1. BOM: UTF-8 sig -> 'utf-8-bom'; UTF-16 LE/BE -> 'utf-16'
+#   2. strict UTF-8 -> 'utf-8' (the overwhelming majority; cheapest first)
+#   3. <meta charset=...> / http-equiv content sniff in the first 2048
+#      bytes (WHATWG: latin-1-family labels decode as windows-1252);
+#      decode errors='replace' -> normalized codec name (e.g. 'cp1252')
+#   4. latin-1 (total function: every byte maps) -> 'latin-1-fallback'
+# Every branch is deterministic, so extracted text stays byte-stable.
+
+_META_CHARSET = re.compile(
+    r"""<meta\s[^>]*?charset\s*=\s*["']?\s*([A-Za-z0-9][A-Za-z0-9._:-]*)""",
+    re.I)
+
+# WHATWG encoding spec: these labels all decode as windows-1252
+_CP1252_LABELS = {
+    "latin-1", "latin1", "l1", "iso-8859-1", "iso8859-1", "iso_8859-1",
+    "iso88591", "ascii", "us-ascii", "windows-1252", "cp1252", "x-cp1252",
+    "cp819", "ibm819", "csisolatin1",
+}
+
+
+def decode_html_bytes(content: bytes) -> tuple:
+    """Decode raw page bytes -> (text, charset_label). Never raises."""
+    if content.startswith(b"\xef\xbb\xbf"):
+        return content[3:].decode("utf-8", errors="replace"), "utf-8-bom"
+    if content.startswith(b"\xff\xfe") or content.startswith(b"\xfe\xff"):
+        return content.decode("utf-16", errors="replace"), "utf-16"
+    try:
+        return content.decode("utf-8"), "utf-8"
+    except UnicodeDecodeError:
+        pass
+    head = content[:2048].decode("latin-1")
+    m = _META_CHARSET.search(head)
+    if m:
+        label = m.group(1).lower()
+        codec = "cp1252" if label in _CP1252_LABELS else label
+        try:
+            import codecs
+            name = codecs.lookup(codec).name
+            return content.decode(name, errors="replace"), name
+        except LookupError:
+            pass                          # unknown label: fall through
+    return content.decode("latin-1"), "latin-1-fallback"
 
 
 def extract_html(url: str, html_text: str,
@@ -1011,11 +1061,18 @@ def extract_document(url: str, content: bytes | None,
         return _error_result(url, "null_content")
     try:
         if content.startswith(WDOC_MAGIC):
-            return extract_wdoc(url, content)
+            res = extract_wdoc(url, content)
+            res.charset = "binary"
+            return res
         if content.startswith(PDF_MAGIC):
-            return extract_pdf(url, content)
-        return extract_html(url, content.decode("utf-8"))
-    except UnicodeDecodeError as exc:
+            res = extract_pdf(url, content)
+            res.charset = "binary"
+            return res
+        text, cs = decode_html_bytes(content)   # total: never raises
+        res = extract_html(url, text)
+        res.charset = cs
+        return res
+    except UnicodeDecodeError as exc:           # WDOC utf-8 body only
         return _error_result(url, f"decode_error: {exc.reason}")
     except Exception as exc:  # noqa: BLE001 — log-and-continue policy (F6)
         return _error_result(url, f"{type(exc).__name__}: {exc}")

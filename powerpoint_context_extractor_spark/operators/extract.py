@@ -48,6 +48,7 @@ EXTRACTED_SCHEMA = T.StructType([
     T.StructField("n_blocks", T.LongType(), True),
     T.StructField("error", T.StringType(), True),
     T.StructField("text_source", T.StringType(), True),
+    T.StructField("charset", T.StringType(), True),
     T.StructField("partition_id", T.IntegerType(), True),
     T.StructField("in_bytes", T.LongType(), True),
 ])
@@ -61,7 +62,7 @@ def _kernel_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         htmls = pdf["html"].tolist()
         fallbacks = pdf["text"].tolist() if "text" in pdf.columns else [None] * len(urls)
         out = {k: [] for k in ("url", "title", "text", "spans", "n_blocks",
-                               "error", "text_source", "in_bytes")}
+                               "error", "text_source", "charset", "in_bytes")}
         for url, html, fb in zip(urls, htmls, fallbacks):
             content = bytes(html) if html is not None else None
             r = extract_document(url, content)
@@ -76,6 +77,7 @@ def _kernel_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             out["spans"].append(r.spans)
             out["n_blocks"].append(r.n_blocks)
             out["error"].append(r.error)
+            out["charset"].append(r.charset)
             out["in_bytes"].append(len(content) if content is not None else 0)
         res = pd.DataFrame(out)
         res["partition_id"] = pid
@@ -99,6 +101,7 @@ def _arrow_out_schema():
             ("n_blocks", pa.int64()),
             ("error", pa.string()),
             ("text_source", pa.string()),
+            ("charset", pa.string()),
             ("partition_id", pa.int32()),
             ("in_bytes", pa.int64()),
         ])
@@ -119,7 +122,7 @@ def _kernel_batches_arrow(batches):
         fallbacks = (rb.column(names.index("text")).to_pylist()
                      if "text" in names else [None] * len(urls))
         out = {k: [] for k in ("url", "title", "text", "spans", "n_blocks",
-                               "error", "text_source", "in_bytes")}
+                               "error", "text_source", "charset", "in_bytes")}
         for url, html, fb in zip(urls, htmls, fallbacks):
             r = extract_document(url, html)
             out["url"].append(url)
@@ -133,6 +136,7 @@ def _kernel_batches_arrow(batches):
             out["spans"].append(r.spans)
             out["n_blocks"].append(r.n_blocks)
             out["error"].append(r.error)
+            out["charset"].append(r.charset)
             out["in_bytes"].append(len(html) if html is not None else 0)
         n = len(urls)
         yield pa.RecordBatch.from_arrays(
@@ -143,8 +147,9 @@ def _kernel_batches_arrow(batches):
              pa.array(out["n_blocks"], schema.field(4).type),
              pa.array(out["error"], schema.field(5).type),
              pa.array(out["text_source"], schema.field(6).type),
-             pa.array([pid] * n, schema.field(7).type),
-             pa.array(out["in_bytes"], schema.field(8).type)],
+             pa.array(out["charset"], schema.field(7).type),
+             pa.array([pid] * n, schema.field(8).type),
+             pa.array(out["in_bytes"], schema.field(9).type)],
             schema=schema)
 
 
@@ -196,6 +201,55 @@ def extract_wrapped_documents(docs: DataFrame,
     fn = "pdf_page_for_document" if wrap == "pdf" else "page_for_document"
     return docs.select("doc_id", "text").mapInPandas(
         _make_doc_kernel_batches(fn), schema=DOC_EXTRACT_SCHEMA)
+
+
+CHARSET_EXTRACT_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType(), False),
+    T.StructField("charset", T.StringType(), True),
+    T.StructField("text", T.StringType(), True),
+])
+
+# doc_id % 4 -> page encoding (frozen: the DuckDB oracle mirrors it)
+_CHARSET_KINDS = ("utf-8", "utf-8-bom", "utf-16", "cp1252-meta")
+
+
+def _charset_kernel_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from .. import corpus
+    for pdf in batches:
+        out = {"doc_id": [], "charset": [], "text": []}
+        for doc_id, text in zip(pdf["doc_id"].tolist(), pdf["text"].tolist()):
+            page = corpus.page_for_document(doc_id, text).decode("utf-8")
+            kind = _CHARSET_KINDS[doc_id % 4]
+            if kind == "utf-8":
+                raw = page.encode("utf-8")
+            elif kind == "utf-8-bom":
+                raw = b"\xef\xbb\xbf" + page.encode("utf-8")
+            elif kind == "utf-16":
+                raw = page.encode("utf-16")
+            else:  # cp1252 bytes + meta declaration; the dropped <nav>
+                # carries é bytes that make the page invalid UTF-8
+                page = page.replace(
+                    "<html><body>",
+                    '<html><head><meta charset="iso-8859-1"></head>'
+                    '<body><nav class="nav">café résumé</nav>', 1)
+                raw = page.encode("cp1252")
+            r = extract_document(f"doc://{doc_id}", raw)
+            out["doc_id"].append(doc_id)
+            out["charset"].append(r.charset)
+            out["text"].append(r.text)
+        yield pd.DataFrame(out)
+
+
+def extract_documents_charset(docs: DataFrame) -> DataFrame:
+    """Charset-detection contract path: wrap each documents row as a
+    page whose ENCODING is a deterministic function of doc_id (utf-8 /
+    utf-8 BOM / utf-16 / declared-cp1252), run the real kernel decode +
+    extraction, and emit (doc_id, detected charset, extracted text).
+    Because the wrap is the invertible flagship wrap and all testdata
+    text is ASCII, the expected text AND charset label are both pure
+    SQL expressions — DuckDB grades the sniffer itself."""
+    return docs.select("doc_id", "text").mapInPandas(
+        _charset_kernel_batches, schema=CHARSET_EXTRACT_SCHEMA)
 
 
 def extract_pages(pages: DataFrame, num_partitions: int | None = None,

@@ -115,10 +115,42 @@ def test_control_chars_stripped():
         "keep\n  tab\there"
 
 
-def test_decode_error_row():
-    r = extract_document("u", b"\xff\xfe broken \x9f")
-    assert r.error is not None and r.error.startswith("decode_error")
+def test_error_row_from_corrupt_wdoc():
+    # HTML decode is total since r3 (charset sniff + latin-1 fallback);
+    # the guaranteed error path is a corrupt binary payload
+    r = extract_document("u", kernel.WDOC_MAGIC + b"notanumber\n")
+    assert r.error is not None and r.error.startswith("ValueError")
     assert r.text is None and r.n_blocks == 0
+
+
+def test_charset_decode_paths():
+    """BOM > strict utf-8 > meta sniff > latin-1 fallback, with WHATWG
+    latin-1-family labels decoding as cp1252 — every path deterministic."""
+    dec = kernel.decode_html_bytes
+    assert dec(b"<p>x</p>") == ("<p>x</p>", "utf-8")
+    assert dec(b"\xef\xbb\xbf<p>b</p>") == ("<p>b</p>", "utf-8-bom")
+    assert dec("<p>s</p>".encode("utf-16")) == ("<p>s</p>", "utf-16")
+    t, c = dec('<meta charset="iso-8859-1"><p>caf\xe9</p>'.encode("cp1252"))
+    assert c == "cp1252" and "café" in t
+    t, c = dec(b'<META HTTP-EQUIV="Content-Type" CONTENT="text/html; '
+               b'charset=ISO-8859-1"><p>\x93q\x94</p>')
+    assert c == "cp1252" and "“q”" in t
+    t, c = dec('<meta charset="shift_jis"><p>日本</p>'.encode("shift_jis"))
+    assert c == "shift_jis" and "日本" in t
+    t, c = dec(b"<p>caf\xe9 no meta</p>")
+    assert c == "latin-1-fallback" and "café" in t
+    t, c = dec(b'<meta charset="no-such-codec"><p>\xe9</p>')
+    assert c == "latin-1-fallback"
+    # determinism: same bytes -> same text, twice
+    raw = '<meta charset="iso-8859-1"><p>r\xe9sum\xe9</p>'.encode("cp1252")
+    assert dec(raw) == dec(raw)
+
+
+def test_charset_label_flows_to_result():
+    r = extract_document("u", b"\xef\xbb\xbf<h1>T</h1>")
+    assert r.charset == "utf-8-bom" and r.text == "# T"
+    r = extract_document("u", kernel.render_wdoc([("p", 0, 0, "x")]))
+    assert r.charset == "binary"
 
 
 def test_pdf_layout_order_roles_and_escapes():
@@ -422,7 +454,7 @@ def test_fast_engine_matches_stdlib_on_bulk_pages():
     for row in corpus.generate_pages_rows(400, min_paras=1, max_paras=6):
         if row["html"].startswith(b"%"):
             continue
-        t = row["html"].decode("utf-8")
+        t, _cs = kernel.decode_html_bytes(row["html"])
         a, b = _both(t)
         assert (a.text, a.title, a.spans, a.n_blocks) == \
                (b.text, b.title, b.spans, b.n_blocks), row["url"]

@@ -43,6 +43,21 @@ def test_spark_matches_kernel_byte_identical(spark, pages_dir):
             assert g["text_source"] == "fallback"
 
 
+def test_mixed_corpus_zero_decode_errors(spark, pages_dir):
+    """r3 VERDICT #1 'done' gate: the bulk corpus now carries ~3%
+    legacy-charset pages (cp1252/utf-16/BOM) and the charset sniffer
+    decodes every HTML page — zero decode_error rows; the only error
+    rows are corrupt binary payloads."""
+    pages = spark.read.parquet(pages_dir)
+    got = extract_pages(pages)
+    by = {r["charset"]: r["n"] for r in
+          got.groupBy("charset").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert got.filter(F.col("error").startswith("decode_error")).count() == 0
+    # all four decode paths actually exercised by the mixed corpus
+    for cs in ("utf-8", "utf-8-bom", "utf-16", "cp1252", "binary"):
+        assert by.get(cs, 0) > 0, (cs, by)
+
+
 def test_run_extraction_lineage_reconciles(spark, pages_dir, tmp_path):
     out = str(tmp_path / "out")
     pages = spark.read.parquet(pages_dir)
