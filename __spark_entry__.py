@@ -397,6 +397,18 @@ def _mm_features(spark, sf_dir):
 # ---- second operator batch: multidim aggs, pivot, JSON, HOF exists,
 # case-mapping, truncation (SURVEY.md §2 A/F5/X6/O3-O4 analogs) ----
 
+def _mm_features_png(spark, sf_dir):
+    """Real image decode under the correctness gate (r3 VERDICT #7):
+    every documents row becomes a genuine grayscale PNG (zlib IDAT, all
+    five scanline filters, CRC'd chunks) whose pixels are (doc_id*31+i)
+    % 256; Spark decodes the actual bytes while DuckDB computes the
+    expected pixel stats analytically."""
+    from powerpoint_context_extractor_spark.operators.multimodal import (
+        extract_png_features,
+    )
+    return extract_png_features(_t(spark, sf_dir, "documents"))
+
+
 def _a_cube_rollup(spark, sf_dir):
     l = _t(spark, sf_dir, "lineitem")  # noqa: E741
     return (l.cube("l_returnflag", "l_linestatus")
@@ -642,6 +654,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_salted_host_stats": _agg_salted_host_stats,
         "mm_binary_meta": _mm_binary_meta,
         "mm_features": _mm_features,
+        "mm_features_png": _mm_features_png,
         "a_cube_rollup": _a_cube_rollup,
         "a_pivot_events": _a_pivot_events,
         "x_json_extract": _x_json_extract,
@@ -1287,6 +1300,21 @@ def oracle_sql() -> dict[str, str]:
                 '^[a-z]+://([^/]+)/', 1) AS host
               FROM documents)
         GROUP BY host
+    """
+    # real-PNG decode contract: Spark inflates + de-filters actual PNG
+    # bytes; the oracle computes the same pixel stats analytically from
+    # the generator rule pixel_i = (doc_id*31 + i) % 256 over a 16x8 grid
+    d["mm_features_png"] = """
+        WITH px AS (
+          SELECT d.doc_id, (d.doc_id*31 + t.i) % 256 AS p
+          FROM documents d, unnest(range(0, 128)) AS t(i)
+        )
+        SELECT doc_id,
+               CAST(16 AS BIGINT) AS width, CAST(8 AS BIGINT) AS height,
+               CAST(SUM(p) AS BIGINT) AS px_sum,
+               CAST(MIN(p) AS BIGINT) AS px_min,
+               CAST(MAX(p) AS BIGINT) AS px_max
+        FROM px GROUP BY doc_id
     """
     # charset sniffer contract: detected label is a pure function of
     # doc_id % 4 (the wrap's encoding choice) and the decoded text md5

@@ -162,7 +162,8 @@ def test_multimodal_stub_plumbing(spark):
     df = spark.createDataFrame(rows, "doc_id long, payload binary")
     out = {r["doc_id"]: r for r in multimodal.extract_features(df).collect()}
     assert out[0]["kind"] == "wdoc"
-    assert out[1]["kind"] == "png" and len(out[1]["features"]) == 4
+    # corrupt PNG magic: routed to the REAL decoder since r3 -> error row
+    assert out[1]["kind"] == "png" and out[1]["error"] is not None
     assert out[2]["error"] is not None and out[2]["features"] is None
     meta = {r["doc_id"]: r for r in
             multimodal.binary_meta(df, "doc_id", "payload").collect()}
@@ -225,3 +226,50 @@ def test_near_dup_clusters_raises_instead_of_partial_labels(spark):
                                   "id_a long, id_b long")
     with pytest.raises(RuntimeError, match="did not converge"):
         dedup.near_dup_clusters(ids, pairs, max_iter=2)
+
+
+# ---- PNG subset codec (real multimodal decode path, r3) ----
+
+def test_png_roundtrip_all_filters():
+    from powerpoint_context_extractor_spark.png import decode_png, render_png
+    w, h = 7, 9
+    px = bytes((i * 37 + 11) % 256 for i in range(w * h))
+    for filters in ([0], [1], [2], [3], [4], [0, 1, 2, 3, 4]):
+        raw = render_png(w, h, px, row_filters=filters)
+        assert decode_png(raw) == (w, h, px), filters
+
+
+def test_png_rejects_corruption_and_unsupported():
+    import pytest as _pytest
+    import struct as _struct
+    from powerpoint_context_extractor_spark.png import decode_png, render_png
+    raw = bytearray(render_png(2, 2, b"\x01\x02\x03\x04"))
+    raw[20] ^= 0xFF                       # flip an IHDR byte -> CRC fails
+    with _pytest.raises(ValueError, match="crc|unsupported"):
+        decode_png(bytes(raw))
+    with _pytest.raises(ValueError, match="signature"):
+        decode_png(b"not a png")
+    # RGB color type is outside the subset
+    good = render_png(2, 2, b"\x01\x02\x03\x04")
+    ihdr = _struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0)
+    import zlib as _zlib
+    chunk = (_struct.pack(">I", len(ihdr)) + b"IHDR" + ihdr
+             + _struct.pack(">I", _zlib.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF))
+    bad = good[:8] + chunk + good[8 + 12 + 13:]
+    with _pytest.raises(ValueError, match="unsupported"):
+        decode_png(bad)
+
+
+def test_png_feature_kind_routed_through_real_decoder(spark):
+    from powerpoint_context_extractor_spark.operators import multimodal as mm
+    payload = mm.png_payload_for_doc(5)
+    df = spark.createDataFrame([(5, bytearray(payload))],
+                               "doc_id long, payload binary")
+    row = mm.extract_features(df).collect()[0]
+    assert row["kind"] == "png" and row["error"] is None
+    w, h = mm.PNG_W, mm.PNG_H
+    px = [(5 * 31 + i) % 256 for i in range(w * h)]
+    assert row["features"] == [float(w), float(h), float(sum(px) % 997),
+                               float(min(px)), float(max(px))]
+
+
