@@ -596,6 +596,25 @@ def _w_sessionize_batch(spark, sf_dir):
             .select("event_id", "user_id", "session_id"))
 
 
+def _w_stream_window_counts(spark, sf_dir):
+    """PRODUCTION streaming window agg under the correctness gate (r3
+    VERDICT #5): events replayed as a time-ordered bounded backlog
+    (4 files, one per micro-batch), append-mode watermarked window
+    counts committed exactly-once into a snapshot table via
+    foreachBatch, then read back. Append-mode emission over a bounded
+    backlog is deterministic — windows whose end <= final watermark
+    (global max ts - 2h; availableNow ends with a no-data flush batch)
+    — and the oracle reproduces exactly that rule in SQL."""
+    import tempfile
+
+    from powerpoint_context_extractor_spark.streaming.ingest import (
+        stream_windowed_counts_to_table,
+    )
+    out = tempfile.mkdtemp(prefix="pcx_winstream_")
+    return stream_windowed_counts_to_table(
+        spark, os.path.join(sf_dir, "events.parquet"), out)
+
+
 def _pipeline_corpus_filter(spark, sf_dir):
     """Capstone composition — the actual training-data use case in one
     plan: quality gate ∧ near-dup removal (MinHash+LSH survivors keep
@@ -669,6 +688,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s6_artifact_manifest": _s6_artifact_manifest,
         "a_exact_stats": _a_exact_stats,
         "w_sessionize_batch": _w_sessionize_batch,
+        "w_stream_window_counts": _w_stream_window_counts,
     }
 
 
@@ -1300,6 +1320,23 @@ def oracle_sql() -> dict[str, str]:
                 '^[a-z]+://([^/]+)/', 1) AS host
               FROM documents)
         GROUP BY host
+    """
+    # streaming window-agg contract: over a time-ordered bounded backlog
+    # (no late drops) availableNow ends with a no-data flush batch, so
+    # append mode emits exactly the windows whose end <= final watermark
+    # = global max(ts) - 2h (boundary inclusive — pinned empirically and
+    # by tests/test_streaming.py)
+    d["w_stream_window_counts"] = """
+        WITH e AS (
+          SELECT CAST(ts AS TIMESTAMP) AS ts, event_type FROM events
+        ), wm AS (
+          SELECT max(ts) - INTERVAL 2 HOUR AS w FROM e
+        )
+        SELECT date_trunc('hour', e.ts) AS win_start, e.event_type,
+               COUNT(*) AS n
+        FROM e, wm
+        WHERE date_trunc('hour', e.ts) + INTERVAL 1 HOUR <= wm.w
+        GROUP BY 1, 2
     """
     # real-PNG decode contract: Spark inflates + de-filters actual PNG
     # bytes; the oracle computes the same pixel stats analytically from

@@ -102,6 +102,86 @@ def windowed_event_counts(spark: SparkSession, events_dir: str,
         f"SELECT w.start AS win_start, event_type, n FROM {name}")
 
 
+def _write_time_ordered_files(spark: SparkSession, src_parquet: str,
+                              dest_dir: str, n_files: int = 4,
+                              ts_col: str = "ts") -> None:
+    """Materialize a bounded backlog as ``n_files`` time-contiguous
+    parquet files with increasing mtimes, so the file stream source
+    (which orders by mtime, then path) replays them in event-time order.
+    Split rule (frozen, mirrored by the DuckDB oracle): chunk =
+    ceil(n/n_files); file k gets sorted rows [k*chunk, (k+1)*chunk)."""
+    import math
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    pdf = (spark.read.parquet(src_parquet)
+           .withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+           .orderBy(ts_col).toPandas())
+    os.makedirs(dest_dir, exist_ok=True)
+    chunk = math.ceil(len(pdf) / n_files) or 1
+    for k in range(n_files):
+        part = pdf.iloc[k * chunk:(k + 1) * chunk]
+        if part.empty:
+            continue
+        path = os.path.join(dest_dir, f"{k:04d}.parquet")
+        # us timestamps: Spark's parquet reader rejects NANOS
+        part = part.assign(**{ts_col: part[ts_col].astype("datetime64[us]")})
+        pq.write_table(pa.Table.from_pandas(part, preserve_index=False), path)
+        os.utime(path, (1_000_000 + k, 1_000_000 + k))
+
+
+def stream_windowed_counts_to_table(spark: SparkSession, events_parquet: str,
+                                    out_root: str, window: str = "1 hour",
+                                    watermark: str = "2 hours",
+                                    n_files: int = 4,
+                                    run_id: str = "winstream") -> DataFrame:
+    """PRODUCTION shape of the windowed agg (r3 VERDICT #5): append-mode
+    watermarked window counts committed per micro-batch into a snapshot
+    table via foreachBatch, exactly-once through the committed-keys
+    anti-join (same pattern as stream_extract) — no complete-mode memory
+    sink, no full-result funnel through the driver.
+
+    Append-mode semantics this encodes (pinned empirically + by pytest):
+    a window row is emitted once the watermark reaches its END
+    (inclusive). The backlog is replayed in event-time order (no late
+    drops) and availableNow finishes with a no-data flush batch, so the
+    emitted set over a bounded backlog is exactly the windows whose
+    end <= global max(event time) - delay. Over an unbounded production
+    stream every window eventually emits."""
+    stream_dir = os.path.join(out_root, "backlog")
+    _write_time_ordered_files(spark, events_parquet, stream_dir, n_files)
+    table = SnapshotTable(os.path.join(out_root, "window_counts"))
+    schema = spark.read.parquet(stream_dir).schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(stream_dir)
+              # watermarks need TIMESTAMP (ltz); backlog parquet is NTZ
+              # and the session tz is pinned UTC, so the cast is
+              # value-preserving
+              .withColumn("ts", F.col("ts").cast("timestamp")))
+    agg = (stream
+           .withWatermark("ts", watermark)
+           .groupBy(F.window("ts", window).alias("w"), "event_type")
+           .agg(F.count(F.lit(1)).alias("n"))
+           .select(F.col("w.start").alias("win_start"), F.col("event_type"),
+                   F.col("n"),
+                   F.concat_ws("|", F.col("w.start").cast("string"),
+                               F.col("event_type")).alias("win_key")))
+
+    def commit_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        done = table.committed_keys(batch_df.sparkSession, "win_key")
+        if done is not None:
+            batch_df = batch_df.join(done, "win_key", "left_anti")
+        table.append(batch_df, run_id=f"{run_id}-epoch{epoch_id}")
+
+    q = (agg.writeStream.outputMode("append")
+         .foreachBatch(commit_batch)
+         .option("checkpointLocation", os.path.join(out_root, "ck"))
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    return table.read(spark).select("win_start", "event_type", "n")
+
+
 SESSION_SCHEMA = T.StructType([
     T.StructField("user_id", T.LongType()),
     T.StructField("n_sessions", T.LongType()),
@@ -158,6 +238,43 @@ def sessionize(spark: SparkSession, events_dir: str) -> DataFrame:
     res = spark.sql(f"SELECT * FROM {name}")
     w = F.row_number().over(
         W.partitionBy("user_id").orderBy(F.col("n_events").desc()))
+    return (res.withColumn("rn", w).filter(F.col("rn") == 1)
+            .select("user_id", "n_sessions", "n_events"))
+
+
+def sessionize_to_table(spark: SparkSession, events_parquet: str,
+                        out_root: str, n_files: int = 4,
+                        run_id: str = "sessstream") -> DataFrame:
+    """PRODUCTION shape of sessionize: update-mode state rows are
+    committed per micro-batch into a snapshot table (run_id carries the
+    epoch); readers take the latest row per user. The memory-sink
+    ``sessionize`` stays as the test harness."""
+    stream_dir = os.path.join(out_root, "backlog")
+    _write_time_ordered_files(spark, events_parquet, stream_dir, n_files)
+    table = SnapshotTable(os.path.join(out_root, "sessions"))
+    schema = spark.read.parquet(stream_dir).schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(stream_dir)
+              .withColumn("ts_s", F.col("ts").cast("timestamp").cast("double"))
+              .select("user_id", "ts_s"))
+    out = (stream.groupBy("user_id")
+           .applyInPandasWithState(_session_fn, SESSION_SCHEMA, _STATE_SCHEMA,
+                                   "update", GroupStateTimeout.NoTimeout))
+
+    def commit_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        table.append(batch_df.withColumn("epoch", F.lit(epoch_id)),
+                     run_id=f"{run_id}-epoch{epoch_id}")
+
+    q = (out.writeStream.outputMode("update")
+         .foreachBatch(commit_batch)
+         .option("checkpointLocation", os.path.join(out_root, "ck"))
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    from pyspark.sql import Window as W
+    res = table.read(spark)
+    w = F.row_number().over(
+        W.partitionBy("user_id").orderBy(F.col("epoch").desc()))
     return (res.withColumn("rn", w).filter(F.col("rn") == 1)
             .select("user_id", "n_sessions", "n_events"))
 

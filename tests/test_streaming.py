@@ -94,3 +94,43 @@ def test_stream_dedup_exact_equals_batch_distinct(spark, sf_dir):
              .distinct().collect()}
     assert len(streamed) == len(set(streamed))  # exactly-once per hash
     assert set(streamed) == batch
+
+
+def test_stream_window_counts_to_table(spark, sf_dir, tmp_path):
+    """Production append-mode window agg (r3 VERDICT #5): exactly the
+    windows closed by the final watermark land in the snapshot table,
+    each exactly once, matching the batch aggregation restricted to
+    end <= max(ts) - delay."""
+    from powerpoint_context_extractor_spark.streaming.ingest import (
+        stream_windowed_counts_to_table,
+    )
+    ev = f"{sf_dir}/events.parquet"
+    got = stream_windowed_counts_to_table(spark, ev, str(tmp_path / "o"))
+    rows = {(str(r["win_start"]), r["event_type"]): r["n"]
+            for r in got.collect()}
+    assert len(rows) == got.count()          # exactly-once per window key
+    e = (spark.read.parquet(ev)
+         .withColumn("ts", F.col("ts").cast("timestamp")))
+    wm = e.agg(F.max("ts")).collect()[0][0]
+    import datetime
+    wm -= datetime.timedelta(hours=2)
+    batch = {(str(r["ws"]), r["event_type"]): r["n"] for r in
+             e.withColumn("ws", F.date_trunc("hour", F.col("ts")))
+             .filter(F.col("ws") + F.expr("INTERVAL 1 HOUR") <= F.lit(wm))
+             .groupBy("ws", "event_type")
+             .agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert rows == batch
+
+
+def test_sessionize_to_table_equals_memory_harness(spark, sf_dir, tmp_path):
+    """The table-backed production sessionize equals the memory-sink
+    harness (same stateful operator, different sink)."""
+    from powerpoint_context_extractor_spark.streaming.ingest import (
+        sessionize, sessionize_to_table,
+    )
+    ev = f"{sf_dir}/events.parquet"
+    tab = {r["user_id"]: (r["n_sessions"], r["n_events"])
+           for r in sessionize_to_table(spark, ev, str(tmp_path / "s")).collect()}
+    mem = {r["user_id"]: (r["n_sessions"], r["n_events"])
+           for r in sessionize(spark, ev).collect()}
+    assert tab == mem
