@@ -282,6 +282,48 @@ def _dedup_clusters(spark, sf_dir):
     return near_dup_clusters(docs.select("doc_id"), pairs)
 
 
+_RECALL_QIDS = (0, 50, 123, 200, 321)
+
+
+def _sim_kmeans_assign(spark, sf_dir):
+    """Distributed k-means (3 Lloyd iterations, rank-seeded, exact
+    integer micro-unit math) graded hash-exact: the DuckDB oracle
+    re-runs the identical algorithm as three unrolled SQL iterations
+    (r3 VERDICT #6 — replaces the naive first-K-vectors centroids)."""
+    from powerpoint_context_extractor_spark.operators.similarity import (
+        kmeans_assign,
+    )
+    return kmeans_assign(_t(spark, sf_dir, "embeddings"))
+
+
+def _sim_ivf_recall(spark, sf_dir):
+    """Recall@10 of the multi-probe k-means IVF (nprobe=2 of K=8 cells,
+    i.e. scanning ~25% of rows) against the brute-force twin, per query
+    — the approx-vs-exact accounting every ANN deployment needs. Both
+    sides are deterministic, so even this is hash-exact-oracled."""
+    from powerpoint_context_extractor_spark.operators.similarity import (
+        cosine_topk, ivf_topk_kmeans, kmeans_centroids,
+    )
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = kmeans_centroids(emb)          # train once, probe many
+    parts = []
+    for qid in _RECALL_QIDS:
+        ivf = ivf_topk_kmeans(emb, qid, k=10, n_centroids=8, nprobe=2,
+                              centroids=cents)
+        brute = cosine_topk(emb, qid, k=10)
+        hits = ivf.select("vec_id").join(brute.select("vec_id"), "vec_id")
+        parts.append(
+            hits.agg(F.count(F.lit(1)).alias("n_hits"))
+            .select(F.lit(qid).cast("long").alias("query_id"),
+                    F.lit(10).cast("long").alias("k"),
+                    F.col("n_hits"),
+                    (F.col("n_hits") * 1000).alias("recall_bp")))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def _sim_ivf_topk_indexed(spark, sf_dir):
     """IVF probe over the MATERIALIZED cluster-partitioned index
     (similarity.ivf_build_index): same result as sim_ivf_topk, but the
@@ -666,6 +708,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_cosine_topk": _sim_cosine_topk,
         "sim_ivf_topk": _sim_ivf_topk,
         "sim_ivf_topk_indexed": _sim_ivf_topk_indexed,
+        "sim_kmeans_assign": _sim_kmeans_assign,
+        "sim_ivf_recall": _sim_ivf_recall,
         "text_lang_id": _text_lang_id,
         "text_quality": _text_quality,
         "text_token_count": _text_token_count,
@@ -851,6 +895,63 @@ def _pipeline_oracle() -> str:
 _COS_FOLD = """list_reduce(list_prepend(0.0::DOUBLE,
                  [{expr} for i in range(1, len({arr}) + 1)]),
                  (x, y) -> x + y)"""
+
+
+_KM_D2 = ("list_sum(list_transform(range(1, 65), "
+          "i -> ({a}.vq[i]-{c}.cv[i])*({a}.vq[i]-{c}.cv[i])))")
+
+
+def _kmeans_cte(iters: int = 3, n_k: int = 8, dim: int = 64) -> str:
+    """DuckDB twin of similarity.kmeans_centroids + kmeans_assign: the
+    SAME rank-seeded Lloyd iterations, unrolled, in the SAME exact
+    integer micro-unit math (round half-away, truncating `//` division)
+    — so centroids, assignments, and everything built on them hash
+    identically to the Spark implementation."""
+    d2 = _KM_D2.format(a="e", c="c")
+
+    def one(k: int) -> str:
+        return f"""
+    a{k} AS (
+      SELECT vec_id, vq, cid AS cluster FROM (
+        SELECT e.vec_id, e.vq, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {d2}, c.cid) AS rn
+        FROM eq e CROSS JOIN c{k} c
+      ) WHERE rn = 1
+    ),
+    s{k} AS (
+      SELECT cluster AS cid, t.i AS pos,
+             CAST(sum(vq[t.i+1]) // count(*) AS BIGINT) AS comp
+      FROM a{k} CROSS JOIN range({dim}) t(i)
+      GROUP BY cluster, t.i
+    ),
+    sc{k} AS (SELECT cid, list(comp ORDER BY pos) AS cv
+              FROM s{k} GROUP BY cid),
+    c{k + 1} AS (SELECT c.cid, coalesce(s.cv, c.cv) AS cv
+                 FROM c{k} c LEFT JOIN sc{k} s USING (cid))"""
+
+    return f"""
+    eq AS (SELECT vec_id,
+                  list_transform(embedding::DOUBLE[],
+                                 x -> CAST(round(x*1000000) AS BIGINT)) AS vq
+           FROM embeddings),
+    nn AS (SELECT count(*) AS n FROM eq),
+    rks AS (SELECT DISTINCT least(CAST(floor(t.i * n / {n_k}.0) AS BIGINT),
+                                  n-1) AS r
+            FROM range({n_k}) t(i), nn),
+    rk AS (SELECT vec_id, vq,
+                  row_number() OVER (ORDER BY vec_id) - 1 AS r FROM eq),
+    c0 AS (SELECT row_number() OVER (ORDER BY rk.r) - 1 AS cid, vq AS cv
+           FROM rk JOIN rks USING (r)),
+    {','.join(one(k) for k in range(iters))},
+    afinal AS (
+      SELECT vec_id, vq, cid AS cluster FROM (
+        SELECT e.vec_id, e.vq, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {d2}, c.cid) AS rn
+        FROM eq e CROSS JOIN c{iters} c
+      ) WHERE rn = 1
+    )"""
 
 
 def _cos_cte(rel: str = "embeddings") -> str:
@@ -1320,6 +1421,52 @@ def oracle_sql() -> dict[str, str]:
                 '^[a-z]+://([^/]+)/', 1) AS host
               FROM documents)
         GROUP BY host
+    """
+    d["sim_kmeans_assign"] = f"""
+        WITH {_kmeans_cte()}
+        SELECT vec_id, cluster FROM afinal
+    """
+    _qids = ", ".join(str(q) for q in _RECALL_QIDS)
+    _dot = _COS_FOLD.format(expr="ev.v[i]*qv.qv[i]", arr="ev.v")
+    _nv = _COS_FOLD.format(expr="ev.v[i]*ev.v[i]", arr="ev.v")
+    _nq = _COS_FOLD.format(expr="qv.qv[i]*qv.qv[i]", arr="qv.qv")
+    d["sim_ivf_recall"] = f"""
+        WITH {_kmeans_cte()},
+        qs AS (SELECT vec_id AS qid, vq FROM eq WHERE vec_id IN ({_qids})),
+        probe AS (
+          SELECT qid, cid FROM (
+            SELECT q.qid, c.cid,
+                   row_number() OVER (PARTITION BY q.qid
+                     ORDER BY {_KM_D2.format(a='q', c='c')}, c.cid) AS rn
+            FROM (SELECT qid, vq FROM qs) q CROSS JOIN c3 c
+          ) WHERE rn <= 2
+        ),
+        ev AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        qv AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+               FROM embeddings WHERE vec_id IN ({_qids})),
+        cosall AS (
+          SELECT qv.qid, ev.vec_id,
+                 CAST(ROUND(({_dot}) / (sqrt({_nv}) * sqrt({_nq}))
+                            * 1000000) AS BIGINT) AS cos_micro
+          FROM ev CROSS JOIN qv
+        ),
+        brute AS (SELECT qid, vec_id FROM (
+          SELECT qid, vec_id,
+                 row_number() OVER (PARTITION BY qid
+                   ORDER BY cos_micro DESC, vec_id) AS rn
+          FROM cosall) WHERE rn <= 10),
+        cand AS (SELECT p.qid, a.vec_id
+                 FROM probe p JOIN afinal a ON a.cluster = p.cid),
+        ivf AS (SELECT qid, vec_id FROM (
+          SELECT c.qid, c.vec_id,
+                 row_number() OVER (PARTITION BY c.qid
+                   ORDER BY c.cos_micro DESC, c.vec_id) AS rn
+          FROM cosall c JOIN cand USING (qid, vec_id)) WHERE rn <= 10)
+        SELECT b.qid AS query_id, CAST(10 AS BIGINT) AS k,
+               count(i.vec_id) AS n_hits,
+               CAST(count(i.vec_id)*1000 AS BIGINT) AS recall_bp
+        FROM brute b LEFT JOIN ivf i USING (qid, vec_id)
+        GROUP BY b.qid
     """
     # streaming window-agg contract: over a time-ordered bounded backlog
     # (no late drops) availableNow ends with a no-data flush batch, so

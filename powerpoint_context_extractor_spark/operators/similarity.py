@@ -144,3 +144,113 @@ def ivf_topk(emb: DataFrame, query_id: int, k: int = 10,
     return (cosine_to_query(cell, query_id, id_col, vec_col)
             .orderBy(F.col("cos_micro").desc(), F.col(id_col).asc())
             .limit(k))
+
+
+# ---------------------------------------------------------------------------
+# k-means-lite centroids + multi-probe (r3 VERDICT #6: replaces the
+# naive first-K-vectors centroids / single-probe recall limits)
+# ---------------------------------------------------------------------------
+
+def _quantized(emb: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """Vectors as exact integer micro-units (array<long>): all k-means
+    arithmetic is then integer-exact, so centroids and assignments are
+    bit-identical regardless of partitioning/summation order."""
+    v = _as_double(F.col(vec_col))
+    return emb.select(
+        F.col(id_col).alias("_id"),
+        F.transform(v, lambda x: F.round(x * 1e6).cast("long")).alias("vq"))
+
+
+def _assign_expr(cents: list) -> F.Column:
+    """argmin squared-L2 against literal centroids; (d2, cid)
+    lexicographic tie-break. Pure JVM expression (sort_array on
+    structs), no UDF. d2 fits a long exactly: |micro| <= ~1e6, dim 64
+    -> max sum 64*(2e6)^2 ~ 2.6e14 << 2^63."""
+    alts = []
+    for cid, cent in enumerate(cents):
+        cv = F.array(*[F.lit(int(c)) for c in cent])
+        d2 = F.aggregate(
+            F.zip_with(F.col("vq"), cv, lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"), lambda acc, x: acc + x)
+        alts.append(F.struct(d2.alias("d2"), F.lit(cid).alias("cid")))
+    return F.sort_array(F.array(*alts))[0]["cid"]
+
+
+def kmeans_centroids(emb: DataFrame, n_centroids: int = 8, iters: int = 3,
+                     id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> list:
+    """Deterministic Lloyd k-means in exact integer math. Seeds are the
+    vectors at evenly spaced id-ranks (not the first K, which collapse
+    when early ids are similar); each iteration is one broadcast-
+    assignment pass plus one (K x dim)-row aggregate collected to the
+    driver — a driver loop over ITERATIONS, not rows. At cluster scale
+    seed from a deterministic hash-sample instead of the rank window
+    (row_number needs a global sort).
+
+    Returns centroids as lists of micro-unit ints (len K x dim)."""
+    from pyspark.sql import Window as W
+    base = _quantized(emb, id_col, vec_col).cache()
+    n = base.count()
+    ranks = sorted({min(int(i * n / n_centroids), n - 1)
+                    for i in range(n_centroids)})
+    rk = F.row_number().over(W.orderBy("_id")) - 1
+    cents = [list(r["vq"]) for r in
+             base.withColumn("rk", rk).filter(F.col("rk").isin(ranks))
+             .orderBy("rk").collect()]
+    for _ in range(iters):
+        stats = (base.withColumn("cluster", _assign_expr(cents))
+                 .select("cluster", F.posexplode("vq").alias("pos", "val"))
+                 .groupBy("cluster", "pos")
+                 .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("c"))
+                 .collect())
+        new = [list(c) for c in cents]        # empty cluster keeps old
+        for r in stats:
+            # TRUNCATING division (matches Spark SQL `div` and DuckDB
+            # `//`; Python's // floors, which differs on negative sums)
+            q = abs(r["s"]) // r["c"]
+            new[r["cluster"]][r["pos"]] = q if r["s"] >= 0 else -q
+        if new == cents:
+            break
+        cents = new
+    base.unpersist()
+    return cents
+
+
+def kmeans_assign(emb: DataFrame, n_centroids: int = 8, iters: int = 3,
+                  id_col: str = "vec_id",
+                  vec_col: str = "embedding") -> DataFrame:
+    """Final k-means cell per vector (the IVF layout key). Every step is
+    integer-exact, so the full clustering is DuckDB-oracle-checkable."""
+    cents = kmeans_centroids(emb, n_centroids, iters, id_col, vec_col)
+    return (_quantized(emb, id_col, vec_col)
+            .withColumn("cluster", _assign_expr(cents))
+            .select(F.col("_id").alias(id_col), "cluster"))
+
+
+def ivf_topk_kmeans(emb: DataFrame, query_id: int, k: int = 10,
+                    n_centroids: int = 8, nprobe: int = 2, iters: int = 3,
+                    id_col: str = "vec_id",
+                    vec_col: str = "embedding",
+                    centroids: list | None = None) -> DataFrame:
+    """Multi-probe ANN over k-means cells: search the ``nprobe`` cells
+    whose centroids are nearest the query vector (exact integer driver
+    math), then exact cosine within the probed cells. nprobe trades
+    scan fraction (~nprobe/K of the data) for recall. Pass
+    ``centroids`` (from kmeans_centroids) to amortize training across
+    many probes — the deployment shape."""
+    cents = centroids if centroids is not None else kmeans_centroids(
+        emb, n_centroids, iters, id_col, vec_col)
+    base = _quantized(emb, id_col, vec_col)
+    qrow = base.filter(F.col("_id") == query_id).head()
+    if qrow is None:
+        raise KeyError(f"query id {query_id} not in embeddings")
+    qv = list(qrow["vq"])
+    d2s = sorted((sum((x - y) * (x - y) for x, y in zip(qv, c)), cid)
+                 for cid, c in enumerate(cents))
+    probe = [cid for _, cid in d2s[:nprobe]]
+    cell_ids = (base.withColumn("cluster", _assign_expr(cents))
+                .filter(F.col("cluster").isin(probe)).select("_id"))
+    cell = emb.join(cell_ids, F.col(id_col) == F.col("_id")).drop("_id")
+    return (cosine_to_query(cell, query_id, id_col, vec_col)
+            .orderBy(F.col("cos_micro").desc(), F.col(id_col).asc())
+            .limit(k))

@@ -273,3 +273,35 @@ def test_png_feature_kind_routed_through_real_decoder(spark):
                                float(min(px)), float(max(px))]
 
 
+
+
+# ---- k-means IVF + multi-probe recall (r3) ----
+
+def test_kmeans_deterministic_and_partition_invariant(spark, sf_dir):
+    """Integer-exact k-means: same centroids regardless of input
+    partitioning (the property that makes it oracle-checkable)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    c1 = similarity.kmeans_centroids(emb, 8, 3)
+    c2 = similarity.kmeans_centroids(emb.repartition(13), 8, 3)
+    assert c1 == c2
+    assign = similarity.kmeans_assign(emb, 8, 3)
+    sizes = [r["n"] for r in assign.groupBy("cluster")
+             .agg(F.count(F.lit(1)).alias("n")).collect()]
+    assert len(sizes) >= 2          # rank seeding avoids collapse
+
+
+def test_ivf_nprobe_recall_monotone(spark, sf_dir):
+    """More probes -> recall@10 never decreases, and nprobe=K recovers
+    the brute-force result exactly (recall 1.0)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = similarity.kmeans_centroids(emb, 8, 3)
+    brute = {r["vec_id"] for r in
+             similarity.cosine_topk(emb, 0, k=10).collect()}
+    last = -1.0
+    for nprobe in (1, 2, 8):
+        ivf = {r["vec_id"] for r in similarity.ivf_topk_kmeans(
+            emb, 0, k=10, nprobe=nprobe, centroids=cents).collect()}
+        rec = len(ivf & brute) / 10
+        assert rec >= last, (nprobe, rec, last)
+        last = rec
+    assert last == 1.0              # probing every cell == brute force
