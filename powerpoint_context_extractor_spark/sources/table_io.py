@@ -8,13 +8,19 @@ resume via anti-join against committed keys — behind one seam, so a
 real Iceberg catalog is a config swap (same append/read/committed-keys
 API; no jars are available in this sandbox, SURVEY.md §7).
 
-Commit protocol (write-temp-then-manifest-swap):
+Commit protocol (write-data-then-manifest-append):
   1. Spark writes the batch to ``<root>/snap-<uuid>/`` (has _SUCCESS).
-  2. The manifest ``_snapshots.json`` is rewritten to a temp file and
-     atomically ``os.replace``d, appending {snapshot_id, files,
-     row_count, run_id, committed_at}.
+  2. One JSON line {snapshot_id, files, row_count, run_id,
+     committed_at} is appended to ``_snapshots.jsonl`` with a single
+     O_APPEND write.
 Readers union only manifest-listed files, so half-written directories
-are invisible (snapshot isolation).
+are invisible (snapshot isolation). The append-log commit is O(1) in
+snapshot count (r2 VERDICT: the old whole-file rewrite was O(n^2) over
+commits and raced under concurrent committers — a single O_APPEND
+write of one line neither rereads nor clobbers other writers' entries;
+on a real object store this seam is where the Iceberg catalog's
+optimistic-swap goes). Legacy ``_snapshots.json`` manifests are still
+read (migration).
 """
 
 from __future__ import annotations
@@ -26,7 +32,8 @@ from datetime import datetime, timezone
 
 from pyspark.sql import DataFrame, SparkSession
 
-MANIFEST = "_snapshots.json"
+MANIFEST = "_snapshots.jsonl"
+LEGACY_MANIFEST = "_snapshots.json"
 
 
 def _footer_row_count(files: list) -> int:
@@ -46,19 +53,32 @@ class SnapshotTable:
     def _manifest_path(self) -> str:
         return os.path.join(self.root, MANIFEST)
 
+    @property
+    def _legacy_manifest_path(self) -> str:
+        return os.path.join(self.root, LEGACY_MANIFEST)
+
     def snapshots(self) -> list:
-        if not os.path.exists(self._manifest_path):
-            return []
-        with open(self._manifest_path, encoding="utf-8") as f:
-            return json.load(f)["snapshots"]
+        snaps = []
+        if os.path.exists(self._legacy_manifest_path):  # pre-r3 tables
+            with open(self._legacy_manifest_path, encoding="utf-8") as f:
+                snaps.extend(json.load(f)["snapshots"])
+        if os.path.exists(self._manifest_path):
+            with open(self._manifest_path, encoding="utf-8") as f:
+                snaps.extend(json.loads(line) for line in f if line.strip())
+        return snaps
 
     def _commit(self, entry: dict) -> None:
-        snaps = self.snapshots()
-        snaps.append(entry)
-        tmp = self._manifest_path + f".tmp-{uuid.uuid4().hex}"
-        with open(tmp, "w", encoding="utf-8") as f:
-            json.dump({"snapshots": snaps}, f, indent=1)
-        os.replace(tmp, self._manifest_path)  # atomic swap
+        """O(1) in snapshot count: one O_APPEND write of one JSON line.
+        A single write() of a short line is atomic on POSIX local
+        filesystems, so concurrent committers interleave whole lines,
+        never bytes (pinned by tests/test_plans.py concurrency test)."""
+        line = json.dumps(entry, separators=(",", ":")) + "\n"
+        fd = os.open(self._manifest_path,
+                     os.O_WRONLY | os.O_APPEND | os.O_CREAT, 0o644)
+        try:
+            os.write(fd, line.encode("utf-8"))
+        finally:
+            os.close(fd)
 
     def data_files(self) -> list:
         files = []

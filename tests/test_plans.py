@@ -109,3 +109,58 @@ def test_salted_agg_is_two_stage(spark, sf):
     plan = _plan(host_stats_salted(ev))
     # two HashAggregate pairs (partial+final per stage)
     assert plan.count("HashAggregate") >= 4
+
+
+def test_manifest_commit_is_o1_and_concurrent_safe(tmp_path):
+    """r3 VERDICT #8: commits append one line (never re-reading the
+    manifest) and concurrent committers lose no entries."""
+    import json
+    import multiprocessing as mp
+    from unittest import mock
+
+    from powerpoint_context_extractor_spark.sources.table_io import (
+        SnapshotTable,
+    )
+    root = str(tmp_path / "t")
+    table = SnapshotTable(root)
+    entry = {"snapshot_id": "x", "run_id": "r", "files": [], "row_count": 0,
+             "committed_at": "now"}
+    # O(1): _commit must not call snapshots() (no read-modify-write)
+    with mock.patch.object(SnapshotTable, "snapshots",
+                           side_effect=AssertionError("commit read manifest")):
+        for i in range(5):
+            table._commit({**entry, "snapshot_id": f"s{i}"})
+    assert len(table.snapshots()) == 5
+
+    def worker(k):
+        t = SnapshotTable(root)
+        for i in range(50):
+            t._commit({**entry, "snapshot_id": f"w{k}-{i}"})
+
+    procs = [mp.Process(target=worker, args=(k,)) for k in range(8)]
+    [p.start() for p in procs]
+    [p.join() for p in procs]
+    snaps = table.snapshots()
+    ids = [s["snapshot_id"] for s in snaps]
+    assert len(ids) == 5 + 8 * 50
+    assert len(set(ids)) == len(ids)        # no torn/duplicated lines
+    with open(table._manifest_path, encoding="utf-8") as f:
+        for line in f:
+            json.loads(line)                 # every line parses
+
+
+def test_manifest_legacy_migration(tmp_path):
+    import json
+    from powerpoint_context_extractor_spark.sources.table_io import (
+        SnapshotTable,
+    )
+    root = str(tmp_path / "t2")
+    table = SnapshotTable(root)
+    legacy = {"snapshots": [{"snapshot_id": "old", "run_id": "r",
+                             "files": [], "row_count": 1,
+                             "committed_at": "then"}]}
+    with open(table._legacy_manifest_path, "w", encoding="utf-8") as f:
+        json.dump(legacy, f)
+    table._commit({"snapshot_id": "new", "run_id": "r", "files": [],
+                   "row_count": 2, "committed_at": "now"})
+    assert [s["snapshot_id"] for s in table.snapshots()] == ["old", "new"]
