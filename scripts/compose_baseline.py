@@ -5,7 +5,7 @@ and raw-kernel ceilings) and writes the headline report covering both
 N-vs-4N pairs. Rerun after any bench/scaling.py invocation.
 
 Only records from the CURRENT scaling corpus (``--corpus``, default
-pages_scaling_v4) are merged: corpus revisions change page content, so
+pages_scaling_v5) are merged: corpus revisions change page content, so
 cross-corpus best-of would contaminate the estimate. Round-1 history
 rows (v3 corpus, no ``pages_dir`` field) are excluded automatically.
 """
@@ -20,7 +20,7 @@ from datetime import datetime, timezone
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 HIST = os.path.join(REPO, "BENCH", "history.jsonl")
 OUT = os.path.join(REPO, "BENCH", "BASELINE.md")
-DEFAULT_CORPUS = os.path.join(REPO, ".bench_cache", "pages_scaling_v4")
+DEFAULT_CORPUS = os.path.join(REPO, ".bench_cache", "pages_scaling_v5")
 
 
 def main() -> None:
@@ -152,6 +152,10 @@ else runs during a measurement. Reproduce:
 `--n-cores 2 --xn-cores 8` (2v8), then
 `python scripts/compose_baseline.py`.
 """
+    extra = os.path.join(REPO, "BENCH", "EXTRA.md")
+    if os.path.exists(extra):  # sf1.0 + skew sections (bench/big, bench/skew)
+        with open(extra, encoding="utf-8") as ef:
+            md += "\n" + ef.read()
     with open(OUT, "w", encoding="utf-8") as f:
         f.write(md)
     print(f"composed {OUT}: eff 2v8={e28 and round(e28, 3)}, "
