@@ -591,21 +591,27 @@ def extract_wdoc(url: str, payload: bytes) -> KernelResult:
 # PDF: pdfminer-style layout parse of a minimal-but-real PDF 1.4 subset
 # (the reference's PPTX->PDF binary path, slides/extractor.py:38-109,
 # re-expressed as an in-process parse — no subprocess per row, no
-# external pdf libs in this environment). The *renderer* below writes
-# honest PDF bytes (catalog/pages/page/contents objects, correct xref
-# offsets, uncompressed content streams); the *parser* reads content
-# streams with a small operand-stack tokenizer over the standard text
-# operators (Tf/Td/TD/Tm/T*/Tj/TJ), reconstructs layout order by
-# (page, top-down y, left-right x, stream order), and maps font size to
+# external pdf libs in this environment). The *renderer* writes honest
+# PDF bytes (catalog/Pages-tree/page/contents objects, correct xref
+# offsets, optional FlateDecode compression and hex strings, multi-page
+# via render_pdf_pages); the *parser* is object-level since r3: objects
+# located by header scan, stream bytes sliced by /Length (indirect refs
+# resolved; a literal 'endstream' inside text cannot truncate),
+# FlateDecode inflated with stdlib zlib, page order from the trailer
+# /Root -> /Pages Kids tree. Content streams go through a hand scanner
+# (literal strings with escapes AND balanced unescaped nested parens,
+# hex strings <...>, comments) driving an operand-stack walk of the
+# standard text operators (Tf/Td/TD/Tm/T*/Tj/TJ); layout order is
+# (page, top-down y, left-right x, stream order) and font size maps to
 # heading level — the classic pdfminer/Boilerpipe layout heuristic.
 #
 # Frozen role contract (goldens pin it): font /F2 => li; /F1 size
 # >=24 h1, >=20 h2, >=18 h3, >=16 h4, >=15 h5, >=14 h6, else p.
-# Strings are PDF literal strings; bytes outside printable ASCII are
-# octal-escaped by the renderer and the parser decodes octal + the
-# standard \n \r \t \b \f \( \) \\ escapes, then UTF-8-decodes.
-# Subset note: literal strings with *unescaped* nested parens are not
-# supported (our renderer always escapes them).
+# Renderer escapes non-printable bytes as octal; the parser decodes
+# octal + the standard \n \r \t \b \f \( \) \\ escapes, then
+# UTF-8-decodes. Remaining out-of-subset features (documented, raise
+# into the F6 error column): xref streams / object streams (PDF 1.5+),
+# encryption, non-Flate filters.
 # ---------------------------------------------------------------------------
 
 PDF_PAGE_H = 792  # US-Letter height in points; device y points up
