@@ -63,6 +63,18 @@ def _flagship_extract_pdf(spark, sf_dir):
                                      wrap="pdf")
 
 
+def _flagship_extract_pdf15(spark, sf_dir):
+    """PDF 1.5 twin: identical blocks rendered with object streams +
+    a cross-reference stream + FlateDecode content (the layout every
+    modern PDF producer writes; corpus.pdf15_page_for_document), so the
+    ObjStm-unpacking parser path is graded by the SAME SQL oracle."""
+    from powerpoint_context_extractor_spark.operators.extract import (
+        extract_wrapped_documents,
+    )
+    return extract_wrapped_documents(_t(spark, sf_dir, "documents"),
+                                     wrap="pdf15")
+
+
 def _text_url_host(spark, sf_dir):
     """URL normalization/host extraction (the per-host bookkeeping
     every CC pipeline needs): synthesize urls from documents, extract
@@ -683,6 +695,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship_extract": _flagship_extract,
         "flagship_extract_pdf": _flagship_extract_pdf,
+        "flagship_extract_pdf15": _flagship_extract_pdf15,
         "text_url_host": _text_url_host,
         "text_charset_breakdown": _text_charset_breakdown,
         "q1_pricing_summary": _q1_pricing_summary,
@@ -1413,6 +1426,8 @@ def oracle_sql() -> dict[str, str]:
     # the PDF-wrapped flagship reconstructs the same expected text as
     # the HTML wrap (both are invertible wraps of the same rows)
     d["flagship_extract_pdf"] = d["flagship_extract"]
+    # ... and the PDF 1.5 (ObjStm + xref-stream + Flate) wrap likewise
+    d["flagship_extract_pdf15"] = d["flagship_extract"]
     d["text_url_host"] = """
         SELECT host, COUNT(*) AS n_docs
         FROM (SELECT regexp_extract(

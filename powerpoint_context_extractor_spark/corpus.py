@@ -23,7 +23,7 @@ from __future__ import annotations
 import random
 from datetime import datetime, timedelta, timezone
 
-from .kernel import WDOC_MAGIC, render_pdf, render_wdoc
+from .kernel import WDOC_MAGIC, render_pdf, render_pdf_pages, render_wdoc
 
 __all__ = [
     "PARA_TOKENS",
@@ -98,6 +98,19 @@ def pdf_page_for_document(doc_id: int, text: str) -> bytes:
     for i, c in enumerate(_chunks(tokens, PARA_TOKENS)):
         blocks.append(("p", 80 + 40 * i, 72, " ".join(c)))
     return render_pdf(blocks)
+
+
+def pdf15_page_for_document(doc_id: int, text: str) -> bytes:
+    """PDF 1.5 twin of ``pdf_page_for_document``: identical blocks
+    rendered with object streams + a cross-reference stream and
+    FlateDecode content (the modern-producer layout), so the ObjStm
+    unpacking path sits under the SAME SQL oracle as the classic PDF
+    and HTML flagship paths."""
+    tokens = text.split(" ") if text else []
+    blocks = [("h1", 40, 72, f"Doc {doc_id}")]
+    for i, c in enumerate(_chunks(tokens, PARA_TOKENS)):
+        blocks.append(("p", 80 + 40 * i, 72, " ".join(c)))
+    return render_pdf_pages([blocks], compress=True, objstm=True)
 
 
 def expected_text_for_document(doc_id: int, text: str) -> str:

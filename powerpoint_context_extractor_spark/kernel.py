@@ -684,12 +684,18 @@ def render_pdf(blocks, *, compress: bool = False,
 
 
 def render_pdf_pages(pages, *, compress: bool = False,
-                     hex_strings: bool = False) -> bytes:
+                     hex_strings: bool = False,
+                     objstm: bool = False) -> bytes:
     """Multi-page renderer: ``pages`` is a list of block lists, one per
     page, each block (role, y, x, text). ``compress`` writes FlateDecode
     content streams; ``hex_strings`` shows text via PDF hex strings
-    <...> instead of literal strings — both exist to exercise the
-    parser's real-world feature set under round-trip property tests."""
+    <...> instead of literal strings; ``objstm`` emits a PDF 1.5 file —
+    all non-stream objects packed into a FlateDecode ``/Type /ObjStm``
+    object stream and the classic xref table replaced by a compressed
+    cross-reference stream (``/Type /XRef``, W=[1 4 2] entries) — the
+    layout every modern PDF producer writes. All variants exist to
+    exercise the parser's real-world feature set under round-trip
+    property tests."""
     pages = [list(blocks) for blocks in pages]
     npg = len(pages)
     # file/object order: 1 catalog, 2 pages node, 3..2+npg page objects,
@@ -725,6 +731,8 @@ def render_pdf_pages(pages, *, compress: bool = False,
     objs.append(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
     objs.append(b"<< /Type /Font /Subtype /Type1 /BaseFont "
                 b"/Helvetica-Bold >>")
+    if objstm:
+        return _finish_pdf15(objs, npg)
     buf = bytearray(b"%PDF-1.4\n")
     offsets = []
     for i, body in enumerate(objs, start=1):
@@ -737,6 +745,60 @@ def render_pdf_pages(pages, *, compress: bool = False,
         buf += f"{off:010d} 00000 n \n".encode()
     buf += (f"trailer\n<< /Size {len(objs) + 1} /Root 1 0 R >>\n"
             f"startxref\n{xref_at}\n%%EOF\n").encode()
+    return bytes(buf)
+
+
+def _finish_pdf15(objs: list, npg: int) -> bytes:
+    """PDF 1.5 file layout: non-stream objects (catalog, pages node,
+    page dicts, fonts) packed into one FlateDecode ``/Type /ObjStm``;
+    content streams stay top-level (streams may not live inside an
+    ObjStm, PDF 32000 §7.5.7); xref written as a cross-reference STREAM
+    with W=[1 4 2] typed entries (type 2 = compressed-object entry
+    pointing at the ObjStm member index). Object numbers are identical
+    to the classic layout so all indirect refs are unchanged."""
+    content_nums = set(range(3 + npg, 3 + 2 * npg))
+    packed = [(i + 1, body) for i, body in enumerate(objs)
+              if (i + 1) not in content_nums]
+    stm_num, xref_num = len(objs) + 1, len(objs) + 2
+    head_parts, bodies, off = [], [], 0
+    for num, body in packed:
+        head_parts.append(f"{num} {off}")
+        bodies.append(body)
+        off += len(body) + 1              # single-space separator
+    header = (" ".join(head_parts) + "\n").encode("latin-1")
+    stm_raw = header + b" ".join(bodies) + b" "
+    first = len(header)
+    stm_z = zlib.compress(stm_raw)
+    objstm_obj = (f"<< /Type /ObjStm /N {len(packed)} /First {first} "
+                  f"/Filter /FlateDecode /Length {len(stm_z)} "
+                  f">>\nstream\n").encode() + stm_z + b"\nendstream"
+    buf = bytearray(b"%PDF-1.5\n")
+    offsets: dict = {}
+    for num in sorted(content_nums):
+        offsets[num] = len(buf)
+        buf += f"{num} 0 obj\n".encode() + objs[num - 1] + b"\nendobj\n"
+    offsets[stm_num] = len(buf)
+    buf += f"{stm_num} 0 obj\n".encode() + objstm_obj + b"\nendobj\n"
+    xref_at = len(buf)
+    offsets[xref_num] = xref_at
+    # entry rows for object numbers 0..xref_num, W = [1 4 2]
+    rows = bytearray()
+    stm_index = {num: k for k, (num, _b) in enumerate(packed)}
+    for num in range(xref_num + 1):
+        if num == 0:
+            rows += b"\x00" + (0).to_bytes(4, "big") + (0xFFFF).to_bytes(2, "big")
+        elif num in stm_index:
+            rows += b"\x02" + stm_num.to_bytes(4, "big") \
+                + stm_index[num].to_bytes(2, "big")
+        else:
+            rows += b"\x01" + offsets[num].to_bytes(4, "big") \
+                + (0).to_bytes(2, "big")
+    rows_z = zlib.compress(bytes(rows))
+    buf += (f"{xref_num} 0 obj\n<< /Type /XRef /Size {xref_num + 1} "
+            f"/W [1 4 2] /Root 1 0 R /Filter /FlateDecode "
+            f"/Length {len(rows_z)} >>\nstream\n").encode() + rows_z \
+        + b"\nendstream\nendobj\n"
+    buf += f"startxref\n{xref_at}\n%%EOF\n".encode()
     return bytes(buf)
 
 
@@ -890,6 +952,33 @@ def _pdf_load(data: str):
         if "FlateDecode" in filters or "Fl" in filters:
             body = zlib.decompress(body.encode("latin-1")).decode("latin-1")
         streams[num] = body
+    # PDF 1.5 object streams: any /Type /ObjStm stream carries N packed
+    # non-stream objects — header is N (objnum offset) integer pairs,
+    # bodies start at /First. Unpack them into the object table (top-
+    # level definitions win; the subset never number-conflicts).
+    for num, d in list(objs.items()):
+        if not (isinstance(d, dict) and d.get("Type") == "ObjStm"
+                and num in streams):
+            continue
+        body = streams.pop(num)           # not page content: drop from
+        first, count = d.get("First"), d.get("N")  # file-order fallback
+        if isinstance(first, _Ref):
+            first = objs.get(int(first))
+        if isinstance(count, _Ref):
+            count = objs.get(int(count))
+        if not (isinstance(first, int) and isinstance(count, int)):
+            continue
+        head = body[:first].split()
+        for k in range(count):
+            try:
+                onum, ooff = int(head[2 * k]), int(head[2 * k + 1])
+            except (IndexError, ValueError):
+                break
+            try:
+                val, _j = _pdf_value(body, first + ooff)
+            except Exception:  # noqa: BLE001 — one bad member, keep rest
+                continue
+            objs.setdefault(onum, val)
     return objs, streams
 
 

@@ -198,7 +198,8 @@ def extract_wrapped_documents(docs: DataFrame,
     DuckDB check exercises the actual kernel, not a stand-in. Both
     wraps reconstruct to the SAME expected text, so the PDF layout
     parser is graded by the same oracle as the HTML DOM walk."""
-    fn = "pdf_page_for_document" if wrap == "pdf" else "page_for_document"
+    fn = {"html": "page_for_document", "pdf": "pdf_page_for_document",
+          "pdf15": "pdf15_page_for_document"}[wrap]
     return docs.select("doc_id", "text").mapInPandas(
         _make_doc_kernel_batches(fn), schema=DOC_EXTRACT_SCHEMA)
 

@@ -217,6 +217,33 @@ def test_pdf_flatedecode_hex_and_multipage():
         "u", kernel.render_pdf_pages(pages)).spans[-1]["path"]
 
 
+def test_pdf15_objstm_xref_stream_layout():
+    """PDF 1.5 renderer really writes the modern layout (no classic
+    xref table / trailer keyword; ObjStm + XRef stream present) and
+    the parser extracts it identically to the classic file."""
+    pages = [[("h1", 20, 72, "Modern"), ("p", 40, 72, "endstream bait"),
+              ("li", 60, 72, "item")],
+             [("h2", 20, 72, "Two"), ("p", 40, 72, "beta")]]
+    p15 = kernel.render_pdf_pages(pages, compress=True, objstm=True)
+    assert p15.startswith(b"%PDF-1.5")
+    assert b"\ntrailer" not in p15 and b"\nxref\n" not in p15
+    assert b"/ObjStm" in p15 and b"/XRef" in p15
+    r15 = extract_document("u", p15)
+    classic = extract_document("u", kernel.render_pdf_pages(pages))
+    assert r15.error is None
+    assert r15.text == classic.text and r15.spans == classic.spans
+    assert r15.title == "Modern"
+
+
+def test_pdf15_corpus_wrap_matches_expected_text():
+    from powerpoint_context_extractor_spark import corpus
+    text = " ".join(f"tok{i}" for i in range(45))
+    r = extract_document(
+        "u", corpus.pdf15_page_for_document(7, text))
+    assert r.error is None
+    assert r.text == corpus.expected_text_for_document(7, text)
+
+
 def test_pdf_nested_unescaped_parens():
     import re as _re
     raw = kernel.render_pdf([("p", 40, 72, "placeholder")]).decode("latin-1")
@@ -360,13 +387,15 @@ if _HYP:
 
     @settings(max_examples=150, deadline=None)
     @given(st.lists(st.lists(_BLOCK, max_size=5), min_size=1, max_size=4),
-           st.booleans(), st.booleans())
-    def test_pdf_multipage_roundtrip_properties(pages, compress, hexs):
-        """Multi-page + FlateDecode + hex-string variants of the PDF
-        round-trip: page order is preserved (page index majorizes the
-        layout sort) and the feature flags never change extracted text."""
+           st.booleans(), st.booleans(), st.booleans())
+    def test_pdf_multipage_roundtrip_properties(pages, compress, hexs,
+                                                objstm):
+        """Multi-page + FlateDecode + hex-string + PDF 1.5 (ObjStm +
+        xref-stream) variants of the PDF round-trip: page order is
+        preserved (page index majorizes the layout sort) and the
+        feature flags never change extracted text."""
         payload = kernel.render_pdf_pages(pages, compress=compress,
-                                          hex_strings=hexs)
+                                          hex_strings=hexs, objstm=objstm)
         r = extract_document("u", payload)
         assert r.error is None
         for blocks in pages:
