@@ -102,6 +102,19 @@ def _text_charset_breakdown(spark, sf_dir):
                       F.md5(F.col("text").cast("binary")).alias("text_md5"))
 
 
+def _text_charset_utf16_nobom(spark, sf_dir):
+    """BOM-less UTF-16 sniff contract: pages encoded utf-16-le/-be with
+    no BOM and no meta tag; the kernel's NUL-parity sniff must label
+    the encoding AND recover the exact text (md5-checked vs the SQL
+    reconstruction). A utf-8-first decoder fails this query silently."""
+    from powerpoint_context_extractor_spark.operators.extract import (
+        extract_documents_utf16_nobom,
+    )
+    out = extract_documents_utf16_nobom(_t(spark, sf_dir, "documents"))
+    return out.select(F.col("doc_id"), F.col("charset"),
+                      F.md5(F.col("text").cast("binary")).alias("text_md5"))
+
+
 def _q1_pricing_summary(spark, sf_dir):
     l = _t(spark, sf_dir, "lineitem")  # noqa: E741
     disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
@@ -698,6 +711,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "flagship_extract_pdf15": _flagship_extract_pdf15,
         "text_url_host": _text_url_host,
         "text_charset_breakdown": _text_charset_breakdown,
+        "text_charset_utf16_nobom": _text_charset_utf16_nobom,
         "q1_pricing_summary": _q1_pricing_summary,
         "f1_keyset_filter": _f1_keyset_filter,
         "f2_pushdown_residual": _f2_pushdown_residual,
@@ -1539,6 +1553,29 @@ def oracle_sql() -> dict[str, str]:
                                  WHEN 1 THEN 'utf-8-bom'
                                  WHEN 2 THEN 'utf-16'
                                  ELSE 'cp1252' END AS charset,
+               md5('# Doc ' || t.doc_id ||
+                   coalesce(chr(10)||chr(10)||a.body, '')) AS text_md5
+        FROM toks t LEFT JOIN agg a USING (doc_id)
+    """
+    d["text_charset_utf16_nobom"] = """
+        WITH toks AS (
+          SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+        ), flat AS (
+          SELECT doc_id, unnest(ts) AS tok,
+                 unnest(range(1, len(ts)+1)) AS i
+          FROM toks
+        ), chunks AS (
+          SELECT doc_id, (i-1)//20 AS cn,
+                 string_agg(tok, ' ' ORDER BY i) AS chunk
+          FROM flat GROUP BY doc_id, (i-1)//20
+        ), agg AS (
+          SELECT doc_id,
+                 string_agg(chunk, chr(10)||chr(10) ORDER BY cn) AS body
+          FROM chunks GROUP BY doc_id
+        )
+        SELECT t.doc_id,
+               CASE t.doc_id % 2 WHEN 0 THEN 'utf-16-le-sniffed'
+                                 ELSE 'utf-16-be-sniffed' END AS charset,
                md5('# Doc ' || t.doc_id ||
                    coalesce(chr(10)||chr(10)||a.body, '')) AS text_md5
         FROM toks t LEFT JOIN agg a USING (doc_id)

@@ -500,11 +500,29 @@ _CP1252_LABELS = {
 
 
 def decode_html_bytes(content: bytes) -> tuple:
-    """Decode raw page bytes -> (text, charset_label). Never raises."""
+    """Decode raw page bytes -> (text, charset_label). Never raises.
+
+    The BOM-less UTF-16 sniff runs BEFORE the strict UTF-8 attempt on
+    purpose: ASCII-heavy UTF-16 bytes (``h\\x00e\\x00...``) are *valid*
+    UTF-8 — NUL is a legal codepoint — so utf-8-first would silently
+    return NUL-riddled garbage labeled 'utf-8'. Real UTF-8 HTML never
+    contains NULs, so a one-sided even/odd NUL pattern in the head is
+    decisive."""
     if content.startswith(b"\xef\xbb\xbf"):
         return content[3:].decode("utf-8", errors="replace"), "utf-8-bom"
     if content.startswith(b"\xff\xfe") or content.startswith(b"\xfe\xff"):
         return content.decode("utf-16", errors="replace"), "utf-16"
+    head = content[:1024]
+    if len(head) >= 8 and 0 in head:
+        half = len(head) // 2
+        odd_nul = head[1::2].count(0)     # LE: high bytes at odd offsets
+        even_nul = head[0::2].count(0)
+        if odd_nul >= 0.4 * half and even_nul <= 0.05 * half:
+            return (content.decode("utf-16-le", errors="replace"),
+                    "utf-16-le-sniffed")
+        if even_nul >= 0.4 * half and odd_nul <= 0.05 * half:
+            return (content.decode("utf-16-be", errors="replace"),
+                    "utf-16-be-sniffed")
     try:
         return content.decode("utf-8"), "utf-8"
     except UnicodeDecodeError:

@@ -253,6 +253,31 @@ def extract_documents_charset(docs: DataFrame) -> DataFrame:
         _charset_kernel_batches, schema=CHARSET_EXTRACT_SCHEMA)
 
 
+def _nobom_kernel_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from .. import corpus
+    for pdf in batches:
+        out = {"doc_id": [], "charset": [], "text": []}
+        for doc_id, text in zip(pdf["doc_id"].tolist(), pdf["text"].tolist()):
+            page = corpus.page_for_document(doc_id, text).decode("utf-8")
+            enc = "utf-16-le" if doc_id % 2 == 0 else "utf-16-be"
+            r = extract_document(f"doc://{doc_id}", page.encode(enc))
+            out["doc_id"].append(doc_id)
+            out["charset"].append(r.charset)
+            out["text"].append(r.text)
+        yield pd.DataFrame(out)
+
+
+def extract_documents_utf16_nobom(docs: DataFrame) -> DataFrame:
+    """BOM-less UTF-16 contract path (r3 open end): each documents row
+    wrapped as a page encoded utf-16-le (even doc_id) or utf-16-be (odd)
+    with NO byte-order mark and NO meta declaration — the case where a
+    naive utf-8-first decoder silently returns NUL-riddled garbage
+    (ASCII-ish UTF-16 is valid UTF-8). The kernel's even/odd NUL-parity
+    sniff must both label the encoding and recover the exact text."""
+    return docs.select("doc_id", "text").mapInPandas(
+        _nobom_kernel_batches, schema=CHARSET_EXTRACT_SCHEMA)
+
+
 def extract_pages(pages: DataFrame, num_partitions: int | None = None,
                   use_arrow: bool = True) -> DataFrame:
     """pages(url, html[, text]) -> extracted (EXTRACTED_SCHEMA).

@@ -146,6 +146,29 @@ def test_charset_decode_paths():
     assert dec(raw) == dec(raw)
 
 
+def test_charset_utf16_without_bom_sniffed():
+    """BOM-less UTF-16 is the trap case: ASCII-heavy UTF-16-LE bytes are
+    VALID utf-8 (NUL is a legal codepoint), so the NUL-parity sniff must
+    win before the strict utf-8 attempt or the page decodes to
+    NUL-riddled garbage labeled 'utf-8'."""
+    dec = kernel.decode_html_bytes
+    page = "<html><body><h1>Title</h1><p>hello world</p></body></html>"
+    t, c = dec(page.encode("utf-16-le"))
+    assert (t, c) == (page, "utf-16-le-sniffed")
+    t, c = dec(page.encode("utf-16-be"))
+    assert (t, c) == (page, "utf-16-be-sniffed")
+    # BOM still takes priority over the sniff
+    assert dec(page.encode("utf-16"))[1] == "utf-16"
+    # sparse NULs in otherwise-normal utf-8 do NOT trip the sniff
+    raw = b"<html><body>ab\x00cd</body></html>" * 40
+    assert dec(raw)[1] == "utf-8"
+    # tiny inputs (< 8 bytes) never sniff
+    assert dec(b"a\x00b\x00")[1] == "utf-8"
+    # CJK-heavy utf-16 (few NULs) falls through without crashing
+    t, c = dec("<p>日本語のページ</p>".encode("utf-16-le"))
+    assert t is not None and c is not None
+
+
 def test_charset_label_flows_to_result():
     r = extract_document("u", b"\xef\xbb\xbf<h1>T</h1>")
     assert r.charset == "utf-8-bom" and r.text == "# T"
