@@ -170,15 +170,22 @@ def near_dup_clusters(ids: DataFrame, pairs: DataFrame,
     join+groupBy, then (2) one label-of-label jump join, so chains
     contract geometrically and rounds needed = O(log diameter), not
     diameter (long boilerplate-family chains DO occur at web scale).
-    Lineage is truncated per round with localCheckpoint so plans stay
-    flat (at multi-executor scale prefer reliable `checkpoint()` — a
-    lost executor invalidates localCheckpoint blocks).
+    Lineage is truncated per round; when the session has a checkpoint
+    dir configured (``sc.setCheckpointDir`` — the cluster deployment
+    shape) truncation uses reliable ``checkpoint()`` so a lost executor
+    cannot invalidate a round, otherwise ``localCheckpoint``.
 
     RAISES RuntimeError if ``max_iter`` rounds exhaust without a
     fixpoint — partial labels must never be silently returned (r2
     VERDICT/ADVICE: the silent-truncation trap).
     DuckDB oracle: recursive reachability CTE + MIN (exact fixpoint).
     """
+    sc = ids.sparkSession.sparkContext
+    reliable = sc._jsc.sc().getCheckpointDir().isDefined()
+
+    def _truncate(df: DataFrame) -> DataFrame:
+        return df.checkpoint(eager=True) if reliable else df.localCheckpoint()
+
     edges = (pairs.select(F.col("id_a").alias("src"),
                           F.col("id_b").alias("dst"))
              .unionByName(pairs.select(F.col("id_b").alias("src"),
@@ -204,8 +211,8 @@ def near_dup_clusters(ids: DataFrame, pairs: DataFrame,
             .select(prop[id_col],
                     F.least(F.col("label"),
                             F.coalesce(F.col("jlabel"), F.col("label")))
-                    .alias("label"))
-            .localCheckpoint())
+                    .alias("label")))
+        new_labels = _truncate(new_labels)
         changed = (new_labels.alias("n")
                    .join(labels.alias("o"), id_col)
                    .filter(F.col("n.label") != F.col("o.label")).count())

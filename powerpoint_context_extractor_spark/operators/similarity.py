@@ -184,19 +184,27 @@ def kmeans_centroids(emb: DataFrame, n_centroids: int = 8, iters: int = 3,
     when early ids are similar); each iteration is one broadcast-
     assignment pass plus one (K x dim)-row aggregate collected to the
     driver — a driver loop over ITERATIONS, not rows. At cluster scale
-    seed from a deterministic hash-sample instead of the rank window
-    (row_number needs a global sort).
+    Rank selection is a distributed range-partitioned sort +
+    ``zipWithIndex`` (per-partition offsets from one count job), NOT a
+    ``row_number`` window — an unpartitioned window collapses the whole
+    table into one task, which dies at cluster scale; this path never
+    moves more than the K seed ids to the driver.
 
     Returns centroids as lists of micro-unit ints (len K x dim)."""
-    from pyspark.sql import Window as W
     base = _quantized(emb, id_col, vec_col).cache()
     n = base.count()
     ranks = sorted({min(int(i * n / n_centroids), n - 1)
                     for i in range(n_centroids)})
-    rk = F.row_number().over(W.orderBy("_id")) - 1
+    rank_set = set(ranks)
+    seed_ids = (base.select("_id").sort("_id").rdd
+                .map(lambda r: r[0]).zipWithIndex()
+                .filter(lambda t: t[1] in rank_set)
+                .map(lambda t: t[0]).collect())
+    # ranks are increasing in id order, so ordering seeds by id equals
+    # ordering them by rank (what the SQL oracle mirrors)
     cents = [list(r["vq"]) for r in
-             base.withColumn("rk", rk).filter(F.col("rk").isin(ranks))
-             .orderBy("rk").collect()]
+             base.filter(F.col("_id").isin(seed_ids))
+             .orderBy("_id").collect()]
     for _ in range(iters):
         stats = (base.withColumn("cluster", _assign_expr(cents))
                  .select("cluster", F.posexplode("vq").alias("pos", "val"))

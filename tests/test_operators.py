@@ -217,6 +217,27 @@ def test_near_dup_clusters_long_chain_converges(spark):
     assert out == {i: 0 for i in range(n)}
 
 
+def test_near_dup_clusters_reliable_checkpoint(spark, tmp_path):
+    """With a checkpoint dir configured (the cluster deployment shape)
+    the loop truncates lineage via reliable checkpoint() — same labels,
+    and checkpoint files actually land in the dir."""
+    import os
+    ckpt = str(tmp_path / "ckpt")
+    spark.sparkContext.setCheckpointDir(ckpt)
+    try:
+        ids = spark.createDataFrame([(i,) for i in (0, 1, 2, 5, 6, 9)],
+                                    "doc_id long")
+        pairs = spark.createDataFrame([(1, 2), (0, 1), (5, 6)],
+                                      "id_a long, id_b long")
+        out = {r["doc_id"]: r["cluster"]
+               for r in dedup.near_dup_clusters(ids, pairs).collect()}
+        assert out == {0: 0, 1: 0, 2: 0, 5: 5, 6: 5, 9: 9}
+        assert any(files for _d, _s, files in os.walk(ckpt))
+    finally:
+        getattr(spark._jsc.sc(), "checkpointDir_$eq")(
+            spark._jvm.scala.Option.apply(None))
+
+
 def test_near_dup_clusters_raises_instead_of_partial_labels(spark):
     """Exhausting max_iter without a fixpoint must raise, never return
     silently-wrong cluster labels (r2 VERDICT 'what's wrong' #1)."""
