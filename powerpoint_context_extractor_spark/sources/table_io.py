@@ -57,7 +57,8 @@ class SnapshotTable:
     def _legacy_manifest_path(self) -> str:
         return os.path.join(self.root, LEGACY_MANIFEST)
 
-    def snapshots(self) -> list:
+    def _entries(self) -> list:
+        """Raw manifest entries in commit order (compactions included)."""
         snaps = []
         if os.path.exists(self._legacy_manifest_path):  # pre-r3 tables
             with open(self._legacy_manifest_path, encoding="utf-8") as f:
@@ -66,6 +67,20 @@ class SnapshotTable:
             with open(self._manifest_path, encoding="utf-8") as f:
                 snaps.extend(json.loads(line) for line in f if line.strip())
         return snaps
+
+    def snapshots(self) -> list:
+        """LIVE snapshots: replay the append-log, letting a compaction
+        entry supersede the snapshot ids it lists in ``replaces`` (the
+        Iceberg rewrite-files/replace-commit analog). Readers that
+        captured file lists before a compaction keep reading the old
+        files untouched — snapshot isolation holds; ``vacuum()`` is the
+        separate, explicitly-invoked destructive step."""
+        live: dict = {}
+        for e in self._entries():
+            for rid in e.get("replaces", ()):  # compaction supersedes
+                live.pop(rid, None)
+            live[e["snapshot_id"]] = e
+        return list(live.values())
 
     def _commit(self, entry: dict) -> None:
         """O(1) in snapshot count: one O_APPEND write of one JSON line.
@@ -108,6 +123,67 @@ class SnapshotTable:
         }
         self._commit(entry)
         return entry
+
+    def compact(self, spark: SparkSession, run_id: str = "compact",
+                key_col: str | None = None,
+                order_col: str | None = None) -> dict | None:
+        """Rewrite all currently-live snapshots into ONE new snapshot
+        and commit it with a ``replaces`` list (a single O_APPEND line,
+        like every other commit). Without keys this is pure small-file
+        compaction; with ``key_col``+``order_col`` it also keeps only
+        the newest row per key (row_number over order_col DESC) — the
+        upsert-table compaction an update-mode streaming sink needs so
+        the table stops growing one row per (key, epoch).
+
+        Concurrent appends are safe: only the snapshots this call SAW
+        are replaced; an append racing past us stays live."""
+        snaps = self.snapshots()
+        files = [f for s in snaps for f in s["files"]]
+        if not files:
+            return None
+        df = spark.read.parquet(*files)
+        if key_col is not None:
+            from pyspark.sql import Window as W
+            from pyspark.sql import functions as F
+            if order_col is None:
+                raise ValueError("key_col compaction needs order_col")
+            rn = F.row_number().over(
+                W.partitionBy(key_col).orderBy(F.col(order_col).desc()))
+            df = (df.withColumn("_rn", rn).filter(F.col("_rn") == 1)
+                  .drop("_rn"))
+        snap_id = uuid.uuid4().hex
+        out_dir = os.path.join(self.root, f"snap-{snap_id}")
+        df.write.mode("error").parquet(out_dir)
+        new_files = sorted(
+            os.path.join(out_dir, f) for f in os.listdir(out_dir)
+            if f.endswith(".parquet"))
+        entry = {
+            "snapshot_id": snap_id,
+            "run_id": run_id,
+            "files": new_files,
+            "row_count": _footer_row_count(new_files),
+            "replaces": [s["snapshot_id"] for s in snaps],
+            "committed_at": datetime.now(timezone.utc).isoformat(),
+        }
+        self._commit(entry)
+        return entry
+
+    def vacuum(self) -> list:
+        """Delete snap dirs no longer referenced by any live snapshot
+        (replaced by a compaction). Explicit and separate from
+        compact() so in-flight readers of pre-compaction file lists
+        get a grace window the caller controls. Returns removed dirs."""
+        import shutil
+        live_dirs = {os.path.dirname(f) for s in self.snapshots()
+                     for f in s["files"]}
+        removed = []
+        for name in os.listdir(self.root):
+            path = os.path.join(self.root, name)
+            if (name.startswith("snap-") and os.path.isdir(path)
+                    and path not in live_dirs):
+                shutil.rmtree(path)
+                removed.append(path)
+        return removed
 
     def read(self, spark: SparkSession) -> DataFrame | None:
         files = self.data_files()

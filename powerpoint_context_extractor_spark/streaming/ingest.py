@@ -244,11 +244,21 @@ def sessionize(spark: SparkSession, events_dir: str) -> DataFrame:
 
 def sessionize_to_table(spark: SparkSession, events_parquet: str,
                         out_root: str, n_files: int = 4,
-                        run_id: str = "sessstream") -> DataFrame:
+                        run_id: str = "sessstream",
+                        compact: bool = True) -> DataFrame:
     """PRODUCTION shape of sessionize: update-mode state rows are
     committed per micro-batch into a snapshot table (run_id carries the
     epoch); readers take the latest row per user. The memory-sink
-    ``sessionize`` stays as the test harness."""
+    ``sessionize`` stays as the test harness.
+
+    ``compact=True`` (default) runs a keyed table compaction after the
+    stream drains: one row per user survives (newest epoch), the
+    replaced snapshots are superseded by a single manifest line, and
+    the reader's latest-per-user window becomes a no-op scan — without
+    it the table grows one row per (user, epoch) forever (r3 open
+    end). On a live deployment the same call runs periodically from a
+    maintenance job; vacuum() reclaims the replaced files after the
+    in-flight-reader grace window."""
     stream_dir = os.path.join(out_root, "backlog")
     _write_time_ordered_files(spark, events_parquet, stream_dir, n_files)
     table = SnapshotTable(os.path.join(out_root, "sessions"))
@@ -271,6 +281,9 @@ def sessionize_to_table(spark: SparkSession, events_parquet: str,
          .trigger(availableNow=True)
          .start())
     q.awaitTermination()
+    if compact:
+        table.compact(spark, run_id=f"{run_id}-compact",
+                      key_col="user_id", order_col="epoch")
     from pyspark.sql import Window as W
     res = table.read(spark)
     w = F.row_number().over(

@@ -149,6 +149,42 @@ def test_manifest_commit_is_o1_and_concurrent_safe(tmp_path):
             json.loads(line)                 # every line parses
 
 
+def test_compaction_replaces_snapshots_and_vacuum_reclaims(spark, tmp_path):
+    """compact() folds all live snapshots into one (keyed: newest row
+    per key), supersedes them via a single append-log line, and
+    vacuum() reclaims only the replaced dirs."""
+    import os
+
+    from powerpoint_context_extractor_spark.sources.table_io import (
+        SnapshotTable,
+    )
+    table = SnapshotTable(str(tmp_path / "t"))
+    for epoch in range(3):
+        table.append(spark.createDataFrame(
+            [(u, epoch, u * 10 + epoch) for u in range(4)],
+            "user_id long, epoch long, val long"), run_id=f"e{epoch}")
+    assert len(table.snapshots()) == 3
+    assert table.read(spark).count() == 12
+    entry = table.compact(spark, key_col="user_id", order_col="epoch")
+    live = table.snapshots()
+    assert [s["snapshot_id"] for s in live] == [entry["snapshot_id"]]
+    rows = {r["user_id"]: (r["epoch"], r["val"])
+            for r in table.read(spark).collect()}
+    assert rows == {u: (2, u * 10 + 2) for u in range(4)}
+    # append after compaction stays live alongside it
+    table.append(spark.createDataFrame([(9, 9, 99)],
+                                       "user_id long, epoch long, val long"),
+                 run_id="late")
+    assert table.read(spark).count() == 5
+    n_dirs = len([d for d in os.listdir(table.root)
+                  if d.startswith("snap-")])
+    removed = table.vacuum()
+    assert len(removed) == 3 and len([
+        d for d in os.listdir(table.root)
+        if d.startswith("snap-")]) == n_dirs - 3
+    assert table.read(spark).count() == 5  # live data untouched
+
+
 def test_manifest_legacy_migration(tmp_path):
     import json
     from powerpoint_context_extractor_spark.sources.table_io import (
