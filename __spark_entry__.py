@@ -102,6 +102,30 @@ def _text_charset_breakdown(spark, sf_dir):
                       F.md5(F.col("text").cast("binary")).alias("text_md5"))
 
 
+def _warc_extract(spark, sf_dir):
+    """WARC container source (S-family: the actual Common Crawl file
+    format): documents rows are written as per-record-gzip .warc.gz
+    files by a distributed one-file-per-partition writer, read back via
+    the binaryFile + gzip-member-splitting source, HTTP envelopes
+    stripped, and the real kernel run over the payload bytes — graded
+    by the SAME SQL oracle as the flagship (the wrap is invertible)."""
+    import hashlib
+
+    from powerpoint_context_extractor_spark.operators.extract import (
+        extract_pages,
+    )
+    from powerpoint_context_extractor_spark.sources.warc import (
+        read_warc, write_documents_as_warc,
+    )
+    docs = _t(spark, sf_dir, "documents")
+    tag = hashlib.md5(sf_dir.encode("utf-8")).hexdigest()[:12]
+    out_dir = f"/tmp/spark_graft_warc/{tag}"
+    write_documents_as_warc(docs, out_dir, n_files=8)
+    pages = read_warc(spark, out_dir)
+    return (extract_pages(pages.select("url", "html"))
+            .select("url", "title", "text", "n_blocks"))
+
+
 def _text_charset_utf16_nobom(spark, sf_dir):
     """BOM-less UTF-16 sniff contract: pages encoded utf-16-le/-be with
     no BOM and no meta tag; the kernel's NUL-parity sniff must label
@@ -709,6 +733,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "flagship_extract": _flagship_extract,
         "flagship_extract_pdf": _flagship_extract_pdf,
         "flagship_extract_pdf15": _flagship_extract_pdf15,
+        "warc_extract": _warc_extract,
         "text_url_host": _text_url_host,
         "text_charset_breakdown": _text_charset_breakdown,
         "text_charset_utf16_nobom": _text_charset_utf16_nobom,
@@ -1442,6 +1467,8 @@ def oracle_sql() -> dict[str, str]:
     d["flagship_extract_pdf"] = d["flagship_extract"]
     # ... and the PDF 1.5 (ObjStm + xref-stream + Flate) wrap likewise
     d["flagship_extract_pdf15"] = d["flagship_extract"]
+    # the WARC round-trip re-extracts the same invertible wrap
+    d["warc_extract"] = d["flagship_extract"]
     d["text_url_host"] = """
         SELECT host, COUNT(*) AS n_docs
         FROM (SELECT regexp_extract(

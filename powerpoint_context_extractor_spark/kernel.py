@@ -167,7 +167,8 @@ class _Extractor(HTMLParser):
 
     # -- block lifecycle ----------------------------------------------
     def _open_block(self, tag: str, path: str) -> None:
-        self._flush_block()
+        if self.block is not None:
+            self._flush_block()
         self.block = _Block(tag=tag, path=path)
 
     def _flush_block(self) -> None:
@@ -179,8 +180,7 @@ class _Extractor(HTMLParser):
         # corpus hygiene: drop C0 control chars (NUL etc.) except the
         # whitespace ones the collapse/pre rules handle
         if not raw.isprintable():
-            raw = "".join(c for c in raw
-                          if ord(c) >= 32 or c in "\n\t\r\f\v")
+            raw = _C0_STRIP("", raw)
         if b.tag == "pre":
             text = raw.strip()
         else:
@@ -210,7 +210,8 @@ class _Extractor(HTMLParser):
             boiler = tag in DROP_TAGS or (bool(attrs)
                                           and _is_boiler_attrs(attrs))
         if self.drop_depth > 0 or boiler:
-            self._flush_block()
+            if self.block is not None:
+                self._flush_block()
             self.drop_depth += 1
             self.stack.append([tag, True, 0, self._parent_path()])
             return
@@ -223,7 +224,8 @@ class _Extractor(HTMLParser):
             if tag == "pre":
                 self.pre_depth += 1
         elif tag in STRUCT_TAGS:
-            self._flush_block()
+            if self.block is not None:
+                self._flush_block()
         # inline tags: keep current block open, text flows through
         self.stack.append([tag, False, 0, path])
 
@@ -254,9 +256,11 @@ class _Extractor(HTMLParser):
             if ftag in BLOCK_TAGS:
                 if ftag == "pre":
                     self.pre_depth -= 1
-                self._flush_block()
+                if self.block is not None:
+                    self._flush_block()
             elif ftag in STRUCT_TAGS:
-                self._flush_block()
+                if self.block is not None:
+                    self._flush_block()
 
     def handle_data(self, data):
         if self.drop_depth > 0:
@@ -336,6 +340,11 @@ _ATTRFIND = re.compile(
     r'((?<=[\'"\s/])[^\s/>][^\s/=>]*)(\s*=+\s*'
     r'(\'[^\']*\'|"[^"]*"|(?![\'"])[^>\s]*))?(?:\s|/(?!>))*')
 _ENDTAG = re.compile(r'</\s*([a-zA-Z][-.a-zA-Z0-9:_]*)\s*>')
+# keep = ord >= 32 or "\n\t\r\f\v" -> strip exactly [\x00-\x08\x0e-\x1f]
+# (C-speed twin of the old per-char generator; \x7f+ kept by both)
+_C0_STRIP = re.compile("[\x00-\x08\x0e-\x1f]").sub
+_ASCII_ALPHA = frozenset(
+    "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ")
 _TAGNAME = re.compile(r'([a-zA-Z][^\t\n\r\f />\x00]*)(?:\s|/(?!>))*')
 # Python 3.11 html.parser set_cdata_mode: in raw-text elements the scanner
 # only stops at a FULL well-formed close tag; '</script foo>', '</scriptx>',
@@ -351,16 +360,20 @@ def _fast_feed(p: "_Extractor", s: str) -> None:
     html.parser(convert_charrefs=True) semantics."""
     i, n = 0, len(s)
     find = s.find
+    # bound methods: ~1.5M attribute lookups per 10k docs otherwise
+    handle_data = p.handle_data
+    handle_starttag = p.handle_starttag
+    handle_endtag = p.handle_endtag
     while i < n:
         lt = find("<", i)
         if lt < 0:
-            p.handle_data(_unescape(s[i:]))
+            handle_data(_unescape(s[i:]))
             break
         if lt > i:
-            p.handle_data(_unescape(s[i:lt]))
+            handle_data(_unescape(s[i:lt]))
         i = lt
         nxt = s[lt + 1:lt + 2]
-        if nxt and (nxt.isascii() and nxt.isalpha()):
+        if nxt in _ASCII_ALPHA:
             # faithful port of html.parser's check_for_whole_start_tag
             # + parse_starttag endgame (which chars end the tag, when
             # '/>' means self-closing vs a bare attr value, raw-data
@@ -398,14 +411,14 @@ def _fast_feed(p: "_Extractor", s: str) -> None:
                 k = am.end()
             tail = s[k:endpos].strip()
             if tail not in (">", "/>"):
-                p.handle_data(s[lt:endpos])  # raw, like parse_starttag
+                handle_data(s[lt:endpos])  # raw, like parse_starttag
                 i = endpos
                 continue
             if tail == "/>":
                 p.handle_startendtag(tag, attrs)
                 i = endpos
                 continue
-            p.handle_starttag(tag, attrs)
+            handle_starttag(tag, attrs)
             i = endpos
             if tag in _CDATA_CLOSE:      # raw-text elements
                 # Exact port of html.parser (3.11) CDATA mode: everything
@@ -417,13 +430,13 @@ def _fast_feed(p: "_Extractor", s: str) -> None:
                 if cm is None:
                     break                     # drop unterminated raw text
                 if cm.start() > i:
-                    p.handle_data(s[i:cm.start()])
-                p.handle_endtag(tag)
+                    handle_data(s[i:cm.start()])
+                handle_endtag(tag)
                 i = cm.end()
         elif nxt == "/":
             em = _ENDTAG.match(s, lt)
             if em:
-                p.handle_endtag(em.group(1).lower())
+                handle_endtag(em.group(1).lower())
                 i = em.end()
                 continue
             gt = find(">", lt + 2)
@@ -432,7 +445,7 @@ def _fast_feed(p: "_Extractor", s: str) -> None:
                 continue
             tm = _TAGNAME.match(s, lt + 2)
             if tm:                        # junk-tolerant end tag </tag junk>
-                p.handle_endtag(tm.group(1).lower())
+                handle_endtag(tm.group(1).lower())
             # else: bogus comment ("</>"
             #  or "</ ...>") — ignored, no handler
             i = gt + 1
@@ -456,7 +469,7 @@ def _fast_feed(p: "_Extractor", s: str) -> None:
                 continue
             i = gt + 1                    # processing instr: ignored
         else:
-            p.handle_data("<")            # lone '<' is text
+            handle_data("<")            # lone '<' is text
             i = lt + 1
     p._flush_block()
 

@@ -1,0 +1,207 @@
+"""WARC container source — the format the actual Common Crawl corpus
+ships in (ISO 28500; reference reads loose files, pptx_extract.py:44-71,
+but a web-scale run reads .warc.gz segments).
+
+Layout facts this module encodes:
+- A WARC file is a sequence of records: ``WARC/1.0\\r\\n`` + header
+  lines + blank line + ``Content-Length`` payload bytes + ``\\r\\n\\r\\n``.
+- ``.warc.gz`` compresses EACH RECORD as its own gzip member (per the
+  spec's recommendation, so readers can split without decompressing the
+  whole file); the reader must iterate gzip members, not gunzip once.
+- ``response`` records carry an HTTP response (status line + headers +
+  blank + body); the page bytes are the part after the first CRLFCRLF.
+
+Scale shape: Common Crawl ships ~64k warc files per crawl at ~1 GiB
+each — FILE-level parallelism is the unit every production CC job uses
+(one task per .warc.gz, since gzip members don't expose offsets without
+an index). ``read_warc`` therefore maps one binaryFile row -> that
+file's records inside ``mapInPandas``; with tens of thousands of files
+per crawl this saturates any executor count long before per-file
+splitting would matter.
+"""
+
+from __future__ import annotations
+
+import zlib
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+CRLF = "\r\n"
+_GZ_MAGIC = b"\x1f\x8b"
+
+
+# ---------------------------------------------------------------------------
+# record building (sink / test scaffolding)
+# ---------------------------------------------------------------------------
+
+def build_record(url: str, date: str, body: bytes,
+                 rec_type: str = "response") -> bytes:
+    """One WARC/1.0 record wrapping ``body`` as an HTTP 200 response."""
+    http = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + body
+            if rec_type == "response" else body)
+    head = (f"WARC/1.0{CRLF}"
+            f"WARC-Type: {rec_type}{CRLF}"
+            f"WARC-Target-URI: {url}{CRLF}"
+            f"WARC-Date: {date}{CRLF}"
+            f"Content-Type: application/http; msgtype=response{CRLF}"
+            f"Content-Length: {len(http)}{CRLF}{CRLF}").encode("latin-1")
+    return head + http + b"\r\n\r\n"
+
+
+def build_warc(records, gzip_records: bool = True) -> bytes:
+    """records: iterable of (url, date, body_bytes[, rec_type]). Emits a
+    complete WARC file; ``gzip_records`` writes one gzip member per
+    record (the .warc.gz layout)."""
+    out = bytearray()
+    for rec in records:
+        url, date, body = rec[0], rec[1], rec[2]
+        rec_type = rec[3] if len(rec) > 3 else "response"
+        raw = build_record(url, date, body, rec_type)
+        if gzip_records:
+            co = zlib.compressobj(6, zlib.DEFLATED, 31)  # 31 = gzip wrap
+            out += co.compress(raw) + co.flush()
+        else:
+            out += raw
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# parsing (source)
+# ---------------------------------------------------------------------------
+
+def _gzip_members(data: bytes) -> Iterator[bytes]:
+    """Iterate the concatenated gzip members of a .warc.gz — each
+    record is its own member, so this IS record splitting."""
+    while data[:2] == _GZ_MAGIC:
+        d = zlib.decompressobj(31)
+        try:
+            chunk = d.decompress(data)
+        except zlib.error:
+            return                        # truncated/corrupt tail: stop
+        if not d.eof:
+            return                        # incomplete final member
+        yield chunk
+        data = d.unused_data
+
+
+def _parse_plain(data: bytes) -> Iterator[tuple]:
+    """Yield (headers_dict, payload_bytes) for each record in a plain
+    (non-gz) WARC buffer. Error-tolerant: a malformed header block or
+    missing Content-Length ends the file scan (log-and-continue, F6) —
+    records parsed so far are still yielded."""
+    i, n = 0, len(data)
+    while i < n:
+        j = data.find(b"WARC/1.", i)
+        if j < 0:
+            return
+        he = data.find(b"\r\n\r\n", j)
+        if he < 0:
+            return
+        headers = {}
+        for line in data[j:he].decode("latin-1").split(CRLF)[1:]:
+            k, _sep, v = line.partition(":")
+            if _sep:
+                headers[k.strip().lower()] = v.strip()
+        try:
+            clen = int(headers["content-length"])
+        except (KeyError, ValueError):
+            return
+        start = he + 4
+        yield headers, data[start:start + clen]
+        i = start + clen
+
+
+def iter_warc_records(data: bytes) -> Iterator[tuple]:
+    """(headers, payload) per record; auto-detects .warc.gz (per-record
+    gzip members) vs plain WARC."""
+    if data[:2] == _GZ_MAGIC:
+        for member in _gzip_members(data):
+            yield from _parse_plain(member)
+    else:
+        yield from _parse_plain(data)
+
+
+def http_body(payload: bytes) -> bytes:
+    """Strip the HTTP response envelope: page bytes follow the first
+    CRLFCRLF. A payload without one is returned as-is (some archives
+    store raw resources)."""
+    sep = payload.find(b"\r\n\r\n")
+    return payload[sep + 4:] if sep >= 0 else payload
+
+
+WARC_PAGE_SCHEMA = T.StructType([
+    T.StructField("url", T.StringType(), True),
+    T.StructField("warc_date", T.StringType(), True),
+    T.StructField("html", T.BinaryType(), True),
+])
+
+
+def _warc_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        out = {"url": [], "warc_date": [], "html": []}
+        for content in pdf["content"]:
+            for headers, payload in iter_warc_records(bytes(content)):
+                if headers.get("warc-type", "response") != "response":
+                    continue              # warcinfo/request/metadata
+                out["url"].append(headers.get("warc-target-uri"))
+                out["warc_date"].append(headers.get("warc-date"))
+                out["html"].append(http_body(payload))
+        yield pd.DataFrame(out)
+
+
+def read_warc(spark: SparkSession, path: str) -> DataFrame:
+    """WARC source: (url, warc_date, html) — one input row per response
+    record. File-per-task parallelism (see module docstring); only the
+    ``content`` column is read from the binaryFile scan."""
+    files = (spark.read.format("binaryFile")
+             .option("pathGlobFilter", "*.warc*")
+             .load(path)
+             .select("content"))
+    return files.mapInPandas(_warc_batches, schema=WARC_PAGE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# distributed writer (test/bench scaffolding; one file per partition —
+# exactly how a fetcher fleet produces warcs)
+# ---------------------------------------------------------------------------
+
+def write_documents_as_warc(docs: DataFrame, out_dir: str,
+                            n_files: int = 8,
+                            gzip_records: bool = True) -> None:
+    """Wrap documents rows (page_for_document) into ``n_files`` WARC
+    files under ``out_dir``. Deterministic: file index = doc_id %
+    n_files, records ordered by doc_id, WARC-Date derived from doc_id —
+    so the resulting corpus is a pure function of the input table."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    os.makedirs(out_dir, exist_ok=True)
+    ext = "warc.gz" if gzip_records else "warc"
+
+    def _write(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        from .. import corpus
+        part = int(key[0])
+        pdf = pdf.sort_values("doc_id")
+        recs = []
+        for doc_id, text in zip(pdf["doc_id"].tolist(), pdf["text"].tolist()):
+            recs.append((f"doc://{doc_id}",
+                         f"2024-01-01T00:00:{doc_id % 60:02d}Z",
+                         corpus.page_for_document(doc_id, text)))
+        # warcinfo header record first, like real CC files
+        recs.insert(0, (f"file://{part}", "2024-01-01T00:00:00Z",
+                        b"software: spark-graft", "warcinfo"))
+        path = os.path.join(out_dir, f"part-{part:05d}.{ext}")
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(build_warc(recs, gzip_records=gzip_records))
+        os.replace(tmp, path)
+        return pd.DataFrame({"part": [part], "n": [len(pdf)]})
+
+    (docs.select("doc_id", "text")
+     .withColumn("part", (F.col("doc_id") % n_files).cast("int"))
+     .groupBy("part").applyInPandas(_write, schema="part int, n long")
+     .collect())

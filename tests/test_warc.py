@@ -1,0 +1,57 @@
+"""WARC container source: record framing, per-record gzip members,
+HTTP envelope stripping, and the Spark read/write round-trip against
+the flagship extraction path."""
+
+import os
+
+from powerpoint_context_extractor_spark.sources import warc
+
+
+def test_warc_roundtrip_plain_and_gz():
+    recs = [("doc://1", "2024-01-01T00:00:01Z", b"<h1>One</h1>"),
+            ("doc://2", "2024-01-01T00:00:02Z",
+             b"<p>bait: WARC/1.0 endstream \r\n\r\n inside body</p>")]
+    for gz in (False, True):
+        data = warc.build_warc(
+            [("file://0", "d", b"software: x", "warcinfo")] + recs,
+            gzip_records=gz)
+        got = [(h["warc-target-uri"], warc.http_body(p))
+               for h, p in warc.iter_warc_records(data)
+               if h.get("warc-type") == "response"]
+        assert got == [(u, b) for u, _d, b in recs], gz
+    # .warc.gz really is one gzip member per record, not one stream
+    gz_data = warc.build_warc(recs, gzip_records=True)
+    assert len(list(warc._gzip_members(gz_data))) == 2
+
+
+def test_warc_error_tolerance():
+    recs = [("doc://1", "d", b"<p>a</p>"), ("doc://2", "d", b"<p>b</p>")]
+    data = warc.build_warc(recs, gzip_records=True)
+    # truncated final member: earlier records still parse, no raise
+    partial = list(warc.iter_warc_records(data[:len(data) - 8]))
+    assert 1 <= len(partial) < 2 or partial[0][0]["warc-target-uri"] == "doc://1"
+    # garbage input yields nothing, never raises
+    assert list(warc.iter_warc_records(b"not a warc at all")) == []
+    assert list(warc.iter_warc_records(b"\x1f\x8bgarbage")) == []
+    # payload without an HTTP envelope passes through untouched
+    assert warc.http_body(b"raw bytes") == b"raw bytes"
+
+
+def test_warc_spark_roundtrip_matches_flagship(spark, sf_dir, tmp_path):
+    """write (distributed, per-partition files) -> read (binaryFile +
+    member split) -> kernel extraction == the direct flagship path."""
+    from powerpoint_context_extractor_spark.operators.extract import (
+        extract_pages, extract_wrapped_documents,
+    )
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    out = str(tmp_path / "warcs")
+    warc.write_documents_as_warc(docs, out, n_files=4)
+    names = sorted(os.listdir(out))
+    assert len(names) == 4 and all(n.endswith(".warc.gz") for n in names)
+    via_warc = {r["url"]: (r["title"], r["text"], r["n_blocks"])
+                for r in extract_pages(
+                    warc.read_warc(spark, out).select("url", "html"))
+                .collect()}
+    direct = {r["url"]: (r["title"], r["text"], r["n_blocks"])
+              for r in extract_wrapped_documents(docs).collect()}
+    assert via_warc == direct
