@@ -447,6 +447,38 @@ def _text_fingerprint(spark, sf_dir):
     return fingerprint(_t(spark, sf_dir, "documents"))
 
 
+def _dedup_paragraphs(spark, sf_dir):
+    """CCNet-style paragraph-level dedup: paragraphs (20-token chunks)
+    appearing in >=2 distinct docs are boilerplate and removed
+    everywhere; output is per-doc totals + md5 of the cleaned text.
+    Wide shuffle carries md5 keys, not paragraph bodies."""
+    from powerpoint_context_extractor_spark.operators.dedup import (
+        paragraph_dedup,
+    )
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    # clone a slice under new ids so cross-doc repeats exist at every sf
+    dup = (d.filter(F.col("doc_id") < 40)
+           .withColumn("doc_id", F.col("doc_id") + 2000000))
+    return paragraph_dedup(d.unionByName(dup))
+
+
+def _text_repetition(spark, sf_dir):
+    """Gopher/MassiveText repetition rule: duplicate-bigram fraction per
+    doc, integer-exact flag at >10% — zero-shuffle scan-speed filter."""
+    from powerpoint_context_extractor_spark.operators.textstats import (
+        repetition_stats,
+    )
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    # append a synthetic high-repetition twin per doc_id<20 so the flag
+    # fires deterministically at every sf
+    rep = (d.filter(F.col("doc_id") < 20)
+           .select((F.col("doc_id") + 3000000).alias("doc_id"),
+                   F.concat_ws(" ", F.array_repeat(
+                       F.substring_index(F.col("text"), " ", 2), 30))
+                   .alias("text")))
+    return repetition_stats(d.unionByName(rep))
+
+
 def _agg_salted_host_stats(spark, sf_dir):
     from powerpoint_context_extractor_spark.operators.textstats import (
         host_stats_salted,
@@ -751,6 +783,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x7_unit_format": _x7_unit_format,
         "w_running_sum": _w_running_sum,
         "dedup_exact": _dedup_exact,
+        "dedup_paragraphs": _dedup_paragraphs,
+        "text_repetition": _text_repetition,
         "dedup_minhash_lsh": _dedup_minhash_lsh,
         "dedup_minhash_lsh_capped": _dedup_minhash_lsh_capped,
         "dedup_clusters": _dedup_clusters,
@@ -1583,6 +1617,62 @@ def oracle_sql() -> dict[str, str]:
                md5('# Doc ' || t.doc_id ||
                    coalesce(chr(10)||chr(10)||a.body, '')) AS text_md5
         FROM toks t LEFT JOIN agg a USING (doc_id)
+    """
+    d["dedup_paragraphs"] = """
+        WITH base AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 2000000 AS doc_id, text
+          FROM documents WHERE doc_id < 40
+        ), toks AS (
+          SELECT doc_id, string_split(text, ' ') AS ts FROM base
+        ), flat AS (
+          SELECT doc_id, unnest(ts) AS tok,
+                 unnest(range(1, len(ts)+1)) AS i
+          FROM toks
+        ), paras AS (
+          SELECT doc_id, (i-1)//20 AS cn,
+                 string_agg(tok, ' ' ORDER BY i) AS para
+          FROM flat GROUP BY doc_id, (i-1)//20
+        ), freq AS (
+          SELECT para, count(DISTINCT doc_id) AS nd FROM paras GROUP BY para
+        )
+        SELECT p.doc_id,
+               count(*) AS total_paras,
+               CAST(sum(CASE WHEN f.nd < 2 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS kept_paras,
+               md5(coalesce(string_agg(CASE WHEN f.nd < 2 THEN p.para END,
+                                       chr(10)||chr(10) ORDER BY p.cn), ''))
+                 AS clean_md5
+        FROM paras p JOIN freq f USING (para)
+        GROUP BY p.doc_id
+    """
+    d["text_repetition"] = """
+        WITH base AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 3000000 AS doc_id,
+                 rtrim(repeat(array_to_string(
+                     (string_split(text, ' '))[1:2], ' ') || ' ', 30))
+                   AS text
+          FROM documents WHERE doc_id < 20
+        ), b AS (
+          SELECT doc_id,
+                 CASE WHEN len(ts) >= 2
+                      THEN list_transform(range(1, len(ts)),
+                                          k -> ts[k] || ' ' || ts[k+1])
+                      ELSE []::VARCHAR[] END AS bg
+          FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM base)
+        )
+        SELECT doc_id,
+               CAST(len(bg) AS BIGINT) AS n_bigrams,
+               CAST(len(list_distinct(bg)) AS BIGINT) AS n_distinct,
+               CAST(len(bg) - len(list_distinct(bg)) AS BIGINT)
+                 AS dup_bigrams,
+               CAST(CASE WHEN 100 * (len(bg) - len(list_distinct(bg)))
+                              > 10 * len(bg)
+                         THEN 1 ELSE 0 END AS BIGINT) AS flagged
+        FROM b
     """
     d["text_charset_utf16_nobom"] = """
         WITH toks AS (

@@ -280,3 +280,43 @@ def ngram_jaccard_to_query(docs: DataFrame, query_id: int,
                     (inter * 10000).cast("long").alias("i10k"),
                     union.cast("long").alias("u"))
             .select(F.col(id_col), F.expr("i10k div u").alias("jaccard_bp")))
+
+
+def paragraph_dedup(docs: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text", para_tokens: int = 20,
+                    min_docs: int = 2) -> DataFrame:
+    """CCNet/RefinedWeb-style paragraph-level dedup: a paragraph that
+    appears in >= ``min_docs`` distinct documents is boilerplate
+    (cookie banners, license blurbs, nav crumbs survive DOM filtering)
+    and is removed from EVERY document; the cleaned text is the
+    surviving paragraphs re-joined in document order. Paragraphs here
+    are the flagship wrap's ``para_tokens``-token chunks, so the whole
+    operator is exactly SQL-expressible.
+
+    Scale shape: frequency is keyed by md5(paragraph) — the wide
+    shuffle carries 32-hex keys, not paragraph bodies — and the
+    marked-paragraph join lands co-partitioned on that same key, so
+    the plan is (doc-key agg) + (hash-key agg + join) + (doc-key
+    regroup): three bounded shuffles, no driver funnel, no all-pairs
+    anything. Output: (doc_id, total_paras, kept_paras, clean_md5)."""
+    toks = docs.select(
+        F.col(id_col), F.posexplode(tokens_col(text_col)).alias("i", "tok"))
+    paras = (toks.withColumn("cn", F.expr(f"i DIV {para_tokens}"))
+             .groupBy(id_col, "cn")
+             .agg(F.array_join(
+                 F.transform(F.array_sort(F.collect_list(F.struct("i", "tok"))),
+                             lambda s: s["tok"]), " ").alias("para")))
+    keyed = paras.withColumn("ph", F.md5(F.col("para")))
+    freq = keyed.groupBy("ph").agg(
+        F.countDistinct(F.col(id_col)).alias("n_docs"))
+    marked = keyed.join(freq, "ph")
+    is_kept = F.col("n_docs") < min_docs
+    kept_struct = F.when(is_kept, F.struct("cn", "para"))
+    return (marked.groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("total_paras"),
+                 F.sum(is_kept.cast("long")).alias("kept_paras"),
+                 F.md5(F.array_join(
+                     F.transform(F.array_sort(F.collect_list(kept_struct)),
+                                 lambda s: s["para"]),
+                     "\n\n").cast("binary")).alias("clean_md5"))
+            .select(F.col(id_col), "total_paras", "kept_paras", "clean_md5"))

@@ -138,3 +138,34 @@ def host_stats_salted(events: DataFrame, key_col: str = "event_type",
     return (partial.groupBy(key_col)
             .agg(F.sum("pc").alias("n"),
                  F.sum("ps").alias("value_cents")))
+
+
+def repetition_stats(docs: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text",
+                     dup_threshold_pct: int = 10) -> DataFrame:
+    """Gopher-style within-document repetition filter: the fraction of
+    duplicate token bigrams flags template/spam pages (MassiveText's
+    'repetition' quality rules, Rae et al. 2021 — public method).
+
+    Everything is per-row array math inside whole-stage codegen
+    (sequence/transform/array_distinct): ZERO shuffles, so at 100 TB
+    this runs at scan speed. Integer-exact flag: flagged=1 iff
+    100*dup_bigrams > threshold_pct*n_bigrams (no float division)."""
+    toks = _toks(text_col)
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(F.sequence(F.lit(0), F.size(toks) - 2),
+                    lambda k: F.concat_ws(" ", F.element_at(toks, k + 1),
+                                          F.element_at(toks, k + 2)))
+    ).otherwise(F.array().cast("array<string>"))
+    d = docs.select(F.col(id_col), bigrams.alias("bg"))
+    n_all = F.size(F.col("bg")).cast("long")
+    n_dist = F.size(F.array_distinct(F.col("bg"))).cast("long")
+    return (d.select(F.col(id_col),
+                     n_all.alias("n_bigrams"),
+                     n_dist.alias("n_distinct"),
+                     (n_all - n_dist).alias("dup_bigrams"))
+            .withColumn("flagged",
+                        (100 * F.col("dup_bigrams")
+                         > dup_threshold_pct * F.col("n_bigrams"))
+                        .cast("long")))

@@ -326,3 +326,47 @@ def test_ivf_nprobe_recall_monotone(spark, sf_dir):
         assert rec >= last, (nprobe, rec, last)
         last = rec
     assert last == 1.0              # probing every cell == brute force
+
+
+def test_paragraph_dedup_removes_cross_doc_boilerplate(spark):
+    """A paragraph shared by >=2 docs vanishes from every doc; unique
+    paragraphs survive in document order."""
+    import hashlib
+    boiler = " ".join(f"b{i}" for i in range(20))       # exactly 1 chunk
+    u0 = " ".join(f"u{i}" for i in range(20))
+    u1 = " ".join(f"v{i}" for i in range(20))
+    rows = [(0, boiler + " " + u0),
+            (1, boiler + " " + u1),
+            (2, u0)]                                     # u0 now shared too!
+    out = {r["doc_id"]: r for r in dedup.paragraph_dedup(
+        spark.createDataFrame(rows, "doc_id long, text string")).collect()}
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()  # noqa: E731
+    # boiler in docs 0+1 -> dropped; u0 in docs 0+2 -> dropped too
+    assert out[0]["total_paras"] == 2 and out[0]["kept_paras"] == 0
+    assert out[0]["clean_md5"] == md5("")
+    assert out[1]["total_paras"] == 2 and out[1]["kept_paras"] == 1
+    assert out[1]["clean_md5"] == md5(u1)
+    assert out[2]["kept_paras"] == 0
+
+
+def test_paragraph_dedup_keeps_within_doc_order(spark):
+    import hashlib
+    p = lambda c: " ".join(f"{c}{i}" for i in range(20))  # noqa: E731
+    rows = [(7, " ".join([p("a"), p("b"), p("c")]))]
+    r = dedup.paragraph_dedup(
+        spark.createDataFrame(rows, "doc_id long, text string")).collect()[0]
+    want = "\n\n".join([p("a"), p("b"), p("c")])
+    assert r["kept_paras"] == 3
+    assert r["clean_md5"] == hashlib.md5(want.encode()).hexdigest()
+
+
+def test_repetition_stats_flags_looped_text(spark):
+    rows = [(0, " ".join(["spam ham"] * 25)),            # one bigram looped
+            (1, " ".join(f"w{i}" for i in range(40))),   # all distinct
+            (2, "single")]                               # no bigrams
+    out = {r["doc_id"]: r for r in textstats.repetition_stats(
+        spark.createDataFrame(rows, "doc_id long, text string")).collect()}
+    assert out[0]["flagged"] == 1 and out[0]["dup_bigrams"] > 0
+    assert out[0]["n_bigrams"] == 49                     # 50 tokens
+    assert out[1]["flagged"] == 0 and out[1]["dup_bigrams"] == 0
+    assert out[2]["n_bigrams"] == 0 and out[2]["flagged"] == 0
