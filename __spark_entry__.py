@@ -126,6 +126,28 @@ def _warc_extract(spark, sf_dir):
             .select("url", "title", "text", "n_blocks"))
 
 
+def _warc_stream_extract(spark, sf_dir):
+    """Streaming twin of warc_extract: the same .warc.gz files ingested
+    as a bounded binaryFile stream (one file per micro-batch), each
+    micro-batch committed exactly-once into a snapshot table behind the
+    committed-url anti-join. Final table == the batch path == the
+    flagship SQL oracle."""
+    import tempfile
+
+    from powerpoint_context_extractor_spark.sources.warc import (
+        write_documents_as_warc,
+    )
+    from powerpoint_context_extractor_spark.streaming.ingest import (
+        stream_extract_warc,
+    )
+    docs = _t(spark, sf_dir, "documents")
+    root = tempfile.mkdtemp(prefix="pcx_warcstream_")
+    wdir = os.path.join(root, "warcs")
+    write_documents_as_warc(docs, wdir, n_files=4)
+    out = stream_extract_warc(spark, wdir, os.path.join(root, "out"))
+    return out.select("url", "title", "text", "n_blocks")
+
+
 def _text_charset_utf16_nobom(spark, sf_dir):
     """BOM-less UTF-16 sniff contract: pages encoded utf-16-le/-be with
     no BOM and no meta tag; the kernel's NUL-parity sniff must label
@@ -766,6 +788,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "flagship_extract_pdf": _flagship_extract_pdf,
         "flagship_extract_pdf15": _flagship_extract_pdf15,
         "warc_extract": _warc_extract,
+        "warc_stream_extract": _warc_stream_extract,
         "text_url_host": _text_url_host,
         "text_charset_breakdown": _text_charset_breakdown,
         "text_charset_utf16_nobom": _text_charset_utf16_nobom,
@@ -1503,6 +1526,8 @@ def oracle_sql() -> dict[str, str]:
     d["flagship_extract_pdf15"] = d["flagship_extract"]
     # the WARC round-trip re-extracts the same invertible wrap
     d["warc_extract"] = d["flagship_extract"]
+    # ... and the streamed WARC ingestion commits exactly those rows
+    d["warc_stream_extract"] = d["flagship_extract"]
     d["text_url_host"] = """
         SELECT host, COUNT(*) AS n_docs
         FROM (SELECT regexp_extract(

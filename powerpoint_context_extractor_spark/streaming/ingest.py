@@ -316,3 +316,45 @@ def stream_dedup_exact(spark: SparkSession, docs_dir: str,
          .start())
     q.awaitTermination()
     return spark.sql(f"SELECT text_sha FROM {name}")
+
+
+def stream_extract_warc(spark: SparkSession, warc_dir: str, out_root: str,
+                        run_id: str = "warcstream") -> DataFrame:
+    """Live Common-Crawl ingestion shape: .warc.gz files arriving in a
+    directory are streamed (binaryFile source, one file per
+    micro-batch = the file-level parallelism unit real CC jobs use),
+    records split per gzip member, HTTP envelopes stripped, the SAME
+    Arrow-batched kernel extracts, and each micro-batch commits into a
+    snapshot table behind the committed-url anti-join — exactly-once
+    under replay, identical output to the batch read_warc path (pinned
+    by pytest). Returns the committed table as a DataFrame."""
+    from ..sources.warc import WARC_PAGE_SCHEMA, _warc_batches
+    table = SnapshotTable(os.path.join(out_root, "extracted"))
+    bin_schema = T.StructType([
+        T.StructField("path", T.StringType(), True),
+        T.StructField("modificationTime", T.TimestampType(), True),
+        T.StructField("length", T.LongType(), True),
+        T.StructField("content", T.BinaryType(), True),
+    ])
+    stream = (spark.readStream.format("binaryFile")
+              .schema(bin_schema)
+              .option("pathGlobFilter", "*.warc*")
+              .option("maxFilesPerTrigger", 1)
+              .load(warc_dir)
+              .select("content"))
+    pages = stream.mapInPandas(_warc_batches, schema=WARC_PAGE_SCHEMA)
+    extracted = extract_pages(pages.select("url", "html"))
+
+    def commit_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        done = table.committed_keys(batch_df.sparkSession, "url")
+        if done is not None:
+            batch_df = batch_df.join(done, "url", "left_anti")
+        table.append(batch_df, run_id=f"{run_id}-epoch{epoch_id}")
+
+    q = (extracted.writeStream
+         .foreachBatch(commit_batch)
+         .option("checkpointLocation", os.path.join(out_root, "ck"))
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    return table.read(spark)

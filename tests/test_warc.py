@@ -55,3 +55,38 @@ def test_warc_spark_roundtrip_matches_flagship(spark, sf_dir, tmp_path):
     direct = {r["url"]: (r["title"], r["text"], r["n_blocks"])
               for r in extract_wrapped_documents(docs).collect()}
     assert via_warc == direct
+
+
+def test_warc_stream_equals_batch_and_exactly_once(spark, sf_dir, tmp_path):
+    """Streamed WARC ingestion commits the same rows as the batch path;
+    replaying the whole backlog with a FRESH checkpoint (worst-case
+    at-least-once redelivery) commits nothing new."""
+    from powerpoint_context_extractor_spark.operators.extract import (
+        extract_pages,
+    )
+    from powerpoint_context_extractor_spark.sources.table_io import (
+        SnapshotTable,
+    )
+    from powerpoint_context_extractor_spark.streaming.ingest import (
+        stream_extract_warc,
+    )
+    docs = (spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+            .limit(60))
+    wdir = str(tmp_path / "warcs")
+    warc.write_documents_as_warc(docs, wdir, n_files=3)
+    out_root = str(tmp_path / "out")
+    streamed = stream_extract_warc(spark, wdir, out_root)
+    batch = extract_pages(
+        warc.read_warc(spark, wdir).select("url", "html"))
+    skey = {r["url"]: (r["title"], r["text"]) for r in streamed.collect()}
+    bkey = {r["url"]: (r["title"], r["text"]) for r in batch.collect()}
+    assert skey == bkey and len(skey) == 60
+    n_snaps = len(SnapshotTable(os.path.join(out_root, "extracted")).snapshots())
+    # replay: same table, fresh checkpoint -> anti-join blocks every row
+    import shutil
+    shutil.rmtree(os.path.join(out_root, "ck"))
+    again = stream_extract_warc(spark, wdir, out_root)
+    assert again.count() == 60
+    snaps = SnapshotTable(os.path.join(out_root, "extracted")).snapshots()
+    assert sum(s["row_count"] for s in snaps) == 60
+    assert len(snaps) > n_snaps        # new (empty) commits, no new rows
