@@ -126,6 +126,32 @@ def _warc_extract(spark, sf_dir):
             .select("url", "title", "text", "n_blocks"))
 
 
+def _text_url_canonical(spark, sf_dir):
+    """URL canonicalization contract: messy urls (mixed-case scheme/
+    host, default ports, utm/gclid/fbclid params in every position,
+    fragments) synthesized deterministically from doc_id, normalized by
+    the zero-shuffle regexp chain in operators/urltools. The DuckDB
+    oracle mirrors every step (RE2-safe patterns, no lookarounds)."""
+    from powerpoint_context_extractor_spark.operators.urltools import (
+        canonical_url,
+    )
+    d = _t(spark, sf_dir, "documents")
+    base = F.when(
+        F.col("doc_id") % 2 == 1,
+        F.format_string("HTTPS://Host%d.Example:443/p/%d",
+                        F.col("doc_id") % 23, F.col("doc_id"))
+    ).otherwise(
+        F.format_string("HTTP://Host%d.EXAMPLE:80/Path/%d",
+                        F.col("doc_id") % 23, F.col("doc_id")))
+    sfx = (F.when(F.col("doc_id") % 5 == 0, "?utm_source=x&q=1#frag")
+           .when(F.col("doc_id") % 5 == 1, "?q=7&utm_campaign=c")
+           .when(F.col("doc_id") % 5 == 2, "?utm_a=1&utm_b=2")
+           .when(F.col("doc_id") % 5 == 3, "#sec")
+           .otherwise("?a=1&fbclid=zz&b=2"))
+    return (d.select("doc_id", F.concat(base, sfx).alias("url"))
+            .select("doc_id", canonical_url(F.col("url")).alias("canon_url")))
+
+
 def _warc_stream_extract(spark, sf_dir):
     """Streaming twin of warc_extract: the same .warc.gz files ingested
     as a bounded binaryFile stream (one file per micro-batch), each
@@ -792,6 +818,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_url_host": _text_url_host,
         "text_charset_breakdown": _text_charset_breakdown,
         "text_charset_utf16_nobom": _text_charset_utf16_nobom,
+        "text_url_canonical": _text_url_canonical,
         "q1_pricing_summary": _q1_pricing_summary,
         "f1_keyset_filter": _f1_keyset_filter,
         "f2_pushdown_residual": _f2_pushdown_residual,
@@ -1642,6 +1669,47 @@ def oracle_sql() -> dict[str, str]:
                md5('# Doc ' || t.doc_id ||
                    coalesce(chr(10)||chr(10)||a.body, '')) AS text_md5
         FROM toks t LEFT JOIN agg a USING (doc_id)
+    """
+    d["text_url_canonical"] = r"""
+        WITH raw AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 2 = 1
+                      THEN printf('HTTPS://Host%d.Example:443/p/%d',
+                                  doc_id % 23, doc_id)
+                      ELSE printf('HTTP://Host%d.EXAMPLE:80/Path/%d',
+                                  doc_id % 23, doc_id) END ||
+                 CASE doc_id % 5
+                   WHEN 0 THEN '?utm_source=x&q=1#frag'
+                   WHEN 1 THEN '?q=7&utm_campaign=c'
+                   WHEN 2 THEN '?utm_a=1&utm_b=2'
+                   WHEN 3 THEN '#sec'
+                   ELSE '?a=1&fbclid=zz&b=2' END AS url
+          FROM documents
+        ), s1 AS (
+          SELECT doc_id, regexp_replace(url, '#.*$', '') AS u FROM raw
+        ), s2 AS (
+          SELECT doc_id,
+                 lower(regexp_extract(u,
+                     '^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*')) ||
+                 u[len(regexp_extract(u,
+                     '^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*')) + 1:] AS u
+          FROM s1
+        ), s3 AS (
+          SELECT doc_id, regexp_replace(regexp_replace(u,
+                   '^(http://[^/?#:]+):80([/?]|$)', '\1\2'),
+                   '^(https://[^/?#:]+):443([/?]|$)', '\1\2') AS u
+          FROM s2
+        ), s4 AS (
+          SELECT doc_id, regexp_replace(u,
+                   '&(utm_[^=&#]*|gclid|fbclid)=[^&#]*', '', 'g') AS u
+          FROM s3
+        ), s5 AS (
+          SELECT doc_id, regexp_replace(regexp_replace(u,
+                   '\?(utm_[^=&#]*|gclid|fbclid)=[^&#]*&', '?'),
+                   '\?(utm_[^=&#]*|gclid|fbclid)=[^&#]*$', '') AS u
+          FROM s4
+        )
+        SELECT doc_id, regexp_replace(u, '[?&]$', '') AS canon_url FROM s5
     """
     d["dedup_paragraphs"] = """
         WITH base AS (

@@ -64,3 +64,29 @@ def test_artifact_sink_writes_named_payload_files(spark, tmp_path):
     write_artifacts(df, out, prefix="doc")
     assert sorted(p.name for p in (tmp_path / "artifacts").iterdir()) == [
         "doc_00007.bin", "doc_00042.bin"]
+
+
+def test_canonical_url_edge_cases(spark):
+    from powerpoint_context_extractor_spark.operators.urltools import (
+        canonicalize_urls,
+    )
+    cases = [
+        # (raw, expected canonical)
+        ("HTTP://WWW.Example.COM:80/A/B?x=1#frag",
+         "http://www.example.com/A/B?x=1"),
+        ("https://Site.Org:443/", "https://site.org/"),
+        ("https://site.org:8443/x", "https://site.org:8443/x"),  # real port
+        ("http://h.io/p?utm_source=a&utm_medium=b&q=2",
+         "http://h.io/p?q=2"),
+        ("http://h.io/p?q=2&gclid=xyz", "http://h.io/p?q=2"),
+        ("http://h.io/p?fbclid=1", "http://h.io/p"),
+        ("http://h.io/p?utm_a=1&utm_b=2", "http://h.io/p"),
+        ("http://h.io/CaseKept/Path", "http://h.io/CaseKept/Path"),
+        ("http://h.io/p#only-frag", "http://h.io/p"),
+    ]
+    df = spark.createDataFrame([(i, r) for i, (r, _e) in enumerate(cases)],
+                               "i long, url string")
+    got = {r["i"]: r["canon_url"]
+           for r in canonicalize_urls(df).collect()}
+    for i, (_raw, exp) in enumerate(cases):
+        assert got[i] == exp, (i, _raw, got[i], exp)
