@@ -126,6 +126,64 @@ def _warc_extract(spark, sf_dir):
             .select("url", "title", "text", "n_blocks"))
 
 
+def _mm_png_resize(spark, sf_dir):
+    """Multimodal preprocess contract: real PNG decode (zlib + all five
+    scanline filters) followed by integer nearest-neighbor resize
+    16x8 -> 4x4; resized bytes emitted as hex and reconstructed exactly
+    by the SQL floor-index rule."""
+    from powerpoint_context_extractor_spark.operators.multimodal import (
+        extract_png_resized,
+    )
+    return extract_png_resized(_t(spark, sf_dir, "documents"))
+
+
+def _web_robots_filter(spark, sf_dir):
+    """Crawl-politeness filter: per-host robots.txt (User-agent: *
+    Disallow prefixes) parsed with array HOFs and broadcast-joined to
+    pages; allowed=1 iff no rule prefixes the path. Hosts and bodies
+    are deterministic functions of doc_id, so the SQL oracle computes
+    the same verdict from first principles."""
+    from powerpoint_context_extractor_spark.operators.robots import (
+        apply_robots,
+    )
+    d = _t(spark, sf_dir, "documents")
+    host = F.format_string("host%d.example", F.col("doc_id") % 7)
+    path = (F.when(F.col("doc_id") % 3 == 0,
+                   F.format_string("/private/doc%d", F.col("doc_id")))
+            .when(F.col("doc_id") % 3 == 1,
+                  F.format_string("/public/doc%d", F.col("doc_id")))
+            .otherwise(F.format_string("/tmp/doc%d", F.col("doc_id"))))
+    pages = d.select("doc_id", host.alias("host"), path.alias("path"))
+    robots = spark.range(7).select(
+        F.format_string("host%d.example", F.col("id")).alias("host"),
+        F.when(F.col("id") % 2 == 0,
+               F.lit("User-agent: *\nDisallow: /private\n"
+                     "Disallow: /tmp\nCrawl-delay: 1"))
+        .otherwise(F.lit("User-agent: *\nDisallow:\n"))
+        .alias("robots_txt"))
+    return (apply_robots(pages, robots)
+            .select("doc_id", "host", "path", "allowed"))
+
+
+def _sink_jsonl_shards(spark, sf_dir):
+    """Training-corpus export sink: flagship output written as gzip
+    JSONL shards (url-hash partitioned — the file layout LLM data
+    loaders consume), then read back schema-pinned. Grading the
+    read-back against the flagship SQL oracle proves byte-level
+    round-trip fidelity through json escaping + gzip."""
+    import tempfile
+
+    from powerpoint_context_extractor_spark.operators.extract import (
+        extract_wrapped_documents,
+    )
+    out = extract_wrapped_documents(_t(spark, sf_dir, "documents"))
+    d = tempfile.mkdtemp(prefix="pcx_jsonl_")
+    (out.repartition(8, "url").write.mode("overwrite")
+     .option("compression", "gzip").json(d))
+    return spark.read.schema(
+        "url string, title string, text string, n_blocks long").json(d)
+
+
 def _text_url_canonical(spark, sf_dir):
     """URL canonicalization contract: messy urls (mixed-case scheme/
     host, default ports, utm/gclid/fbclid params in every position,
@@ -819,6 +877,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_charset_breakdown": _text_charset_breakdown,
         "text_charset_utf16_nobom": _text_charset_utf16_nobom,
         "text_url_canonical": _text_url_canonical,
+        "web_robots_filter": _web_robots_filter,
+        "sink_jsonl_shards": _sink_jsonl_shards,
+        "mm_png_resize": _mm_png_resize,
         "q1_pricing_summary": _q1_pricing_summary,
         "f1_keyset_filter": _f1_keyset_filter,
         "f2_pushdown_residual": _f2_pushdown_residual,
@@ -1669,6 +1730,35 @@ def oracle_sql() -> dict[str, str]:
                md5('# Doc ' || t.doc_id ||
                    coalesce(chr(10)||chr(10)||a.body, '')) AS text_md5
         FROM toks t LEFT JOIN agg a USING (doc_id)
+    """
+    # the jsonl.gz sink round-trip re-emits exactly the flagship rows
+    d["sink_jsonl_shards"] = d["flagship_extract"]
+    d["mm_png_resize"] = """
+        WITH g AS (
+          SELECT d.doc_id, t1.y, t2.x,
+                 (d.doc_id * 31 + ((t1.y * 8) // 4) * 16
+                  + ((t2.x * 16) // 4)) % 256 AS v
+          FROM documents d, range(4) AS t1(y), range(4) AS t2(x)
+        )
+        SELECT doc_id,
+               CAST(4 AS BIGINT) AS out_w,
+               CAST(4 AS BIGINT) AS out_h,
+               CAST(sum(v) AS BIGINT) AS px_sum,
+               string_agg(printf('%02x', v), '' ORDER BY y * 4 + x)
+                 AS px_hex
+        FROM g GROUP BY doc_id
+    """
+    d["web_robots_filter"] = """
+        SELECT doc_id,
+               printf('host%d.example', doc_id % 7) AS host,
+               CASE doc_id % 3
+                 WHEN 0 THEN printf('/private/doc%d', doc_id)
+                 WHEN 1 THEN printf('/public/doc%d', doc_id)
+                 ELSE printf('/tmp/doc%d', doc_id) END AS path,
+               CAST(CASE WHEN (doc_id % 7) % 2 = 0
+                              AND doc_id % 3 IN (0, 2)
+                         THEN 0 ELSE 1 END AS BIGINT) AS allowed
+        FROM documents
     """
     d["text_url_canonical"] = r"""
         WITH raw AS (

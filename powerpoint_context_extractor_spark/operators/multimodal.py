@@ -144,3 +144,39 @@ def extract_png_features(docs: DataFrame) -> DataFrame:
     statistics (see ``png_payload_for_doc`` for the oracle contract)."""
     return docs.select("doc_id").mapInPandas(
         _png_feature_batches, schema=PNG_FEATURE_SCHEMA)
+
+
+PNG_RESIZE_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType(), False),
+    T.StructField("out_w", T.LongType()),
+    T.StructField("out_h", T.LongType()),
+    T.StructField("px_sum", T.LongType()),
+    T.StructField("px_hex", T.StringType()),
+])
+
+
+def extract_png_resized(docs: DataFrame, out_w: int = 4,
+                        out_h: int = 4) -> DataFrame:
+    """Decode the deterministic PNG per row and nearest-neighbor resize
+    it (png.resize_nn) — the preprocess step every multimodal training
+    pipeline runs before feature extraction. The resized pixel bytes
+    are emitted as hex so the DuckDB oracle can reconstruct them from
+    the floor-index rule and compare exactly."""
+    from ..png import resize_nn
+
+    def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("doc_id", "out_w", "out_h",
+                                   "px_sum", "px_hex")}
+            for doc_id in pdf["doc_id"].tolist():
+                w, h, px = decode_png(png_payload_for_doc(doc_id))
+                r = resize_nn(w, h, px, out_w, out_h)
+                out["doc_id"].append(doc_id)
+                out["out_w"].append(out_w)
+                out["out_h"].append(out_h)
+                out["px_sum"].append(sum(r))
+                out["px_hex"].append(r.hex())
+            yield pd.DataFrame(out)
+
+    return docs.select("doc_id").mapInPandas(
+        _batches, schema=PNG_RESIZE_SCHEMA)

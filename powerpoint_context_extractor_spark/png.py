@@ -146,3 +146,22 @@ def decode_png(data: bytes) -> tuple:
         pixels += row
         prev = bytes(row)
     return width, height, bytes(pixels)
+
+
+def resize_nn(width: int, height: int, pixels: bytes,
+              out_w: int, out_h: int) -> bytes:
+    """Nearest-neighbor resize (grayscale-8): out[y][x] =
+    in[(y*height)//out_h][(x*width)//out_w]. Pure integer index math —
+    deterministic and exactly mirrorable in SQL, which is what lets the
+    resize path sit under the DuckDB gate (real image libs resize with
+    float scale factors; the floor-index rule here is the standard NN
+    convention for integer downscale)."""
+    if out_w <= 0 or out_h <= 0:
+        raise ValueError("png: non-positive resize target")
+    out = bytearray(out_w * out_h)
+    for y in range(out_h):
+        sy = (y * height) // out_h
+        row = sy * width
+        for x in range(out_w):
+            out[y * out_w + x] = pixels[row + (x * width) // out_w]
+    return bytes(out)

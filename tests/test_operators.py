@@ -370,3 +370,43 @@ def test_repetition_stats_flags_looped_text(spark):
     assert out[0]["n_bigrams"] == 49                     # 50 tokens
     assert out[1]["flagged"] == 0 and out[1]["dup_bigrams"] == 0
     assert out[2]["n_bigrams"] == 0 and out[2]["flagged"] == 0
+
+
+def test_robots_prefix_filter(spark):
+    from powerpoint_context_extractor_spark.operators import robots
+    pages = spark.createDataFrame(
+        [(0, "a.io", "/private/x"), (1, "a.io", "/pub/x"),
+         (2, "b.io", "/private/x"), (3, "a.io", "/privateer")],
+        "doc_id long, host string, path string")
+    rb = spark.createDataFrame(
+        [("a.io", "User-agent: *\nDisallow: /private\nCrawl-delay: 2"),
+         ("c.io", "User-agent: *\nDisallow: /")],
+        "host string, robots_txt string")
+    out = {r["doc_id"]: r["allowed"]
+           for r in robots.apply_robots(pages, rb).collect()}
+    # prefix semantics: /privateer IS blocked by /private (robots.txt
+    # path rules are plain prefixes); unknown host b.io allows all
+    assert out == {0: 0, 1: 1, 2: 1, 3: 0}
+    # empty Disallow line = allow-all marker, never a '' prefix rule
+    rb2 = spark.createDataFrame([("a.io", "User-agent: *\nDisallow:\n")],
+                                "host string, robots_txt string")
+    out2 = {r["doc_id"]: r["allowed"]
+            for r in robots.apply_robots(pages, rb2).collect()}
+    assert all(v == 1 for v in out2.values())
+
+
+def test_png_resize_nn_exact():
+    from powerpoint_context_extractor_spark.operators.multimodal import (
+        PNG_H, PNG_W, png_payload_for_doc,
+    )
+    from powerpoint_context_extractor_spark.png import decode_png, resize_nn
+    w, h, px = decode_png(png_payload_for_doc(5))
+    assert (w, h) == (PNG_W, PNG_H)
+    r = resize_nn(w, h, px, 4, 4)
+    want = bytes((5 * 31 + (2 * y) * 16 + 4 * x) % 256
+                 for y in range(4) for x in range(4))
+    assert r == want
+    # identity resize round-trips; upscale replicates
+    assert resize_nn(w, h, px, w, h) == px
+    up = resize_nn(2, 1, bytes([10, 200]), 4, 1)
+    assert up == bytes([10, 10, 200, 200])
