@@ -137,6 +137,51 @@ def _mm_png_resize(spark, sf_dir):
     return extract_png_resized(_t(spark, sf_dir, "documents"))
 
 
+def _dedup_url_latest(spark, sf_dir):
+    """URL-level capture dedup, the CC-index rule: canonicalize messy
+    urls (case/port/tracking variants collapse to one key), then per
+    canonical url keep the latest capture (max doc_id as the capture
+    ordinal) plus capture counts — canonicalization composed with the
+    group-reduce every crawl index runs."""
+    from powerpoint_context_extractor_spark.operators.urltools import (
+        canonical_url,
+    )
+    d = _t(spark, sf_dir, "documents")
+    base = F.when(
+        F.col("doc_id") % 2 == 1,
+        F.format_string("HTTPS://Host%d.Example:443/p/%d",
+                        F.col("doc_id") % 5, F.col("doc_id") % 25)
+    ).otherwise(
+        F.format_string("HTTP://Host%d.EXAMPLE:80/p/%d",
+                        F.col("doc_id") % 5, F.col("doc_id") % 25))
+    sfx = (F.when(F.col("doc_id") % 3 == 0, "?utm_source=x")
+           .when(F.col("doc_id") % 3 == 1, "#frag")
+           .otherwise(""))
+    urls = d.select("doc_id",
+                    canonical_url(F.concat(base, sfx)).alias("canon_url"))
+    return (urls.groupBy("canon_url")
+            .agg(F.count(F.lit(1)).alias("n_captures"),
+                 F.max("doc_id").alias("latest_doc"),
+                 F.min("doc_id").alias("first_doc")))
+
+
+def _sample_stratified(spark, sf_dir):
+    """Deterministic per-host downsampling (de-bias over-represented
+    hosts before training): keep a doc iff portable_hash('doc<i>') %
+    100 < rate(host) — hot host 0 at 5%, others at 50%. Hash-gated
+    sampling is reproducible across runs/engines, unlike rand()."""
+    from powerpoint_context_extractor_spark.operators.dedup import (
+        portable_hash,
+    )
+    d = _t(spark, sf_dir, "documents")
+    host = (F.col("doc_id") % 7).alias("host_id")
+    rate = F.when(F.col("host_id") == 0, 5).otherwise(50)
+    keyed = d.select("doc_id", host).withColumn(
+        "h", portable_hash(F.format_string("doc%d", F.col("doc_id"))) % 100)
+    return (keyed.filter(F.col("h") < rate)
+            .select("doc_id", "host_id", "h"))
+
+
 def _web_robots_filter(spark, sf_dir):
     """Crawl-politeness filter: per-host robots.txt (User-agent: *
     Disallow prefixes) parsed with array HOFs and broadcast-joined to
@@ -880,6 +925,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_robots_filter": _web_robots_filter,
         "sink_jsonl_shards": _sink_jsonl_shards,
         "mm_png_resize": _mm_png_resize,
+        "dedup_url_latest": _dedup_url_latest,
+        "sample_stratified": _sample_stratified,
         "q1_pricing_summary": _q1_pricing_summary,
         "f1_keyset_filter": _f1_keyset_filter,
         "f2_pushdown_residual": _f2_pushdown_residual,
@@ -1733,6 +1780,34 @@ def oracle_sql() -> dict[str, str]:
     """
     # the jsonl.gz sink round-trip re-emits exactly the flagship rows
     d["sink_jsonl_shards"] = d["flagship_extract"]
+    d["dedup_url_latest"] = """
+        -- first-principles canonical: the messy variants (case, :80/
+        -- :443, ?utm_source, #frag) all collapse to this exact form,
+        -- so the oracle derives it directly instead of mirroring the
+        -- regex chain — a stronger, independent check of urltools
+        WITH c AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 2 = 1
+                      THEN printf('https://host%d.example/p/%d',
+                                  doc_id % 5, doc_id % 25)
+                      ELSE printf('http://host%d.example/p/%d',
+                                  doc_id % 5, doc_id % 25) END AS canon_url
+          FROM documents
+        )
+        SELECT canon_url, count(*) AS n_captures,
+               max(doc_id) AS latest_doc, min(doc_id) AS first_doc
+        FROM c GROUP BY canon_url
+    """
+    d["sample_stratified"] = """
+        WITH k AS (
+          SELECT doc_id, doc_id % 7 AS host_id,
+                 (('0x' || substr(md5(printf('doc%d', doc_id)), 1, 8))::BIGINT
+                  % 1000000007) % 100 AS h
+          FROM documents
+        )
+        SELECT doc_id, host_id, h FROM k
+        WHERE h < CASE WHEN host_id = 0 THEN 5 ELSE 50 END
+    """
     d["mm_png_resize"] = """
         WITH g AS (
           SELECT d.doc_id, t1.y, t2.x,
