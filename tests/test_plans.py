@@ -200,3 +200,45 @@ def test_manifest_legacy_migration(tmp_path):
     table._commit({"snapshot_id": "new", "run_id": "r", "files": [],
                    "row_count": 2, "committed_at": "now"})
     assert [s["snapshot_id"] for s in table.snapshots()] == ["old", "new"]
+
+
+def test_repetition_stats_is_shuffle_free(spark, sf):
+    """The Gopher repetition filter must run at scan speed: per-row
+    array math only, no Exchange anywhere in the plan."""
+    from powerpoint_context_extractor_spark.operators.textstats import (
+        repetition_stats,
+    )
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    plan = _plan(repetition_stats(docs))
+    assert "Exchange" not in plan
+    assert "*(1)" in plan or "WholeStageCodegen" in plan
+
+
+def test_robots_join_is_broadcast(spark, sf):
+    """Per-host rules are tiny: the pages join must broadcast, never
+    sort-merge (which would shuffle the full pages table)."""
+    from powerpoint_context_extractor_spark.operators.robots import (
+        apply_robots,
+    )
+    pages = (spark.read.parquet(f"{sf}/documents.parquet")
+             .select("doc_id",
+                     F.format_string("h%d", F.col("doc_id") % 5).alias("host"),
+                     F.lit("/p").alias("path")))
+    robots = spark.createDataFrame(
+        [("h0", "User-agent: *\nDisallow: /p")],
+        "host string, robots_txt string")
+    plan = _plan(apply_robots(pages, robots))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_paragraph_dedup_shuffles_hash_keys_not_bodies(spark, sf):
+    """The frequency exchange must carry md5 keys: no full paragraph
+    column in the exchange below the freq aggregate. Structural proxy:
+    the plan has hashaggregates over 'ph' and no CartesianProduct."""
+    from powerpoint_context_extractor_spark.operators.dedup import (
+        paragraph_dedup,
+    )
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    plan = _plan(paragraph_dedup(docs.select("doc_id", "text")))
+    assert "CartesianProduct" not in plan and "ph" in plan
