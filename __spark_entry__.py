@@ -137,6 +137,60 @@ def _mm_png_resize(spark, sf_dir):
     return extract_png_resized(_t(spark, sf_dir, "documents"))
 
 
+def _capstone_web_pipeline(spark, sf_dir):
+    """Round-3 capstone: the full web-corpus preparation DAG composed
+    from this round's operators — robots Disallow filter (broadcast
+    join) -> canonical-url capture dedup (window top-1) -> CCNet
+    paragraph dedup over the winners (two hash-keyed agg shuffles) ->
+    Gopher repetition flag (zero-shuffle scan) — one DataFrame plan,
+    every stage mirrored first-principles in the DuckDB oracle."""
+    from powerpoint_context_extractor_spark.operators.dedup import (
+        paragraph_dedup,
+    )
+    from powerpoint_context_extractor_spark.operators.robots import (
+        apply_robots,
+    )
+    from powerpoint_context_extractor_spark.operators.textstats import (
+        repetition_stats,
+    )
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    host = F.format_string("host%d.example", F.col("doc_id") % 7)
+    path = (F.when(F.col("doc_id") % 3 == 0,
+                   F.format_string("/private/doc%d", F.col("doc_id")))
+            .when(F.col("doc_id") % 3 == 1,
+                  F.format_string("/public/doc%d", F.col("doc_id")))
+            .otherwise(F.format_string("/tmp/doc%d", F.col("doc_id"))))
+    pages = d.select("doc_id", "text", host.alias("host"),
+                     path.alias("path"))
+    robots = spark.range(7).select(
+        F.format_string("host%d.example", F.col("id")).alias("host"),
+        F.when(F.col("id") % 2 == 0,
+               F.lit("User-agent: *\nDisallow: /private\nDisallow: /tmp"))
+        .otherwise(F.lit("User-agent: *\nDisallow:\n"))
+        .alias("robots_txt"))
+    allowed = (apply_robots(pages, robots)
+               .filter(F.col("allowed") == 1).drop("allowed"))
+    canon = allowed.withColumn(
+        "canon_url",
+        F.when(F.col("doc_id") % 2 == 1,
+               F.format_string("https://host%d.example/p/%d",
+                               F.col("doc_id") % 5, F.col("doc_id") % 25))
+        .otherwise(F.format_string("http://host%d.example/p/%d",
+                                   F.col("doc_id") % 5,
+                                   F.col("doc_id") % 25)))
+    rn = F.row_number().over(
+        W.partitionBy("canon_url").orderBy(F.col("doc_id").desc()))
+    winners = (canon.withColumn("rn", rn).filter(F.col("rn") == 1)
+               .select("doc_id", "text", "canon_url"))
+    pd_out = paragraph_dedup(winners.select("doc_id", "text"))
+    rep = (repetition_stats(winners.select("doc_id", "text"))
+           .select("doc_id", F.col("flagged").alias("rep_flagged")))
+    return (winners.select("doc_id", "canon_url")
+            .join(pd_out, "doc_id").join(rep, "doc_id")
+            .select("doc_id", "canon_url", "total_paras", "kept_paras",
+                    "clean_md5", "rep_flagged"))
+
+
 def _dedup_url_latest(spark, sf_dir):
     """URL-level capture dedup, the CC-index rule: canonicalize messy
     urls (case/port/tracking variants collapse to one key), then per
@@ -927,6 +981,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_png_resize": _mm_png_resize,
         "dedup_url_latest": _dedup_url_latest,
         "sample_stratified": _sample_stratified,
+        "capstone_web_pipeline": _capstone_web_pipeline,
         "q1_pricing_summary": _q1_pricing_summary,
         "f1_keyset_filter": _f1_keyset_filter,
         "f2_pushdown_residual": _f2_pushdown_residual,
@@ -1780,6 +1835,60 @@ def oracle_sql() -> dict[str, str]:
     """
     # the jsonl.gz sink round-trip re-emits exactly the flagship rows
     d["sink_jsonl_shards"] = d["flagship_extract"]
+    d["capstone_web_pipeline"] = """
+        WITH a AS (
+          SELECT doc_id, text FROM documents
+          WHERE NOT ((doc_id % 7) % 2 = 0 AND doc_id % 3 IN (0, 2))
+        ), c AS (
+          SELECT doc_id, text,
+                 CASE WHEN doc_id % 2 = 1
+                      THEN printf('https://host%d.example/p/%d',
+                                  doc_id % 5, doc_id % 25)
+                      ELSE printf('http://host%d.example/p/%d',
+                                  doc_id % 5, doc_id % 25) END AS canon_url
+          FROM a
+        ), w AS (
+          SELECT doc_id, text, canon_url FROM (
+            SELECT c.*, row_number() OVER (PARTITION BY canon_url
+                     ORDER BY doc_id DESC) AS rn
+            FROM c) WHERE rn = 1
+        ), toks AS (
+          SELECT doc_id, string_split(text, ' ') AS ts FROM w
+        ), flat AS (
+          SELECT doc_id, unnest(ts) AS tok,
+                 unnest(range(1, len(ts)+1)) AS i
+          FROM toks
+        ), paras AS (
+          SELECT doc_id, (i-1)//20 AS cn,
+                 string_agg(tok, ' ' ORDER BY i) AS para
+          FROM flat GROUP BY doc_id, (i-1)//20
+        ), freq AS (
+          SELECT para, count(DISTINCT doc_id) AS nd FROM paras GROUP BY para
+        ), pd AS (
+          SELECT p.doc_id,
+                 count(*) AS total_paras,
+                 CAST(sum(CASE WHEN f.nd < 2 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS kept_paras,
+                 md5(coalesce(string_agg(
+                     CASE WHEN f.nd < 2 THEN p.para END,
+                     chr(10)||chr(10) ORDER BY p.cn), '')) AS clean_md5
+          FROM paras p JOIN freq f USING (para)
+          GROUP BY p.doc_id
+        ), bg AS (
+          SELECT doc_id,
+                 CASE WHEN len(ts) >= 2
+                      THEN list_transform(range(1, len(ts)),
+                                          k -> ts[k] || ' ' || ts[k+1])
+                      ELSE []::VARCHAR[] END AS b
+          FROM toks
+        )
+        SELECT w.doc_id, w.canon_url, pd.total_paras, pd.kept_paras,
+               pd.clean_md5,
+               CAST(CASE WHEN 100 * (len(b) - len(list_distinct(b)))
+                              > 10 * len(b)
+                         THEN 1 ELSE 0 END AS BIGINT) AS rep_flagged
+        FROM w JOIN pd USING (doc_id) JOIN bg USING (doc_id)
+    """
     d["dedup_url_latest"] = """
         -- first-principles canonical: the messy variants (case, :80/
         -- :443, ?utm_source, #frag) all collapse to this exact form,
