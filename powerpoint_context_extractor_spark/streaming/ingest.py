@@ -13,6 +13,12 @@ natural streaming surface:
   the batch date_trunc aggregation, which is its DuckDB oracle).
 * ``sessionize``: applyInPandasWithState custom stateful operator —
   gap-based sessions per user.
+* ``stream_extract_warc``: .warc.gz files arriving in a directory ->
+  gzip-member record split -> kernel -> exactly-once snapshot commits
+  (the live Common-Crawl ingestion shape).
+* ``stream_windowed_counts_to_table`` / ``sessionize_to_table``: the
+  production table-sink variants (append-mode watermarked windows;
+  update-mode sessions with post-stream keyed compaction).
 """
 
 from __future__ import annotations
