@@ -267,6 +267,23 @@ def test_pdf15_corpus_wrap_matches_expected_text():
     assert r.text == corpus.expected_text_for_document(7, text)
 
 
+def test_pdf_incremental_update_latest_wins():
+    """Incrementally-updated PDFs (save-in-place appends a replacement
+    object + a new xref with /Prev) must extract the UPDATED content:
+    the linear object scan takes the later definition, which is the
+    xref-chain winner by construction (appended sections override)."""
+    raw = kernel.render_pdf([("p", 40, 72, "original text")]).decode("latin-1")
+    nc = "BT /F1 12 Tf 72 752 Td (updated text) Tj ET"
+    upd = (f"4 0 obj\n<< /Length {len(nc)} >>\nstream\n{nc}\nendstream"
+           f"\nendobj\n")
+    patched = (raw + upd + "xref\n0 1\n0000000000 65535 f \ntrailer\n"
+               "<< /Size 7 /Root 1 0 R /Prev 9 >>\n"
+               f"startxref\n{len(raw)}\n%%EOF\n")
+    r = extract_document("u", patched.encode("latin-1"))
+    assert r.error is None
+    assert r.text == "updated text"
+
+
 def test_pdf_nested_unescaped_parens():
     import re as _re
     raw = kernel.render_pdf([("p", 40, 72, "placeholder")]).decode("latin-1")

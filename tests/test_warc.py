@@ -90,3 +90,28 @@ def test_warc_stream_equals_batch_and_exactly_once(spark, sf_dir, tmp_path):
     snaps = SnapshotTable(os.path.join(out_root, "extracted")).snapshots()
     assert sum(s["row_count"] for s in snaps) == 60
     assert len(snaps) > n_snaps        # new (empty) commits, no new rows
+
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    HAVE_HYP = True
+except ImportError:                                   # pragma: no cover
+    HAVE_HYP = False
+
+if HAVE_HYP:
+    _BODY = st.binary(max_size=300)
+    _URL = st.from_regex(r"doc://[0-9]{1,6}", fullmatch=True)
+
+    @settings(max_examples=120, deadline=None)
+    @given(st.lists(st.tuples(_URL, _BODY), max_size=6), st.booleans())
+    def test_warc_roundtrip_properties(recs, gz):
+        """Any byte payload — including ones containing 'WARC/1.0',
+        CRLFCRLF, or gzip magic — survives build->parse exactly, in
+        order, under both layouts (Content-Length framing, not
+        delimiter scanning)."""
+        rows = [(u, "2024-01-01T00:00:00Z", b) for u, b in recs]
+        data = warc.build_warc(rows, gzip_records=gz)
+        got = [(h["warc-target-uri"], warc.http_body(p))
+               for h, p in warc.iter_warc_records(data)]
+        assert got == [(u, b) for u, b in recs]
