@@ -544,3 +544,22 @@ if _HYP:
         a, b = _both(t)
         assert (a.text, a.title, a.spans, a.n_blocks) == \
                (b.text, b.title, b.spans, b.n_blocks), repr(t)
+
+
+def test_extract_document_never_raises_on_garbage():
+    """Fuzz the dispatch: arbitrary byte soup (incl. truncated magics,
+    NULs, high bytes) must produce a KernelResult, never an exception —
+    the log-and-continue contract (F6) at the outermost boundary."""
+    import random
+    rng = random.Random(1234)
+    payloads = [
+        b"", b"\x00" * 64, bytes(range(256)),
+        b"%PDF-1.4\n garbage \xff\xfe\x00",
+        b"%PDF", b"%WDOC1\n", b"%WDOC1\n2\n\xff\xff",
+        b"\x1f\x8b\x08\x00junk", b"\xff\xfe", b"\xef\xbb\xbf",
+    ] + [bytes(rng.randrange(256) for _ in range(rng.randrange(1, 400)))
+         for _ in range(300)]
+    for p in payloads:
+        r = extract_document("u", p)
+        assert r is not None and r.url == "u"
+        assert (r.text is None) == (r.error is not None) or r.text is not None
