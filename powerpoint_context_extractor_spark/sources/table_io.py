@@ -136,7 +136,12 @@ class SnapshotTable:
         the table stops growing one row per (key, epoch).
 
         Concurrent appends are safe: only the snapshots this call SAW
-        are replaced; an append racing past us stays live."""
+        are replaced; an append racing past us stays live. Concurrent
+        COMPACTIONS are not: two racing compactors would both commit a
+        full rewrite and double the live rows — run compaction from a
+        single maintenance job (on a real Iceberg catalog this is the
+        optimistic-swap conflict the catalog rejects; the append-log
+        seam has no compare-and-swap)."""
         snaps = self.snapshots()
         files = [f for s in snaps for f in s["files"]]
         if not files:
