@@ -80,6 +80,12 @@ def _big_section(best: dict, ceil: dict, runs: dict, by_ts: dict) -> str:
             best_pair = (pe, ihw, inorm, ts)
     pairs_md = "\n".join(pair_rows)
     bp, bphw, bpnorm, bpts = best_pair
+    e28_line = ""
+    if 2 in best:
+        e28b = (best[8][0] / best[2][0]) / 4
+        e28_line = (f"\nThe 2 -> 8 pair on the same input: "
+                    f"**{e28b:.3f}** raw — "
+                    f"{'PASS' if e28b >= 0.8 else 'see analysis'}.\n")
     return f"""## Steady-state input — the amortized 100 TB regime (4x pages)
 
 The 300k-page pair above finishes in ~9 s at 32-wide: per-run FIXED
@@ -110,7 +116,7 @@ Best same-window pair: **{bp:.3f}** raw ({bpts}; hardware control
 {format(bphw, '.3f') if bphw else 'n/a'}, normalized
 {format(bpnorm, '.3f') if bpnorm else 'n/a'}) — target >= 0.8:
 {'**PASS**' if bp >= 0.8 else ('within ' + format(0.8 - bp, '.3f') + ' of the bar on a host whose own control is ' + (format(bphw, '.3f') if bphw else 'n/a'))}.
-"""
+{e28_line}"""
 
 
 def main() -> None:
