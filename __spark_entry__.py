@@ -137,6 +137,48 @@ def _mm_png_resize(spark, sf_dir):
     return extract_png_resized(_t(spark, sf_dir, "documents"))
 
 
+def _web_crawl_diff(spark, sf_dir):
+    """Incremental crawl diff (the recrawl bookkeeping op): two crawl
+    snapshots full-outer-joined on url, rows classified added /
+    removed / changed / same by content hash. Old = doc_id < 400;
+    new = doc_id >= 100 with every 10th page's content changed."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    old = (d.filter(F.col("doc_id") < 400)
+           .select(F.col("doc_id").alias("url_id"),
+                   F.sha2(F.col("text"), 256).alias("h_old")))
+    new_text = F.when(F.col("doc_id") % 10 == 0,
+                      F.concat(F.col("text"), F.lit(" v2"))) \
+        .otherwise(F.col("text"))
+    new = (d.filter(F.col("doc_id") >= 100)
+           .select(F.col("doc_id").alias("url_id"),
+                   F.sha2(new_text, 256).alias("h_new")))
+    j = old.join(new, "url_id", "full_outer")
+    status = (F.when(F.col("h_old").isNull(), "added")
+              .when(F.col("h_new").isNull(), "removed")
+              .when(F.col("h_old") != F.col("h_new"), "changed")
+              .otherwise("same"))
+    return j.select("url_id", status.alias("status"))
+
+
+def _agg_host_rollup(spark, sf_dir):
+    """Hierarchical rollup (tld -> host -> total): one pass producing
+    all three grain levels with grouping-id disambiguation — the
+    per-domain reporting rollup a corpus dashboard needs. NULL grouping
+    keys are coalesced to -1 sentinels (cross-engine None-canonical-
+    ization differs, integers do not)."""
+    d = _t(spark, sf_dir, "documents")
+    base = d.select((F.col("doc_id") % 7).alias("host"),
+                    ((F.col("doc_id") % 7) % 2).alias("tld"),
+                    F.size(F.split(F.col("text"), " ")).alias("n_toks"))
+    out = (base.rollup("tld", "host")
+           .agg(F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_toks").alias("sum_toks"),
+                F.grouping_id().alias("gid")))
+    return out.select(F.coalesce(F.col("tld"), F.lit(-1)).alias("tld"),
+                      F.coalesce(F.col("host"), F.lit(-1)).alias("host"),
+                      "n_docs", "sum_toks", "gid")
+
+
 def _capstone_web_pipeline(spark, sf_dir):
     """Round-3 capstone: the full web-corpus preparation DAG composed
     from this round's operators — robots Disallow filter (broadcast
@@ -982,6 +1024,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_url_latest": _dedup_url_latest,
         "sample_stratified": _sample_stratified,
         "capstone_web_pipeline": _capstone_web_pipeline,
+        "web_crawl_diff": _web_crawl_diff,
+        "agg_host_rollup": _agg_host_rollup,
         "q1_pricing_summary": _q1_pricing_summary,
         "f1_keyset_filter": _f1_keyset_filter,
         "f2_pushdown_residual": _f2_pushdown_residual,
@@ -1835,6 +1879,34 @@ def oracle_sql() -> dict[str, str]:
     """
     # the jsonl.gz sink round-trip re-emits exactly the flagship rows
     d["sink_jsonl_shards"] = d["flagship_extract"]
+    d["web_crawl_diff"] = """
+        WITH old_c AS (
+          SELECT doc_id AS url_id, sha256(text) AS h_old
+          FROM documents WHERE doc_id < 400
+        ), new_c AS (
+          SELECT doc_id AS url_id,
+                 sha256(CASE WHEN doc_id % 10 = 0 THEN text || ' v2'
+                             ELSE text END) AS h_new
+          FROM documents WHERE doc_id >= 100
+        )
+        SELECT url_id,
+               CASE WHEN h_old IS NULL THEN 'added'
+                    WHEN h_new IS NULL THEN 'removed'
+                    WHEN h_old <> h_new THEN 'changed'
+                    ELSE 'same' END AS status
+        FROM old_c FULL OUTER JOIN new_c USING (url_id)
+    """
+    d["agg_host_rollup"] = """
+        WITH base AS (
+          SELECT doc_id % 7 AS host, (doc_id % 7) % 2 AS tld,
+                 len(string_split(text, ' ')) AS n_toks
+          FROM documents
+        )
+        SELECT coalesce(tld, -1) AS tld, coalesce(host, -1) AS host,
+               count(*) AS n_docs, CAST(sum(n_toks) AS BIGINT) AS sum_toks,
+               CAST(GROUPING(tld, host) AS BIGINT) AS gid
+        FROM base GROUP BY ROLLUP (tld, host)
+    """
     d["capstone_web_pipeline"] = """
         WITH a AS (
           SELECT doc_id, text FROM documents
