@@ -373,6 +373,21 @@ def _warc_stream_extract(spark, sf_dir):
     return out.select("url", "title", "text", "n_blocks")
 
 
+def _text_charset_cjk(spark, sf_dir):
+    """CJK legacy-charset contract (r4 VERDICT #2): pages labeled
+    shift_jis / gb2312 / euc-kr / big5 (doc_id % 4), encoded in the
+    WHATWG superset codec with a kept CJK paragraph carrying a
+    superset-extension character (①/镕). The kernel must decode via the
+    WHATWG label mapping — narrow national-standard decoding mangles
+    the extension chars and fails the md5 check."""
+    from powerpoint_context_extractor_spark.operators.extract import (
+        extract_documents_cjk,
+    )
+    out = extract_documents_cjk(_t(spark, sf_dir, "documents"))
+    return out.select(F.col("doc_id"), F.col("charset"),
+                      F.md5(F.col("text").cast("binary")).alias("text_md5"))
+
+
 def _text_charset_utf16_nobom(spark, sf_dir):
     """BOM-less UTF-16 sniff contract: pages encoded utf-16-le/-be with
     no BOM and no meta tag; the kernel's NUL-parity sniff must label
@@ -1053,6 +1068,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "setop_anti_resume": _setop_anti_resume,
         "text_charset_breakdown": _text_charset_breakdown,
         "text_charset_utf16_nobom": _text_charset_utf16_nobom,
+        "text_charset_cjk": _text_charset_cjk,
         "capstone_web_pipeline": _capstone_web_pipeline,
         "mm_binary_meta": _mm_binary_meta,
         "mm_png_resize": _mm_png_resize,
@@ -1076,8 +1092,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_query": _dedup_simhash_query,
         "dedup_ngram_jaccard": _dedup_ngram_jaccard,
         "sample_stratified": _sample_stratified,
-        "dedup_url_latest": _dedup_url_latest,
         # -- 4. tail: r3-green, rotated out this round (re-head next round) --
+        "dedup_url_latest": _dedup_url_latest,
         "text_url_host": _text_url_host,
         "text_url_canonical": _text_url_canonical,
         "sink_jsonl_shards": _sink_jsonl_shards,
@@ -1893,6 +1909,40 @@ def oracle_sql() -> dict[str, str]:
                                  WHEN 2 THEN 'utf-16'
                                  ELSE 'cp1252' END AS charset,
                md5('# Doc ' || t.doc_id ||
+                   coalesce(chr(10)||chr(10)||a.body, '')) AS text_md5
+        FROM toks t LEFT JOIN agg a USING (doc_id)
+    """
+    # CJK charset contract: same reconstruction as text_charset_breakdown
+    # with the per-kind CJK snippet (interpolated from the frozen
+    # corpus.CJK_KINDS so the literals can never drift) inserted between
+    # the title and the body; labels are the WHATWG superset codec names
+    from powerpoint_context_extractor_spark.corpus import CJK_KINDS
+    _cjk_charset_case = " ".join(
+        f"WHEN {i} THEN '{codec}'"
+        for i, (_lbl, codec, _sn) in enumerate(CJK_KINDS))
+    _cjk_snippet_case = " ".join(
+        f"WHEN {i} THEN '{snippet}'"
+        for i, (_lbl, _codec, snippet) in enumerate(CJK_KINDS))
+    d["text_charset_cjk"] = f"""
+        WITH toks AS (
+          SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+        ), flat AS (
+          SELECT doc_id, unnest(ts) AS tok,
+                 unnest(range(1, len(ts)+1)) AS i
+          FROM toks
+        ), chunks AS (
+          SELECT doc_id, (i-1)//20 AS cn,
+                 string_agg(tok, ' ' ORDER BY i) AS chunk
+          FROM flat GROUP BY doc_id, (i-1)//20
+        ), agg AS (
+          SELECT doc_id,
+                 string_agg(chunk, chr(10)||chr(10) ORDER BY cn) AS body
+          FROM chunks GROUP BY doc_id
+        )
+        SELECT t.doc_id,
+               CASE t.doc_id % 4 {_cjk_charset_case} END AS charset,
+               md5('# Doc ' || t.doc_id || chr(10)||chr(10) ||
+                   CASE t.doc_id % 4 {_cjk_snippet_case} END ||
                    coalesce(chr(10)||chr(10)||a.body, '')) AS text_md5
         FROM toks t LEFT JOIN agg a USING (doc_id)
     """

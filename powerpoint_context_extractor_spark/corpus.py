@@ -28,6 +28,8 @@ from .kernel import WDOC_MAGIC, render_pdf, render_pdf_pages, render_wdoc
 __all__ = [
     "PARA_TOKENS",
     "page_for_document",
+    "CJK_KINDS",
+    "cjk_page_for_document",
     "expected_text_for_document",
     "fixture_pages",
     "generate_pages_rows",
@@ -113,6 +115,46 @@ def pdf15_page_for_document(doc_id: int, text: str) -> bytes:
     return render_pdf_pages([blocks], compress=True, objstm=True)
 
 
+# CJK charset contract (r4): doc_id % 4 picks (meta label, encode codec,
+# injected snippet). Frozen — the DuckDB oracle mirrors labels and
+# snippets as literals. Each snippet for a label whose WHATWG decoder is
+# a strict superset of the labeled standard carries an extension-only
+# character (①② are cp932-not-shift_jis; 镕 is GBK-not-GB2312), so a
+# narrow-codec decode would replace-mangle it and fail the md5 check.
+CJK_KINDS = (
+    ("shift_jis", "cp932", "日本語のテキスト①②です。東京都渋谷区の記事本文。"),
+    ("gb2312", "gbk", "中文文本镕测试内容。北京市海淀区的正文段落。"),
+    ("euc-kr", "cp949", "한국어 똠방각하 텍스트입니다. 서울특별시 본문 단락."),
+    ("big5", "big5hkscs", "繁體中文測試文字內容。台北市的正文段落。"),
+)
+
+
+def cjk_page_for_document(doc_id: int, text: str) -> bytes:
+    """CJK twin of ``page_for_document``: the same invertible wrap with
+    (a) a ``<meta charset>`` label from the legacy CJK family chosen by
+    doc_id % 4 and (b) a kept first paragraph of CJK text containing a
+    superset-extension character, the whole page encoded in the WHATWG
+    superset codec. Expected output = ``# Doc {id}`` + CJK snippet +
+    the 20-token paragraphs — still a pure SQL expression."""
+    label, codec, snippet = CJK_KINDS[doc_id % 4]
+    tokens = text.split(" ") if text else []
+    paras = "".join(
+        f"<p>{' '.join(c)}</p>" for c in _chunks(tokens, PARA_TOKENS)
+    )
+    html = (
+        f'<html><head><meta charset="{label}"></head><body>'
+        f"{_BOILER}"
+        f"<main><article><h1>Doc {doc_id}</h1><p>{snippet}</p>{paras}"
+        f"</article></main>"
+        f"{_FOOTER}"
+        "</body></html>"
+    )
+    # xmlcharrefreplace: chars outside the target charset (the footer's
+    # ©) are emitted as numeric character references, exactly what real
+    # legacy-charset pages do; the kernel's entity decoder handles them.
+    return html.encode(codec, errors="xmlcharrefreplace")
+
+
 def expected_text_for_document(doc_id: int, text: str) -> str:
     """Pure-Python mirror of the SQL oracle (tests assert kernel == this)."""
     tokens = text.split(" ") if text else []
@@ -129,6 +171,7 @@ FIXTURE_CLASSES = [
     "plain", "nested-inline", "entities", "link-dense", "table-layout",
     "empty-main", "title-only", "multilang", "binary-payload",
     "pdf-payload", "malformed", "duplicate-url-content", "legacy-charset",
+    "cjk-charset",  # r4: appended (index-based seeds keep earlier classes byte-stable)
 ]
 
 
@@ -193,6 +236,8 @@ def _fixture_html(cls: str, rng: random.Random) -> bytes:
         main = f"<h1>Duplicate body</h1><p>{' '.join(_WORDS[:15])}</p>"
     elif cls == "legacy-charset":
         return _legacy_charset_html(rng)
+    elif cls == "cjk-charset":
+        return _cjk_charset_html(rng)
     else:  # pragma: no cover
         raise ValueError(cls)
     return _page_shell(main).encode("utf-8")
@@ -222,6 +267,22 @@ def _legacy_charset_html(rng: random.Random, kind: str | None = None) -> bytes:
     return b"\xef\xbb\xbf" + html.encode("utf-8")
 
 
+def _cjk_charset_html(rng: random.Random, kind: int | None = None) -> bytes:
+    """Legacy CJK page (r4): meta-labeled with the narrow national
+    standard, encoded in the WHATWG superset codec, body mixing the
+    frozen CJK snippet (superset-extension chars included) with ASCII
+    filler — the page class a real CC crawl is full of."""
+    kind = rng.randrange(len(CJK_KINDS)) if kind is None else kind
+    label, codec, snippet = CJK_KINDS[kind % len(CJK_KINDS)]
+    title = f"CJK {rng.choice(_WORDS)}"
+    filler = _sentence(rng, 12)
+    html = (f'<html><head><meta charset="{label}"></head><body>'
+            f"{_BOILER}<main><h1>{title}</h1>"
+            f"<p>{snippet}</p><p>{filler}</p></main>"
+            f"{_FOOTER}</body></html>")
+    return html.encode(codec, errors="xmlcharrefreplace")
+
+
 def fixture_pages(seed: int = 42, per_class: int = 3):
     """Yield dict rows (url, warc_ts, html, text, lang) covering every
     fixture class; deterministic in (seed, per_class)."""
@@ -236,6 +297,8 @@ def fixture_pages(seed: int = 42, per_class: int = 3):
             if cls == "legacy-charset":
                 # one fixture per encoding kind, round-robin over k
                 html = _legacy_charset_html(rng, kind=_LEGACY_KINDS[k % 3])
+            elif cls == "cjk-charset":
+                html = _cjk_charset_html(rng, kind=k)
             else:
                 html = _fixture_html(cls, rng)
             if cls == "malformed" and k == 0:

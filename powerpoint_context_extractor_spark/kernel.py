@@ -495,7 +495,9 @@ def _emit_bogus(p: "_Extractor", s: str, i: int) -> int:
 #   1. BOM: UTF-8 sig -> 'utf-8-bom'; UTF-16 LE/BE -> 'utf-16'
 #   2. strict UTF-8 -> 'utf-8' (the overwhelming majority; cheapest first)
 #   3. <meta charset=...> / http-equiv content sniff in the first 2048
-#      bytes (WHATWG: latin-1-family labels decode as windows-1252);
+#      bytes (WHATWG: latin-1-family labels decode as windows-1252; CJK
+#      labels decode as their WHATWG superset — shift_jis->cp932,
+#      gb2312->gbk, euc-kr->cp949, big5->big5hkscs);
 #      decode errors='replace' -> normalized codec name (e.g. 'cp1252')
 #   4. latin-1 (total function: every byte maps) -> 'latin-1-fallback'
 # Every branch is deterministic, so extracted text stays byte-stable.
@@ -509,6 +511,35 @@ _CP1252_LABELS = {
     "latin-1", "latin1", "l1", "iso-8859-1", "iso8859-1", "iso_8859-1",
     "iso88591", "ascii", "us-ascii", "windows-1252", "cp1252", "x-cp1252",
     "cp819", "ibm819", "csisolatin1",
+}
+
+# WHATWG encoding spec, CJK label -> decoder mapping (r4): real pages
+# labeled with the *narrow* national standard routinely contain the
+# vendor-extension characters, so the spec maps every label in a family
+# to the superset codec — shift_jis family -> windows-31j (cp932),
+# gb2312 family -> GBK, euc-kr family -> windows-949 (cp949), big5
+# family -> big5 + HKSCS. Python's strict gb2312/shift_jis codecs would
+# replace-mangle those extension characters; all superset codecs here
+# are stdlib. (Reference analog: the utf-8 decode guarantee at
+# pptx_extractor/notes/extractor.py:55 — PPTX pins utf-8, the web does
+# not.)
+_WHATWG_CJK_LABELS = {
+    # -> cp932 (windows-31j)
+    "shift_jis": "cp932", "shift-jis": "cp932", "sjis": "cp932",
+    "x-sjis": "cp932", "ms_kanji": "cp932", "ms932": "cp932",
+    "windows-31j": "cp932", "csshiftjis": "cp932", "shift_jis-2004": "cp932",
+    # -> gbk
+    "gb2312": "gbk", "gb_2312": "gbk", "gb_2312-80": "gbk",
+    "chinese": "gbk", "csgb2312": "gbk", "csiso58gb231280": "gbk",
+    "iso-ir-58": "gbk", "x-gbk": "gbk", "gbk": "gbk",
+    # -> cp949 (windows-949 / UHC)
+    "euc-kr": "cp949", "euc_kr": "cp949", "korean": "cp949",
+    "ks_c_5601-1987": "cp949", "ks_c_5601-1989": "cp949",
+    "ksc_5601": "cp949", "ksc5601": "cp949", "csksc56011987": "cp949",
+    "windows-949": "cp949",
+    # -> big5 + HKSCS
+    "big5": "big5hkscs", "big5-hkscs": "big5hkscs", "cn-big5": "big5hkscs",
+    "csbig5": "big5hkscs", "x-x-big5": "big5hkscs",
 }
 
 
@@ -544,7 +575,10 @@ def decode_html_bytes(content: bytes) -> tuple:
     m = _META_CHARSET.search(head)
     if m:
         label = m.group(1).lower()
-        codec = "cp1252" if label in _CP1252_LABELS else label
+        if label in _CP1252_LABELS:
+            codec = "cp1252"
+        else:
+            codec = _WHATWG_CJK_LABELS.get(label, label)
         try:
             import codecs
             name = codecs.lookup(codec).name

@@ -253,6 +253,32 @@ def extract_documents_charset(docs: DataFrame) -> DataFrame:
         _charset_kernel_batches, schema=CHARSET_EXTRACT_SCHEMA)
 
 
+def _cjk_kernel_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from .. import corpus
+    for pdf in batches:
+        out = {"doc_id": [], "charset": [], "text": []}
+        for doc_id, text in zip(pdf["doc_id"].tolist(), pdf["text"].tolist()):
+            raw = corpus.cjk_page_for_document(doc_id, text)
+            r = extract_document(f"doc://{doc_id}", raw)
+            out["doc_id"].append(doc_id)
+            out["charset"].append(r.charset)
+            out["text"].append(r.text)
+        yield pd.DataFrame(out)
+
+
+def extract_documents_cjk(docs: DataFrame) -> DataFrame:
+    """CJK legacy-charset contract path (r4 VERDICT #2): each documents
+    row wrapped as a page labeled with a legacy CJK meta charset
+    (shift_jis / gb2312 / euc-kr / big5 by doc_id % 4) and encoded in
+    the WHATWG superset codec, with a kept CJK paragraph carrying a
+    superset-extension character. The kernel must honor the label via
+    the WHATWG mapping (cp932/gbk/cp949/big5hkscs) — decoding with the
+    narrow national-standard codec replace-mangles the extension char
+    and fails the md5 check."""
+    return docs.select("doc_id", "text").mapInPandas(
+        _cjk_kernel_batches, schema=CHARSET_EXTRACT_SCHEMA)
+
+
 def _nobom_kernel_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     from .. import corpus
     for pdf in batches:

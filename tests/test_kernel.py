@@ -136,7 +136,7 @@ def test_charset_decode_paths():
                b'charset=ISO-8859-1"><p>\x93q\x94</p>')
     assert c == "cp1252" and "“q”" in t
     t, c = dec('<meta charset="shift_jis"><p>日本</p>'.encode("shift_jis"))
-    assert c == "shift_jis" and "日本" in t
+    assert c == "cp932" and "日本" in t  # WHATWG: shift_jis label -> windows-31j
     t, c = dec(b"<p>caf\xe9 no meta</p>")
     assert c == "latin-1-fallback" and "café" in t
     t, c = dec(b'<meta charset="no-such-codec"><p>\xe9</p>')
@@ -167,6 +167,51 @@ def test_charset_utf16_without_bom_sniffed():
     # CJK-heavy utf-16 (few NULs) falls through without crashing
     t, c = dec("<p>日本語のページ</p>".encode("utf-16-le"))
     assert t is not None and c is not None
+
+
+def test_charset_cjk_whatwg_superset_mapping():
+    """WHATWG CJK label mapping (r4 VERDICT #2): pages labeled with the
+    narrow national standard decode via the vendor superset codec, so
+    extension characters (①=cp932-only, 镕=GBK-only) survive instead of
+    being replace-mangled."""
+    dec = kernel.decode_html_bytes
+    cases = [
+        ("shift_jis", "cp932", "日本語①②テキスト"),
+        ("x-sjis", "cp932", "渋谷①"),
+        ("gb2312", "gbk", "中文镕测试"),
+        ("gbk", "gbk", "中文镕测试"),
+        ("euc-kr", "cp949", "한국어 똠방각하"),
+        ("big5", "big5hkscs", "繁體中文測試"),
+    ]
+    for label, codec, body in cases:
+        raw = f'<meta charset="{label}"><p>{body}</p>'.encode(codec)
+        t, c = dec(raw)
+        assert c == codec, (label, c)
+        assert body in t, (label, t)
+    # a strict-narrow decode of the gb2312-labeled GBK page would mangle
+    # 镕 — prove the byte pattern is truly outside the narrow codec
+    import pytest
+    with pytest.raises(UnicodeEncodeError):
+        "镕".encode("gb2312")
+    with pytest.raises(UnicodeEncodeError):
+        "①".encode("shift_jis")
+
+
+def test_cjk_page_wrap_golden():
+    """cjk_page_for_document round-trips through the kernel: charset
+    label = superset codec, text = title + snippet + paragraphs."""
+    from powerpoint_context_extractor_spark.corpus import (
+        CJK_KINDS, cjk_page_for_document, expected_text_for_document,
+    )
+    text = ("tok%d " * 45 % tuple(range(45))).strip()
+    for doc_id in range(8):
+        _label, codec, snippet = CJK_KINDS[doc_id % 4]
+        r = extract_document(f"doc://{doc_id}",
+                             cjk_page_for_document(doc_id, text))
+        assert r.error is None and r.charset == codec
+        base = expected_text_for_document(doc_id, text)
+        head, _, rest = base.partition("\n\n")
+        assert r.text == head + "\n\n" + snippet + ("\n\n" + rest if rest else "")
 
 
 def test_charset_label_flows_to_result():
