@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import Window as W
 
 P = 1_000_000_007  # hash modulus: a*x+b stays < 1e18 << int64 max
 
@@ -293,23 +294,36 @@ def paragraph_dedup(docs: DataFrame, id_col: str = "doc_id",
     are the flagship wrap's ``para_tokens``-token chunks, so the whole
     operator is exactly SQL-expressible.
 
-    Scale shape: frequency is keyed by md5(paragraph) — the wide
-    shuffle carries 32-hex keys, not paragraph bodies — and the
-    marked-paragraph join lands co-partitioned on that same key, so
-    the plan is (doc-key agg) + (hash-key agg + join) + (doc-key
-    regroup): three bounded shuffles, no driver funnel, no all-pairs
-    anything. Output: (doc_id, total_paras, kept_paras, clean_md5)."""
-    toks = docs.select(
-        F.col(id_col), F.posexplode(tokens_col(text_col)).alias("i", "tok"))
-    paras = (toks.withColumn("cn", F.expr(f"i DIV {para_tokens}"))
-             .groupBy(id_col, "cn")
-             .agg(F.array_join(
-                 F.transform(F.array_sort(F.collect_list(F.struct("i", "tok"))),
-                             lambda s: s["tok"]), " ").alias("para")))
+    Scale shape (r4 VERDICT #3): paragraph chunks are a per-row pure
+    function of the token array, so they are assembled MAP-SIDE with
+    ``transform(sequence(...), i -> array_join(slice(toks, ...)))`` —
+    no per-token shuffle ever exists in the plan. The only wide
+    exchanges are the two the semantics require: one hash(md5(para))
+    exchange feeding the two window functions that compute the
+    distinct-doc frequency, and the final doc-key regroup (the plan-
+    audit test pins the count at <=2). At 100 TB the old posexplode +
+    groupBy(doc, chunk) assembly would have shuffled every token of
+    the corpus. Output: (doc_id, total_paras, kept_paras, clean_md5)."""
+    base = docs.select(F.col(id_col), tokens_col(text_col).alias("_toks"))
+    paras = (base.filter(F.size("_toks") > 0)
+             .select(
+                 F.col(id_col),
+                 F.posexplode(F.expr(
+                     f"transform(sequence(0, (size(_toks)-1) DIV {para_tokens}), "
+                     f"i -> array_join(slice(_toks, i*{para_tokens}+1, "
+                     f"{para_tokens}), ' '))")).alias("cn", "para")))
+    # distinct-doc frequency WITHOUT a self-join: dense_rank then max
+    # over the SAME hash(ph) window partitioning — one sort-based
+    # exchange serves both window functions, there is no second scan of
+    # the paragraph subtree (a groupBy+join formulation re-computes it:
+    # column pruning diverges the two sides so exchange reuse never
+    # fires), and no collect_set materializes the doc list of a
+    # mass-duplicated boilerplate paragraph in memory
     keyed = paras.withColumn("ph", F.md5(F.col("para")))
-    freq = keyed.groupBy("ph").agg(
-        F.countDistinct(F.col(id_col)).alias("n_docs"))
-    marked = keyed.join(freq, "ph")
+    marked = (keyed
+              .withColumn("_dr", F.dense_rank().over(
+                  W.partitionBy("ph").orderBy(id_col)))
+              .withColumn("n_docs", F.max("_dr").over(W.partitionBy("ph"))))
     is_kept = F.col("n_docs") < min_docs
     kept_struct = F.when(is_kept, F.struct("cn", "para"))
     return (marked.groupBy(id_col)

@@ -360,7 +360,25 @@ def test_paragraph_dedup_keeps_within_doc_order(spark):
     assert r["clean_md5"] == hashlib.md5(want.encode()).hexdigest()
 
 
-def test_repetition_stats_flags_looped_text(spark):
+def test_paragraph_dedup_plan_has_no_token_shuffle(spark):
+    """r4 VERDICT #3 'done' gate: paragraph chunks are assembled
+    map-side, so the physical plan carries at most the two genuinely
+    required shuffle exchanges (md5-key frequency agg — reused for the
+    join probe side — and the final doc-key regroup). The old plan's
+    third exchange shuffled every token of the corpus."""
+    import contextlib
+    import io
+    import re
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"t{i}_{j}" for j in range(45))) for i in range(50)],
+        "doc_id long, text string")
+    out = dedup.paragraph_dedup(docs)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    shuffles = re.findall(r"\(\d+\) Exchange\b", plan)
+    assert len(shuffles) <= 2, plan
     rows = [(0, " ".join(["spam ham"] * 25)),            # one bigram looped
             (1, " ".join(f"w{i}" for i in range(40))),   # all distinct
             (2, "single")]                               # no bigrams

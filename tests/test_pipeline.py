@@ -53,8 +53,10 @@ def test_mixed_corpus_zero_decode_errors(spark, pages_dir):
     by = {r["charset"]: r["n"] for r in
           got.groupBy("charset").agg(F.count(F.lit(1)).alias("n")).collect()}
     assert got.filter(F.col("error").startswith("decode_error")).count() == 0
-    # all four decode paths actually exercised by the mixed corpus
-    for cs in ("utf-8", "utf-8-bom", "utf-16", "cp1252", "binary"):
+    # all decode paths actually exercised by the mixed corpus — incl.
+    # the r4 WHATWG CJK superset codecs from the cjk-charset fixtures
+    for cs in ("utf-8", "utf-8-bom", "utf-16", "cp1252", "binary",
+               "cp932", "gbk", "cp949"):
         assert by.get(cs, 0) > 0, (cs, by)
 
 
