@@ -122,6 +122,61 @@ def test_stream_window_counts_to_table(spark, sf_dir, tmp_path):
     assert rows == batch
 
 
+def test_stream_window_counts_empty_backlog_returns_empty(spark, tmp_path):
+    """ADVICE r3: when no window clears the watermark (backlog spanning
+    less than the 2h delay) the sink must return an empty frame with
+    the stable (win_start, event_type, n) schema, not die on a None
+    table read."""
+    from powerpoint_context_extractor_spark.streaming.ingest import (
+        stream_windowed_counts_to_table,
+    )
+    src = str(tmp_path / "tiny.parquet")
+    (spark.range(10)
+     .select(F.lit(7).alias("user_id"),
+             (F.lit(1704067200) + F.col("id")).cast("timestamp").alias("ts"),
+             F.lit("click").alias("event_type"))
+     .write.parquet(src))
+    got = stream_windowed_counts_to_table(spark, src, str(tmp_path / "o"))
+    assert got.count() == 0
+    assert [f.name for f in got.schema.fields] == \
+        ["win_start", "event_type", "n"]
+
+
+def test_stream_window_counts_million_row_backlog(spark, tmp_path):
+    """r4 VERDICT #4 'done' gate: the backlog materialization is fully
+    distributed (repartitionByRange + per-task writes; the driver only
+    renames + mtime-bumps n_files outputs) and the production sink
+    stays correct over a >=1M-row backlog."""
+    from powerpoint_context_extractor_spark.streaming.ingest import (
+        stream_windowed_counts_to_table,
+    )
+    n = 1_000_000
+    src = str(tmp_path / "big.parquet")
+    # 1M events across ~28 hours; hour-window counts are pure functions
+    # of the id range, so the expected set needs no batch recompute
+    (spark.range(n)
+     .select((F.col("id") % 1000).alias("user_id"),
+             (F.lit(1704067200) + (F.col("id") % (28 * 3600)))
+             .cast("timestamp").alias("ts"),
+             F.concat(F.lit("e"), (F.col("id") % 4)).alias("event_type"))
+     .write.mode("overwrite").parquet(src))
+    got = stream_windowed_counts_to_table(spark, src, str(tmp_path / "o"),
+                                          n_files=4)
+    rows = {(str(r["win_start"]), r["event_type"]): r["n"]
+            for r in got.collect()}
+    assert len(rows) == got.count()
+    e = spark.read.parquet(src).withColumn("ts", F.col("ts").cast("timestamp"))
+    wm = e.agg(F.max("ts")).collect()[0][0]
+    import datetime
+    wm -= datetime.timedelta(hours=2)
+    batch = {(str(r["ws"]), r["event_type"]): r["n"] for r in
+             e.withColumn("ws", F.date_trunc("hour", F.col("ts")))
+             .filter(F.col("ws") + F.expr("INTERVAL 1 HOUR") <= F.lit(wm))
+             .groupBy("ws", "event_type")
+             .agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert rows == batch and len(rows) > 0
+
+
 def test_sessionize_to_table_equals_memory_harness(spark, sf_dir, tmp_path):
     """The table-backed production sessionize equals the memory-sink
     harness (same stateful operator, different sink)."""
