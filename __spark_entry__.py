@@ -1870,15 +1870,20 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY 1, 2
     """
     # real-PNG decode contract: Spark inflates + de-filters actual PNG
-    # bytes; the oracle computes the same pixel stats analytically from
-    # the generator rule pixel_i = (doc_id*31 + i) % 256 over a 16x8 grid
+    # bytes (grayscale for even doc_id, RGB truecolor for odd — r4);
+    # the oracle computes the same pixel stats analytically from the
+    # generator rule byte_i = (doc_id*31 + i) % 256 over 16x8xchannels
     d["mm_features_png"] = """
         WITH px AS (
-          SELECT d.doc_id, (d.doc_id*31 + t.i) % 256 AS p
-          FROM documents d, unnest(range(0, 128)) AS t(i)
+          SELECT d.doc_id,
+                 CASE WHEN d.doc_id % 2 = 1 THEN 3 ELSE 1 END AS ch,
+                 (d.doc_id*31 + t.i) % 256 AS p
+          FROM documents d, unnest(range(0, 384)) AS t(i)
+          WHERE t.i < 128 * (CASE WHEN d.doc_id % 2 = 1 THEN 3 ELSE 1 END)
         )
         SELECT doc_id,
                CAST(16 AS BIGINT) AS width, CAST(8 AS BIGINT) AS height,
+               CAST(MAX(ch) AS BIGINT) AS channels,
                CAST(SUM(p) AS BIGINT) AS px_sum,
                CAST(MIN(p) AS BIGINT) AS px_min,
                CAST(MAX(p) AS BIGINT) AS px_max
@@ -2058,19 +2063,32 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, host_id, h FROM k
         WHERE h < CASE WHEN host_id = 0 THEN 5 ELSE 50 END
     """
+    # channel-aware NN resize (r4): output byte j maps to source byte
+    # ((sy*16 + sx)*ch + c) with sy=(y*8)//4, sx=(x*16)//4, where
+    # y=(j//ch)//4, x=(j//ch)%4, c=j%ch; gray (ch=1) for even doc_id,
+    # RGB (ch=3) for odd
     d["mm_png_resize"] = """
         WITH g AS (
-          SELECT d.doc_id, t1.y, t2.x,
-                 (d.doc_id * 31 + ((t1.y * 8) // 4) * 16
-                  + ((t2.x * 16) // 4)) % 256 AS v
-          FROM documents d, range(4) AS t1(y), range(4) AS t2(x)
+          SELECT d.doc_id,
+                 CASE WHEN d.doc_id % 2 = 1 THEN 3 ELSE 1 END AS ch,
+                 t.j,
+                 (d.doc_id * 31 +
+                  ((((t.j // (CASE WHEN d.doc_id % 2 = 1 THEN 3 ELSE 1 END))
+                     // 4) * 8 // 4) * 16
+                   + (((t.j // (CASE WHEN d.doc_id % 2 = 1 THEN 3 ELSE 1 END))
+                      % 4) * 16 // 4))
+                  * (CASE WHEN d.doc_id % 2 = 1 THEN 3 ELSE 1 END)
+                  + (t.j % (CASE WHEN d.doc_id % 2 = 1 THEN 3 ELSE 1 END)))
+                 % 256 AS v
+          FROM documents d, unnest(range(0, 48)) AS t(j)
+          WHERE t.j < 16 * (CASE WHEN d.doc_id % 2 = 1 THEN 3 ELSE 1 END)
         )
         SELECT doc_id,
                CAST(4 AS BIGINT) AS out_w,
                CAST(4 AS BIGINT) AS out_h,
+               CAST(max(ch) AS BIGINT) AS channels,
                CAST(sum(v) AS BIGINT) AS px_sum,
-               string_agg(printf('%02x', v), '' ORDER BY y * 4 + x)
-                 AS px_hex
+               string_agg(printf('%02x', v), '' ORDER BY j) AS px_hex
         FROM g GROUP BY doc_id
     """
     d["web_robots_filter"] = """

@@ -1,13 +1,15 @@
 """Multimodal column plumbing: opaque ``binary`` payloads with typed
 metadata, decode/feature-extract as Arrow-batched kernels.
 
-Since r3 the PNG class decodes for REAL (pure-stdlib grayscale-8 codec,
-``..png`` — zlib IDAT inflate, CRC checks, all five scanline filters);
-audio/video kinds remain deterministic stubs behind the same seam (those
-libraries genuinely aren't in this container). Everything Spark-side is
-real and tested: schemas, the binary column path through parquet,
-mapInPandas batch shapes, and the metadata functions (pure built-ins,
-DuckDB-oracle-checkable).
+Since r3 the PNG class decodes for REAL (pure-stdlib codec, ``..png`` —
+zlib IDAT inflate, CRC checks, all five scanline filters; r4 adds RGB
+truecolor with channel-aware de-filtering). jpeg raises an explicit
+``unsupported`` error (an honest error row beats byte-stats posing as
+image features); audio/video kinds remain deterministic stubs behind
+the same seam (those libraries genuinely aren't in this container).
+Everything Spark-side is real and tested: schemas, the binary column
+path through parquet, mapInPandas batch shapes, and the metadata
+functions (pure built-ins, DuckDB-oracle-checkable).
 """
 
 from __future__ import annotations
@@ -22,7 +24,8 @@ from pyspark.sql import types as T
 from ..png import decode_png, render_png
 
 MAGIC_KINDS = {
-    "89504e47": "png", "ffd8ffe0": "jpeg", "25504446": "pdf",
+    "89504e47": "png", "25504446": "pdf",
+    "ffd8ffe0": "jpeg", "ffd8ffe1": "jpeg", "ffd8ffdb": "jpeg",
     "2557444f": "wdoc",  # "%WDO" — our layout container prefix
 }
 
@@ -62,13 +65,20 @@ def _decode_stub(payload: bytes) -> list:
 
 
 def _decode_payload(kind: str, payload: bytes) -> list:
-    """Real decode for PNG (width, height, pixel sum mod 997, min, max —
-    exact small integers, so the feature vector is oracle-checkable);
-    byte-stats stub for everything else."""
+    """Real decode for PNG (width, height, channels, pixel sum mod 997,
+    min, max — exact small integers, so the feature vector is
+    oracle-checkable); jpeg raises an EXPLICIT unsupported error (r4
+    VERDICT #5 — a byte-stats vector masquerading as image features is
+    worse than an honest error row); byte-stats stub for the remaining
+    kinds."""
     if kind == "png":
-        w, h, px = decode_png(payload)
-        return [float(w), float(h), float(sum(px) % 997),
+        w, h, ch, px = decode_png(payload)
+        return [float(w), float(h), float(ch), float(sum(px) % 997),
                 float(min(px)), float(max(px))]
+    if kind == "jpeg":
+        raise ValueError(
+            "unsupported: jpeg decode requires an external codec "
+            "(not available in this container)")
     return _decode_stub(payload)
 
 
@@ -105,19 +115,29 @@ def extract_features(df: DataFrame, id_col: str = "doc_id",
 PNG_W, PNG_H = 16, 8
 
 
+def png_channels_for_doc(doc_id: int) -> int:
+    """Frozen rule mirrored by the DuckDB oracles: odd doc_id -> RGB
+    truecolor (3 channels), even -> grayscale (1)."""
+    return 3 if doc_id % 2 == 1 else 1
+
+
 def png_payload_for_doc(doc_id: int) -> bytes:
-    """Deterministic 16x8 grayscale PNG: pixel i = (doc_id*31 + i) % 256,
-    rows cycling through all five filter types — the pixel stats are a
-    pure SQL expression of doc_id, so DuckDB can grade the real zlib +
-    de-filter decode path."""
-    pixels = bytes((doc_id * 31 + i) % 256 for i in range(PNG_W * PNG_H))
-    return render_png(PNG_W, PNG_H, pixels, row_filters=[0, 1, 2, 3, 4])
+    """Deterministic 16x8 PNG — grayscale for even doc_id, RGB
+    truecolor for odd (r4 VERDICT #5): byte i = (doc_id*31 + i) % 256
+    over w*h*channels bytes, rows cycling through all five filter
+    types — the pixel stats are a pure SQL expression of doc_id, so
+    DuckDB can grade the real zlib + channel-aware de-filter decode."""
+    ch = png_channels_for_doc(doc_id)
+    pixels = bytes((doc_id * 31 + i) % 256 for i in range(PNG_W * PNG_H * ch))
+    return render_png(PNG_W, PNG_H, pixels, row_filters=[0, 1, 2, 3, 4],
+                      channels=ch)
 
 
 PNG_FEATURE_SCHEMA = T.StructType([
     T.StructField("doc_id", T.LongType(), False),
     T.StructField("width", T.LongType()),
     T.StructField("height", T.LongType()),
+    T.StructField("channels", T.LongType()),
     T.StructField("px_sum", T.LongType()),
     T.StructField("px_min", T.LongType()),
     T.StructField("px_max", T.LongType()),
@@ -126,13 +146,14 @@ PNG_FEATURE_SCHEMA = T.StructType([
 
 def _png_feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in batches:
-        out = {k: [] for k in ("doc_id", "width", "height",
+        out = {k: [] for k in ("doc_id", "width", "height", "channels",
                                "px_sum", "px_min", "px_max")}
         for doc_id in pdf["doc_id"].tolist():
-            w, h, px = decode_png(png_payload_for_doc(doc_id))
+            w, h, ch, px = decode_png(png_payload_for_doc(doc_id))
             out["doc_id"].append(doc_id)
             out["width"].append(w)
             out["height"].append(h)
+            out["channels"].append(ch)
             out["px_sum"].append(sum(px))
             out["px_min"].append(min(px))
             out["px_max"].append(max(px))
@@ -150,6 +171,7 @@ PNG_RESIZE_SCHEMA = T.StructType([
     T.StructField("doc_id", T.LongType(), False),
     T.StructField("out_w", T.LongType()),
     T.StructField("out_h", T.LongType()),
+    T.StructField("channels", T.LongType()),
     T.StructField("px_sum", T.LongType()),
     T.StructField("px_hex", T.StringType()),
 ])
@@ -157,8 +179,9 @@ PNG_RESIZE_SCHEMA = T.StructType([
 
 def extract_png_resized(docs: DataFrame, out_w: int = 4,
                         out_h: int = 4) -> DataFrame:
-    """Decode the deterministic PNG per row and nearest-neighbor resize
-    it (png.resize_nn) — the preprocess step every multimodal training
+    """Decode the deterministic PNG per row (gray for even doc_id, RGB
+    for odd) and nearest-neighbor resize it (png.resize_nn,
+    channel-aware) — the preprocess step every multimodal training
     pipeline runs before feature extraction. The resized pixel bytes
     are emitted as hex so the DuckDB oracle can reconstruct them from
     the floor-index rule and compare exactly."""
@@ -166,14 +189,15 @@ def extract_png_resized(docs: DataFrame, out_w: int = 4,
 
     def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = {k: [] for k in ("doc_id", "out_w", "out_h",
+            out = {k: [] for k in ("doc_id", "out_w", "out_h", "channels",
                                    "px_sum", "px_hex")}
             for doc_id in pdf["doc_id"].tolist():
-                w, h, px = decode_png(png_payload_for_doc(doc_id))
-                r = resize_nn(w, h, px, out_w, out_h)
+                w, h, ch, px = decode_png(png_payload_for_doc(doc_id))
+                r = resize_nn(w, h, px, out_w, out_h, channels=ch)
                 out["doc_id"].append(doc_id)
                 out["out_w"].append(out_w)
                 out["out_h"].append(out_h)
+                out["channels"].append(ch)
                 out["px_sum"].append(sum(r))
                 out["px_hex"].append(r.hex())
             yield pd.DataFrame(out)

@@ -2,16 +2,18 @@
 
 Makes the multimodal decode seam REAL for one payload class (r2 VERDICT
 "what's missing" #3): the container has no Pillow/ffmpeg, but a PNG
-grayscale-8 subset needs only ``zlib`` + ``struct``. The *writer* emits
-spec-valid PNGs (signature, IHDR, zlib IDAT, CRC'd chunks, any of the
-five scanline filter types); the *reader* validates CRCs, inflates, and
-reverses all five filters — so the Spark feature path decodes real
-image bytes, not a byte-statistics stand-in.
+grayscale-8 / truecolor-8 subset needs only ``zlib`` + ``struct``. The
+*writer* emits spec-valid PNGs (signature, IHDR, zlib IDAT, CRC'd
+chunks, any of the five scanline filter types); the *reader* validates
+CRCs, inflates, and reverses all five filters with channel-aware
+left/upleft offsets — so the Spark feature path decodes real image
+bytes, not a byte-statistics stand-in.
 
 Subset (documented, raises ValueError outside it): 8-bit grayscale
-(color type 0), no interlace, no ancillary-chunk interpretation.
-Reference analog: the per-slide image enrichment at
-`pptx_extractor/recommendations/generator.py:306-343`.
+(color type 0) and 8-bit RGB truecolor (color type 2, r4 VERDICT #5),
+no interlace, no ancillary-chunk interpretation.
+Reference analog: the color raster output at
+`pptx_extractor/slides/extractor.py:258-279`.
 """
 
 from __future__ import annotations
@@ -19,9 +21,13 @@ from __future__ import annotations
 import struct
 import zlib
 
-__all__ = ["render_png", "decode_png"]
+__all__ = ["render_png", "decode_png", "resize_nn"]
 
 _SIG = b"\x89PNG\r\n\x1a\n"
+
+# IHDR color type per channel count (the supported subset)
+_COLOR_FOR_CHANNELS = {1: 0, 3: 2}
+_CHANNELS_FOR_COLOR = {0: 1, 2: 3}
 
 
 def _paeth(a: int, b: int, c: int) -> int:
@@ -34,13 +40,14 @@ def _paeth(a: int, b: int, c: int) -> int:
     return c
 
 
-def _filter_row(ft: int, row: bytes, prev: bytes) -> bytes:
-    """Apply scanline filter ``ft`` (bpp=1, grayscale-8)."""
+def _filter_row(ft: int, row: bytes, prev: bytes, bpp: int) -> bytes:
+    """Apply scanline filter ``ft``. Per the PNG spec the 'left' pixel
+    is ``bpp`` bytes back (channel-aligned), not one byte back."""
     if ft == 0:
         return row
     out = bytearray(len(row))
     for x, r in enumerate(row):
-        left = row[x - 1] if x else 0
+        left = row[x - bpp] if x >= bpp else 0
         up = prev[x]
         if ft == 1:
             out[x] = (r - left) & 0xFF
@@ -49,17 +56,17 @@ def _filter_row(ft: int, row: bytes, prev: bytes) -> bytes:
         elif ft == 3:
             out[x] = (r - (left + up) // 2) & 0xFF
         else:  # 4 Paeth
-            upleft = prev[x - 1] if x else 0
+            upleft = prev[x - bpp] if x >= bpp else 0
             out[x] = (r - _paeth(left, up, upleft)) & 0xFF
     return bytes(out)
 
 
-def _unfilter_row(ft: int, row: bytearray, prev: bytes) -> None:
-    """Reverse scanline filter in place (bpp=1)."""
+def _unfilter_row(ft: int, row: bytearray, prev: bytes, bpp: int) -> None:
+    """Reverse scanline filter in place."""
     if ft == 0:
         return
     for x in range(len(row)):
-        left = row[x - 1] if x else 0
+        left = row[x - bpp] if x >= bpp else 0
         up = prev[x]
         if ft == 1:
             row[x] = (row[x] + left) & 0xFF
@@ -68,7 +75,7 @@ def _unfilter_row(ft: int, row: bytearray, prev: bytes) -> None:
         elif ft == 3:
             row[x] = (row[x] + (left + up) // 2) & 0xFF
         elif ft == 4:
-            upleft = prev[x - 1] if x else 0
+            upleft = prev[x - bpp] if x >= bpp else 0
             row[x] = (row[x] + _paeth(left, up, upleft)) & 0xFF
         else:
             raise ValueError(f"png: bad filter type {ft}")
@@ -80,36 +87,42 @@ def _chunk(typ: bytes, data: bytes) -> bytes:
 
 
 def render_png(width: int, height: int, pixels: bytes,
-               row_filters=None) -> bytes:
-    """Encode ``pixels`` (row-major grayscale bytes, len == w*h) as a
-    valid PNG. ``row_filters`` optionally cycles filter types per row
-    (default: Sub — exercises real de-filtering on decode)."""
-    if len(pixels) != width * height:
-        raise ValueError("png: pixels length != width*height")
+               row_filters=None, channels: int = 1) -> bytes:
+    """Encode ``pixels`` (row-major bytes, len == w*h*channels; channels
+    1 = grayscale, 3 = RGB interleaved) as a valid PNG. ``row_filters``
+    optionally cycles filter types per row (default: Sub — exercises
+    real de-filtering on decode)."""
+    if channels not in _COLOR_FOR_CHANNELS:
+        raise ValueError(f"png: unsupported channel count {channels}")
+    if len(pixels) != width * height * channels:
+        raise ValueError("png: pixels length != width*height*channels")
     filters = row_filters or [1]
+    stride = width * channels
     raw = bytearray()
-    prev = bytes(width)
+    prev = bytes(stride)
     for y in range(height):
-        row = bytes(pixels[y * width:(y + 1) * width])
+        row = bytes(pixels[y * stride:(y + 1) * stride])
         ft = filters[y % len(filters)]
         raw.append(ft)
-        raw += _filter_row(ft, row, prev)
+        raw += _filter_row(ft, row, prev, channels)
         prev = row
-    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    ihdr = struct.pack(">IIBBBBB", width, height, 8,
+                       _COLOR_FOR_CHANNELS[channels], 0, 0, 0)
     return (_SIG + _chunk(b"IHDR", ihdr)
             + _chunk(b"IDAT", zlib.compress(bytes(raw)))
             + _chunk(b"IEND", b""))
 
 
 def decode_png(data: bytes) -> tuple:
-    """Decode a grayscale-8 PNG -> (width, height, pixel bytes).
-    Validates signature, per-chunk CRCs, and the IHDR subset; raises
-    ValueError on anything outside the subset (log-and-continue at the
-    operator layer, F6 policy)."""
+    """Decode a grayscale-8 or truecolor-8 PNG ->
+    (width, height, channels, pixel bytes). Validates signature,
+    per-chunk CRCs, and the IHDR subset; raises ValueError on anything
+    outside the subset (log-and-continue at the operator layer, F6
+    policy)."""
     if not data.startswith(_SIG):
         raise ValueError("png: bad signature")
     i, n = len(_SIG), len(data)
-    width = height = None
+    width = height = channels = None
     idat = bytearray()
     while i + 8 <= n:
         (ln,) = struct.unpack(">I", data[i:i + 4])
@@ -123,10 +136,12 @@ def decode_png(data: bytes) -> tuple:
         if typ == b"IHDR":
             width, height, depth, color, comp, filt, inter = \
                 struct.unpack(">IIBBBBB", body)
-            if (depth, color, comp, filt, inter) != (8, 0, 0, 0, 0):
+            if depth != 8 or color not in _CHANNELS_FOR_COLOR \
+                    or (comp, filt, inter) != (0, 0, 0):
                 raise ValueError(
                     f"png: unsupported format depth={depth} color={color} "
                     f"interlace={inter}")
+            channels = _CHANNELS_FOR_COLOR[color]
         elif typ == b"IDAT":
             idat += body
         elif typ == b"IEND":
@@ -134,34 +149,36 @@ def decode_png(data: bytes) -> tuple:
         i += 12 + ln
     if width is None:
         raise ValueError("png: missing IHDR")
+    stride = width * channels
     raw = zlib.decompress(bytes(idat))
-    if len(raw) != (width + 1) * height:
+    if len(raw) != (stride + 1) * height:
         raise ValueError("png: bad scanline data length")
     pixels = bytearray()
-    prev = bytes(width)
+    prev = bytes(stride)
     for y in range(height):
-        ft = raw[y * (width + 1)]
-        row = bytearray(raw[y * (width + 1) + 1:(y + 1) * (width + 1)])
-        _unfilter_row(ft, row, prev)
+        ft = raw[y * (stride + 1)]
+        row = bytearray(raw[y * (stride + 1) + 1:(y + 1) * (stride + 1)])
+        _unfilter_row(ft, row, prev, channels)
         pixels += row
         prev = bytes(row)
-    return width, height, bytes(pixels)
+    return width, height, channels, bytes(pixels)
 
 
 def resize_nn(width: int, height: int, pixels: bytes,
-              out_w: int, out_h: int) -> bytes:
-    """Nearest-neighbor resize (grayscale-8): out[y][x] =
-    in[(y*height)//out_h][(x*width)//out_w]. Pure integer index math —
-    deterministic and exactly mirrorable in SQL, which is what lets the
-    resize path sit under the DuckDB gate (real image libs resize with
-    float scale factors; the floor-index rule here is the standard NN
-    convention for integer downscale)."""
+              out_w: int, out_h: int, channels: int = 1) -> bytes:
+    """Nearest-neighbor resize (channel-aware): out[y][x][c] =
+    in[(y*height)//out_h][(x*width)//out_w][c]. Pure integer index
+    math — deterministic and exactly mirrorable in SQL, which is what
+    lets the resize path sit under the DuckDB gate (real image libs
+    resize with float scale factors; the floor-index rule here is the
+    standard NN convention for integer downscale)."""
     if out_w <= 0 or out_h <= 0:
         raise ValueError("png: non-positive resize target")
-    out = bytearray(out_w * out_h)
+    out = bytearray(out_w * out_h * channels)
     for y in range(out_h):
         sy = (y * height) // out_h
-        row = sy * width
         for x in range(out_w):
-            out[y * out_w + x] = pixels[row + (x * width) // out_w]
+            src = (sy * width + (x * width) // out_w) * channels
+            dst = (y * out_w + x) * channels
+            out[dst:dst + channels] = pixels[src:src + channels]
     return bytes(out)

@@ -254,10 +254,11 @@ def test_near_dup_clusters_raises_instead_of_partial_labels(spark):
 def test_png_roundtrip_all_filters():
     from powerpoint_context_extractor_spark.png import decode_png, render_png
     w, h = 7, 9
-    px = bytes((i * 37 + 11) % 256 for i in range(w * h))
-    for filters in ([0], [1], [2], [3], [4], [0, 1, 2, 3, 4]):
-        raw = render_png(w, h, px, row_filters=filters)
-        assert decode_png(raw) == (w, h, px), filters
+    for ch in (1, 3):                         # grayscale AND RGB (r4)
+        px = bytes((i * 37 + 11) % 256 for i in range(w * h * ch))
+        for filters in ([0], [1], [2], [3], [4], [0, 1, 2, 3, 4]):
+            raw = render_png(w, h, px, row_filters=filters, channels=ch)
+            assert decode_png(raw) == (w, h, ch, px), (ch, filters)
 
 
 def test_png_rejects_corruption_and_unsupported():
@@ -270,28 +271,52 @@ def test_png_rejects_corruption_and_unsupported():
         decode_png(bytes(raw))
     with _pytest.raises(ValueError, match="signature"):
         decode_png(b"not a png")
-    # RGB color type is outside the subset
+    # palette color type (3) stays outside the subset
     good = render_png(2, 2, b"\x01\x02\x03\x04")
-    ihdr = _struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0)
+    ihdr = _struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)
     import zlib as _zlib
     chunk = (_struct.pack(">I", len(ihdr)) + b"IHDR" + ihdr
              + _struct.pack(">I", _zlib.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF))
     bad = good[:8] + chunk + good[8 + 12 + 13:]
     with _pytest.raises(ValueError, match="unsupported"):
         decode_png(bad)
+    # 16-bit depth also outside the subset
+    ihdr16 = _struct.pack(">IIBBBBB", 2, 2, 16, 0, 0, 0, 0)
+    chunk16 = (_struct.pack(">I", len(ihdr16)) + b"IHDR" + ihdr16
+               + _struct.pack(">I", _zlib.crc32(b"IHDR" + ihdr16) & 0xFFFFFFFF))
+    bad16 = good[:8] + chunk16 + good[8 + 12 + 13:]
+    with _pytest.raises(ValueError, match="unsupported"):
+        decode_png(bad16)
 
 
 def test_png_feature_kind_routed_through_real_decoder(spark):
     from powerpoint_context_extractor_spark.operators import multimodal as mm
-    payload = mm.png_payload_for_doc(5)
-    df = spark.createDataFrame([(5, bytearray(payload))],
+    # doc 5 is odd -> RGB; doc 6 even -> grayscale
+    rows = [(d, bytearray(mm.png_payload_for_doc(d))) for d in (5, 6)]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r["doc_id"]: r for r in mm.extract_features(df).collect()}
+    w, h = mm.PNG_W, mm.PNG_H
+    for d in (5, 6):
+        ch = 3 if d % 2 else 1
+        row = got[d]
+        assert row["kind"] == "png" and row["error"] is None
+        px = [(d * 31 + i) % 256 for i in range(w * h * ch)]
+        assert row["features"] == [float(w), float(h), float(ch),
+                                   float(sum(px) % 997),
+                                   float(min(px)), float(max(px))]
+
+
+def test_jpeg_kind_errors_explicitly_unsupported(spark):
+    """r4 VERDICT #5: jpeg magic routes to an honest unsupported error
+    row, not the byte-stats stub."""
+    from powerpoint_context_extractor_spark.operators import multimodal as mm
+    jpeg = b"\xff\xd8\xff\xe0" + b"\x00" * 32
+    df = spark.createDataFrame([(1, bytearray(jpeg))],
                                "doc_id long, payload binary")
     row = mm.extract_features(df).collect()[0]
-    assert row["kind"] == "png" and row["error"] is None
-    w, h = mm.PNG_W, mm.PNG_H
-    px = [(5 * 31 + i) % 256 for i in range(w * h)]
-    assert row["features"] == [float(w), float(h), float(sum(px) % 997),
-                               float(min(px)), float(max(px))]
+    assert row["kind"] == "jpeg"
+    assert row["features"] is None
+    assert "unsupported" in row["error"]
 
 
 
@@ -418,13 +443,24 @@ def test_png_resize_nn_exact():
         PNG_H, PNG_W, png_payload_for_doc,
     )
     from powerpoint_context_extractor_spark.png import decode_png, resize_nn
-    w, h, px = decode_png(png_payload_for_doc(5))
-    assert (w, h) == (PNG_W, PNG_H)
+    # doc 6 is even -> grayscale payload
+    w, h, ch, px = decode_png(png_payload_for_doc(6))
+    assert (w, h, ch) == (PNG_W, PNG_H, 1)
     r = resize_nn(w, h, px, 4, 4)
-    want = bytes((5 * 31 + (2 * y) * 16 + 4 * x) % 256
+    want = bytes((6 * 31 + (2 * y) * 16 + 4 * x) % 256
                  for y in range(4) for x in range(4))
     assert r == want
     # identity resize round-trips; upscale replicates
     assert resize_nn(w, h, px, w, h) == px
     up = resize_nn(2, 1, bytes([10, 200]), 4, 1)
     assert up == bytes([10, 10, 200, 200])
+    # RGB (r4): doc 5 is odd -> 3 channels; floor-index rule per channel
+    w3, h3, ch3, px3 = decode_png(png_payload_for_doc(5))
+    assert (w3, h3, ch3) == (PNG_W, PNG_H, 3)
+    r3 = resize_nn(w3, h3, px3, 4, 4, channels=3)
+    want3 = bytes((5 * 31 + ((2 * y) * 16 + 4 * x) * 3 + c) % 256
+                  for y in range(4) for x in range(4) for c in range(3))
+    assert r3 == want3
+    # channel-aware upscale keeps pixels (triples) intact
+    up3 = resize_nn(2, 1, bytes([1, 2, 3, 9, 8, 7]), 4, 1, channels=3)
+    assert up3 == bytes([1, 2, 3, 1, 2, 3, 9, 8, 7, 9, 8, 7])
