@@ -617,8 +617,13 @@ def _sim_ivf_recall(spark, sf_dir):
     )
     emb = _t(spark, sf_dir, "embeddings")
     cents = kmeans_centroids(emb)          # train once, probe many
+    # ADVICE r3: skip qids absent at this scale factor instead of
+    # KeyError-ing — the oracle's IN-list filter degrades the same way
+    present = {r["vec_id"] for r in
+               emb.filter(F.col("vec_id").isin(list(_RECALL_QIDS)))
+               .select("vec_id").collect()}
     parts = []
-    for qid in _RECALL_QIDS:
+    for qid in (q for q in _RECALL_QIDS if q in present):
         ivf = ivf_topk_kmeans(emb, qid, k=10, n_centroids=8, nprobe=2,
                               centroids=cents)
         brute = cosine_topk(emb, qid, k=10)
@@ -636,16 +641,20 @@ def _sim_ivf_recall(spark, sf_dir):
 
 
 def _sim_ivf_topk_indexed(spark, sf_dir):
-    """IVF probe over the MATERIALIZED cluster-partitioned index
-    (similarity.ivf_build_index): same result as sim_ivf_topk, but the
-    scan prunes to the query cell's partition directory."""
+    """Multi-probe IVF over the MATERIALIZED cluster-partitioned index
+    (r4 VERDICT #6: the layout cells are now the trained K-MEANS cells,
+    unified with sim_kmeans_assign/sim_ivf_recall): nprobe=2 nearest
+    cells become a literal partition predicate, so the scan prunes to
+    their partition directories. Same probed-cell semantics as
+    ivf_topk_kmeans — the oracle computes exact cosine top-10 within
+    the 2 k-means cells nearest query 0."""
     from powerpoint_context_extractor_spark.operators.similarity import (
         ivf_build_index, ivf_topk_indexed,
     )
     out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                        "spark-warehouse", "ivf_index_contract")
     ivf_build_index(_t(spark, sf_dir, "embeddings"), out, n_centroids=8)
-    return ivf_topk_indexed(spark, out, 0, k=10)
+    return ivf_topk_indexed(spark, out, 0, k=10, nprobe=2)
 
 
 def _dedup_simhash_query(spark, sf_dir):
@@ -1787,7 +1796,36 @@ def oracle_sql() -> dict[str, str]:
     }
     # the materialized-index probe returns exactly the in-memory IVF
     # result (same deterministic assignment), so it shares the oracle
-    d["sim_ivf_topk_indexed"] = d["sim_ivf_topk"]
+    # r4: the materialized index is the k-means layout probed nprobe=2;
+    # exact cosine top-10 within the 2 trained cells nearest query 0
+    _dot_i = _COS_FOLD.format(expr="ev.v[i]*qv.qv[i]", arr="ev.v")
+    _nv_i = _COS_FOLD.format(expr="ev.v[i]*ev.v[i]", arr="ev.v")
+    _nq_i = _COS_FOLD.format(expr="qv.qv[i]*qv.qv[i]", arr="qv.qv")
+    d["sim_ivf_topk_indexed"] = f"""
+        WITH {_kmeans_cte()},
+        q AS (SELECT vq FROM eq WHERE vec_id = 0),
+        probe AS (
+          SELECT cid FROM (
+            SELECT c.cid,
+                   row_number() OVER (
+                     ORDER BY {_KM_D2.format(a='q', c='c')}, c.cid) AS rn
+            FROM q CROSS JOIN c3 c
+          ) WHERE rn <= 2
+        ),
+        ev AS (SELECT a.vec_id, e.embedding::DOUBLE[] AS v
+               FROM afinal a JOIN embeddings e USING (vec_id)
+               WHERE a.cluster IN (SELECT cid FROM probe)),
+        qv AS (SELECT embedding::DOUBLE[] AS qv
+               FROM embeddings WHERE vec_id = 0),
+        cosc AS (
+          SELECT ev.vec_id,
+                 CAST(ROUND(({_dot_i}) / (sqrt({_nv_i}) * sqrt({_nq_i}))
+                            * 1000000) AS BIGINT) AS cos_micro
+          FROM ev CROSS JOIN qv
+        )
+        SELECT vec_id, cos_micro FROM cosc
+        ORDER BY cos_micro DESC, vec_id ASC LIMIT 10
+    """
     # the PDF-wrapped flagship reconstructs the same expected text as
     # the HTML wrap (both are invertible wraps of the same rows)
     d["flagship_extract_pdf"] = d["flagship_extract"]

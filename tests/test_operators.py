@@ -173,14 +173,17 @@ def test_multimodal_stub_plumbing(spark):
 
 def test_ivf_index_partition_pruning(spark, sf_dir, tmp_path):
     """The materialized IVF index must actually prune: the probe's scan
-    touches only the query cell's partition directory, and results
-    equal the in-memory IVF probe."""
+    touches only the nprobe nearest k-means cells' partition
+    directories, and results equal the in-memory k-means multi-probe
+    (r4 VERDICT #6: the layout is the TRAINED clustering, so the
+    indexed path and the recall-measured path are the same cells)."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     idx_dir = str(tmp_path / "ivf")
     similarity.ivf_build_index(emb, idx_dir, n_centroids=8)
-    out = similarity.ivf_topk_indexed(spark, idx_dir, 0, k=10)
+    out = similarity.ivf_topk_indexed(spark, idx_dir, 0, k=10, nprobe=2)
     rows = out.collect()
-    baseline = similarity.ivf_topk(emb, 0, k=10, n_centroids=8).collect()
+    baseline = similarity.ivf_topk_kmeans(emb, 0, k=10, n_centroids=8,
+                                          nprobe=2).collect()
     assert [tuple(r) for r in rows] == [tuple(r) for r in baseline]
     # plan audit: the literal cluster predicate must reach the scan as
     # a PartitionFilter (directory-level pruning, not a post-scan
@@ -189,7 +192,34 @@ def test_ivf_index_partition_pruning(spark, sf_dir, tmp_path):
     import re
     m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert m, plan
-    assert "cluster" in m.group(1) and "=" in m.group(1), m.group(1)
+    assert "cluster" in m.group(1), m.group(1)
+    # index cells are the k-means cells (sidecar centroids persisted)
+    import json
+    import os
+    with open(os.path.join(idx_dir, "_centroids.json")) as f:
+        cents = json.load(f)
+    assert cents == similarity.kmeans_centroids(emb, 8, 3)
+    idx_assign = {r["vec_id"]: r["cluster"]
+                  for r in spark.read.parquet(idx_dir)
+                  .select("vec_id", "cluster").collect()}
+    km_assign = {r["vec_id"]: r["cluster"]
+                 for r in similarity.kmeans_assign(emb, 8, 3).collect()}
+    assert idx_assign == km_assign
+
+
+def test_sim_ivf_recall_skips_absent_qids(spark, sf_dir, tmp_path):
+    """ADVICE r3: at scale factors where the embeddings table has fewer
+    rows than the largest recall qid, the query degrades to the present
+    qids (like the oracle's IN-list) instead of raising KeyError."""
+    import sys
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as entry
+    emb = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+           .filter("vec_id < 100"))
+    emb.write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+    out = entry._sim_ivf_recall(spark, str(tmp_path))
+    qids = sorted(r["query_id"] for r in out.collect())
+    assert qids == [q for q in entry._RECALL_QIDS if q < 100]
 
 
 def test_near_dup_clusters_connected_components(spark):
