@@ -184,8 +184,9 @@ def _capstone_web_pipeline(spark, sf_dir):
     from this round's operators — robots Disallow filter (broadcast
     join) -> canonical-url capture dedup (window top-1) -> CCNet
     paragraph dedup over the winners (two hash-keyed agg shuffles) ->
-    Gopher repetition flag (zero-shuffle scan) — one DataFrame plan,
-    every stage mirrored first-principles in the DuckDB oracle."""
+    Gopher repetition flag + full Gopher quality gate (r4: gopher_pass,
+    zero-shuffle scans) — one DataFrame plan, every stage mirrored
+    first-principles in the DuckDB oracle."""
     from powerpoint_context_extractor_spark.operators.dedup import (
         paragraph_dedup,
     )
@@ -193,7 +194,7 @@ def _capstone_web_pipeline(spark, sf_dir):
         apply_robots,
     )
     from powerpoint_context_extractor_spark.operators.textstats import (
-        repetition_stats,
+        quality_score_v2, repetition_stats,
     )
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
     host = F.format_string("host%d.example", F.col("doc_id") % 7)
@@ -227,10 +228,12 @@ def _capstone_web_pipeline(spark, sf_dir):
     pd_out = paragraph_dedup(winners.select("doc_id", "text"))
     rep = (repetition_stats(winners.select("doc_id", "text"))
            .select("doc_id", F.col("flagged").alias("rep_flagged")))
+    q2 = (quality_score_v2(winners.select("doc_id", "text"))
+          .select("doc_id", "gopher_pass"))
     return (winners.select("doc_id", "canon_url")
-            .join(pd_out, "doc_id").join(rep, "doc_id")
+            .join(pd_out, "doc_id").join(rep, "doc_id").join(q2, "doc_id")
             .select("doc_id", "canon_url", "total_paras", "kept_paras",
-                    "clean_md5", "rep_flagged"))
+                    "clean_md5", "rep_flagged", "gopher_pass"))
 
 
 def _dedup_url_latest(spark, sf_dir):
@@ -386,6 +389,26 @@ def _text_charset_cjk(spark, sf_dir):
     out = extract_documents_cjk(_t(spark, sf_dir, "documents"))
     return out.select(F.col("doc_id"), F.col("charset"),
                       F.md5(F.col("text").cast("binary")).alias("text_md5"))
+
+
+def _text_quality_v2(spark, sf_dir):
+    """Full Gopher rule set (r4 VERDICT #7 — Rae et al. 2021, public
+    method): word-count bounds, mean-word-length bounds, symbol-to-word
+    ratio, alphabetic-word fraction, distinct-stop-word presence, all
+    integer-exact. Text variants per doc_id % 4 exercise each rule:
+    +stopwords (1), +symbol spam (2), single-giant-word (3), as-is (0)."""
+    from powerpoint_context_extractor_spark.operators.textstats import (
+        quality_score_v2,
+    )
+    d = _t(spark, sf_dir, "documents")
+    txt = (F.when(F.col("doc_id") % 4 == 1,
+                  F.concat(F.col("text"),
+                           F.lit(" the cost of and that data")))
+           .when(F.col("doc_id") % 4 == 2,
+                 F.concat(F.col("text"), F.lit(" ### ... ### ... ###")))
+           .when(F.col("doc_id") % 4 == 3, F.expr("replace(text, ' ', '')"))
+           .otherwise(F.col("text")))
+    return quality_score_v2(d.select("doc_id", txt.alias("text")))
 
 
 def _text_charset_utf16_nobom(spark, sf_dir):
@@ -1078,6 +1101,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_charset_breakdown": _text_charset_breakdown,
         "text_charset_utf16_nobom": _text_charset_utf16_nobom,
         "text_charset_cjk": _text_charset_cjk,
+        "text_quality_v2": _text_quality_v2,
         "capstone_web_pipeline": _capstone_web_pipeline,
         "mm_binary_meta": _mm_binary_meta,
         "mm_png_resize": _mm_png_resize,
@@ -1100,8 +1124,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": _dedup_clusters,
         "dedup_simhash_query": _dedup_simhash_query,
         "dedup_ngram_jaccard": _dedup_ngram_jaccard,
-        "sample_stratified": _sample_stratified,
         # -- 4. tail: r3-green, rotated out this round (re-head next round) --
+        "sample_stratified": _sample_stratified,
         "dedup_url_latest": _dedup_url_latest,
         "text_url_host": _text_url_host,
         "text_url_canonical": _text_url_canonical,
@@ -1955,6 +1979,53 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(chr(10)||chr(10)||a.body, '')) AS text_md5
         FROM toks t LEFT JOIN agg a USING (doc_id)
     """
+    # Gopher quality rules (r4): thresholds and the stop-word list are
+    # interpolated from the frozen textstats constants so they can
+    # never drift between engines
+    from powerpoint_context_extractor_spark.operators.textstats import (
+        GOPHER_MAX_MWL_X100, GOPHER_MAX_SYMBOL_BP, GOPHER_MAX_WORDS,
+        GOPHER_MIN_ALPHA_BP, GOPHER_MIN_MWL_X100, GOPHER_MIN_STOP_DISTINCT,
+        GOPHER_MIN_WORDS, GOPHER_STOPWORDS,
+    )
+    _stops = ", ".join(f"'{s}'" for s in GOPHER_STOPWORDS)
+    _g_feats = f"""
+          SELECT doc_id,
+                 CAST(len(ts) AS BIGINT) AS n_words,
+                 CAST(((len(text) - (len(ts)-1)) * 100) // len(ts)
+                      AS BIGINT) AS mean_wl_x100,
+                 CAST((((len(text) - len(replace(text, '#', '')))
+                        + ((len(text) - len(replace(text, '...', ''))) // 3))
+                       * 10000) // len(ts) AS BIGINT) AS symbol_bp,
+                 CAST((len(list_filter(ts, x -> regexp_matches(x, '[a-z]')))
+                       * 10000) // len(ts) AS BIGINT) AS alpha_bp,
+                 CAST(len(list_intersect(list_distinct(ts), [{_stops}]))
+                      AS BIGINT) AS n_stop_distinct
+    """
+    _g_pass = f"""
+        CAST(CASE WHEN n_words BETWEEN {GOPHER_MIN_WORDS}
+                                   AND {GOPHER_MAX_WORDS}
+                   AND mean_wl_x100 BETWEEN {GOPHER_MIN_MWL_X100}
+                                        AND {GOPHER_MAX_MWL_X100}
+                   AND symbol_bp <= {GOPHER_MAX_SYMBOL_BP}
+                   AND alpha_bp >= {GOPHER_MIN_ALPHA_BP}
+                   AND n_stop_distinct >= {GOPHER_MIN_STOP_DISTINCT}
+              THEN 1 ELSE 0 END AS BIGINT) AS gopher_pass
+    """
+    d["text_quality_v2"] = f"""
+        WITH v AS (
+          SELECT doc_id, CASE doc_id % 4
+            WHEN 1 THEN text || ' the cost of and that data'
+            WHEN 2 THEN text || ' ### ... ### ... ###'
+            WHEN 3 THEN replace(text, ' ', '')
+            ELSE text END AS text
+          FROM documents
+        ), t AS (
+          SELECT doc_id, text, string_split(text, ' ') AS ts FROM v
+        ), g AS ({_g_feats} FROM t)
+        SELECT doc_id, n_words, mean_wl_x100, symbol_bp, alpha_bp,
+               n_stop_distinct, {_g_pass}
+        FROM g
+    """
     # CJK charset contract: same reconstruction as text_charset_breakdown
     # with the per-kind CJK snippet (interpolated from the frozen
     # corpus.CJK_KINDS so the literals can never drift) inserted between
@@ -2019,7 +2090,7 @@ def oracle_sql() -> dict[str, str]:
                CAST(GROUPING(tld, host) AS BIGINT) AS gid
         FROM base GROUP BY ROLLUP (tld, host)
     """
-    d["capstone_web_pipeline"] = """
+    d["capstone_web_pipeline"] = f"""
         WITH a AS (
           SELECT doc_id, text FROM documents
           WHERE NOT ((doc_id % 7) % 2 = 0 AND doc_id % 3 IN (0, 2))
@@ -2065,13 +2136,19 @@ def oracle_sql() -> dict[str, str]:
                                           k -> ts[k] || ' ' || ts[k+1])
                       ELSE []::VARCHAR[] END AS b
           FROM toks
+        ), gq AS ({_g_feats}
+          FROM (SELECT doc_id, text, string_split(text, ' ') AS ts FROM w)
+        ), gp AS (
+          SELECT doc_id, {_g_pass} FROM gq
         )
         SELECT w.doc_id, w.canon_url, pd.total_paras, pd.kept_paras,
                pd.clean_md5,
                CAST(CASE WHEN 100 * (len(b) - len(list_distinct(b)))
                               > 10 * len(b)
-                         THEN 1 ELSE 0 END AS BIGINT) AS rep_flagged
+                         THEN 1 ELSE 0 END AS BIGINT) AS rep_flagged,
+               gp.gopher_pass
         FROM w JOIN pd USING (doc_id) JOIN bg USING (doc_id)
+             JOIN gp USING (doc_id)
     """
     d["dedup_url_latest"] = """
         -- first-principles canonical: the messy variants (case, :80/

@@ -91,6 +91,70 @@ def quality_score(docs: DataFrame, id_col: str = "doc_id",
                        score.alias("quality"))
 
 
+# Gopher quality-rule constants (Rae et al. 2021, MassiveText §A.1.1 —
+# public method). Frozen: the DuckDB oracle mirrors every threshold.
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MWL_X100 = 300      # mean word length in [3, 10]
+GOPHER_MAX_MWL_X100 = 1000
+GOPHER_MAX_SYMBOL_BP = 1000    # symbol-to-word ratio <= 0.1
+GOPHER_MIN_ALPHA_BP = 8000     # >= 80% of words contain a letter
+GOPHER_MIN_STOP_DISTINCT = 2   # >= 2 distinct stop words present
+
+
+def quality_score_v2(docs: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Gopher rule set (r4 VERDICT #7, extending ``quality_score``):
+    word-count bounds, mean-word-length bounds, symbol-to-word ratio
+    ('#' and '...' per word), alphabetic-word fraction, and
+    distinct-stop-word presence — every feature an exact integer
+    (ratios in basis points via integer division), so the whole rule
+    set is DuckDB-oracle-checkable. ``gopher_pass`` is the conjunction
+    the capstone pipeline gates on.
+
+    Scale shape: per-row array/string math inside whole-stage codegen —
+    ZERO shuffles, scan speed at 100 TB (same as repetition_stats).
+    Line-level Gopher rules (bullet/ellipsis line fractions) are out of
+    scope here: the documents corpus is single-line by construction."""
+    toks = _toks(text_col)
+    # '#' count + '...' occurrence count, all-integer (div is exact)
+    n_sym = F.expr(
+        f"(length({text_col}) - length(replace({text_col}, '#', '')))"
+        f" + ((length({text_col}) - length(replace({text_col}, '...', '')))"
+        f" div 3)")
+    base = docs.select(
+        F.col(id_col),
+        F.size(toks).cast("long").alias("n_words"),
+        F.length(F.col(text_col)).cast("long").alias("nc"),
+        n_sym.cast("long").alias("n_sym"),
+        F.size(F.filter(toks, lambda t: t.rlike("[a-z]"))).cast("long")
+        .alias("n_alpha"),
+        F.size(F.array_intersect(
+            F.array_distinct(toks),
+            F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]))).cast("long")
+        .alias("n_stop_distinct"))
+    feat = base.select(
+        id_col, "n_words",
+        F.expr("((nc - (n_words - 1)) * 100) div n_words")
+        .alias("mean_wl_x100"),
+        F.expr("(n_sym * 10000) div n_words").alias("symbol_bp"),
+        F.expr("(n_alpha * 10000) div n_words").alias("alpha_bp"),
+        "n_stop_distinct")
+    gopher_pass = (
+        (F.col("n_words") >= GOPHER_MIN_WORDS)
+        & (F.col("n_words") <= GOPHER_MAX_WORDS)
+        & (F.col("mean_wl_x100") >= GOPHER_MIN_MWL_X100)
+        & (F.col("mean_wl_x100") <= GOPHER_MAX_MWL_X100)
+        & (F.col("symbol_bp") <= GOPHER_MAX_SYMBOL_BP)
+        & (F.col("alpha_bp") >= GOPHER_MIN_ALPHA_BP)
+        & (F.col("n_stop_distinct") >= GOPHER_MIN_STOP_DISTINCT)
+    ).cast("long")
+    return feat.select(id_col, "n_words", "mean_wl_x100", "symbol_bp",
+                       "alpha_bp", "n_stop_distinct",
+                       gopher_pass.alias("gopher_pass"))
+
+
 def fingerprint(docs: DataFrame, id_col: str = "doc_id",
                 text_col: str = "text") -> DataFrame:
     """Rolling polynomial fingerprint over token hashes:

@@ -434,6 +434,32 @@ def test_paragraph_dedup_plan_has_no_token_shuffle(spark):
     plan = buf.getvalue()
     shuffles = re.findall(r"\(\d+\) Exchange\b", plan)
     assert len(shuffles) <= 2, plan
+
+
+def test_quality_score_v2_gopher_rules(spark):
+    """Each Gopher rule trips independently (r4 VERDICT #7): a clean
+    passing doc, too-short, giant-word (mean word length), symbol spam,
+    digit words (alpha fraction), and missing stop words."""
+    good = ("the data of systems " * 13).strip()        # 52 words, stops
+    rows = [
+        (0, good),                                       # passes all
+        (1, "the of short text"),                        # < 50 words
+        (2, good.replace(" ", "")),                      # one giant word
+        (3, good + " " + ("### ... " * 8).strip()),      # symbol spam
+        (4, " ".join(["123"] * 50) + " the of"),         # alpha < 80%
+        (5, ("alpha beta gamma delta " * 13).strip()),   # no gopher stops
+    ]
+    out = {r["doc_id"]: r for r in textstats.quality_score_v2(
+        spark.createDataFrame(rows, "doc_id long, text string")).collect()}
+    assert out[0]["gopher_pass"] == 1
+    assert out[1]["gopher_pass"] == 0 and out[1]["n_words"] < 50
+    assert out[2]["gopher_pass"] == 0 and out[2]["mean_wl_x100"] > 1000
+    assert out[3]["gopher_pass"] == 0 and out[3]["symbol_bp"] > 1000
+    assert out[4]["gopher_pass"] == 0 and out[4]["alpha_bp"] < 8000
+    assert out[5]["gopher_pass"] == 0 and out[5]["n_stop_distinct"] < 2
+
+
+def test_repetition_stats_flags_looped_text(spark):
     rows = [(0, " ".join(["spam ham"] * 25)),            # one bigram looped
             (1, " ".join(f"w{i}" for i in range(40))),   # all distinct
             (2, "single")]                               # no bigrams
