@@ -185,6 +185,69 @@ def test_compaction_replaces_snapshots_and_vacuum_reclaims(spark, tmp_path):
     assert table.read(spark).count() == 5  # live data untouched
 
 
+def test_compaction_lock_excludes_concurrent_compactors(spark, tmp_path):
+    """r4 VERDICT #8: two racing compactions cannot both commit a full
+    rewrite (which would double the live rows) — the second raises on
+    the lock; a stale lock from a crashed compactor is broken."""
+    import os
+
+    import pytest as _pytest
+
+    from powerpoint_context_extractor_spark.sources.table_io import (
+        SnapshotTable,
+    )
+    table = SnapshotTable(str(tmp_path / "t"))
+    for epoch in range(2):
+        table.append(spark.createDataFrame(
+            [(u, epoch) for u in range(3)], "user_id long, epoch long"),
+            run_id=f"e{epoch}")
+    # simulate a concurrent compactor holding the lock
+    lock = table._acquire_compact_lock(stale_lock_s=3600)
+    with _pytest.raises(RuntimeError, match="concurrent compaction"):
+        table.compact(spark, key_col="user_id", order_col="epoch")
+    assert table.read(spark).count() == 6          # nothing was rewritten
+    # a crashed compactor's stale lock is broken and compaction proceeds
+    os.utime(lock, (1, 1))
+    entry = table.compact(spark, key_col="user_id", order_col="epoch",
+                          stale_lock_s=60)
+    assert entry is not None
+    assert not os.path.exists(lock)                # released on success
+    assert table.read(spark).count() == 3          # newest row per key
+    # appends racing a compaction stay live (compact replaces only what
+    # it saw): append after the rewrite, both visible
+    table.append(spark.createDataFrame([(7, 9)], "user_id long, epoch long"),
+                 run_id="late")
+    assert table.read(spark).count() == 4
+
+
+def test_manifest_tolerates_torn_trailing_line(spark, tmp_path):
+    """ADVICE r3: a crash mid-append leaves a torn FINAL line — reads
+    skip it (that snapshot never committed). Corruption anywhere else
+    still raises."""
+    import json as _json
+
+    import pytest as _pytest
+
+    from powerpoint_context_extractor_spark.sources.table_io import (
+        SnapshotTable,
+    )
+    table = SnapshotTable(str(tmp_path / "t"))
+    table.append(spark.range(3).selectExpr("id AS user_id"), run_id="a")
+    table.append(spark.range(2).selectExpr("id AS user_id"), run_id="b")
+    with open(table._manifest_path, "a", encoding="utf-8") as f:
+        f.write('{"snapshot_id": "torn", "files": [')   # crash mid-write
+    assert len(table.snapshots()) == 2                  # torn line skipped
+    assert table.read(spark).count() == 5
+    # mid-file corruption is NOT silently skipped
+    with open(table._manifest_path, encoding="utf-8") as f:
+        lines = f.readlines()
+    lines.insert(1, "garbage not json\n")
+    with open(table._manifest_path, "w", encoding="utf-8") as f:
+        f.writelines(lines)
+    with _pytest.raises(_json.JSONDecodeError):
+        table.snapshots()
+
+
 def test_manifest_legacy_migration(tmp_path):
     import json
     from powerpoint_context_extractor_spark.sources.table_io import (
