@@ -1,11 +1,15 @@
 """robots.txt disallow filtering — crawl politeness applied corpus-side
 (drop pages a well-behaved fetcher should never have kept).
 
-Contract subset (frozen for the oracle): bodies are the ``User-agent: *``
-group's ``Disallow:`` lines; a page is blocked when any non-empty rule
-is a PREFIX of its path. Rule extraction and the prefix probe are pure
-array HOFs (filter/transform/exists) — JVM codegen end to end; the
-rules table is tiny (one row per host) so the pages join broadcasts.
+Contract subset (frozen for the oracle): ONLY groups whose
+``User-agent`` set includes ``*`` contribute ``Disallow:`` rules
+(ADVICE r3: other agents' groups no longer leak in); a group is one or
+more consecutive User-agent lines followed by its directives, per RFC
+9309 §2.1. Lines split on ``\\r?\\n`` so CRLF bodies parse. A page is
+blocked when any non-empty rule is a PREFIX of its path. Parsing is a
+pure HOF state machine (``aggregate`` over lines) and the prefix probe
+is ``exists`` — JVM codegen end to end; the rules table is tiny (one
+row per host) so the pages join broadcasts.
 """
 
 from __future__ import annotations
@@ -13,18 +17,43 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+_EMPTY = "array()"
+
 
 def parse_disallow_rules(robots: DataFrame, host_col: str = "host",
                          body_col: str = "robots_txt") -> DataFrame:
     """(host, robots_txt) -> (host, rules array<string>): the trimmed
-    'Disallow: ' targets, empty rules (allow-all markers) removed."""
-    lines = F.split(F.col(body_col), "\n")
-    dis = F.filter(lines, lambda ln: ln.startswith("Disallow: "))
-    rules = F.filter(
-        F.transform(dis,
-                    lambda ln: F.trim(ln.substr(F.lit(11), F.length(ln)))),
-        lambda r: r != "")
-    return robots.select(F.col(host_col), rules.alias("rules"))
+    ``Disallow:`` targets of every ``User-agent: *`` group, empty rules
+    (allow-all markers) removed.
+
+    State per line: (in_ua = previous line was a User-agent line,
+    star = current group's UA set includes '*', rules). Consecutive
+    User-agent lines OR into one group; any other directive closes the
+    UA block but keeps the group; a later User-agent line starts a new
+    group (resets star)."""
+    lines = F.split(F.col(body_col), r"\r?\n")
+    init = F.struct(
+        F.lit(False).alias("in_ua"),
+        F.lit(False).alias("star"),
+        F.array().cast("array<string>").alias("rules"))
+
+    def step(acc, ln):
+        t = F.trim(ln)
+        is_ua = t.startswith("User-agent:")
+        ua_star = F.trim(t.substr(F.lit(12), F.length(t))) == "*"
+        is_dis = t.startswith("Disallow:")
+        target = F.trim(t.substr(F.lit(10), F.length(t)))
+        star = (F.when(is_ua & acc["in_ua"], acc["star"] | ua_star)
+                .when(is_ua, ua_star)
+                .otherwise(acc["star"]))
+        rules = (F.when(is_dis & acc["star"] & (target != ""),
+                        F.concat(acc["rules"], F.array(target)))
+                 .otherwise(acc["rules"]))
+        return F.struct(is_ua.alias("in_ua"), star.alias("star"),
+                        rules.alias("rules"))
+
+    agg = F.aggregate(lines, init, step, lambda acc: acc["rules"])
+    return robots.select(F.col(host_col), agg.alias("rules"))
 
 
 def apply_robots(pages: DataFrame, robots: DataFrame,

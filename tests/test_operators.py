@@ -494,6 +494,32 @@ def test_robots_prefix_filter(spark):
     assert all(v == 1 for v in out2.values())
 
 
+def test_robots_group_scoping_and_crlf(spark):
+    """ADVICE r3: only the 'User-agent: *' group's rules apply, and
+    CRLF bodies parse (rules no longer keep a trailing \\r that breaks
+    prefix matching)."""
+    from powerpoint_context_extractor_spark.operators import robots
+    pages = spark.createDataFrame(
+        [(0, "a.io", "/private/x"), (1, "a.io", "/bots-only/x"),
+         (2, "b.io", "/private/x"), (3, "c.io", "/private/x"),
+         (4, "d.io", "/private/x")],
+        "doc_id long, host string, path string")
+    rb = spark.createDataFrame([
+        # googlebot group first; its rule must NOT leak into *
+        ("a.io", "User-agent: googlebot\nDisallow: /bots-only\n\n"
+                 "User-agent: *\nDisallow: /private\n"),
+        # CRLF body: the rule must prefix-match without a trailing \r
+        ("b.io", "User-agent: *\r\nDisallow: /private\r\nCrawl-delay: 1\r\n"),
+        # stacked User-agent lines: * anywhere in the block activates it
+        ("c.io", "User-agent: googlebot\nUser-agent: *\nDisallow: /private\n"),
+        # no * group at all -> nothing blocked
+        ("d.io", "User-agent: googlebot\nDisallow: /private\n"),
+    ], "host string, robots_txt string")
+    out = {r["doc_id"]: r["allowed"]
+           for r in robots.apply_robots(pages, rb).collect()}
+    assert out == {0: 0, 1: 1, 2: 0, 3: 0, 4: 1}
+
+
 def test_png_resize_nn_exact():
     from powerpoint_context_extractor_spark.operators.multimodal import (
         PNG_H, PNG_W, png_payload_for_doc,

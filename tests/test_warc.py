@@ -115,3 +115,23 @@ if HAVE_HYP:
         got = [(h["warc-target-uri"], warc.http_body(p))
                for h, p in warc.iter_warc_records(data)]
         assert got == [(u, b) for u, b in recs]
+
+
+def test_gzip_member_iterator_offset_tracking():
+    """ADVICE r3: the member iterator feeds bounded chunks from one
+    buffer (O(member + chunk) per member, not O(file tail)); member
+    boundaries falling anywhere inside a chunk, trailing garbage, and a
+    truncated final member all behave."""
+    import zlib
+
+    members = [bytes([i % 256]) * (7919 + i) for i in range(50)]
+    buf = bytearray()
+    for m in members:
+        co = zlib.compressobj(6, zlib.DEFLATED, 31)
+        buf += co.compress(m) + co.flush()
+    # chunk far smaller than a member AND far larger than one: both ok
+    for cs in (512, 4096, 1 << 26):
+        assert list(warc._gzip_members(bytes(buf), chunk_size=cs)) == members
+    assert list(warc._gzip_members(bytes(buf) + b"garbage")) == members
+    assert list(warc._gzip_members(bytes(buf[:-10]))) == members[:-1]
+    assert list(warc._gzip_members(b"")) == []
