@@ -57,6 +57,7 @@ __all__ = [
     "render_wdoc",
     "render_pdf",
     "render_pdf_pages",
+    "render_pdf_incremental",
     "KernelResult",
     "WDOC_MAGIC",
     "PDF_MAGIC",
@@ -674,9 +675,14 @@ def extract_wdoc(url: str, payload: bytes) -> KernelResult:
 # >=24 h1, >=20 h2, >=18 h3, >=16 h4, >=15 h5, >=14 h6, else p.
 # Renderer escapes non-printable bytes as octal; the parser decodes
 # octal + the standard \n \r \t \b \f \( \) \\ escapes, then
-# UTF-8-decodes. Remaining out-of-subset features (documented, raise
-# into the F6 error column): xref streams / object streams (PDF 1.5+),
-# encryption, non-Flate filters.
+# UTF-8-decodes. Since r3 the parser also unpacks PDF 1.5 object
+# streams (/Type /ObjStm) behind cross-reference streams; since r4
+# incremental updates (appended objects + /Prev trailer chains, PDF
+# 32000 §7.5.6) resolve correctly — the object pass is file-order
+# newest-wins, which IS the update-chain semantics, and the trailer
+# /Root search uses the LAST trailer (render_pdf_incremental + tests
+# pin it). Remaining out-of-subset features (documented, raise into
+# the F6 error column): encryption, non-Flate filters.
 # ---------------------------------------------------------------------------
 
 PDF_PAGE_H = 792  # US-Letter height in points; device y points up
@@ -748,6 +754,66 @@ def render_pdf(blocks, *, compress: bool = False,
                             hex_strings=hex_strings)
 
 
+def _pdf_content_obj(blocks, *, compress: bool = False,
+                     hex_strings: bool = False) -> bytes:
+    """One content-stream object body (shared by the base renderer and
+    the incremental-update appender)."""
+    parts = []
+    for role, y, x, text in blocks:
+        if role not in _PDF_ROLE_SIZE:
+            raise ValueError(f"pdf: unknown role {role!r}")
+        font = "F2" if role == "li" else "F1"
+        size = _PDF_ROLE_SIZE[role]
+        if hex_strings:
+            shown = "<" + text.encode("utf-8").hex() + ">"
+        else:
+            shown = "(" + _pdf_escape(text) + ")"
+        parts.append(f"BT /{font} {size} Tf {int(x)} "
+                     f"{PDF_PAGE_H - int(y)} Td {shown} Tj ET")
+    content = "\n".join(parts).encode("latin-1")
+    filt = b""
+    if compress:
+        content = zlib.compress(content)
+        filt = b" /Filter /FlateDecode"
+    return (b"<< /Length " + str(len(content)).encode() + filt
+            + b" >>\nstream\n" + content + b"\nendstream")
+
+
+def render_pdf_incremental(pages, updated_pages, *,
+                           compress: bool = False) -> bytes:
+    """Incremental-update layout (PDF 32000 §7.5.6 — the r3 'Prev
+    chain' open end): the base file from ``render_pdf_pages`` is kept
+    byte-identical and an update section is APPENDED — re-written
+    content-stream objects for ``updated_pages`` ({page_index:
+    blocks}), a second xref section covering only those objects, and a
+    new trailer whose ``/Prev`` points at the original xref. This is
+    what every PDF editor's "save" writes. The kernel's object-level
+    pass resolves duplicate object numbers newest-in-file-order, which
+    is exactly the update-chain semantics, so extraction shows the
+    UPDATED content (pinned by tests)."""
+    base = render_pdf_pages(pages, compress=compress)
+    npg = len(pages)
+    m = re.search(rb"startxref\r?\n(\d+)", base)
+    prev_at = int(m.group(1))
+    buf = bytearray(base)
+    offsets: dict = {}
+    for idx, blocks in sorted(updated_pages.items()):
+        objnum = 3 + npg + idx            # the page's content stream
+        offsets[objnum] = len(buf)
+        buf += (f"{objnum} 0 obj\n".encode()
+                + _pdf_content_obj(blocks, compress=compress)
+                + b"\nendobj\n")
+    xref_at = len(buf)
+    buf += b"xref\n"
+    for objnum in sorted(offsets):        # one subsection per object
+        buf += (f"{objnum} 1\n".encode()
+                + f"{offsets[objnum]:010d} 00000 n \n".encode())
+    size = 5 + 2 * npg                    # base object count + 1
+    buf += (f"trailer\n<< /Size {size} /Root 1 0 R /Prev {prev_at} >>\n"
+            f"startxref\n{xref_at}\n%%EOF\n").encode()
+    return bytes(buf)
+
+
 def render_pdf_pages(pages, *, compress: bool = False,
                      hex_strings: bool = False,
                      objstm: bool = False) -> bytes:
@@ -774,25 +840,8 @@ def render_pdf_pages(pages, *, compress: bool = False,
                      f"/Contents {3 + npg + i} 0 R /Resources << /Font "
                      f"<< /F1 {f1} 0 R /F2 {f2} 0 R >> >> >>").encode())
     for blocks in pages:
-        parts = []
-        for role, y, x, text in blocks:
-            if role not in _PDF_ROLE_SIZE:
-                raise ValueError(f"pdf: unknown role {role!r}")
-            font = "F2" if role == "li" else "F1"
-            size = _PDF_ROLE_SIZE[role]
-            if hex_strings:
-                shown = "<" + text.encode("utf-8").hex() + ">"
-            else:
-                shown = "(" + _pdf_escape(text) + ")"
-            parts.append(f"BT /{font} {size} Tf {int(x)} "
-                         f"{PDF_PAGE_H - int(y)} Td {shown} Tj ET")
-        content = "\n".join(parts).encode("latin-1")
-        filt = b""
-        if compress:
-            content = zlib.compress(content)
-            filt = b" /Filter /FlateDecode"
-        objs.append(b"<< /Length " + str(len(content)).encode() + filt
-                    + b" >>\nstream\n" + content + b"\nendstream")
+        objs.append(_pdf_content_obj(blocks, compress=compress,
+                                     hex_strings=hex_strings))
     objs.append(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
     objs.append(b"<< /Type /Font /Subtype /Type1 /BaseFont "
                 b"/Helvetica-Bold >>")

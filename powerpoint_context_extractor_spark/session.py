@@ -48,7 +48,11 @@ def get_spark(app: str = "pcx-extract", master: str | None = None,
               shuffle_partitions: int | None = None,
               arrow_batch: int = DEFAULT_ARROW_BATCH,
               arrow_bytes: str = DEFAULT_ARROW_BYTES,
-              driver_memory: str = "48g") -> SparkSession:
+              driver_memory: str = "48g",
+              extra_conf: dict | None = None) -> SparkSession:
+    """``extra_conf`` entries are applied at BUILDER time — the seam for
+    core (non-SQL) confs like ``spark.python.worker.reuse`` that
+    ``spark.conf.set`` rejects after startup (bench/width32.py)."""
     master = master or f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
     if shuffle_partitions is None:
         n = master.split("[")[-1].rstrip("]*")
@@ -77,6 +81,8 @@ def get_spark(app: str = "pcx-extract", master: str | None = None,
         # 300k-page pass set.
         .config("spark.driver.extraJavaOptions", _gc_opts(driver_memory))
     )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
     spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark

@@ -221,6 +221,34 @@ def test_charset_label_flows_to_result():
     assert r.charset == "binary"
 
 
+def test_pdf_incremental_update_newest_wins():
+    """Incremental-update chain (r4, PDF 32000 §7.5.6): an appended
+    update section re-defines a page's content stream; extraction must
+    show the UPDATED text (newest-in-file-order resolution == the
+    /Prev-chain semantics), for both plain and Flate content, while
+    untouched pages keep their original text."""
+    pages = [
+        [("h1", 40, 72, "Original title"), ("p", 80, 72, "original body")],
+        [("p", 80, 72, "second page untouched")],
+    ]
+    for compress in (False, True):
+        base = kernel.render_pdf_pages(pages, compress=compress)
+        r0 = extract_document("u", base)
+        assert "original body" in r0.text
+        upd = kernel.render_pdf_incremental(
+            pages, {0: [("h1", 40, 72, "Edited title"),
+                        ("p", 80, 72, "edited body v2")]},
+            compress=compress)
+        # the base file is preserved byte-identical (true append-only)
+        assert upd.startswith(base)
+        assert upd.count(b"%%EOF") == 2 and b"/Prev" in upd
+        r = extract_document("u", upd)
+        assert r.error is None
+        assert "edited body v2" in r.text and "Edited title" in r.text
+        assert "original body" not in r.text
+        assert "second page untouched" in r.text
+
+
 def test_pdf_layout_order_roles_and_escapes():
     """PDF subset parser (reference slides/extractor.py:38-109 analog):
     blocks re-ordered top-down/left-right, font-size -> heading role,
