@@ -2315,7 +2315,15 @@ def oracle_sql() -> dict[str, str]:
                          THEN 1 ELSE 0 END AS BIGINT) AS flagged
         FROM b
     """
-    d["text_charset_utf16_nobom"] = """
+    # r4: kinds 0/1 = markup-heavy flagship wrap (NUL-parity fast
+    # path); kinds 2/3 = CJK-heavy minimal pages (snippet repeated,
+    # literals interpolated from the frozen corpus constants)
+    from powerpoint_context_extractor_spark.operators.extract import (
+        NOBOM_CJK_REPEAT,
+    )
+    _nb2 = CJK_KINDS[2][2] * NOBOM_CJK_REPEAT
+    _nb3 = CJK_KINDS[3][2] * NOBOM_CJK_REPEAT
+    d["text_charset_utf16_nobom"] = f"""
         WITH toks AS (
           SELECT doc_id, string_split(text, ' ') AS ts FROM documents
         ), flat AS (
@@ -2332,10 +2340,19 @@ def oracle_sql() -> dict[str, str]:
           FROM chunks GROUP BY doc_id
         )
         SELECT t.doc_id,
-               CASE t.doc_id % 2 WHEN 0 THEN 'utf-16-le-sniffed'
+               CASE t.doc_id % 4 WHEN 0 THEN 'utf-16-le-sniffed'
+                                 WHEN 1 THEN 'utf-16-be-sniffed'
+                                 WHEN 2 THEN 'utf-16-le-sniffed'
                                  ELSE 'utf-16-be-sniffed' END AS charset,
-               md5('# Doc ' || t.doc_id ||
-                   coalesce(chr(10)||chr(10)||a.body, '')) AS text_md5
+               CASE WHEN t.doc_id % 4 = 2
+                    THEN md5('# Doc ' || t.doc_id || chr(10)||chr(10)
+                             || '{_nb2}')
+                    WHEN t.doc_id % 4 = 3
+                    THEN md5('# Doc ' || t.doc_id || chr(10)||chr(10)
+                             || '{_nb3}')
+                    ELSE md5('# Doc ' || t.doc_id ||
+                             coalesce(chr(10)||chr(10)||a.body, ''))
+               END AS text_md5
         FROM toks t LEFT JOIN agg a USING (doc_id)
     """
     return d

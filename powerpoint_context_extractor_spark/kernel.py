@@ -341,6 +341,7 @@ _ATTRFIND = re.compile(
     r'((?<=[\'"\s/])[^\s/>][^\s/=>]*)(\s*=+\s*'
     r'(\'[^\']*\'|"[^"]*"|(?![\'"])[^>\s]*))?(?:\s|/(?!>))*')
 _ENDTAG = re.compile(r'</\s*([a-zA-Z][-.a-zA-Z0-9:_]*)\s*>')
+_COMMENT_CLOSE = re.compile(r'--\s*>')    # html.parser._commentclose
 # keep = ord >= 32 or "\n\t\r\f\v" -> strip exactly [\x00-\x08\x0e-\x1f]
 # (C-speed twin of the old per-char generator; \x7f+ kept by both)
 _C0_STRIP = re.compile("[\x00-\x08\x0e-\x1f]").sub
@@ -452,11 +453,15 @@ def _fast_feed(p: "_Extractor", s: str) -> None:
             i = gt + 1
         elif nxt == "!":
             if s.startswith("<!--", lt):
-                j = find("-->", lt + 4)
-                if j < 0:
+                # stdlib parity: comments close on '--\s*>' (html.parser
+                # _commentclose), so '<!--x --  >' terminates — a bare
+                # find('-->') misclassified those as unterminated (r4
+                # hypothesis catch: '<!--<!-- >')
+                cm = _COMMENT_CLOSE.search(s, lt + 4)
+                if cm is None:
                     i = _emit_bogus(p, s, lt)
                     continue
-                i = j + 3                 # comment: ignored
+                i = cm.end()              # comment: ignored
             else:
                 gt = find(">", lt + 2)
                 if gt < 0:
@@ -544,6 +549,31 @@ _WHATWG_CJK_LABELS = {
 }
 
 
+_COMMON_RANGES = (
+    (0x09, 0x0D), (0x20, 0x7E), (0xA0, 0x24F),      # ASCII + Latin
+    (0x2000, 0x206F),                               # general punctuation
+    (0x3000, 0x30FF),                               # CJK punct + kana
+    (0x4E00, 0x9FFF),                               # CJK unified
+    (0xAC00, 0xD7AF),                               # hangul syllables
+    (0xFF00, 0xFFEF),                               # full/half-width forms
+)
+
+
+def _common_script_score(text: str) -> float:
+    """Fraction of chars in everyday text blocks — the UTF-16
+    orientation scorer (wrong-endian decodes scatter into ext-A/PUA)."""
+    if not text:
+        return 0.0
+    ok = 0
+    for ch in text:
+        o = ord(ch)
+        for lo, hi in _COMMON_RANGES:
+            if lo <= o <= hi:
+                ok += 1
+                break
+    return ok / len(text)
+
+
 def decode_html_bytes(content: bytes) -> tuple:
     """Decode raw page bytes -> (text, charset_label). Never raises.
 
@@ -562,12 +592,37 @@ def decode_html_bytes(content: bytes) -> tuple:
         half = len(head) // 2
         odd_nul = head[1::2].count(0)     # LE: high bytes at odd offsets
         even_nul = head[0::2].count(0)
-        if odd_nul >= 0.4 * half and even_nul <= 0.05 * half:
+        # one-sided NUL parity: every ASCII code unit puts a NUL at a
+        # fixed parity, and non-UTF-16 TEXT has no NULs at all (binary
+        # payloads are magic-routed before this decode), so even a few
+        # strongly one-sided NULs are decisive. The r3 rule (>=40% of
+        # half) missed CJK-heavy pages whose only ASCII is sparse
+        # markup; r4: absolute floor of 4 with a 4:1 parity ratio (not
+        # ~0 on the other side — CJK code units like U+6700
+        # legitimately put a NUL on the opposite parity).
+        floor = 4
+        if odd_nul >= floor and even_nul * 4 <= odd_nul:
             return (content.decode("utf-16-le", errors="replace"),
                     "utf-16-le-sniffed")
-        if even_nul >= 0.4 * half and odd_nul <= 0.05 * half:
+        if even_nul >= floor and odd_nul * 4 <= even_nul:
             return (content.decode("utf-16-be", errors="replace"),
                     "utf-16-be-sniffed")
+        if odd_nul + even_nul >= floor:
+            # ambiguous parity (common CJK code units like 最 U+6700 /
+            # 退 U+9000 put NULs on BOTH parities): decode the head
+            # both ways and score by common-script membership — the
+            # correct orientation lands almost every char in ASCII/
+            # Latin/kana/CJK/hangul blocks, the wrong one scatters
+            # into ext-A/PUA. Deterministic; ties fall through.
+            le = head.decode("utf-16-le", errors="replace")
+            be = head.decode("utf-16-be", errors="replace")
+            sl, sb = _common_script_score(le), _common_script_score(be)
+            if sl >= 0.9 and sl > sb:
+                return (content.decode("utf-16-le", errors="replace"),
+                        "utf-16-le-sniffed")
+            if sb >= 0.9 and sb > sl:
+                return (content.decode("utf-16-be", errors="replace"),
+                        "utf-16-be-sniffed")
     try:
         return content.decode("utf-8"), "utf-8"
     except UnicodeDecodeError:

@@ -279,13 +279,25 @@ def extract_documents_cjk(docs: DataFrame) -> DataFrame:
         _cjk_kernel_batches, schema=CHARSET_EXTRACT_SCHEMA)
 
 
+# doc_id % 4 -> (encoding, page shape); kinds 2/3 are CJK-HEAVY minimal
+# pages (almost no ASCII markup — the r4 sniff-relaxation case) with
+# the frozen corpus.CJK_KINDS snippet repeated NOBOM_CJK_REPEAT times
+NOBOM_CJK_REPEAT = 6
+
+
 def _nobom_kernel_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     from .. import corpus
     for pdf in batches:
         out = {"doc_id": [], "charset": [], "text": []}
         for doc_id, text in zip(pdf["doc_id"].tolist(), pdf["text"].tolist()):
-            page = corpus.page_for_document(doc_id, text).decode("utf-8")
-            enc = "utf-16-le" if doc_id % 2 == 0 else "utf-16-be"
+            kind = doc_id % 4
+            enc = "utf-16-le" if kind in (0, 2) else "utf-16-be"
+            if kind < 2:
+                page = corpus.page_for_document(doc_id, text).decode("utf-8")
+            else:
+                snippet = corpus.CJK_KINDS[kind][2]
+                page = (f"<html><body><h1>Doc {doc_id}</h1>"
+                        f"<p>{snippet * NOBOM_CJK_REPEAT}</p></body></html>")
             r = extract_document(f"doc://{doc_id}", page.encode(enc))
             out["doc_id"].append(doc_id)
             out["charset"].append(r.charset)
@@ -294,12 +306,17 @@ def _nobom_kernel_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFr
 
 
 def extract_documents_utf16_nobom(docs: DataFrame) -> DataFrame:
-    """BOM-less UTF-16 contract path (r3 open end): each documents row
-    wrapped as a page encoded utf-16-le (even doc_id) or utf-16-be (odd)
-    with NO byte-order mark and NO meta declaration — the case where a
-    naive utf-8-first decoder silently returns NUL-riddled garbage
-    (ASCII-ish UTF-16 is valid UTF-8). The kernel's even/odd NUL-parity
-    sniff must both label the encoding and recover the exact text."""
+    """BOM-less UTF-16 contract path (r3 open end, widened in r4): each
+    documents row becomes a page with NO byte-order mark and NO meta
+    declaration. Kinds 0/1 (doc_id % 4) are the markup-heavy flagship
+    wrap in utf-16-le/-be — the case where a naive utf-8-first decoder
+    silently returns NUL-riddled garbage (ASCII-ish UTF-16 is valid
+    UTF-8), caught by the one-sided NUL-parity fast path. Kinds 2/3
+    are CJK-HEAVY minimal pages (almost no ASCII, NULs on BOTH
+    parities from U+XX00 code units) — the case the r3 40%-NUL rule
+    shunted to latin-1 mojibake, now resolved by the common-script
+    orientation scorer. The kernel must label the encoding AND recover
+    the exact text (md5 vs the SQL reconstruction)."""
     return docs.select("doc_id", "text").mapInPandas(
         _nobom_kernel_batches, schema=CHARSET_EXTRACT_SCHEMA)
 
