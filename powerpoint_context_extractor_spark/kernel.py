@@ -342,6 +342,9 @@ _ATTRFIND = re.compile(
     r'(\'[^\']*\'|"[^"]*"|(?![\'"])[^>\s]*))?(?:\s|/(?!>))*')
 _ENDTAG = re.compile(r'</\s*([a-zA-Z][-.a-zA-Z0-9:_]*)\s*>')
 _COMMENT_CLOSE = re.compile(r'--\s*>')    # html.parser._commentclose
+_MS_NAME = re.compile(r'[a-zA-Z][-_.a-zA-Z0-9]*')   # _declname_match core
+_MARKED_CLOSE = re.compile(r']\s*]\s*>')  # _markedsectionclose
+_MS_COND_CLOSE = re.compile(r']\s*>')     # _msmarkedsectionclose
 # keep = ord >= 32 or "\n\t\r\f\v" -> strip exactly [\x00-\x08\x0e-\x1f]
 # (C-speed twin of the old per-char generator; \x7f+ kept by both)
 _C0_STRIP = re.compile("[\x00-\x08\x0e-\x1f]").sub
@@ -462,6 +465,35 @@ def _fast_feed(p: "_Extractor", s: str) -> None:
                     i = _emit_bogus(p, s, lt)
                     continue
                 i = cm.end()              # comment: ignored
+            elif s.startswith("<![", lt):
+                # stdlib parse_marked_section parity (r4 fuzz catch):
+                # CDATA/temp/ignore/include/rcdata sections close on
+                # ']\s*]\s*>' — NOT the next '>' — and MS conditionals
+                # (if/else/endif) on ']\s*>'; content is unknown_decl,
+                # which this extractor ignores. Unknown keywords (where
+                # the stdlib RAISES) take the total-function bogus/skip
+                # path instead — the kernel never raises on input.
+                nm = _MS_NAME.match(s, lt + 3)
+                name = nm.group().lower() if nm else None
+                if name in ("temp", "cdata", "ignore", "include",
+                            "rcdata"):
+                    close = _MARKED_CLOSE.search(s, lt + 3)
+                elif name in ("if", "else", "endif"):
+                    close = _MS_COND_CLOSE.search(s, lt + 3)
+                else:
+                    close = None
+                if close is not None:
+                    i = close.end()       # marked section: ignored
+                    continue
+                if name in ("temp", "cdata", "ignore", "include",
+                            "rcdata", "if", "else", "endif"):
+                    i = _emit_bogus(p, s, lt)   # unterminated section
+                    continue
+                gt = find(">", lt + 2)    # unknown keyword: total skip
+                if gt < 0:
+                    i = _emit_bogus(p, s, lt)
+                    continue
+                i = gt + 1
             else:
                 gt = find(">", lt + 2)
                 if gt < 0:

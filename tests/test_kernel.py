@@ -618,7 +618,12 @@ if _HYP:
             "<p>", "</p>", "<div class='ad'>", "</div>", "<h1>", "</h1>",
             "<li>", "<a href='x'>", "</a>", "&amp;", "&#65;", "&nosuch;",
             "<script>", "</script>", "<pre>", "</pre>", "<!--", "-->",
-            "<br/>", "<p/>", "text words here", "<nav>", "</nav>"]))
+            "<br/>", "<p/>", "text words here", "<nav>", "</nav>",
+            # r4 widened: comment/marked-section close forms + fragments
+            "<!-- >", "--  >", "<![CDATA[", "]]>", "<![if !IE]>",
+            "<![endif]>", "] ] >", "<?php ", "?>", "</", "<!", "--!>",
+            "<!doctype html>", "<b", ">", "< ", "&#x41;", "&amp", ";",
+            "<main>", "</main>", "\n", "x<y>z"]))
 
     @settings(max_examples=400, deadline=None)
     @given(st.lists(_FRAG, max_size=25).map("".join))
@@ -636,7 +641,13 @@ def test_fast_engine_comment_close_matches_stdlib():
     every form."""
     cases = ["<!--<!-- >", "<!--x > y", "<!--x --  > y", "<!--a--!>b",
              "<!--a--!b-->c", "<!-- -- >", "<!--a<p>b", "<!--",
-             "<!--ok--><p>x</p>"]
+             "<!--ok--><p>x</p>",
+             # marked sections (parse_marked_section parity): CDATA
+             # closes on ']\s*]\s*>', MS conditionals on ']\s*>',
+             # unterminated takes the bogus-data path
+             "<![CDATA[<li>x]]>y", "<![CDATA[x ] ] >y",
+             "<![CDATA[never closed <p>x", "<![CDATA[",
+             "<![if !IE]>x<![endif]>y"]
     for t in cases:
         a, b = _both(t)
         assert (a.text, a.title, a.spans, a.n_blocks) == \

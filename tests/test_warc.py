@@ -135,3 +135,20 @@ def test_gzip_member_iterator_offset_tracking():
     assert list(warc._gzip_members(bytes(buf) + b"garbage")) == members
     assert list(warc._gzip_members(bytes(buf[:-10]))) == members[:-1]
     assert list(warc._gzip_members(b"")) == []
+
+
+def test_whole_file_gzip_warc_parses_all_records():
+    """A .warc.gz compressed as ONE gzip member over the whole file
+    (the non-Common-Crawl layout some tools emit) still yields every
+    record: the member splitter hands the full buffer to the plain
+    parser, which iterates records by Content-Length framing."""
+    import zlib
+
+    rows = [(f"doc://{i}", "2024-01-01T00:00:00Z", f"body {i}".encode())
+            for i in range(5)]
+    plain = warc.build_warc(rows, gzip_records=False)
+    co = zlib.compressobj(6, zlib.DEFLATED, 31)
+    whole = co.compress(plain) + co.flush()
+    got = [(h["warc-target-uri"], warc.http_body(p))
+           for h, p in warc.iter_warc_records(whole)]
+    assert got == [(u, b) for u, _d, b in rows]
