@@ -529,6 +529,34 @@ if _HYP:
             "u", kernel.render_pdf_pages(pages))
         assert r.text == plain.text and r.spans == plain.spans
 
+    @settings(max_examples=100, deadline=None)
+    @given(st.lists(st.lists(_BLOCK, min_size=1, max_size=4),
+                    min_size=1, max_size=3),
+           st.lists(_BLOCK, min_size=1, max_size=4),
+           st.integers(0, 2), st.booleans())
+    def test_pdf_incremental_roundtrip_properties(pages, new_blocks,
+                                                  upd_idx, compress):
+        """Incremental-update axis (r4): for ANY base document and ANY
+        replacement page content appended as an update section, the
+        updated page shows ONLY the new text, untouched pages keep
+        theirs, and extraction never errors."""
+        idx = upd_idx % len(pages)
+        payload = kernel.render_pdf_incremental(pages, {idx: new_blocks},
+                                                compress=compress)
+        r = extract_document("u", payload)
+        assert r.error is None
+        for _role, _y, _x, text in new_blocks:
+            t = " ".join(text.split())
+            if t:
+                assert t in r.text
+        for pi, blocks in enumerate(pages):
+            if pi == idx:
+                continue
+            for _role, _y, _x, text in blocks:
+                t = " ".join(text.split())
+                if t:
+                    assert t in r.text
+
     @settings(max_examples=200, deadline=None)
     @given(st.lists(st.tuples(_ROLES, st.integers(0, 1000),
                               st.integers(0, 1000), _TEXT), max_size=8))
