@@ -411,6 +411,68 @@ def _text_quality_v2(spark, sf_dir):
     return quality_score_v2(d.select("doc_id", txt.alias("text")))
 
 
+# NFC test suffixes (frozen; oracle literals interpolated): decomposed
+# combining sequences that NFC composes — e+U+0301, A+U+030A, katakana
+# KA+U+3099 (dakuten) — plus an already-composed control
+NFC_SUFFIXES = (
+    "",                                          # unchanged ASCII
+    " cafe\u0301 nai\u0308ve",                   # e+acute, i+diaeresis
+    " A\u030angstro\u0308m",                     # A+ring, o+diaeresis
+    " \u30ab\u3099\u30cf\u309a\u30f3",          # KA+dakuten, HA+handakuten
+)
+
+
+def _text_nfc_normalize(spark, sf_dir):
+    """Unicode NFC normalization contract (r4): text variants carrying
+    decomposed combining sequences (doc_id % 4 picks the frozen
+    suffix); the Arrow-batched stdlib normalizer must agree with
+    DuckDB's independent nfc_normalize — label and md5 both checked."""
+    from powerpoint_context_extractor_spark.operators.textstats import (
+        normalize_nfc,
+    )
+    d = _t(spark, sf_dir, "documents")
+    sfx = F.when(F.col("doc_id") % 4 == 1, NFC_SUFFIXES[1]) \
+        .when(F.col("doc_id") % 4 == 2, NFC_SUFFIXES[2]) \
+        .when(F.col("doc_id") % 4 == 3, NFC_SUFFIXES[3]) \
+        .otherwise(NFC_SUFFIXES[0])
+    out = normalize_nfc(
+        d.select("doc_id", F.concat(F.col("text"), sfx).alias("text")))
+    return out.select("doc_id", "changed",
+                      F.md5(F.col("text_nfc").cast("binary"))
+                      .alias("nfc_md5"))
+
+
+def _web_etld1(spark, sf_dir):
+    """Registrable-domain (eTLD+1) extraction (r4): hosts synthesized
+    per doc_id % 8 cover multi-label public suffixes (co.uk, com.au,
+    github.io, s3.amazonaws.com), deep subdomains, unlisted TLDs, and
+    single labels; the DuckDB oracle mirrors the longest-matching-
+    suffix algorithm over the same frozen lists."""
+    from powerpoint_context_extractor_spark.operators.urltools import (
+        registrable_domain,
+    )
+    d = _t(spark, sf_dir, "documents")
+    host = (F.when(F.col("doc_id") % 8 == 0,
+                   F.format_string("www.site%d.co.uk", F.col("doc_id") % 5))
+            .when(F.col("doc_id") % 8 == 1,
+                  F.format_string("site%d.com", F.col("doc_id") % 5))
+            .when(F.col("doc_id") % 8 == 2,
+                  F.format_string("a%d.b.github.io", F.col("doc_id") % 5))
+            .when(F.col("doc_id") % 8 == 3,
+                  F.format_string("deep.www.example%d.com",
+                                  F.col("doc_id") % 5))
+            .when(F.col("doc_id") % 8 == 4,
+                  F.format_string("x%d.unknowntld", F.col("doc_id") % 5))
+            .when(F.col("doc_id") % 8 == 5, F.lit("localhost"))
+            .when(F.col("doc_id") % 8 == 6,
+                  F.format_string("bucket%d.s3.amazonaws.com",
+                                  F.col("doc_id") % 5))
+            .otherwise(F.format_string("sub.shop%d.com.au",
+                                       F.col("doc_id") % 5)))
+    return d.select("doc_id", host.alias("host")) \
+        .withColumn("etld1", registrable_domain(F.col("host")))
+
+
 def _text_charset_utf16_nobom(spark, sf_dir):
     """BOM-less UTF-16 sniff contract: pages encoded utf-16-le/-be with
     no BOM and no meta tag; the kernel's NUL-parity sniff must label
@@ -1102,6 +1164,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_charset_utf16_nobom": _text_charset_utf16_nobom,
         "text_charset_cjk": _text_charset_cjk,
         "text_quality_v2": _text_quality_v2,
+        "text_nfc_normalize": _text_nfc_normalize,
+        "web_etld1": _web_etld1,
         "capstone_web_pipeline": _capstone_web_pipeline,
         "mm_binary_meta": _mm_binary_meta,
         "mm_png_resize": _mm_png_resize,
@@ -1122,9 +1186,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": _dedup_minhash_lsh,
         "dedup_minhash_lsh_capped": _dedup_minhash_lsh_capped,
         "dedup_clusters": _dedup_clusters,
+        # -- 4. tail: r3-green, rotated out this round (re-head next round) --
         "dedup_simhash_query": _dedup_simhash_query,
         "dedup_ngram_jaccard": _dedup_ngram_jaccard,
-        # -- 4. tail: r3-green, rotated out this round (re-head next round) --
         "sample_stratified": _sample_stratified,
         "dedup_url_latest": _dedup_url_latest,
         "text_url_host": _text_url_host,
@@ -2025,6 +2089,65 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, n_words, mean_wl_x100, symbol_bp, alpha_bp,
                n_stop_distinct, {_g_pass}
         FROM g
+    """
+    # NFC normalization (r4): DuckDB's nfc_normalize is the independent
+    # oracle for the stdlib unicodedata kernel; suffix literals are
+    # interpolated from the frozen NFC_SUFFIXES
+    _nfc_case = " ".join(
+        f"WHEN {i} THEN text || '{s}'"
+        for i, s in enumerate(NFC_SUFFIXES) if i > 0)
+    d["text_nfc_normalize"] = f"""
+        WITH v AS (
+          SELECT doc_id,
+                 CASE doc_id % 4 {_nfc_case} ELSE text END AS t
+          FROM documents
+        )
+        SELECT doc_id,
+               CAST(CASE WHEN nfc_normalize(t) = t THEN 0 ELSE 1 END
+                    AS BIGINT) AS changed,
+               md5(nfc_normalize(t)) AS nfc_md5
+        FROM v
+    """
+    # eTLD+1 (r4): mirror of urltools.registrable_domain — longest
+    # matching suffix over the SAME frozen lists, unlisted TLD is its
+    # own suffix, take = least(suffix+1, n)
+    from powerpoint_context_extractor_spark.operators.urltools import (
+        PSL_2, PSL_3,
+    )
+    _psl2 = ", ".join(f"'{s}'" for s in PSL_2)
+    _psl3 = ", ".join(f"'{s}'" for s in PSL_3)
+    d["web_etld1"] = f"""
+        WITH h AS (
+          SELECT doc_id,
+                 CASE doc_id % 8
+                   WHEN 0 THEN printf('www.site%d.co.uk', doc_id % 5)
+                   WHEN 1 THEN printf('site%d.com', doc_id % 5)
+                   WHEN 2 THEN printf('a%d.b.github.io', doc_id % 5)
+                   WHEN 3 THEN printf('deep.www.example%d.com', doc_id % 5)
+                   WHEN 4 THEN printf('x%d.unknowntld', doc_id % 5)
+                   WHEN 5 THEN 'localhost'
+                   WHEN 6 THEN printf('bucket%d.s3.amazonaws.com',
+                                      doc_id % 5)
+                   ELSE printf('sub.shop%d.com.au', doc_id % 5)
+                 END AS host
+          FROM documents
+        ), parts AS (
+          SELECT doc_id, host, string_split(host, '.') AS ls,
+                 len(string_split(host, '.')) AS n
+          FROM h
+        ), sl AS (
+          SELECT doc_id, host, ls, n,
+                 CASE WHEN n >= 3 AND list_contains([{_psl3}],
+                        array_to_string(list_slice(ls, n-2, n), '.')) THEN 3
+                      WHEN n >= 2 AND list_contains([{_psl2}],
+                        array_to_string(list_slice(ls, n-1, n), '.')) THEN 2
+                      ELSE 1 END AS s
+          FROM parts
+        )
+        SELECT doc_id, host,
+               array_to_string(
+                 list_slice(ls, n - least(s + 1, n) + 1, n), '.') AS etld1
+        FROM sl
     """
     # CJK charset contract: same reconstruction as text_charset_breakdown
     # with the per-kind CJK snippet (interpolated from the frozen

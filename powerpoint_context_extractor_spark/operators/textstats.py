@@ -167,6 +167,42 @@ def fingerprint(docs: DataFrame, id_col: str = "doc_id",
     return docs.select(F.col(id_col), fp.alias("fp"))
 
 
+def normalize_nfc(docs: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """Unicode NFC normalization (r4): the canonicalization every LLM
+    text pipeline runs before hashing/dedup — visually identical
+    strings with decomposed combining marks ('e'+U+0301 vs 'é') hash
+    differently and silently defeat exact dedup. Spark has no built-in
+    normalizer, so this is an Arrow-batched mapInPandas over stdlib
+    ``unicodedata`` (one Python crossing per batch, no per-row UDF);
+    DuckDB's ``nfc_normalize`` is the independent oracle. Emits
+    (id, text_nfc, changed)."""
+    import unicodedata
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField(id_col, T.LongType(), False),
+        T.StructField("text_nfc", T.StringType(), True),
+        T.StructField("changed", T.LongType(), True),
+    ])
+
+    def _batches(batches):
+        for pdf in batches:
+            src = pdf[text_col].tolist()
+            nfc = [unicodedata.normalize("NFC", t) if t is not None
+                   else None for t in src]
+            yield pd.DataFrame({
+                id_col: pdf[id_col],
+                "text_nfc": nfc,
+                "changed": [None if t is None else int(t != o)
+                            for t, o in zip(nfc, src)],
+            })
+
+    return docs.select(id_col, text_col).mapInPandas(_batches, schema=schema)
+
+
 def detect_heavy_hitters(df: DataFrame, key_col: str,
                          fraction_threshold: float = 0.1,
                          sample_fraction: float | None = None) -> list:

@@ -45,3 +45,45 @@ def canonical_url(col: F.Column) -> F.Column:
 def canonicalize_urls(df: DataFrame, url_col: str = "url",
                       out_col: str = "canon_url") -> DataFrame:
     return df.withColumn(out_col, canonical_url(F.col(url_col)))
+
+
+# Frozen public-suffix subset (r4): the host-level grouping key every
+# crawl pipeline actually wants is the REGISTRABLE domain (eTLD+1,
+# publicsuffix.org rules), not the raw host — www.bbc.co.uk and
+# news.bbc.co.uk are one site. The full PSL is ~9k entries and updates
+# weekly; this frozen subset implements the ALGORITHM (longest matching
+# suffix wins; unlisted TLD ⇒ the TLD itself is the suffix) over the
+# common suffix shapes, and the DuckDB oracle mirrors the same lists —
+# swapping in the full list is a data change, not a code change.
+PSL_2 = ("co.uk", "org.uk", "ac.uk", "gov.uk", "com.au", "net.au",
+         "org.au", "co.jp", "or.jp", "ne.jp", "com.br", "com.cn",
+         "com.mx", "co.kr", "co.in", "co.nz", "github.io",
+         "blogspot.com", "herokuapp.com")
+PSL_3 = ("s3.amazonaws.com",)
+
+
+def registrable_domain(col: F.Column) -> F.Column:
+    """Column expression: eTLD+1 of a hostname. Longest listed suffix
+    wins (3-label > 2-label); any other TLD is its own suffix (the PSL
+    prevailing-star rule), so `x.unknowntld` -> `x.unknowntld`. A host
+    that IS a bare suffix, or a single label, comes back unchanged
+    (take = min(suffix+1, n)). Pure HOF/codegen — zero shuffles.
+    CaseWhen branches evaluate lazily, so the k-label suffix slice is
+    only computed when the host has >= k labels."""
+    labels = F.split(col, r"\.")
+    n = F.size(labels)
+
+    def suf(k: int) -> F.Column:
+        return F.when(n >= k,
+                      F.array_join(F.slice(labels, n - k + 1, k), "."))
+
+    sl = (F.when(suf(3).isin(*PSL_3), 3)
+          .when(suf(2).isin(*PSL_2), 2)
+          .otherwise(1))
+    take = F.least(sl + 1, n)
+    return F.array_join(F.slice(labels, n - take + 1, take), ".")
+
+
+def registrable_domains(df: DataFrame, host_col: str = "host",
+                        out_col: str = "etld1") -> DataFrame:
+    return df.withColumn(out_col, registrable_domain(F.col(host_col)))

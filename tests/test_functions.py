@@ -90,3 +90,56 @@ def test_canonical_url_edge_cases(spark):
            for r in canonicalize_urls(df).collect()}
     for i, (_raw, exp) in enumerate(cases):
         assert got[i] == exp, (i, _raw, got[i], exp)
+
+
+def test_registrable_domain_psl_rules(spark):
+    """eTLD+1 (r4): longest listed suffix wins; unlisted TLD is its own
+    suffix; bare suffixes and single labels come back unchanged."""
+    from pyspark.sql import functions as F
+
+    from powerpoint_context_extractor_spark.operators.urltools import (
+        registrable_domain,
+    )
+    cases = {
+        "www.bbc.co.uk": "bbc.co.uk",
+        "news.bbc.co.uk": "bbc.co.uk",
+        "example.com": "example.com",
+        "deep.www.example.com": "example.com",
+        "a.b.github.io": "b.github.io",
+        "bucket.s3.amazonaws.com": "bucket.s3.amazonaws.com",
+        "x.unknowntld": "x.unknowntld",
+        "y.x.unknowntld": "x.unknowntld",
+        "localhost": "localhost",
+        "co.uk": "co.uk",                       # bare suffix
+        "s3.amazonaws.com": "s3.amazonaws.com",  # bare 3-label suffix
+        "sub.shop.com.au": "shop.com.au",
+    }
+    df = spark.createDataFrame([(h,) for h in cases], "host string")
+    got = {r["host"]: r["e"] for r in
+           df.select("host", registrable_domain(F.col("host")).alias("e"))
+           .collect()}
+    assert got == cases
+
+
+def test_normalize_nfc_composes_and_flags(spark):
+    import hashlib
+    import unicodedata
+
+    from powerpoint_context_extractor_spark.operators.textstats import (
+        normalize_nfc,
+    )
+    rows = [(0, "plain ascii"),
+            (1, "café naïve"),
+            (2, "Ångström"),
+            (3, "ガパン"),
+            (4, None)]
+    out = {r["doc_id"]: r for r in normalize_nfc(
+        spark.createDataFrame(rows, "doc_id long, text string")).collect()}
+    assert out[0]["changed"] == 0 and out[0]["text_nfc"] == "plain ascii"
+    for i in (1, 2, 3):
+        src = rows[i][1]
+        want = unicodedata.normalize("NFC", src)
+        assert out[i]["changed"] == 1
+        assert out[i]["text_nfc"] == want and out[i]["text_nfc"] != src
+        assert hashlib.md5(want.encode()).hexdigest()  # sanity
+    assert out[4]["text_nfc"] is None and out[4]["changed"] is None
