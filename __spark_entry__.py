@@ -442,6 +442,18 @@ def _text_nfc_normalize(spark, sf_dir):
                       .alias("nfc_md5"))
 
 
+def _text_token_chunks(spark, sf_dir):
+    """Sliding-window token chunking contract (r4): window=64 tokens,
+    stride=48 (16-token overlap) over documents — the LLM context-
+    window prep. Chunk boundaries, counts, and bodies (md5) are pure
+    integer functions of the token array, mirrored exactly in SQL."""
+    from powerpoint_context_extractor_spark.operators.textstats import (
+        token_chunks,
+    )
+    return token_chunks(_t(spark, sf_dir, "documents"),
+                        window=64, stride=48)
+
+
 def _web_etld1(spark, sf_dir):
     """Registrable-domain (eTLD+1) extraction (r4): hosts synthesized
     per doc_id % 8 cover multi-label public suffixes (co.uk, com.au,
@@ -1166,6 +1178,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality_v2": _text_quality_v2,
         "text_nfc_normalize": _text_nfc_normalize,
         "web_etld1": _web_etld1,
+        "text_token_chunks": _text_token_chunks,
         "capstone_web_pipeline": _capstone_web_pipeline,
         "mm_binary_meta": _mm_binary_meta,
         "mm_png_resize": _mm_png_resize,
@@ -1185,8 +1198,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _dedup_exact,
         "dedup_minhash_lsh": _dedup_minhash_lsh,
         "dedup_minhash_lsh_capped": _dedup_minhash_lsh_capped,
-        "dedup_clusters": _dedup_clusters,
         # -- 4. tail: r3-green, rotated out this round (re-head next round) --
+        "dedup_clusters": _dedup_clusters,
         "dedup_simhash_query": _dedup_simhash_query,
         "dedup_ngram_jaccard": _dedup_ngram_jaccard,
         "sample_stratified": _sample_stratified,
@@ -2088,6 +2101,29 @@ def oracle_sql() -> dict[str, str]:
         ), g AS ({_g_feats} FROM t)
         SELECT doc_id, n_words, mean_wl_x100, symbol_bp, alpha_bp,
                n_stop_distinct, {_g_pass}
+        FROM g
+    """
+    # sliding-window token chunks (r4): chunk k = tokens
+    # [k*48, k*48+64); n_chunks = 1 if n<=64 else 1+ceil((n-64)/48)
+    d["text_token_chunks"] = """
+        WITH toks AS (
+          SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+        ), nc AS (
+          SELECT doc_id, ts, len(ts) AS n,
+                 CASE WHEN len(ts) <= 64 THEN 1
+                      ELSE 1 + ((len(ts) - 64 + 47) // 48) END AS m
+          FROM toks WHERE len(ts) > 0
+        ), g AS (
+          SELECT doc_id, ts,
+                 unnest(range(0, m)) AS k
+          FROM nc
+        )
+        SELECT doc_id, CAST(k AS INTEGER) AS chunk_id,
+               CAST(len(list_slice(ts, k*48 + 1, least(k*48 + 64, len(ts))))
+                    AS BIGINT) AS n_tokens,
+               md5(array_to_string(
+                 list_slice(ts, k*48 + 1, least(k*48 + 64, len(ts))), ' '))
+                 AS chunk_md5
         FROM g
     """
     # NFC normalization (r4): DuckDB's nfc_normalize is the independent

@@ -167,6 +167,38 @@ def fingerprint(docs: DataFrame, id_col: str = "doc_id",
     return docs.select(F.col(id_col), fp.alias("fp"))
 
 
+def token_chunks(docs: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text", window: int = 64,
+                 stride: int = 48) -> DataFrame:
+    """Sliding-window token chunking (r4) — the context-window prep
+    every LLM training pipeline runs: chunk k covers whitespace tokens
+    [k*stride, k*stride+window); overlapping when stride < window; a
+    doc with <= window tokens yields exactly one chunk; the final
+    chunk may be short but always starts inside the doc.
+
+    Scale shape: chunks are a per-row pure function of the token array
+    (same map-side transform/sequence/slice pattern as paragraph_dedup)
+    — the only rows ever shuffled are whatever the CALLER aggregates;
+    this operator itself is zero-shuffle scan-speed. Emits
+    (id, chunk_id, n_tokens, chunk_md5)."""
+    if stride <= 0 or window <= 0:
+        raise ValueError("token_chunks: window and stride must be > 0")
+    base = docs.select(F.col(id_col), _toks(text_col).alias("_toks"))
+    n = F.size("_toks")
+    chunks = F.expr(
+        f"transform(sequence(0, (CASE WHEN size(_toks) <= {window} THEN 1 "
+        f"ELSE 1 + ((size(_toks) - {window} + {stride} - 1) DIV {stride}) "
+        f"END) - 1), "
+        f"k -> array_join(slice(_toks, k*{stride}+1, {window}), ' '))")
+    out = (base.filter(n > 0)
+           .select(F.col(id_col),
+                   F.posexplode(chunks).alias("chunk_id", "chunk")))
+    return out.select(
+        id_col, "chunk_id",
+        F.size(F.split(F.col("chunk"), " ")).cast("long").alias("n_tokens"),
+        F.md5(F.col("chunk").cast("binary")).alias("chunk_md5"))
+
+
 def normalize_nfc(docs: DataFrame, id_col: str = "doc_id",
                   text_col: str = "text") -> DataFrame:
     """Unicode NFC normalization (r4): the canonicalization every LLM
