@@ -454,6 +454,19 @@ def _text_token_chunks(spark, sf_dir):
                         window=64, stride=48)
 
 
+def _text_sentences(spark, sf_dir):
+    """Sentence segmentation contract (r4): terminators injected
+    deterministically (' a ' -> '. ', terminal '.'), then the frozen
+    RE2-safe rule '[^.!?]+[.!?]*' splits — the identical pattern runs
+    in both engines, so boundaries and bodies are hash-exact."""
+    from powerpoint_context_extractor_spark.operators.textstats import (
+        split_sentences,
+    )
+    d = _t(spark, sf_dir, "documents")
+    v = F.concat(F.regexp_replace(F.col("text"), " a ", ". "), F.lit("."))
+    return split_sentences(d.select("doc_id", v.alias("text")))
+
+
 def _web_etld1(spark, sf_dir):
     """Registrable-domain (eTLD+1) extraction (r4): hosts synthesized
     per doc_id % 8 cover multi-label public suffixes (co.uk, com.au,
@@ -1179,6 +1192,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_nfc_normalize": _text_nfc_normalize,
         "web_etld1": _web_etld1,
         "text_token_chunks": _text_token_chunks,
+        "text_sentences": _text_sentences,
         "capstone_web_pipeline": _capstone_web_pipeline,
         "mm_binary_meta": _mm_binary_meta,
         "mm_png_resize": _mm_png_resize,
@@ -1197,8 +1211,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_salted_host_stats": _agg_salted_host_stats,
         "dedup_exact": _dedup_exact,
         "dedup_minhash_lsh": _dedup_minhash_lsh,
-        "dedup_minhash_lsh_capped": _dedup_minhash_lsh_capped,
         # -- 4. tail: r3-green, rotated out this round (re-head next round) --
+        "dedup_minhash_lsh_capped": _dedup_minhash_lsh_capped,
         "dedup_clusters": _dedup_clusters,
         "dedup_simhash_query": _dedup_simhash_query,
         "dedup_ngram_jaccard": _dedup_ngram_jaccard,
@@ -2124,6 +2138,27 @@ def oracle_sql() -> dict[str, str]:
                md5(array_to_string(
                  list_slice(ts, k*48 + 1, least(k*48 + 64, len(ts))), ' '))
                  AS chunk_md5
+        FROM g
+    """
+    # sentence segmentation (r4): the IDENTICAL RE2-safe pattern runs
+    # in both engines over the same injected-terminator text
+    d["text_sentences"] = """
+        WITH v AS (
+          SELECT doc_id,
+                 regexp_replace(text, ' a ', '. ', 'g') || '.' AS t
+          FROM documents
+        ), sl AS (
+          SELECT doc_id,
+                 list_filter(list_transform(
+                   regexp_extract_all(t, '[^.!?]+[.!?]*'),
+                   s -> trim(s)), s -> s <> '') AS l
+          FROM v
+        ), g AS (
+          SELECT doc_id, l, unnest(range(0, len(l))) AS k FROM sl
+        )
+        SELECT doc_id, CAST(k AS INTEGER) AS sent_id,
+               CAST(len(l[k+1]) AS BIGINT) AS n_chars,
+               md5(l[k+1]) AS sent_md5
         FROM g
     """
     # NFC normalization (r4): DuckDB's nfc_normalize is the independent

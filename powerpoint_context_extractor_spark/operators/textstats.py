@@ -199,6 +199,25 @@ def token_chunks(docs: DataFrame, id_col: str = "doc_id",
         F.md5(F.col("chunk").cast("binary")).alias("chunk_md5"))
 
 
+def split_sentences(docs: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Regex sentence segmentation (r4): a sentence is a maximal run of
+    non-terminator chars plus its trailing terminator run
+    (``[^.!?]+[.!?]*``), trimmed, empties dropped — the frozen rule is
+    deliberately RE2-compatible (no lookbehind) so the DuckDB oracle
+    runs the IDENTICAL pattern. Per-row array math, zero shuffles.
+    Emits (id, sent_id, n_chars, sent_md5)."""
+    sents = F.expr(
+        f"filter(transform(regexp_extract_all({text_col}, "
+        f"'[^.!?]+[.!?]*', 0), s -> trim(s)), s -> s != '')")
+    out = docs.select(
+        F.col(id_col), F.posexplode(sents).alias("sent_id", "sentence"))
+    return out.select(
+        id_col, "sent_id",
+        F.length("sentence").cast("long").alias("n_chars"),
+        F.md5(F.col("sentence").cast("binary")).alias("sent_md5"))
+
+
 def normalize_nfc(docs: DataFrame, id_col: str = "doc_id",
                   text_col: str = "text") -> DataFrame:
     """Unicode NFC normalization (r4): the canonicalization every LLM

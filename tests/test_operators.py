@@ -461,6 +461,45 @@ def test_token_chunks_windows_and_overlap(spark):
         assert r["chunk_md5"] == hashlib.md5(body.encode()).hexdigest()
 
 
+def test_split_sentences_rule(spark):
+    """Frozen segmentation rule: maximal non-terminator runs + trailing
+    terminator run, trimmed, empties dropped; multi-terminator runs
+    ('?!', '...') stay attached to their sentence."""
+    rows = [(0, "One. Two! Three?"),
+            (1, "No terminators here"),
+            (2, "Wait... what?! Ok."),
+            (3, "..."),     # terminators only: no [^.!?]+ run -> no rows
+            (4, "")]                         # empty -> no rows
+    out = {}
+    for r in textstats.split_sentences(
+            spark.createDataFrame(rows, "doc_id long, text string")).collect():
+        out.setdefault(r["doc_id"], []).append(r)
+    import hashlib
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()  # noqa: E731
+    assert [r["sent_md5"] for r in sorted(out[0], key=lambda r: r["sent_id"])] \
+        == [md5("One."), md5("Two!"), md5("Three?")]
+    assert [r["sent_md5"] for r in out[1]] == [md5("No terminators here")]
+    assert [r["sent_md5"] for r in sorted(out[2], key=lambda r: r["sent_id"])] \
+        == [md5("Wait..."), md5("what?!"), md5("Ok.")]
+    assert 3 not in out and 4 not in out
+
+
+def test_chunking_and_sentences_are_shuffle_free(spark):
+    """Both r4 text preps must run at scan speed: no Exchange anywhere
+    in their physical plans."""
+    import contextlib
+    import io
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{j}." for j in range(120))) for i in range(10)],
+        "doc_id long, text string")
+    for op in (lambda d: textstats.token_chunks(d),
+               lambda d: textstats.split_sentences(d)):
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            op(docs).explain("formatted")
+        assert "Exchange" not in buf.getvalue()
+
+
 def test_quality_score_v2_gopher_rules(spark):
     """Each Gopher rule trips independently (r4 VERDICT #7): a clean
     passing doc, too-short, giant-word (mean word length), symbol spam,
