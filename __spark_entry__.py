@@ -454,6 +454,16 @@ def _text_token_chunks(spark, sf_dir):
                         window=64, stride=48)
 
 
+def _sim_quantize_int8(spark, sf_dir):
+    """int8 embedding quantization contract (r4): symmetric per-vector
+    scale, exact-integer outputs (scale in micro-units, q-sum, q CSV) —
+    the 4x-compression codec graded bit-for-bit by the SQL mirror."""
+    from powerpoint_context_extractor_spark.operators.similarity import (
+        quantize_int8,
+    )
+    return quantize_int8(_t(spark, sf_dir, "embeddings"))
+
+
 def _text_sentences(spark, sf_dir):
     """Sentence segmentation contract (r4): terminators injected
     deterministically (' a ' -> '. ', terminal '.'), then the frozen
@@ -1193,6 +1203,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_etld1": _web_etld1,
         "text_token_chunks": _text_token_chunks,
         "text_sentences": _text_sentences,
+        "sim_quantize_int8": _sim_quantize_int8,
         "capstone_web_pipeline": _capstone_web_pipeline,
         "mm_binary_meta": _mm_binary_meta,
         "mm_png_resize": _mm_png_resize,
@@ -1210,8 +1221,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": _text_fingerprint,
         "agg_salted_host_stats": _agg_salted_host_stats,
         "dedup_exact": _dedup_exact,
-        "dedup_minhash_lsh": _dedup_minhash_lsh,
         # -- 4. tail: r3-green, rotated out this round (re-head next round) --
+        "dedup_minhash_lsh": _dedup_minhash_lsh,
         "dedup_minhash_lsh_capped": _dedup_minhash_lsh_capped,
         "dedup_clusters": _dedup_clusters,
         "dedup_simhash_query": _dedup_simhash_query,
@@ -2139,6 +2150,31 @@ def oracle_sql() -> dict[str, str]:
                  list_slice(ts, k*48 + 1, least(k*48 + 64, len(ts))), ' '))
                  AS chunk_md5
         FROM g
+    """
+    # int8 quantization (r4): same per-vector symmetric codec in SQL;
+    # ROUND is half-away-from-zero in both engines
+    d["sim_quantize_int8"] = """
+        WITH e AS (
+          SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        ), s AS (
+          SELECT vec_id, v,
+                 list_reduce(list_prepend(0.0::DOUBLE,
+                   [abs(x) for x in v]), (a, b) -> greatest(a, b)) AS amax
+          FROM e
+        ), q AS (
+          SELECT vec_id, amax,
+                 CASE WHEN amax > 0
+                      THEN [CAST(ROUND(x / amax * 127) AS BIGINT)
+                            for x in v]
+                      ELSE [CAST(0 AS BIGINT) for x in v] END AS qv
+          FROM s
+        )
+        SELECT vec_id,
+               CAST(ROUND(amax * 1000000) AS BIGINT) AS scale_micro,
+               CAST(list_reduce(list_prepend(0::BIGINT, qv),
+                                (a, b) -> a + b) AS BIGINT) AS q_sum,
+               array_to_string(qv, ',') AS q_csv
+        FROM q
     """
     # sentence segmentation (r4): the IDENTICAL RE2-safe pattern runs
     # in both engines over the same injected-terminator text

@@ -30,6 +30,30 @@ def _norm(a: F.Column) -> F.Column:
                               F.lit(0.0), lambda acc, x: acc + x))
 
 
+def quantize_int8(emb: DataFrame, id_col: str = "vec_id",
+                  vec_col: str = "embedding") -> DataFrame:
+    """Symmetric per-vector int8 quantization (r4) — the 4x storage/
+    bandwidth cut every embedding store takes before ANN serving:
+    scale = max(|x|) per vector, q_i = round(x_i / scale * 127) —
+    |q| <= 127 by construction, half-away rounding in BOTH engines —
+    and zero vectors quantize to zeros with scale 0. All JVM HOF math, zero shuffles.
+    Emits (id, scale_micro, q_sum, q_csv) — exact integers, so the
+    whole codec is DuckDB-oracle-checkable."""
+    v = _as_double(F.col(vec_col))
+    amax = F.aggregate(F.transform(v, F.abs),
+                       F.lit(0.0), lambda a, x: F.greatest(a, x))
+    q = F.when(amax > 0, F.transform(
+        v, lambda x: F.round(x / amax * 127).cast("long"))) \
+        .otherwise(F.transform(v, lambda x: F.lit(0).cast("long")))
+    return emb.select(
+        F.col(id_col),
+        F.round(amax * 1_000_000).cast("long").alias("scale_micro"),
+        F.aggregate(q, F.lit(0).cast("long"),
+                    lambda a, x: a + x).alias("q_sum"),
+        F.concat_ws(",", F.transform(q, lambda x: x.cast("string")))
+        .alias("q_csv"))
+
+
 def cosine_to_query(emb: DataFrame, query_id: int,
                     id_col: str = "vec_id",
                     vec_col: str = "embedding") -> DataFrame:

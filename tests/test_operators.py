@@ -207,6 +207,22 @@ def test_ivf_index_partition_pruning(spark, sf_dir, tmp_path):
     assert idx_assign == km_assign
 
 
+def test_quantize_int8_codec(spark):
+    """Symmetric int8 codec edges: max component maps to ±127, zero
+    vector -> zeros with scale 0, |q| <= 127 always."""
+    rows = [(0, [1.0, -0.5, 0.25, 0.0]),
+            (1, [0.0, 0.0, 0.0, 0.0]),
+            (2, [-2.0, 1.0, 0.5, -0.25])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["vec_id"]: r for r in similarity.quantize_int8(df).collect()}
+    assert out[0]["q_csv"] == "127,-64,32,0"       # round(0.5*127)=64 HALF_UP
+    assert out[0]["scale_micro"] == 1_000_000
+    assert out[1]["q_csv"] == "0,0,0,0" and out[1]["scale_micro"] == 0
+    assert out[2]["q_csv"] == "-127,64,32,-16"
+    for r in out.values():
+        assert all(abs(int(x)) <= 127 for x in r["q_csv"].split(","))
+
+
 def test_sim_ivf_recall_skips_absent_qids(spark, sf_dir, tmp_path):
     """ADVICE r3: at scale factors where the embeddings table has fewer
     rows than the largest recall qid, the query degrades to the present
