@@ -454,6 +454,30 @@ def _text_token_chunks(spark, sf_dir):
                         window=64, stride=48)
 
 
+def _j_bucketed_colocated(spark, sf_dir):
+    """Bucketed co-located join contract (r4 — the 100 TB repeated-join
+    pattern): events and a per-user profile are persisted bucketBy(8,
+    user_id) + sortBy, then joined and aggregated on the bucket key.
+    Spark trusts the persisted hash layout, so the join AND the final
+    agg run with ZERO exchanges (plan-audited in tests); results are
+    graded by the plain-join SQL oracle."""
+    import hashlib
+
+    from powerpoint_context_extractor_spark.operators.joins import (
+        bucketed_join, write_bucketed,
+    )
+    tag = hashlib.md5(sf_dir.encode("utf-8")).hexdigest()[:8]
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", _CENTS("value").alias("cents"))
+    prof = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+    t_ev, t_prof = f"pcx_bx_ev_{tag}", f"pcx_bx_prof_{tag}"
+    write_bucketed(ev, t_ev, "user_id", 8)
+    write_bucketed(prof, t_prof, "user_id", 8)
+    j = bucketed_join(spark, t_ev, t_prof, "user_id")
+    return (j.groupBy("user_id", "n_events")
+            .agg(F.sum("cents").alias("sum_cents")))
+
+
 def _sim_quantize_int8(spark, sf_dir):
     """int8 embedding quantization contract (r4): symmetric per-vector
     scale, exact-integer outputs (scale in micro-units, q-sum, q CSV) —
@@ -1204,6 +1228,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_chunks": _text_token_chunks,
         "text_sentences": _text_sentences,
         "sim_quantize_int8": _sim_quantize_int8,
+        "j_bucketed_colocated": _j_bucketed_colocated,
         "capstone_web_pipeline": _capstone_web_pipeline,
         "mm_binary_meta": _mm_binary_meta,
         "mm_png_resize": _mm_png_resize,
@@ -1220,8 +1245,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_count": _text_token_count,
         "text_fingerprint": _text_fingerprint,
         "agg_salted_host_stats": _agg_salted_host_stats,
-        "dedup_exact": _dedup_exact,
         # -- 4. tail: r3-green, rotated out this round (re-head next round) --
+        "dedup_exact": _dedup_exact,
         "dedup_minhash_lsh": _dedup_minhash_lsh,
         "dedup_minhash_lsh_capped": _dedup_minhash_lsh_capped,
         "dedup_clusters": _dedup_clusters,
@@ -2150,6 +2175,20 @@ def oracle_sql() -> dict[str, str]:
                  list_slice(ts, k*48 + 1, least(k*48 + 64, len(ts))), ' '))
                  AS chunk_md5
         FROM g
+    """
+    # bucketed co-located join (r4): the oracle is the PLAIN join —
+    # bucketing changes the physical plan, never the result
+    d["j_bucketed_colocated"] = """
+        WITH ev AS (
+          SELECT user_id, CAST(ROUND(value * 100) AS BIGINT) AS cents
+          FROM events
+        ), p AS (
+          SELECT user_id, COUNT(*) AS n_events FROM ev GROUP BY user_id
+        )
+        SELECT e.user_id, p.n_events,
+               CAST(SUM(e.cents) AS BIGINT) AS sum_cents
+        FROM ev e JOIN p USING (user_id)
+        GROUP BY e.user_id, p.n_events
     """
     # int8 quantization (r4): same per-vector symmetric codec in SQL;
     # ROUND is half-away-from-zero in both engines

@@ -5,12 +5,49 @@ Spark has no ASOF JOIN; the standard scalable composition is
 union-tag-window — one shuffle on (key), no per-group Python, no
 crossJoin blowup. DuckDB *does* have ASOF JOIN, which makes this
 operator directly oracle-checkable.
+
+Bucketed co-located join (r4): the 100 TB pattern for repeated big-big
+joins — pay the shuffle ONCE at write time (``bucketBy(n, key)`` +
+``sortBy``), then every subsequent join on the bucket key is
+exchange-free (Spark trusts the persisted hash layout). The plan-audit
+test pins "zero Exchange" in the joined physical plan.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
+
+
+def write_bucketed(df: DataFrame, table: str, key: str,
+                   n_buckets: int = 8) -> None:
+    """Persist ``df`` hash-bucketed (and sorted) by ``key`` into the
+    session catalog. This is the write-side half of the co-located
+    join: the one-off shuffle that makes every later ``key``-join
+    exchange-free.
+
+    The in-memory catalog forgets tables across sessions while the
+    managed LOCATION survives on disk, so a stale location from a
+    previous process would fail table creation — drop both first."""
+    import re
+    import shutil
+
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    wh = re.sub("^file:", "", spark.conf.get("spark.sql.warehouse.dir"))
+    shutil.rmtree(f"{wh}/{table.lower()}", ignore_errors=True)
+    (df.write.mode("overwrite")
+     .bucketBy(n_buckets, key).sortBy(key)
+     .format("parquet").saveAsTable(table))
+
+
+def bucketed_join(spark, left_table: str, right_table: str,
+                  key: str) -> DataFrame:
+    """Join two same-bucket-count tables on their bucket key. Spark
+    recognizes the persisted HashPartitioning, so the physical plan has
+    NO Exchange on either side — at 100 TB this turns every repeated
+    fact-to-fact join on the same key into a map-side merge."""
+    return spark.table(left_table).join(spark.table(right_table), key)
 
 
 def asof_join_backward(left: DataFrame, right: DataFrame, key: str,

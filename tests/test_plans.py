@@ -185,6 +185,47 @@ def test_compaction_replaces_snapshots_and_vacuum_reclaims(spark, tmp_path):
     assert table.read(spark).count() == 5  # live data untouched
 
 
+def test_bucketed_join_and_agg_have_zero_exchanges(spark):
+    """r4: two tables persisted bucketBy(8, user_id) + sortBy join AND
+    group on the bucket key with NO Exchange anywhere in the physical
+    plan — the pay-the-shuffle-once-at-write-time pattern for repeated
+    big-big joins at 100 TB. Results equal the unbucketed join."""
+    from pyspark.sql import functions as F
+
+    from powerpoint_context_extractor_spark.operators.joins import (
+        bucketed_join, write_bucketed,
+    )
+    ev = spark.createDataFrame(
+        [(i % 13, i) for i in range(400)], "user_id long, cents long")
+    prof = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+    write_bucketed(ev, "pcx_test_bx_ev", "user_id", 8)
+    write_bucketed(prof, "pcx_test_bx_prof", "user_id", 8)
+    # disable broadcast so the SORT-MERGE path must run — only the
+    # persisted bucket layout can make it exchange-free
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        out = (bucketed_join(spark, "pcx_test_bx_ev", "pcx_test_bx_prof",
+                             "user_id")
+               .groupBy("user_id", "n_events")
+               .agg(F.sum("cents").alias("sum_cents")))
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan, plan
+        # no SHUFFLE exchange anywhere (BroadcastExchange would be fine,
+        # but the threshold above rules it out too)
+        assert "Exchange hashpartitioning" not in plan, plan
+        assert "Exchange rangepartitioning" not in plan, plan
+        assert "BroadcastExchange" not in plan, plan
+        got = {(r["user_id"], r["n_events"], r["sum_cents"])
+               for r in out.collect()}
+        want = {(r["user_id"], r["n_events"], r["sum_cents"]) for r in
+                ev.join(prof, "user_id").groupBy("user_id", "n_events")
+                .agg(F.sum("cents").alias("sum_cents")).collect()}
+        assert got == want
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
 def test_compaction_lock_excludes_concurrent_compactors(spark, tmp_path):
     """r4 VERDICT #8: two racing compactions cannot both commit a full
     rewrite (which would double the live rows) — the second raises on
