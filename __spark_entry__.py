@@ -454,6 +454,16 @@ def _text_token_chunks(spark, sf_dir):
                         window=64, stride=48)
 
 
+def _sim_quantized_topk(spark, sf_dir):
+    """Quantized-serving search contract (r4): top-10 by cosine over
+    the int8 codes for query 0 — integer dot/norm math, exact in both
+    engines (per-vector scales cancel in cosine)."""
+    from powerpoint_context_extractor_spark.operators.similarity import (
+        quantized_topk,
+    )
+    return quantized_topk(_t(spark, sf_dir, "embeddings"), 0, k=10)
+
+
 def _j_bucketed_colocated(spark, sf_dir):
     """Bucketed co-located join contract (r4 — the 100 TB repeated-join
     pattern): events and a per-user profile are persisted bucketBy(8,
@@ -1228,6 +1238,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_chunks": _text_token_chunks,
         "text_sentences": _text_sentences,
         "sim_quantize_int8": _sim_quantize_int8,
+        "sim_quantized_topk": _sim_quantized_topk,
         "j_bucketed_colocated": _j_bucketed_colocated,
         "capstone_web_pipeline": _capstone_web_pipeline,
         "mm_binary_meta": _mm_binary_meta,
@@ -1244,8 +1255,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lang_id": _text_lang_id,
         "text_token_count": _text_token_count,
         "text_fingerprint": _text_fingerprint,
-        "agg_salted_host_stats": _agg_salted_host_stats,
         # -- 4. tail: r3-green, rotated out this round (re-head next round) --
+        "agg_salted_host_stats": _agg_salted_host_stats,
         "dedup_exact": _dedup_exact,
         "dedup_minhash_lsh": _dedup_minhash_lsh,
         "dedup_minhash_lsh_capped": _dedup_minhash_lsh_capped,
@@ -2214,6 +2225,42 @@ def oracle_sql() -> dict[str, str]:
                                 (a, b) -> a + b) AS BIGINT) AS q_sum,
                array_to_string(qv, ',') AS q_csv
         FROM q
+    """
+    # quantized top-k (r4): integer dot/norm over the int8 codes
+    d["sim_quantized_topk"] = """
+        WITH e AS (
+          SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        ), s AS (
+          SELECT vec_id, v,
+                 list_reduce(list_prepend(0.0::DOUBLE,
+                   [abs(x) for x in v]), (a, b) -> greatest(a, b)) AS amax
+          FROM e
+        ), q AS (
+          SELECT vec_id,
+                 CASE WHEN amax > 0
+                      THEN [CAST(ROUND(x / amax * 127) AS BIGINT)
+                            for x in v]
+                      ELSE [CAST(0 AS BIGINT) for x in v] END AS qv
+          FROM s
+        ), qq AS (SELECT qv AS qr FROM q WHERE vec_id = 0),
+        sc AS (
+          SELECT q.vec_id,
+                 CAST(list_reduce(list_prepend(0::BIGINT,
+                   [q.qv[i] * qq.qr[i] for i in range(1, len(q.qv)+1)]),
+                   (a, b) -> a + b) AS DOUBLE) AS dot,
+                 CAST(list_reduce(list_prepend(0::BIGINT,
+                   [q.qv[i] * q.qv[i] for i in range(1, len(q.qv)+1)]),
+                   (a, b) -> a + b) AS DOUBLE) AS na,
+                 CAST(list_reduce(list_prepend(0::BIGINT,
+                   [qq.qr[i] * qq.qr[i] for i in range(1, len(qq.qr)+1)]),
+                   (a, b) -> a + b) AS DOUBLE) AS nb
+          FROM q CROSS JOIN qq
+        )
+        SELECT vec_id,
+               CAST(ROUND(dot / (sqrt(na) * sqrt(nb)) * 1000000)
+                    AS BIGINT) AS qcos_micro
+        FROM sc WHERE na > 0 AND nb > 0
+        ORDER BY qcos_micro DESC, vec_id ASC LIMIT 10
     """
     # sentence segmentation (r4): the IDENTICAL RE2-safe pattern runs
     # in both engines over the same injected-terminator text

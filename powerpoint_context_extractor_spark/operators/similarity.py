@@ -54,6 +54,46 @@ def quantize_int8(emb: DataFrame, id_col: str = "vec_id",
         .alias("q_csv"))
 
 
+def _q8_col(vec_col: str) -> F.Column:
+    """int8 code array for a vector column (the quantize_int8 codec)."""
+    v = _as_double(F.col(vec_col))
+    amax = F.aggregate(F.transform(v, F.abs),
+                       F.lit(0.0), lambda a, x: F.greatest(a, x))
+    return (F.when(amax > 0, F.transform(
+        v, lambda x: F.round(x / amax * 127).cast("long")))
+        .otherwise(F.transform(v, lambda x: F.lit(0).cast("long"))))
+
+
+def quantized_topk(emb: DataFrame, query_id: int, k: int = 10,
+                   id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> DataFrame:
+    """Top-k by cosine over the INT8-QUANTIZED vectors (r4) — the
+    serving-time search a quantized embedding store actually runs.
+    Symmetric per-vector scales cancel in cosine, so the score is pure
+    integer dot/norm math over the codes (exact cross-engine); recall
+    vs the float top-k is the codec's quality measure, and both sides
+    are deterministic. Zero-norm codes are excluded (cosine undefined).
+    Emits top-k (id, qcos_micro) by (score desc, id asc)."""
+    base = emb.select(F.col(id_col), _q8_col(vec_col).alias("qv"))
+    q = (base.filter(F.col(id_col) == query_id)
+         .select(F.col("qv").alias("qq")))
+    dot = F.aggregate(F.zip_with(F.col("qv"), F.col("qq"),
+                                 lambda x, y: x * y),
+                      F.lit(0).cast("long"), lambda a, x: a + x)
+    n2 = lambda c: F.aggregate(F.transform(c, lambda x: x * x),  # noqa: E731
+                               F.lit(0).cast("long"), lambda a, x: a + x)
+    cos = (dot.cast("double")
+           / (F.sqrt(n2(F.col("qv")).cast("double"))
+              * F.sqrt(n2(F.col("qq")).cast("double"))))
+    return (base.crossJoin(F.broadcast(q))
+            .filter((n2(F.col("qv")) > 0) & (n2(F.col("qq")) > 0))
+            .select(F.col(id_col),
+                    F.round(cos * 1_000_000).cast("long")
+                    .alias("qcos_micro"))
+            .orderBy(F.col("qcos_micro").desc(), F.col(id_col).asc())
+            .limit(k))
+
+
 def cosine_to_query(emb: DataFrame, query_id: int,
                     id_col: str = "vec_id",
                     vec_col: str = "embedding") -> DataFrame:

