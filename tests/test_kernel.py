@@ -651,7 +651,12 @@ if _HYP:
             "<!-- >", "--  >", "<![CDATA[", "]]>", "<![if !IE]>",
             "<![endif]>", "] ] >", "<?php ", "?>", "</", "<!", "--!>",
             "<!doctype html>", "<b", ">", "< ", "&#x41;", "&amp", ";",
-            "<main>", "</main>", "\n", "x<y>z"]))
+            "<main>", "</main>", "\n", "x<y>z",
+            # r4 second widening (20k-example sweep was clean): rawtext
+            # elements, attribute quirks, charref overflow/surrogates
+            "<textarea>", "</textarea>", "<title>", "</title>",
+            "<p class=unquoted>", "<p class='>x'>", "<p a==b>",
+            "&#1114112;", "&#xD800;", "<P>", "</SCRIPT>", "<3", "<-p>"]))
 
     @settings(max_examples=400, deadline=None)
     @given(st.lists(_FRAG, max_size=25).map("".join))
