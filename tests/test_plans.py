@@ -243,7 +243,7 @@ def test_compaction_lock_excludes_concurrent_compactors(spark, tmp_path):
             [(u, epoch) for u in range(3)], "user_id long, epoch long"),
             run_id=f"e{epoch}")
     # simulate a concurrent compactor holding the lock
-    lock = table._acquire_compact_lock(stale_lock_s=3600)
+    lock, _tok = table._acquire_compact_lock(stale_lock_s=3600)
     with _pytest.raises(RuntimeError, match="concurrent compaction"):
         table.compact(spark, key_col="user_id", order_col="epoch")
     assert table.read(spark).count() == 6          # nothing was rewritten
@@ -259,6 +259,71 @@ def test_compaction_lock_excludes_concurrent_compactors(spark, tmp_path):
     table.append(spark.createDataFrame([(7, 9)], "user_id long, epoch long"),
                  run_id="late")
     assert table.read(spark).count() == 4
+
+
+def test_compaction_heartbeat_keeps_long_run_lock_fresh(spark, tmp_path):
+    """r4 ADVICE #1: a LIVE compaction running longer than stale_lock_s
+    must not have its lock broken as 'stale' — the heartbeat refreshes
+    the lock mtime, so a second compactor still raises."""
+    import time
+
+    import pytest as _pytest
+
+    from powerpoint_context_extractor_spark.sources import table_io
+    table = table_io.SnapshotTable(str(tmp_path / "t"))
+    table.append(spark.range(3).selectExpr("id AS user_id"), run_id="a")
+
+    stale_s = 0.4
+    orig = table_io.SnapshotTable._compact_locked
+
+    def slow_compact(self, *a, **kw):
+        time.sleep(3 * stale_s)            # outlive stale_lock_s
+        # mid-run, a would-be takeover must see a FRESH lock and raise
+        with _pytest.raises(RuntimeError, match="concurrent compaction"):
+            table._acquire_compact_lock(stale_lock_s=stale_s)
+        return orig(self, *a, **kw)
+
+    try:
+        table_io.SnapshotTable._compact_locked = slow_compact
+        entry = table.compact(spark, stale_lock_s=stale_s)
+    finally:
+        table_io.SnapshotTable._compact_locked = orig
+    assert entry is not None
+    assert table.read(spark).count() == 3
+
+
+def test_compaction_aborts_commit_after_lock_ownership_loss(spark, tmp_path):
+    """r4 ADVICE #1: if the lock IS broken mid-rewrite (stale takeover
+    during a pause the heartbeat could not cover), the original must
+    abort its replace-commit and must NOT unlink the new holder's
+    lock."""
+    import os
+
+    import pytest as _pytest
+
+    from powerpoint_context_extractor_spark.sources import table_io
+    table = table_io.SnapshotTable(str(tmp_path / "t"))
+    table.append(spark.range(3).selectExpr("id AS user_id"), run_id="a")
+    lock_path = os.path.join(table.root, "_compact.lock")
+
+    orig = table_io._footer_row_count          # runs just before _commit
+
+    def steal_then_count(files):
+        with open(lock_path, "w", encoding="utf-8") as f:
+            f.write("thief-token 999 0\n")     # new holder's lock
+        return orig(files)
+
+    try:
+        table_io._footer_row_count = steal_then_count
+        with _pytest.raises(RuntimeError, match="lost .* ownership"):
+            table.compact(spark)
+    finally:
+        table_io._footer_row_count = orig
+    # no replace-commit happened; the thief's lock survived the finally
+    assert len(table.snapshots()) == 1
+    with open(lock_path, encoding="utf-8") as f:
+        assert f.read().startswith("thief-token")
+    os.unlink(lock_path)
 
 
 def test_manifest_tolerates_torn_trailing_line(spark, tmp_path):
