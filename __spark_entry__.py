@@ -298,11 +298,13 @@ def _web_robots_filter(spark, sf_dir):
                   F.format_string("/public/doc%d", F.col("doc_id")))
             .otherwise(F.format_string("/tmp/doc%d", F.col("doc_id"))))
     pages = d.select("doc_id", host.alias("host"), path.alias("path"))
+    # even hosts use LOWERCASE directive keys (RFC 9309 §2.1 makes keys
+    # case-insensitive — r5: common in real crawls, same oracle truth)
     robots = spark.range(7).select(
         F.format_string("host%d.example", F.col("id")).alias("host"),
         F.when(F.col("id") % 2 == 0,
-               F.lit("User-agent: *\nDisallow: /private\n"
-                     "Disallow: /tmp\nCrawl-delay: 1"))
+               F.lit("user-agent: *\ndisallow: /private\n"
+                     "disallow: /tmp\ncrawl-delay: 1"))
         .otherwise(F.lit("User-agent: *\nDisallow:\n"))
         .alias("robots_txt"))
     return (apply_robots(pages, robots)

@@ -30,7 +30,12 @@ def parse_disallow_rules(robots: DataFrame, host_col: str = "host",
     star = current group's UA set includes '*', rules). Consecutive
     User-agent lines OR into one group; any other directive closes the
     UA block but keeps the group; a later User-agent line starts a new
-    group (resets star)."""
+    group (resets star).
+
+    Directive KEYS match case-insensitively (RFC 9309 §2.1 — r4 ADVICE
+    #3: lowercase ``user-agent: *`` files are very common in real
+    crawls and their Disallow rules must not be silently ignored);
+    rule TARGETS keep their case (URL paths are case-sensitive)."""
     lines = F.split(F.col(body_col), r"\r?\n")
     init = F.struct(
         F.lit(False).alias("in_ua"),
@@ -39,9 +44,10 @@ def parse_disallow_rules(robots: DataFrame, host_col: str = "host",
 
     def step(acc, ln):
         t = F.trim(ln)
-        is_ua = t.startswith("User-agent:")
+        tl = F.lower(t)
+        is_ua = tl.startswith("user-agent:")
         ua_star = F.trim(t.substr(F.lit(12), F.length(t))) == "*"
-        is_dis = t.startswith("Disallow:")
+        is_dis = tl.startswith("disallow:")
         target = F.trim(t.substr(F.lit(10), F.length(t)))
         star = (F.when(is_ua & acc["in_ua"], acc["star"] | ua_star)
                 .when(is_ua, ua_star)

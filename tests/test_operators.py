@@ -595,7 +595,8 @@ def test_robots_group_scoping_and_crlf(spark):
     pages = spark.createDataFrame(
         [(0, "a.io", "/private/x"), (1, "a.io", "/bots-only/x"),
          (2, "b.io", "/private/x"), (3, "c.io", "/private/x"),
-         (4, "d.io", "/private/x")],
+         (4, "d.io", "/private/x"), (5, "e.io", "/private/x"),
+         (6, "e.io", "/Private/x")],
         "doc_id long, host string, path string")
     rb = spark.createDataFrame([
         # googlebot group first; its rule must NOT leak into *
@@ -607,10 +608,13 @@ def test_robots_group_scoping_and_crlf(spark):
         ("c.io", "User-agent: googlebot\nUser-agent: *\nDisallow: /private\n"),
         # no * group at all -> nothing blocked
         ("d.io", "User-agent: googlebot\nDisallow: /private\n"),
+        # r4 ADVICE #3: lowercase directive KEYS match (RFC 9309 keys
+        # are case-insensitive) but rule TARGETS stay case-sensitive
+        ("e.io", "user-agent: *\ndisallow: /private\n"),
     ], "host string, robots_txt string")
     out = {r["doc_id"]: r["allowed"]
            for r in robots.apply_robots(pages, rb).collect()}
-    assert out == {0: 0, 1: 1, 2: 0, 3: 0, 4: 1}
+    assert out == {0: 0, 1: 1, 2: 0, 3: 0, 4: 1, 5: 0, 6: 1}
 
 
 def test_png_resize_nn_exact():
