@@ -606,6 +606,17 @@ def _common_script_score(text: str) -> float:
     return ok / len(text)
 
 
+def _head_is_strict_utf8(head: bytes) -> bool:
+    """Strict UTF-8 validity of a byte-truncated head: a decode error
+    inside the final 3 bytes is just a multibyte sequence cut by the
+    truncation, not invalid UTF-8."""
+    try:
+        head.decode("utf-8")
+        return True
+    except UnicodeDecodeError as exc:
+        return exc.start >= len(head) - 3
+
+
 def decode_html_bytes(content: bytes) -> tuple:
     """Decode raw page bytes -> (text, charset_label). Never raises.
 
@@ -614,7 +625,16 @@ def decode_html_bytes(content: bytes) -> tuple:
     UTF-8 — NUL is a legal codepoint — so utf-8-first would silently
     return NUL-riddled garbage labeled 'utf-8'. Real UTF-8 HTML never
     contains NULs, so a one-sided even/odd NUL pattern in the head is
-    decisive."""
+    decisive.
+
+    r4 ADVICE #2 guard: in the LOW-NUL regime (below the r3 40%-of-half
+    threshold — where only the relaxed absolute floor of 4 applies), a
+    head that strict-decodes as UTF-8 is preferred as UTF-8: a genuine
+    UTF-8/ASCII page with a few stray NULs must not be mojibake'd
+    whole-page as UTF-16. This cannot misroute the sniff's real
+    targets: ASCII-heavy UTF-16 has ~one NUL per character (high-NUL
+    regime, guard not consulted), and CJK-heavy UTF-16 fails strict
+    UTF-8 on its high code-unit bytes."""
     if content.startswith(b"\xef\xbb\xbf"):
         return content[3:].decode("utf-8", errors="replace"), "utf-8-bom"
     if content.startswith(b"\xff\xfe") or content.startswith(b"\xfe\xff"):
@@ -633,26 +653,34 @@ def decode_html_bytes(content: bytes) -> tuple:
         # ~0 on the other side — CJK code units like U+6700
         # legitimately put a NUL on the opposite parity).
         floor = 4
-        if odd_nul >= floor and even_nul * 4 <= odd_nul:
+        strong = max(floor, (2 * half) // 5)     # the r3 40% threshold
+        low_nul = max(odd_nul, even_nul) < strong
+        if low_nul and _head_is_strict_utf8(head):
+            pass                          # stray-NUL UTF-8: skip sniff
+        elif odd_nul >= floor and even_nul * 4 <= odd_nul:
             return (content.decode("utf-16-le", errors="replace"),
                     "utf-16-le-sniffed")
-        if even_nul >= floor and odd_nul * 4 <= even_nul:
+        elif even_nul >= floor and odd_nul * 4 <= even_nul:
             return (content.decode("utf-16-be", errors="replace"),
                     "utf-16-be-sniffed")
-        if odd_nul + even_nul >= floor:
+        elif odd_nul + even_nul >= floor:
             # ambiguous parity (common CJK code units like 最 U+6700 /
             # 退 U+9000 put NULs on BOTH parities): decode the head
             # both ways and score by common-script membership — the
             # correct orientation lands almost every char in ASCII/
             # Latin/kana/CJK/hangul blocks, the wrong one scatters
-            # into ext-A/PUA. Deterministic; ties fall through.
+            # into ext-A/PUA. A 0.1 MARGIN is required (r4 ADVICE #2:
+            # wrong-endian ASCII pairs like 'ab' -> U+6261 score as
+            # 'common CJK', so both orientations of ASCII-ish text
+            # score ~1.0 — a one-char difference must not decide).
+            # Deterministic; ties fall through.
             le = head.decode("utf-16-le", errors="replace")
             be = head.decode("utf-16-be", errors="replace")
             sl, sb = _common_script_score(le), _common_script_score(be)
-            if sl >= 0.9 and sl > sb:
+            if sl >= 0.9 and sl - sb >= 0.1:
                 return (content.decode("utf-16-le", errors="replace"),
                         "utf-16-le-sniffed")
-            if sb >= 0.9 and sb > sl:
+            if sb >= 0.9 and sb - sl >= 0.1:
                 return (content.decode("utf-16-be", errors="replace"),
                         "utf-16-be-sniffed")
     try:

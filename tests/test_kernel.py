@@ -178,6 +178,27 @@ def test_charset_utf16_without_bom_sniffed():
     assert dec(mixed.encode("utf-16-le"))[1] == "utf-16-le-sniffed"
 
 
+def test_charset_stray_nul_utf8_not_mojibaked():
+    """r4 ADVICE #2: a genuine UTF-8 page with a few ONE-SIDED stray
+    NULs in the head (low-NUL regime) strict-decodes as UTF-8 and must
+    be preferred as UTF-8 — not mojibake'd whole-page as UTF-16."""
+    dec = kernel.decode_html_bytes
+    # 12-byte ASCII prefix, then 5 NULs all at even offsets: one-sided
+    # (even_nul=5 >= floor 4, odd_nul=0) yet valid strict UTF-8
+    raw = b"<p>hello</p>" + b"\x00A" * 5 + b"<p>more body text</p>" * 20
+    t, c = dec(raw)
+    assert c == "utf-8"
+    assert "more body text" in t
+    # multibyte UTF-8 with stray one-sided NULs: still utf-8 (the
+    # truncated-tail tolerance must not reject real multibyte content)
+    raw2 = ("<p>héllo wörld</p>" * 30).encode("utf-8") + b"\x00A" * 5
+    assert dec(raw2)[1] == "utf-8"
+    # the guard must NOT rescue real ASCII-heavy UTF-16 (high-NUL
+    # regime: ~one NUL per char) — still sniffed
+    page = "<html><body>plain ascii page body</body></html>"
+    assert dec(page.encode("utf-16-le"))[1] == "utf-16-le-sniffed"
+
+
 def test_charset_cjk_whatwg_superset_mapping():
     """WHATWG CJK label mapping (r4 VERDICT #2): pages labeled with the
     narrow national standard decode via the vendor superset codec, so
