@@ -187,6 +187,14 @@ def ivf_build_index(emb: DataFrame, out_dir: str, n_centroids: int = 8,
               .select(F.col("_id").alias(id_col), "cluster"))
     (emb.join(assign, id_col)
      .write.mode("overwrite").partitionBy("cluster").parquet(out_dir))
+    # id->cluster lookup sidecar (r4 ADVICE #4): probes resolve the
+    # query's cell from this narrow (id, cluster) table instead of
+    # scanning every cluster partition of the full index for one id.
+    # Underscore prefix = invisible to the main parquet read; ~16
+    # bytes/row, and at 100 TB it would be bucketed by id so the
+    # lookup is a single-bucket probe.
+    assign.write.mode("overwrite").parquet(
+        os.path.join(out_dir, "_assign"))
     with open(os.path.join(out_dir, "_centroids.json"), "w",
               encoding="utf-8") as f:
         json.dump(cents, f)
@@ -202,7 +210,10 @@ def ivf_topk_indexed(spark, index_dir: str, query_id: int, k: int = 10,
     ``cluster IN (...)`` predicate — `.explain` shows PartitionFilters
     pruning to ~nprobe/K of the files. Same probed-cell semantics as
     ``ivf_topk_kmeans``, but the cell restriction happens at the SOURCE
-    instead of after a full scan."""
+    instead of after a full scan. The query vector itself is fetched
+    pruned too (r4 ADVICE #4): its cell comes from the narrow
+    ``_assign`` sidecar, so only that one partition directory is read
+    — no unpruned full-index scan anywhere in the probe."""
     import json
     import os
 
@@ -210,9 +221,15 @@ def ivf_topk_indexed(spark, index_dir: str, query_id: int, k: int = 10,
               encoding="utf-8") as f:
         cents = json.load(f)
     idx = spark.read.parquet(index_dir)
+    qcell_row = (spark.read.parquet(os.path.join(index_dir, "_assign"))
+                 .filter(F.col(id_col) == query_id).head())
+    if qcell_row is None:
+        raise KeyError(f"query id {query_id} not in index {index_dir}")
     # quantize the query vector with the SAME Spark expression used in
-    # training (F.round = HALF_UP; Python round() banker's-rounds)
-    qrow = (idx.filter(F.col(id_col) == query_id)
+    # training (F.round = HALF_UP; Python round() banker's-rounds);
+    # the literal cluster predicate makes this fetch partition-pruned
+    qrow = (idx.filter((F.col("cluster") == int(qcell_row["cluster"]))
+                       & (F.col(id_col) == query_id))
             .select(F.transform(_as_double(F.col(vec_col)),
                                 lambda x: F.round(x * 1e6).cast("long"))
                     .alias("vq")).head())

@@ -199,6 +199,17 @@ def test_ivf_index_partition_pruning(spark, sf_dir, tmp_path):
     with open(os.path.join(idx_dir, "_centroids.json")) as f:
         cents = json.load(f)
     assert cents == similarity.kmeans_centroids(emb, 8, 3)
+    # r4 ADVICE #4: the query-vector fetch is pruned too — its cell
+    # comes from the _assign sidecar and the (cluster, id) fetch plan
+    # carries a cluster PartitionFilter, not a full-index scan
+    from pyspark.sql import functions as F
+    asg = spark.read.parquet(os.path.join(idx_dir, "_assign"))
+    qc = int(asg.filter(F.col("vec_id") == 0).head()["cluster"])
+    fetch = (spark.read.parquet(idx_dir)
+             .filter((F.col("cluster") == qc) & (F.col("vec_id") == 0)))
+    fplan = fetch._jdf.queryExecution().executedPlan().toString()
+    fm = re.search(r"PartitionFilters: \[([^\]]*)\]", fplan)
+    assert fm and "cluster" in fm.group(1), fplan
     idx_assign = {r["vec_id"]: r["cluster"]
                   for r in spark.read.parquet(idx_dir)
                   .select("vec_id", "cluster").collect()}
