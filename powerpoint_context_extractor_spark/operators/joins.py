@@ -28,14 +28,39 @@ def write_bucketed(df: DataFrame, table: str, key: str,
 
     The in-memory catalog forgets tables across sessions while the
     managed LOCATION survives on disk, so a stale location from a
-    previous process would fail table creation — drop both first."""
+    previous process would fail table creation — drop both first.
+    r4 ADVICE #5: ``table`` must be an UNQUALIFIED name (validated —
+    a 'db.t' name would make the warehouse-path guess wrong), a
+    catalogued table's location is resolved from the catalog rather
+    than guessed, and the fallback path-guess cleanup only runs
+    against a local ``file:`` warehouse."""
+    import os
     import re
     import shutil
 
+    if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", table):
+        raise ValueError(
+            f"write_bucketed needs an unqualified table name, got "
+            f"{table!r} (qualified/db-prefixed names would break the "
+            "stale-location cleanup)")
     spark = df.sparkSession
-    spark.sql(f"DROP TABLE IF EXISTS {table}")
-    wh = re.sub("^file:", "", spark.conf.get("spark.sql.warehouse.dir"))
-    shutil.rmtree(f"{wh}/{table.lower()}", ignore_errors=True)
+    if spark.catalog.tableExists(table):
+        loc = next((r.data_type
+                    for r in spark.sql(
+                        f"DESCRIBE TABLE EXTENDED {table}").collect()
+                    if r.col_name == "Location"), None)
+        spark.sql(f"DROP TABLE {table}")      # managed: drops data too
+        if loc and loc.startswith("file:"):   # belt over braces
+            shutil.rmtree(re.sub("^file:/*", "/", loc), ignore_errors=True)
+    else:
+        # catalog forgot the table (fresh session) but its managed dir
+        # may survive on disk — only a LOCAL warehouse can be cleaned
+        # by path; a remote warehouse URI has nothing stale locally
+        wh = spark.conf.get("spark.sql.warehouse.dir")
+        if wh.startswith("file:") or wh.startswith("/"):
+            base = re.sub("^file:/*", "/", wh) if wh.startswith("file:") else wh
+            shutil.rmtree(os.path.join(base, table.lower()),
+                          ignore_errors=True)
     (df.write.mode("overwrite")
      .bucketBy(n_buckets, key).sortBy(key)
      .format("parquet").saveAsTable(table))

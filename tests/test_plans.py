@@ -226,6 +226,29 @@ def test_bucketed_join_and_agg_have_zero_exchanges(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 
 
+def test_write_bucketed_rejects_qualified_names_and_rewrites(spark):
+    """r4 ADVICE #5: the stale-location cleanup assumed an unqualified
+    name in a local warehouse — qualified names are now rejected
+    outright, and a re-write over an existing catalogued table resolves
+    its location from the catalog (works, no stale-dir failure)."""
+    import pytest as _pytest
+
+    from powerpoint_context_extractor_spark.operators.joins import (
+        write_bucketed,
+    )
+    df = spark.createDataFrame([(1, 2)], "user_id long, cents long")
+    with _pytest.raises(ValueError, match="unqualified"):
+        write_bucketed(df, "somedb.t", "user_id", 2)
+    with _pytest.raises(ValueError, match="unqualified"):
+        write_bucketed(df, "t; drop table x", "user_id", 2)
+    # overwrite of a live catalogued table goes through the catalog-
+    # resolved location path
+    write_bucketed(df, "pcx_test_bx_rw", "user_id", 2)
+    write_bucketed(df.union(df), "pcx_test_bx_rw", "user_id", 2)
+    assert spark.table("pcx_test_bx_rw").count() == 2
+    spark.sql("DROP TABLE pcx_test_bx_rw")
+
+
 def test_compaction_lock_excludes_concurrent_compactors(spark, tmp_path):
     """r4 VERDICT #8: two racing compactions cannot both commit a full
     rewrite (which would double the live rows) — the second raises on
