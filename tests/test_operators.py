@@ -456,11 +456,14 @@ def test_paragraph_dedup_keeps_within_doc_order(spark):
 
 
 def test_paragraph_dedup_plan_has_no_token_shuffle(spark):
-    """r4 VERDICT #3 'done' gate: paragraph chunks are assembled
-    map-side, so the physical plan carries at most the two genuinely
-    required shuffle exchanges (md5-key frequency agg — reused for the
-    join probe side — and the final doc-key regroup). The old plan's
-    third exchange shuffled every token of the corpus."""
+    """r4 VERDICT #3 + r5 skew fix 'done' gate: paragraph chunks are
+    assembled map-side (no per-token shuffle), the distinct-doc
+    frequency is a salted two-stage aggregate whose subtree carries at
+    most two narrow-key exchanges ((ph, doc) dedup then per-ph count),
+    and — critically — NO window over partitionBy(ph) remains: a
+    window would put every copy of a mass-duplicated boilerplate
+    paragraph into one unsplittable task, while the hash join used now
+    is AQE-skew-splittable."""
     import contextlib
     import io
     import re
@@ -472,8 +475,42 @@ def test_paragraph_dedup_plan_has_no_token_shuffle(spark):
     with contextlib.redirect_stdout(buf):
         out.explain("formatted")
     plan = buf.getvalue()
+    assert "Window" not in plan, plan
     shuffles = re.findall(r"\(\d+\) Exchange\b", plan)
-    assert len(shuffles) <= 2, plan
+    # total: keyed-on-ph (join probe), (ph,doc) dedup, per-ph count,
+    # final doc regroup — and only ONE of them carries paragraph bodies
+    assert len(shuffles) <= 4, plan
+    # frequency subtree: exchanges between the first HashAggregate and
+    # the join must be keyed (ph / ph,doc) only — no 'para' column in
+    # any Exchange's input schema
+    for m in re.finditer(r"Arguments: hashpartitioning\(([^)]*)\)", plan):
+        assert "para#" not in m.group(1) or "ph#" in m.group(1), plan
+
+
+def test_paragraph_dedup_survives_hot_paragraph_skew(spark):
+    """r4 VERDICT "what's wrong" #1 'done' gate: one boilerplate
+    paragraph present in >=30% of docs (the exact shape the operator
+    hunts) — results stay correct and the hot key flows through the
+    skew-splittable join, not a single-task window."""
+    import hashlib
+    boiler = " ".join(f"cookie{j}" for j in range(20))
+    rows = []
+    for i in range(200):
+        uniq = " ".join(f"u{i}_{j}" for j in range(20))
+        # 40% of docs lead with the same boilerplate paragraph
+        text = (boiler + " " + uniq) if i % 5 < 2 else uniq
+        rows.append((i, text))
+    out = {r["doc_id"]: r for r in dedup.paragraph_dedup(
+        spark.createDataFrame(rows, "doc_id long, text string")).collect()}
+    assert len(out) == 200
+    for i in range(200):
+        r = out[i]
+        if i % 5 < 2:
+            assert (r["total_paras"], r["kept_paras"]) == (2, 1)
+        else:
+            assert (r["total_paras"], r["kept_paras"]) == (1, 1)
+        uniq = " ".join(f"u{i}_{j}" for j in range(20))
+        assert r["clean_md5"] == hashlib.md5(uniq.encode()).hexdigest()
 
 
 def test_token_chunks_windows_and_overlap(spark):
