@@ -889,6 +889,19 @@ def _dedup_paragraphs(spark, sf_dir):
     return paragraph_dedup(d.unionByName(dup))
 
 
+def _dedup_substring(spark, sf_dir):
+    """Exact substring-level dedup (Lee et al. 2021 — r5): rolling
+    8-token windows; a window occurring in >=2 distinct docs is a
+    duplicated span. Per-doc window totals + duplicated-span fraction
+    in basis points over the planted near-dup corpus (the ' zz zz zz'
+    clones share almost every window with their originals). Window
+    bodies are assembled map-side; only md5 digests shuffle."""
+    from powerpoint_context_extractor_spark.operators.dedup import (
+        substring_dedup_stats,
+    )
+    return substring_dedup_stats(_docs_with_near_dups(spark, sf_dir), k=8)
+
+
 def _text_repetition(spark, sf_dir):
     """Gopher/MassiveText repetition rule: duplicate-bigram fraction per
     doc, integer-exact flag at >10% — zero-shuffle scan-speed filter."""
@@ -1224,6 +1237,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w_stream_window_counts": _w_stream_window_counts,
         # -- 2. changed in round 4 -------------------------------------------
         "dedup_paragraphs": _dedup_paragraphs,
+        "dedup_substring": _dedup_substring,
         "sim_ivf_topk_indexed": _sim_ivf_topk_indexed,
         "sim_ivf_recall": _sim_ivf_recall,
         "sim_kmeans_assign": _sim_kmeans_assign,
@@ -2605,6 +2619,28 @@ def oracle_sql() -> dict[str, str]:
                  AS clean_md5
         FROM paras p JOIN freq f USING (para)
         GROUP BY p.doc_id
+    """
+    d["dedup_substring"] = f"""
+        WITH {_DOCS_UNION},
+        toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM u),
+        w AS (SELECT doc_id,
+                     CASE WHEN len(ts) >= 8
+                          THEN [array_to_string(ts[i:i+7], ' ')
+                                for i in range(1, len(ts) - 6)]
+                          ELSE [array_to_string(ts, ' ')] END AS ws
+              FROM toks),
+        ex AS (SELECT doc_id, unnest(ws) AS w FROM w),
+        f AS (SELECT w, count(DISTINCT doc_id) AS nd FROM ex GROUP BY w),
+        per AS (SELECT ex.doc_id,
+                       count(*) AS n_windows,
+                       sum(CASE WHEN f.nd >= 2 THEN 1 ELSE 0 END)
+                         AS dup_windows
+                FROM ex JOIN f USING (w) GROUP BY ex.doc_id)
+        SELECT doc_id,
+               CAST(n_windows AS BIGINT) AS n_windows,
+               CAST(dup_windows AS BIGINT) AS dup_windows,
+               CAST((dup_windows * 10000) // n_windows AS BIGINT) AS dup_bp
+        FROM per
     """
     d["text_repetition"] = """
         WITH base AS (

@@ -487,6 +487,37 @@ def test_paragraph_dedup_plan_has_no_token_shuffle(spark):
         assert "para#" not in m.group(1) or "ph#" in m.group(1), plan
 
 
+def test_substring_dedup_rolling_windows(spark):
+    """Lee-et-al-style duplicated-span stats (r5): exact window math on
+    a hand-checkable corpus — doc 0 and doc 1 share a 10-token span
+    (all 3 of its 8-token windows duplicate), doc 2 is unique, doc 3
+    is shorter than k (whole text = one window, unique)."""
+    shared = " ".join(f"s{j}" for j in range(10))
+    rows = [
+        (0, shared + " " + " ".join(f"a{j}" for j in range(6))),
+        (1, " ".join(f"b{j}" for j in range(4)) + " " + shared),
+        (2, " ".join(f"c{j}" for j in range(16))),
+        (3, "tiny doc"),
+    ]
+    out = {r["doc_id"]: r for r in dedup.substring_dedup_stats(
+        spark.createDataFrame(rows, "doc_id long, text string"),
+        k=8).collect()}
+    # doc 0: 16 tokens -> 9 windows; windows starting at 0,1,2 lie
+    # fully inside the shared span -> 3 duplicated
+    assert (out[0]["n_windows"], out[0]["dup_windows"]) == (9, 3)
+    assert out[0]["dup_bp"] == 3 * 10000 // 9
+    # doc 1: shared span occupies positions 4..13 -> windows 4,5,6
+    assert (out[1]["n_windows"], out[1]["dup_windows"]) == (7, 3)
+    assert (out[2]["n_windows"], out[2]["dup_windows"]) == (9, 0)
+    assert (out[3]["n_windows"], out[3]["dup_windows"]) == (1, 0)
+    # within-doc repeats do NOT count as cross-doc duplication
+    solo = [(9, " ".join(["x"] * 20))]
+    r = dedup.substring_dedup_stats(
+        spark.createDataFrame(solo, "doc_id long, text string"),
+        k=8).collect()[0]
+    assert (r["n_windows"], r["dup_windows"]) == (13, 0)
+
+
 def test_paragraph_dedup_survives_hot_paragraph_skew(spark):
     """r4 VERDICT "what's wrong" #1 'done' gate: one boilerplate
     paragraph present in >=30% of docs (the exact shape the operator
