@@ -2090,12 +2090,23 @@ def oracle_sql() -> dict[str, str]:
     # the oracle computes the same pixel stats analytically from the
     # generator rule byte_i = (doc_id*31 + i) % 256 over 16x8xchannels
     d["mm_features_png"] = """
+        -- frozen doc_id % 3 rule (r5): 0 gray, 1 RGB, 2 indexed
+        -- palette (PLTE entry j = ((j*37)%256,(j*59)%256,(j*83)%256),
+        -- index i = (doc_id*31+i)%16, decoded to RGB)
         WITH px AS (
           SELECT d.doc_id,
-                 CASE WHEN d.doc_id % 2 = 1 THEN 3 ELSE 1 END AS ch,
+                 CASE WHEN d.doc_id % 3 = 0 THEN 1 ELSE 3 END AS ch,
                  (d.doc_id*31 + t.i) % 256 AS p
           FROM documents d, unnest(range(0, 384)) AS t(i)
-          WHERE t.i < 128 * (CASE WHEN d.doc_id % 2 = 1 THEN 3 ELSE 1 END)
+          WHERE d.doc_id % 3 < 2
+            AND t.i < 128 * (CASE WHEN d.doc_id % 3 = 0 THEN 1 ELSE 3 END)
+          UNION ALL
+          SELECT d.doc_id, 3 AS ch,
+                 (((d.doc_id*31 + j.j) % 16) *
+                  CASE c.c WHEN 0 THEN 37 WHEN 1 THEN 59 ELSE 83 END)
+                 % 256 AS p
+          FROM documents d, range(0, 128) j(j), range(0, 3) c(c)
+          WHERE d.doc_id % 3 = 2
         )
         SELECT doc_id,
                CAST(16 AS BIGINT) AS width, CAST(8 AS BIGINT) AS height,
@@ -2515,27 +2526,33 @@ def oracle_sql() -> dict[str, str]:
     # y=(j//ch)//4, x=(j//ch)%4, c=j%ch; gray (ch=1) for even doc_id,
     # RGB (ch=3) for odd
     d["mm_png_resize"] = """
+        -- NN floor-index resize 16x8 -> 4x4 under the doc_id % 3 rule:
+        -- source pixel of out (y, x) is (2y, 4x); palette docs resize
+        -- the DECODED RGB bytes (PLTE formula inlined)
         WITH g AS (
           SELECT d.doc_id,
-                 CASE WHEN d.doc_id % 2 = 1 THEN 3 ELSE 1 END AS ch,
-                 t.j,
-                 (d.doc_id * 31 +
-                  ((((t.j // (CASE WHEN d.doc_id % 2 = 1 THEN 3 ELSE 1 END))
-                     // 4) * 8 // 4) * 16
-                   + (((t.j // (CASE WHEN d.doc_id % 2 = 1 THEN 3 ELSE 1 END))
-                      % 4) * 16 // 4))
-                  * (CASE WHEN d.doc_id % 2 = 1 THEN 3 ELSE 1 END)
-                  + (t.j % (CASE WHEN d.doc_id % 2 = 1 THEN 3 ELSE 1 END)))
-                 % 256 AS v
-          FROM documents d, unnest(range(0, 48)) AS t(j)
-          WHERE t.j < 16 * (CASE WHEN d.doc_id % 2 = 1 THEN 3 ELSE 1 END)
+                 CASE WHEN d.doc_id % 3 = 0 THEN 1 ELSE 3 END AS ch,
+                 y.y, x.x, c.c,
+                 CASE
+                   WHEN d.doc_id % 3 = 0 THEN
+                     (d.doc_id*31 + ((2*y.y)*16 + 4*x.x)) % 256
+                   WHEN d.doc_id % 3 = 1 THEN
+                     (d.doc_id*31 + ((2*y.y)*16 + 4*x.x)*3 + c.c) % 256
+                   ELSE
+                     (((d.doc_id*31 + ((2*y.y)*16 + 4*x.x)) % 16) *
+                      CASE c.c WHEN 0 THEN 37 WHEN 1 THEN 59 ELSE 83 END)
+                     % 256
+                 END AS v
+          FROM documents d, range(0, 4) y(y), range(0, 4) x(x),
+               range(0, 3) c(c)
+          WHERE c.c < CASE WHEN d.doc_id % 3 = 0 THEN 1 ELSE 3 END
         )
         SELECT doc_id,
                CAST(4 AS BIGINT) AS out_w,
                CAST(4 AS BIGINT) AS out_h,
                CAST(max(ch) AS BIGINT) AS channels,
                CAST(sum(v) AS BIGINT) AS px_sum,
-               string_agg(printf('%02x', v), '' ORDER BY j) AS px_hex
+               string_agg(printf('%02x', v), '' ORDER BY y, x, c) AS px_hex
         FROM g GROUP BY doc_id
     """
     d["web_robots_filter"] = """

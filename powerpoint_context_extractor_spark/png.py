@@ -10,8 +10,10 @@ left/upleft offsets — so the Spark feature path decodes real image
 bytes, not a byte-statistics stand-in.
 
 Subset (documented, raises ValueError outside it): 8-bit grayscale
-(color type 0) and 8-bit RGB truecolor (color type 2, r4 VERDICT #5),
-no interlace, no ancillary-chunk interpretation.
+(color type 0), 8-bit RGB truecolor (color type 2, r4 VERDICT #5),
+and 8-bit indexed palette (color type 3 + PLTE, r5 — the most common
+small-image form on the real web; decode expands indices to RGB), no
+interlace, no ancillary-chunk interpretation.
 Reference analog: the color raster output at
 `pptx_extractor/slides/extractor.py:258-279`.
 """
@@ -87,13 +89,28 @@ def _chunk(typ: bytes, data: bytes) -> bytes:
 
 
 def render_png(width: int, height: int, pixels: bytes,
-               row_filters=None, channels: int = 1) -> bytes:
+               row_filters=None, channels: int = 1,
+               palette=None) -> bytes:
     """Encode ``pixels`` (row-major bytes, len == w*h*channels; channels
     1 = grayscale, 3 = RGB interleaved) as a valid PNG. ``row_filters``
     optionally cycles filter types per row (default: Sub — exercises
-    real de-filtering on decode)."""
-    if channels not in _COLOR_FOR_CHANNELS:
-        raise ValueError(f"png: unsupported channel count {channels}")
+    real de-filtering on decode).
+
+    With ``palette`` (a list of <=256 (r, g, b) tuples, r5): color
+    type 3 — ``pixels`` are 1-byte palette indices (``channels`` must
+    be 1) and a PLTE chunk is emitted between IHDR and IDAT."""
+    if palette is not None:
+        if channels != 1:
+            raise ValueError("png: palette pixels are 1-byte indices")
+        if not 1 <= len(palette) <= 256:
+            raise ValueError("png: palette must have 1..256 entries")
+        if any(p >= len(palette) for p in pixels):
+            raise ValueError("png: pixel index outside palette")
+        color = 3
+    else:
+        if channels not in _COLOR_FOR_CHANNELS:
+            raise ValueError(f"png: unsupported channel count {channels}")
+        color = _COLOR_FOR_CHANNELS[channels]
     if len(pixels) != width * height * channels:
         raise ValueError("png: pixels length != width*height*channels")
     filters = row_filters or [1]
@@ -106,23 +123,27 @@ def render_png(width: int, height: int, pixels: bytes,
         raw.append(ft)
         raw += _filter_row(ft, row, prev, channels)
         prev = row
-    ihdr = struct.pack(">IIBBBBB", width, height, 8,
-                       _COLOR_FOR_CHANNELS[channels], 0, 0, 0)
-    return (_SIG + _chunk(b"IHDR", ihdr)
-            + _chunk(b"IDAT", zlib.compress(bytes(raw)))
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color, 0, 0, 0)
+    out = _SIG + _chunk(b"IHDR", ihdr)
+    if palette is not None:
+        out += _chunk(b"PLTE", bytes(b for rgb in palette for b in rgb))
+    return (out + _chunk(b"IDAT", zlib.compress(bytes(raw)))
             + _chunk(b"IEND", b""))
 
 
 def decode_png(data: bytes) -> tuple:
-    """Decode a grayscale-8 or truecolor-8 PNG ->
-    (width, height, channels, pixel bytes). Validates signature,
-    per-chunk CRCs, and the IHDR subset; raises ValueError on anything
-    outside the subset (log-and-continue at the operator layer, F6
-    policy)."""
+    """Decode a grayscale-8, truecolor-8, or indexed-8 PNG ->
+    (width, height, channels, pixel bytes). Indexed (color type 3)
+    images are expanded through their PLTE to interleaved RGB, so
+    channels is 3 for them. Validates signature, per-chunk CRCs, and
+    the IHDR subset; raises ValueError on anything outside the subset
+    (log-and-continue at the operator layer, F6 policy)."""
     if not data.startswith(_SIG):
         raise ValueError("png: bad signature")
     i, n = len(_SIG), len(data)
     width = height = channels = None
+    indexed = False
+    palette = None
     idat = bytearray()
     while i + 8 <= n:
         (ln,) = struct.unpack(">I", data[i:i + 4])
@@ -136,12 +157,17 @@ def decode_png(data: bytes) -> tuple:
         if typ == b"IHDR":
             width, height, depth, color, comp, filt, inter = \
                 struct.unpack(">IIBBBBB", body)
-            if depth != 8 or color not in _CHANNELS_FOR_COLOR \
-                    or (comp, filt, inter) != (0, 0, 0):
+            if depth != 8 or (comp, filt, inter) != (0, 0, 0) \
+                    or (color not in _CHANNELS_FOR_COLOR and color != 3):
                 raise ValueError(
                     f"png: unsupported format depth={depth} color={color} "
                     f"interlace={inter}")
-            channels = _CHANNELS_FOR_COLOR[color]
+            indexed = color == 3
+            channels = 1 if indexed else _CHANNELS_FOR_COLOR[color]
+        elif typ == b"PLTE":
+            if ln == 0 or ln % 3 != 0 or ln > 768:
+                raise ValueError("png: bad PLTE length")
+            palette = body
         elif typ == b"IDAT":
             idat += body
         elif typ == b"IEND":
@@ -149,6 +175,8 @@ def decode_png(data: bytes) -> tuple:
         i += 12 + ln
     if width is None:
         raise ValueError("png: missing IHDR")
+    if indexed and palette is None:
+        raise ValueError("png: indexed image missing PLTE")
     stride = width * channels
     raw = zlib.decompress(bytes(idat))
     if len(raw) != (stride + 1) * height:
@@ -161,6 +189,14 @@ def decode_png(data: bytes) -> tuple:
         _unfilter_row(ft, row, prev, channels)
         pixels += row
         prev = bytes(row)
+    if indexed:
+        n_entries = len(palette) // 3
+        if any(p >= n_entries for p in pixels):
+            raise ValueError("png: pixel index outside PLTE")
+        rgb = bytearray(len(pixels) * 3)
+        for j, p in enumerate(pixels):
+            rgb[3 * j:3 * j + 3] = palette[3 * p:3 * p + 3]
+        return width, height, 3, bytes(rgb)
     return width, height, channels, bytes(pixels)
 
 

@@ -329,6 +329,13 @@ def test_png_roundtrip_all_filters():
         for filters in ([0], [1], [2], [3], [4], [0, 1, 2, 3, 4]):
             raw = render_png(w, h, px, row_filters=filters, channels=ch)
             assert decode_png(raw) == (w, h, ch, px), (ch, filters)
+    # indexed palette (r5): indices roundtrip through PLTE expansion
+    pal = [(j, (j * 2) % 256, (j * 3) % 256) for j in range(5)]
+    idx = bytes((i * 7 + 2) % 5 for i in range(w * h))
+    want = bytes(pal[p][c] for p in idx for c in range(3))
+    for filters in ([0], [1], [2], [3], [4], [0, 1, 2, 3, 4]):
+        raw = render_png(w, h, idx, row_filters=filters, palette=pal)
+        assert decode_png(raw) == (w, h, 3, want), filters
 
 
 def test_png_rejects_corruption_and_unsupported():
@@ -341,15 +348,19 @@ def test_png_rejects_corruption_and_unsupported():
         decode_png(bytes(raw))
     with _pytest.raises(ValueError, match="signature"):
         decode_png(b"not a png")
-    # palette color type (3) stays outside the subset
+    # palette color type (3) without a PLTE chunk is invalid (r5: the
+    # type itself is now in the subset)
     good = render_png(2, 2, b"\x01\x02\x03\x04")
     ihdr = _struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)
     import zlib as _zlib
     chunk = (_struct.pack(">I", len(ihdr)) + b"IHDR" + ihdr
              + _struct.pack(">I", _zlib.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF))
     bad = good[:8] + chunk + good[8 + 12 + 13:]
-    with _pytest.raises(ValueError, match="unsupported"):
+    with _pytest.raises(ValueError, match="missing PLTE"):
         decode_png(bad)
+    # palette index outside the PLTE is rejected at render time
+    with _pytest.raises(ValueError, match="outside palette"):
+        render_png(2, 1, b"\x00\x05", palette=[(1, 2, 3), (4, 5, 6)])
     # 16-bit depth also outside the subset
     ihdr16 = _struct.pack(">IIBBBBB", 2, 2, 16, 0, 0, 0, 0)
     chunk16 = (_struct.pack(">I", len(ihdr16)) + b"IHDR" + ihdr16
@@ -361,19 +372,25 @@ def test_png_rejects_corruption_and_unsupported():
 
 def test_png_feature_kind_routed_through_real_decoder(spark):
     from powerpoint_context_extractor_spark.operators import multimodal as mm
-    # doc 5 is odd -> RGB; doc 6 even -> grayscale
-    rows = [(d, bytearray(mm.png_payload_for_doc(d))) for d in (5, 6)]
+    # doc_id % 3 rule (r5): 6 -> gray, 7 -> RGB, 5 -> indexed palette
+    rows = [(d, bytearray(mm.png_payload_for_doc(d))) for d in (5, 6, 7)]
     df = spark.createDataFrame(rows, "doc_id long, payload binary")
     got = {r["doc_id"]: r for r in mm.extract_features(df).collect()}
     w, h = mm.PNG_W, mm.PNG_H
-    for d in (5, 6):
-        ch = 3 if d % 2 else 1
+    for d in (6, 7):
+        ch = 1 if d % 3 == 0 else 3
         row = got[d]
         assert row["kind"] == "png" and row["error"] is None
         px = [(d * 31 + i) % 256 for i in range(w * h * ch)]
         assert row["features"] == [float(w), float(h), float(ch),
                                    float(sum(px) % 997),
                                    float(min(px)), float(max(px))]
+    # palette doc: decoded bytes come from PLTE expansion
+    px5 = [mm.PNG_PALETTE[(5 * 31 + j) % 16][c]
+           for j in range(w * h) for c in range(3)]
+    assert got[5]["features"] == [float(w), float(h), 3.0,
+                                  float(sum(px5) % 997),
+                                  float(min(px5)), float(max(px5))]
 
 
 def test_jpeg_kind_errors_explicitly_unsupported(spark):
@@ -701,7 +718,7 @@ def test_png_resize_nn_exact():
         PNG_H, PNG_W, png_payload_for_doc,
     )
     from powerpoint_context_extractor_spark.png import decode_png, resize_nn
-    # doc 6 is even -> grayscale payload
+    # doc 6 -> grayscale payload (6 % 3 == 0)
     w, h, ch, px = decode_png(png_payload_for_doc(6))
     assert (w, h, ch) == (PNG_W, PNG_H, 1)
     r = resize_nn(w, h, px, 4, 4)
@@ -712,13 +729,23 @@ def test_png_resize_nn_exact():
     assert resize_nn(w, h, px, w, h) == px
     up = resize_nn(2, 1, bytes([10, 200]), 4, 1)
     assert up == bytes([10, 10, 200, 200])
-    # RGB (r4): doc 5 is odd -> 3 channels; floor-index rule per channel
-    w3, h3, ch3, px3 = decode_png(png_payload_for_doc(5))
+    # RGB (r4): doc 7 (7 % 3 == 1) -> 3 channels; floor-index per channel
+    w3, h3, ch3, px3 = decode_png(png_payload_for_doc(7))
     assert (w3, h3, ch3) == (PNG_W, PNG_H, 3)
     r3 = resize_nn(w3, h3, px3, 4, 4, channels=3)
-    want3 = bytes((5 * 31 + ((2 * y) * 16 + 4 * x) * 3 + c) % 256
+    want3 = bytes((7 * 31 + ((2 * y) * 16 + 4 * x) * 3 + c) % 256
                   for y in range(4) for x in range(4) for c in range(3))
     assert r3 == want3
+    # palette (r5): doc 5 (5 % 3 == 2) decodes to PLTE-expanded RGB
+    from powerpoint_context_extractor_spark.operators.multimodal import (
+        PNG_PALETTE,
+    )
+    wp, hp, chp, pxp = decode_png(png_payload_for_doc(5))
+    assert (wp, hp, chp) == (PNG_W, PNG_H, 3)
+    rp = resize_nn(wp, hp, pxp, 4, 4, channels=3)
+    wantp = bytes(PNG_PALETTE[(5 * 31 + (2 * y) * 16 + 4 * x) % 16][c]
+                  for y in range(4) for x in range(4) for c in range(3))
+    assert rp == wantp
     # channel-aware upscale keeps pixels (triples) intact
     up3 = resize_nn(2, 1, bytes([1, 2, 3, 9, 8, 7]), 4, 1, channels=3)
     assert up3 == bytes([1, 2, 3, 1, 2, 3, 9, 8, 7, 9, 8, 7])
