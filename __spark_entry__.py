@@ -972,6 +972,19 @@ def _mm_features_png(spark, sf_dir):
     return extract_png_features(_t(spark, sf_dir, "documents"))
 
 
+def _mm_features_wav(spark, sf_dir):
+    """Real audio decode under the correctness gate (r5, r4 VERDICT
+    'next round' #7): every documents row becomes a genuine RIFF/WAVE
+    PCM16 payload whose samples are ((doc_id*73 + i*29) % 4001) - 2000;
+    Spark walks the actual container chunks and decodes the samples
+    while DuckDB computes the expected statistics analytically. The U1
+    stub surface shrinks to video only."""
+    from powerpoint_context_extractor_spark.operators.multimodal import (
+        extract_wav_features,
+    )
+    return extract_wav_features(_t(spark, sf_dir, "documents"))
+
+
 def _a_cube_rollup(spark, sf_dir):
     l = _t(spark, sf_dir, "lineitem")  # noqa: E741
     return (l.cube("l_returnflag", "l_linestatus")
@@ -1220,6 +1233,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- 1. outside the round-3 check window (driver-green needed) -------
         "mm_features": _mm_features,
         "mm_features_png": _mm_features_png,
+        "mm_features_wav": _mm_features_wav,
         "a_cube_rollup": _a_cube_rollup,
         "a_pivot_events": _a_pivot_events,
         "x_json_extract": _x_json_extract,
@@ -2115,6 +2129,22 @@ def oracle_sql() -> dict[str, str]:
                CAST(MIN(p) AS BIGINT) AS px_min,
                CAST(MAX(p) AS BIGINT) AS px_max
         FROM px GROUP BY doc_id
+    """
+    d["mm_features_wav"] = """
+        -- frozen WAV rule (r5): PCM16 mono, rate 8000, 64 samples,
+        -- sample i = ((doc_id*73 + i*29) % 4001) - 2000
+        WITH s AS (
+          SELECT d.doc_id, ((d.doc_id*73 + t.i*29) % 4001) - 2000 AS v
+          FROM documents d, range(0, 64) t(i)
+        )
+        SELECT doc_id,
+               CAST(8000 AS BIGINT) AS sample_rate,
+               CAST(64 AS BIGINT) AS n_samples,
+               CAST(8 AS BIGINT) AS duration_ms,
+               CAST(sum(abs(v)) AS BIGINT) AS abs_sum,
+               CAST(min(v) AS BIGINT) AS s_min,
+               CAST(max(v) AS BIGINT) AS s_max
+        FROM s GROUP BY doc_id
     """
     # charset sniffer contract: detected label is a pure function of
     # doc_id % 4 (the wrap's encoding choice) and the decoded text md5

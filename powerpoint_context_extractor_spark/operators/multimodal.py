@@ -3,13 +3,15 @@ metadata, decode/feature-extract as Arrow-batched kernels.
 
 Since r3 the PNG class decodes for REAL (pure-stdlib codec, ``..png`` —
 zlib IDAT inflate, CRC checks, all five scanline filters; r4 adds RGB
-truecolor with channel-aware de-filtering). jpeg raises an explicit
-``unsupported`` error (an honest error row beats byte-stats posing as
-image features); audio/video kinds remain deterministic stubs behind
-the same seam (those libraries genuinely aren't in this container).
-Everything Spark-side is real and tested: schemas, the binary column
-path through parquet, mapInPandas batch shapes, and the metadata
-functions (pure built-ins, DuckDB-oracle-checkable).
+truecolor with channel-aware de-filtering; r5 adds indexed palette).
+Since r5 the WAV audio class also decodes for REAL (``..wav`` — RIFF
+chunk walk + PCM16 samples). jpeg raises an explicit ``unsupported``
+error (an honest error row beats byte-stats posing as image features);
+the video kind remains a deterministic stub behind the same seam
+(ffmpeg genuinely isn't in this container). Everything Spark-side is
+real and tested: schemas, the binary column path through parquet,
+mapInPandas batch shapes, and the metadata functions (pure built-ins,
+DuckDB-oracle-checkable).
 """
 
 from __future__ import annotations
@@ -22,12 +24,24 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..png import decode_png, render_png
+from ..wav import decode_wav, render_wav
 
 MAGIC_KINDS = {
     "89504e47": "png", "25504446": "pdf",
     "ffd8ffe0": "jpeg", "ffd8ffe1": "jpeg", "ffd8ffdb": "jpeg",
     "2557444f": "wdoc",  # "%WDO" — our layout container prefix
+    "52494646": "riff",  # RIFF container: WAVE -> wav (see _kind_of)
 }
+
+
+def _kind_of(raw: bytes) -> str:
+    """Payload kind from magic bytes; RIFF containers are refined by
+    their form type at offset 8 (WAVE -> wav, anything else stays
+    'riff' and hits the stub)."""
+    kind = MAGIC_KINDS.get(raw[:4].hex(), "unknown")
+    if kind == "riff":
+        return "wav" if raw[8:12] == b"WAVE" else "riff"
+    return kind
 
 
 def binary_meta(df: DataFrame, id_col: str, bin_col: str) -> DataFrame:
@@ -67,14 +81,22 @@ def _decode_stub(payload: bytes) -> list:
 def _decode_payload(kind: str, payload: bytes) -> list:
     """Real decode for PNG (width, height, channels, pixel sum mod 997,
     min, max — exact small integers, so the feature vector is
-    oracle-checkable); jpeg raises an EXPLICIT unsupported error (r4
-    VERDICT #5 — a byte-stats vector masquerading as image features is
-    worse than an honest error row); byte-stats stub for the remaining
-    kinds."""
+    oracle-checkable) and for WAV (r5: n_samples, sample rate,
+    duration ms, abs-sum mod 997, min, max over real PCM16 samples);
+    jpeg raises an EXPLICIT unsupported error (r4 VERDICT #5 — a
+    byte-stats vector masquerading as image features is worse than an
+    honest error row); byte-stats stub for the remaining kinds."""
     if kind == "png":
         w, h, ch, px = decode_png(payload)
         return [float(w), float(h), float(ch), float(sum(px) % 997),
                 float(min(px)), float(max(px))]
+    if kind == "wav":
+        rate, samples = decode_wav(payload)
+        n = len(samples)
+        return [float(n), float(rate), float(n * 1000 // rate),
+                float(sum(abs(s) for s in samples) % 997),
+                float(min(samples) if samples else 0),
+                float(max(samples) if samples else 0)]
     if kind == "jpeg":
         raise ValueError(
             "unsupported: jpeg decode requires an external codec "
@@ -87,13 +109,12 @@ def _feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         out = {k: [] for k in ("doc_id", "kind", "n_bytes", "features", "error")}
         for doc_id, payload in zip(pdf["doc_id"].tolist(), pdf["payload"].tolist()):
             raw = bytes(payload) if payload is not None else b""
-            magic = raw[:4].hex()
+            kind = _kind_of(raw)
             out["doc_id"].append(doc_id)
-            out["kind"].append(MAGIC_KINDS.get(magic, "unknown"))
+            out["kind"].append(kind)
             out["n_bytes"].append(len(raw))
             try:
-                out["features"].append(
-                    _decode_payload(MAGIC_KINDS.get(magic, "unknown"), raw))
+                out["features"].append(_decode_payload(kind, raw))
                 out["error"].append(None)
             except Exception as exc:  # noqa: BLE001 — log-and-continue
                 out["features"].append(None)
@@ -217,3 +238,59 @@ def extract_png_resized(docs: DataFrame, out_w: int = 4,
 
     return docs.select("doc_id").mapInPandas(
         _batches, schema=PNG_RESIZE_SCHEMA)
+
+
+# --- real-WAV contract path (r5) -------------------------------------------
+
+WAV_RATE, WAV_N = 8000, 64
+
+
+def wav_samples_for_doc(doc_id: int) -> list:
+    """Frozen rule mirrored by the DuckDB oracle: sample i =
+    ((doc_id*73 + i*29) % 4001) - 2000 — exact small ints in
+    [-2000, 2000], so every decoded statistic is a pure SQL expression
+    of doc_id."""
+    return [((doc_id * 73 + i * 29) % 4001) - 2000 for i in range(WAV_N)]
+
+
+def wav_payload_for_doc(doc_id: int) -> bytes:
+    """Deterministic PCM16-mono RIFF/WAVE payload per doc."""
+    return render_wav(wav_samples_for_doc(doc_id), sample_rate=WAV_RATE)
+
+
+WAV_FEATURE_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType(), False),
+    T.StructField("sample_rate", T.LongType()),
+    T.StructField("n_samples", T.LongType()),
+    T.StructField("duration_ms", T.LongType()),
+    T.StructField("abs_sum", T.LongType()),
+    T.StructField("s_min", T.LongType()),
+    T.StructField("s_max", T.LongType()),
+])
+
+
+def extract_wav_features(docs: DataFrame) -> DataFrame:
+    """Render + decode a real RIFF/WAVE file per documents row and emit
+    exact sample statistics (see ``wav_samples_for_doc`` for the
+    oracle contract) — the U1 audio enrichment made real (r5): the
+    bytes round-trip through the actual container walk + PCM16 decode
+    inside Arrow batches, zero shuffles."""
+
+    def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("doc_id", "sample_rate", "n_samples",
+                                   "duration_ms", "abs_sum", "s_min",
+                                   "s_max")}
+            for doc_id in pdf["doc_id"].tolist():
+                rate, samples = decode_wav(wav_payload_for_doc(doc_id))
+                out["doc_id"].append(doc_id)
+                out["sample_rate"].append(rate)
+                out["n_samples"].append(len(samples))
+                out["duration_ms"].append(len(samples) * 1000 // rate)
+                out["abs_sum"].append(sum(abs(s) for s in samples))
+                out["s_min"].append(min(samples))
+                out["s_max"].append(max(samples))
+            yield pd.DataFrame(out)
+
+    return docs.select("doc_id").mapInPandas(
+        _batches, schema=WAV_FEATURE_SCHEMA)

@@ -1,0 +1,76 @@
+"""Pure-stdlib RIFF/WAVE PCM16 subset codec (no Spark imports).
+
+Makes the U1 audio enrichment seam REAL for one payload class (r4
+VERDICT "next round" #7): the container has no torchaudio/ffmpeg, but
+canonical PCM WAV needs only ``struct``. The writer emits spec-valid
+RIFF/WAVE files (RIFF header, ``fmt `` chunk, ``data`` chunk, even-byte
+chunk padding); the reader validates the container, walks chunks, and
+decodes 16-bit mono PCM samples — so the Spark feature path parses
+real audio bytes, not a byte-statistics stand-in.
+
+Subset (documented, raises ValueError outside it): PCM (format tag 1),
+mono, 16-bit little-endian. Reference analog: the media enrichment
+batch at `pptx_extractor/recommendations/generator.py:306-343`.
+"""
+
+from __future__ import annotations
+
+import struct
+
+__all__ = ["render_wav", "decode_wav"]
+
+
+def render_wav(samples, sample_rate: int = 8000) -> bytes:
+    """Encode 16-bit signed mono samples as a canonical RIFF/WAVE
+    file."""
+    if sample_rate <= 0:
+        raise ValueError("wav: non-positive sample rate")
+    if any(not -32768 <= s <= 32767 for s in samples):
+        raise ValueError("wav: sample outside int16 range")
+    data = struct.pack(f"<{len(samples)}h", *samples)
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    body = (b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+    if len(data) % 2 == 1:                 # chunks are word-aligned
+        body += b"\x00"
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav(data: bytes) -> tuple:
+    """Decode a PCM16-mono RIFF/WAVE file -> (sample_rate, samples
+    list). Validates the RIFF/WAVE container, the fmt subset, and
+    chunk bounds; raises ValueError outside the subset
+    (log-and-continue at the operator layer, F6 policy)."""
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("wav: not a RIFF/WAVE container")
+    (riff_len,) = struct.unpack("<I", data[4:8])
+    if riff_len + 8 > len(data):
+        raise ValueError("wav: truncated RIFF payload")
+    i = 12
+    sample_rate = None
+    samples = None
+    while i + 8 <= len(data):
+        cid = data[i:i + 4]
+        (ln,) = struct.unpack("<I", data[i + 4:i + 8])
+        body = data[i + 8:i + 8 + ln]
+        if len(body) != ln:
+            raise ValueError(f"wav: truncated {cid!r} chunk")
+        if cid == b"fmt ":
+            if ln < 16:
+                raise ValueError("wav: short fmt chunk")
+            tag, n_ch, rate, _brate, _align, bits = struct.unpack(
+                "<HHIIHH", body[:16])
+            if (tag, n_ch, bits) != (1, 1, 16):
+                raise ValueError(
+                    f"wav: unsupported format tag={tag} channels={n_ch} "
+                    f"bits={bits} (subset is PCM16 mono)")
+            sample_rate = rate
+        elif cid == b"data":
+            if ln % 2 != 0:
+                raise ValueError("wav: odd data length for 16-bit PCM")
+            samples = list(struct.unpack(f"<{ln // 2}h", body))
+        i += 8 + ln + (ln % 2)             # skip word-alignment pad
+    if sample_rate is None or samples is None:
+        raise ValueError("wav: missing fmt or data chunk")
+    return sample_rate, samples

@@ -393,6 +393,49 @@ def test_png_feature_kind_routed_through_real_decoder(spark):
                                   float(min(px5)), float(max(px5))]
 
 
+def test_wav_roundtrip_and_subset_errors():
+    import pytest as _pytest
+
+    from powerpoint_context_extractor_spark.wav import decode_wav, render_wav
+    samples = [0, 1, -1, 32767, -32768, 123, -4567]  # odd count -> pad
+    raw = render_wav(samples, sample_rate=44100)
+    assert decode_wav(raw) == (44100, samples)
+    with _pytest.raises(ValueError, match="RIFF/WAVE"):
+        decode_wav(b"RIFFxxxxAVI " + b"\x00" * 20)
+    with _pytest.raises(ValueError, match="truncated"):
+        decode_wav(raw[:-4])
+    # stereo / non-PCM stay outside the subset
+    import struct as _struct
+    stereo_fmt = _struct.pack("<HHIIHH", 1, 2, 8000, 32000, 4, 16)
+    body = (b"WAVE" + b"fmt " + _struct.pack("<I", 16) + stereo_fmt
+            + b"data" + _struct.pack("<I", 0))
+    bad = b"RIFF" + _struct.pack("<I", len(body)) + body
+    with _pytest.raises(ValueError, match="unsupported"):
+        decode_wav(bad)
+    with _pytest.raises(ValueError, match="int16"):
+        render_wav([99999])
+
+
+def test_wav_kind_routed_through_real_decoder(spark):
+    """r5: RIFF/WAVE payloads decode for REAL in the generic feature
+    path (form type at offset 8 routes the RIFF container); non-WAVE
+    RIFF stays on the stub."""
+    from powerpoint_context_extractor_spark.operators import multimodal as mm
+    raw = mm.wav_payload_for_doc(3)
+    other_riff = b"RIFF" + (len(raw) - 8).to_bytes(4, "little") + b"AVI " \
+        + raw[12:]
+    df = spark.createDataFrame(
+        [(3, bytearray(raw)), (4, bytearray(other_riff))],
+        "doc_id long, payload binary")
+    got = {r["doc_id"]: r for r in mm.extract_features(df).collect()}
+    s = mm.wav_samples_for_doc(3)
+    assert got[3]["kind"] == "wav" and got[3]["error"] is None
+    assert got[3]["features"] == [
+        float(len(s)), 8000.0, float(len(s) * 1000 // 8000),
+        float(sum(abs(x) for x in s) % 997), float(min(s)), float(max(s))]
+    assert got[4]["kind"] == "riff"        # stub path, not mojibake'd
+
+
 def test_jpeg_kind_errors_explicitly_unsupported(spark):
     """r4 VERDICT #5: jpeg magic routes to an honest unsupported error
     row, not the byte-stats stub."""
