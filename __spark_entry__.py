@@ -236,6 +236,41 @@ def _capstone_web_pipeline(spark, sf_dir):
                     "clean_md5", "rep_flagged", "gopher_pass"))
 
 
+def _text_zlib_ratio(spark, sf_dir):
+    """Compression-ratio quality signal (r5): zlib ratio in basis
+    points per doc over documents plus planted hyper-compressible spam
+    twins (200x one token — the template-spam shape the band gate
+    drops). DuckDB has no zlib, so this is a ROWS-ONLY driver check by
+    design; bit-level determinism is pinned by a dual-run pytest."""
+    from powerpoint_context_extractor_spark.operators.textstats import (
+        compression_ratio,
+    )
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    rep = (d.filter(F.col("doc_id") < 10)
+           .select((F.col("doc_id") + 4000000).alias("doc_id"),
+                   F.concat_ws(" ", F.array_repeat(F.lit("spam"), 200))
+                   .alias("text")))
+    return compression_ratio(d.unionByName(rep))
+
+
+def _capstone_web_pipeline_v2(spark, sf_dir):
+    """Capstone with the zlib-band gate wired in alongside gopher_pass
+    (r4 VERDICT 'next round' #8): zlib_pass = ratio_bp in [2000, 9000]
+    — drops template spam (hyper-compressible) and binary junk
+    (near-incompressible). ROWS-ONLY driver check (no DuckDB zlib);
+    every other column is the oracled capstone's."""
+    from powerpoint_context_extractor_spark.operators.textstats import (
+        compression_ratio,
+    )
+    base = _capstone_web_pipeline(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    cr = compression_ratio(docs).select("doc_id", "ratio_bp")
+    return (base.join(cr, "doc_id")
+            .withColumn("zlib_pass",
+                        ((F.col("ratio_bp") >= 2000)
+                         & (F.col("ratio_bp") <= 9000)).cast("long")))
+
+
 def _dedup_url_latest(spark, sf_dir):
     """URL-level capture dedup, the CC-index rule: canonicalize messy
     urls (case/port/tracking variants collapse to one key), then per
@@ -1271,6 +1306,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_quantized_topk": _sim_quantized_topk,
         "j_bucketed_colocated": _j_bucketed_colocated,
         "capstone_web_pipeline": _capstone_web_pipeline,
+        "text_zlib_ratio": _text_zlib_ratio,
+        "capstone_web_pipeline_v2": _capstone_web_pipeline_v2,
         "mm_binary_meta": _mm_binary_meta,
         "mm_png_resize": _mm_png_resize,
         # -- 3. stable r3-green, filling the head to 50 ----------------------

@@ -547,7 +547,28 @@ def test_paragraph_dedup_plan_has_no_token_shuffle(spark):
         assert "para#" not in m.group(1) or "ph#" in m.group(1), plan
 
 
-def test_substring_dedup_rolling_windows(spark):
+def test_compression_ratio_deterministic_and_discriminative(spark):
+    """r5 zlib quality signal: dual-run bit-identical (fixed level ->
+    pure function of input bytes), integer-exact ratio math, and the
+    signal actually separates template spam from natural text."""
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog near a river"),
+        (1, " ".join(["spam"] * 200)),
+        (2, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = sorted(map(tuple, textstats.compression_ratio(df).collect()))
+    b = sorted(map(tuple, textstats.compression_ratio(df).collect()))
+    assert a == b                                   # dual-run determinism
+    out = {r[0]: r for r in a}
+    import zlib as _zlib
+    raw0 = rows[0][1].encode()
+    assert out[0][1] == len(raw0)
+    assert out[0][2] == len(_zlib.compress(raw0, 6))
+    assert out[0][3] == out[0][2] * 10000 // out[0][1]
+    # template spam is hyper-compressible; natural text is not
+    assert out[1][3] < 500 < out[0][3]
+    assert out[2][1] == 0 and out[2][3] is None     # empty text guarded
     """Lee-et-al-style duplicated-span stats (r5): exact window math on
     a hand-checkable corpus — doc 0 and doc 1 share a 10-token span
     (all 3 of its 8-token windows duplicate), doc 2 is unique, doc 3
