@@ -77,16 +77,25 @@ def bucketed_join(spark, left_table: str, right_table: str,
 
 def asof_join_backward(left: DataFrame, right: DataFrame, key: str,
                        ts: str, value_cols: list,
-                       order_tiebreak: str | None = None) -> DataFrame:
+                       order_tiebreak: str | None = None,
+                       hot_keys: list | None = None,
+                       n_time_buckets: int = 8) -> DataFrame:
     """For each left row: values of the latest right row with
     ``right.ts <= left.ts`` (inclusive) within the same ``key``.
 
     Composition: tag sides, union, window ``last(value, ignorenulls)``
     over (key) ordered by (ts, side) with right-before-left on ties so
     equal timestamps match. One hash shuffle on key; scales like any
-    windowed agg (partition by key; skewed keys can be range-split by
-    time first).
-    """
+    windowed agg.
+
+    SKEW (r4 VERDICT #6, now implemented): pass ``hot_keys`` (e.g.
+    from ``textstats.detect_heavy_hitters``) to TIME-RANGE-SPLIT those
+    keys — their rows window over ``(key, time_bucket)`` so a hot key
+    spreads across ``n_time_buckets`` tasks instead of one, and the
+    cross-bucket state is a per-(key, bucket) latest-right aggregate
+    (<= hot_keys x n_time_buckets rows, broadcast back and coalesced
+    in). Results are identical to the unsplit path (pinned by pytest);
+    non-hot keys take the plain window."""
     lcols = left.columns
     tagged_l = left.withColumn("_side", F.lit(1))
     for v in value_cols:
@@ -102,8 +111,58 @@ def asof_join_backward(left: DataFrame, right: DataFrame, key: str,
     order = [F.col(ts).asc(), F.col("_side").asc()]
     if order_tiebreak:
         order.append(F.col(order_tiebreak).asc_nulls_first())
-    w = (W.partitionBy(key).orderBy(*order)
-         .rowsBetween(W.unboundedPreceding, 0))
+
+    def _windowed(rows: DataFrame, parts: list) -> DataFrame:
+        w = (W.partitionBy(*parts).orderBy(*order)
+             .rowsBetween(W.unboundedPreceding, 0))
+        for v in value_cols:
+            rows = rows.withColumn(v, F.last(v, ignorenulls=True).over(w))
+        return rows
+
+    if not hot_keys:
+        return _windowed(u, [key]).filter(F.col("_side") == 1).drop("_side")
+
+    cold = (_windowed(u.filter(~F.col(key).isin(hot_keys)), [key])
+            .filter(F.col("_side") == 1).drop("_side"))
+
+    hot_u = u.filter(F.col(key).isin(hot_keys))
+    tnum = (F.unix_micros(F.col(ts).cast("timestamp"))
+            if "timestamp" in dict(u.dtypes)[ts]
+            else F.col(ts).cast("double"))
+    mn, mx = hot_u.agg(F.min(tnum), F.max(tnum)).first() or (None, None)
+    if mn is None or mx == mn:
+        bkt = F.lit(0)
+    else:
+        # floor((t - mn) * n / span) clamped — every row gets a bucket,
+        # boundaries are consistent across both sides by construction
+        bkt = F.least(
+            F.floor((tnum - F.lit(mn)) * n_time_buckets
+                    / F.lit(float(mx - mn))).cast("int"),
+            F.lit(n_time_buckets - 1))
+    hot_b = hot_u.withColumn("_tbkt", bkt)
+    within = _windowed(hot_b, [key, "_tbkt"])
+    # per-(key, bucket) latest non-null right value, then the running
+    # "latest as of the END of the previous bucket" — n_buckets rows
+    # per hot key, so this side is tiny and broadcasts
+    ord_struct = [F.col(ts).alias("_t")]
+    if order_tiebreak:
+        ord_struct.append(F.col(order_tiebreak).alias("_tb"))
+    aggs = [
+        F.max(F.when((F.col("_side") == 0) & F.col(v).isNotNull(),
+                     F.struct(*ord_struct, F.col(v).alias("v"))))
+        .alias(f"_bl_{v}")
+        for v in value_cols
+    ]
+    per_bkt = hot_b.groupBy(key, "_tbkt").agg(*aggs)
+    w2 = (W.partitionBy(key).orderBy("_tbkt")
+          .rowsBetween(W.unboundedPreceding, -1))
+    carry = per_bkt.select(
+        key, "_tbkt",
+        *[F.last(F.col(f"_bl_{v}"), ignorenulls=True).over(w2)
+          .getField("v").alias(f"_carry_{v}") for v in value_cols])
+    hot = within.join(F.broadcast(carry), [key, "_tbkt"], "left")
     for v in value_cols:
-        u = u.withColumn(v, F.last(v, ignorenulls=True).over(w))
-    return u.filter(F.col("_side") == 1).drop("_side")
+        hot = hot.withColumn(v, F.coalesce(F.col(v), F.col(f"_carry_{v}")))
+    hot = (hot.filter(F.col("_side") == 1)
+           .select(*lcols, *value_cols))
+    return cold.unionByName(hot)
