@@ -28,6 +28,29 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+_TMP_ROOT = None
+
+
+def _session_root() -> str:
+    """ONE session-scoped scratch root, removed atexit (r4 VERDICT #9:
+    per-query-invocation mkdtemp dirs leaked into /tmp — a sweep of
+    queries() left one dir per sink/stream query per run)."""
+    global _TMP_ROOT
+    if _TMP_ROOT is None:
+        import atexit
+        import shutil
+        import tempfile
+        _TMP_ROOT = tempfile.mkdtemp(prefix="pcx_session_")
+        atexit.register(shutil.rmtree, _TMP_ROOT, ignore_errors=True)
+    return _TMP_ROOT
+
+
+def _session_tmpdir(prefix: str) -> str:
+    """Fresh scratch dir nested under the session root."""
+    import tempfile
+    return tempfile.mkdtemp(prefix=prefix, dir=_session_root())
+
+
 _CENTS = lambda c: F.round(F.col(c) * 100).cast("long")  # noqa: E731
 
 
@@ -119,7 +142,7 @@ def _warc_extract(spark, sf_dir):
     )
     docs = _t(spark, sf_dir, "documents")
     tag = hashlib.md5(sf_dir.encode("utf-8")).hexdigest()[:12]
-    out_dir = f"/tmp/spark_graft_warc/{tag}"
+    out_dir = os.path.join(_session_root(), f"warc_{tag}")
     write_documents_as_warc(docs, out_dir, n_files=8)
     pages = read_warc(spark, out_dir)
     return (extract_pages(pages.select("url", "html"))
@@ -352,13 +375,11 @@ def _sink_jsonl_shards(spark, sf_dir):
     loaders consume), then read back schema-pinned. Grading the
     read-back against the flagship SQL oracle proves byte-level
     round-trip fidelity through json escaping + gzip."""
-    import tempfile
-
     from powerpoint_context_extractor_spark.operators.extract import (
         extract_wrapped_documents,
     )
     out = extract_wrapped_documents(_t(spark, sf_dir, "documents"))
-    d = tempfile.mkdtemp(prefix="pcx_jsonl_")
+    d = _session_tmpdir("pcx_jsonl_")
     (out.repartition(8, "url").write.mode("overwrite")
      .option("compression", "gzip").json(d))
     return spark.read.schema(
@@ -397,8 +418,6 @@ def _warc_stream_extract(spark, sf_dir):
     micro-batch committed exactly-once into a snapshot table behind the
     committed-url anti-join. Final table == the batch path == the
     flagship SQL oracle."""
-    import tempfile
-
     from powerpoint_context_extractor_spark.sources.warc import (
         write_documents_as_warc,
     )
@@ -406,7 +425,7 @@ def _warc_stream_extract(spark, sf_dir):
         stream_extract_warc,
     )
     docs = _t(spark, sf_dir, "documents")
-    root = tempfile.mkdtemp(prefix="pcx_warcstream_")
+    root = _session_tmpdir("pcx_warcstream_")
     wdir = os.path.join(root, "warcs")
     write_documents_as_warc(docs, wdir, n_files=4)
     out = stream_extract_warc(spark, wdir, os.path.join(root, "out"))
@@ -1216,12 +1235,10 @@ def _w_stream_window_counts(spark, sf_dir):
     backlog is deterministic — windows whose end <= final watermark
     (global max ts - 2h; availableNow ends with a no-data flush batch)
     — and the oracle reproduces exactly that rule in SQL."""
-    import tempfile
-
     from powerpoint_context_extractor_spark.streaming.ingest import (
         stream_windowed_counts_to_table,
     )
-    out = tempfile.mkdtemp(prefix="pcx_winstream_")
+    out = _session_tmpdir("pcx_winstream_")
     return stream_windowed_counts_to_table(
         spark, os.path.join(sf_dir, "events.parquet"), out)
 

@@ -43,14 +43,28 @@ def _stable_tag(s: str) -> str:
     return hashlib.md5(s.encode("utf-8")).hexdigest()[:10]
 
 
+_TMP_ROOT = None
+
+
+def _tmp_root() -> str:
+    """Session-scoped scratch root for stream shims, removed atexit
+    (r4 VERDICT #9: symlink dirs leaked into /tmp per process)."""
+    global _TMP_ROOT
+    if _TMP_ROOT is None:
+        import atexit
+        import shutil
+        import tempfile
+        _TMP_ROOT = tempfile.mkdtemp(prefix="pcx_streamtmp_")
+        atexit.register(shutil.rmtree, _TMP_ROOT, ignore_errors=True)
+    return _TMP_ROOT
+
+
 def _as_stream_dir(path: str) -> str:
     """File-stream sources require a directory; testdata tables are
     single parquet files. Wrap a file in a stable symlink dir."""
     if os.path.isdir(path):
         return path
-    import tempfile
-    d = os.path.join(tempfile.gettempdir(),
-                     f"pcx_streamdir_{_stable_tag(path)}")
+    d = os.path.join(_tmp_root(), f"pcx_streamdir_{_stable_tag(path)}")
     os.makedirs(d, exist_ok=True)
     link = os.path.join(d, os.path.basename(path))
     if not os.path.exists(link):

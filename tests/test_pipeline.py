@@ -158,6 +158,33 @@ def test_extract_plan_prunes_columns(spark, pages_dir):
     assert "lang" not in plan
 
 
+def test_query_scratch_dirs_stay_inside_session_root(spark, sf_dir):
+    """r4 VERDICT #9 'done' gate: the temp-dir-using contract queries
+    nest ALL scratch under one atexit-cleaned session root — a sweep
+    leaves no new pcx_*/spark_graft_* entries at the top of /tmp."""
+    import os
+    import tempfile
+
+    import __spark_entry__ as entry_mod
+    tmp = tempfile.gettempdir()
+    before = set(os.listdir(tmp))
+    entry_mod._sink_jsonl_shards(spark, sf_dir).count()
+    entry_mod._warc_extract(spark, sf_dir).count()
+    allowed = set()
+    if entry_mod._TMP_ROOT:
+        allowed.add(os.path.basename(entry_mod._TMP_ROOT))
+    from powerpoint_context_extractor_spark.streaming import ingest
+    if ingest._TMP_ROOT:
+        allowed.add(os.path.basename(ingest._TMP_ROOT))
+    leaked = {e for e in set(os.listdir(tmp)) - before - allowed
+              if e.startswith(("pcx_", "spark_graft"))}
+    assert not leaked, leaked
+    # everything the queries made lives under the session root
+    assert entry_mod._TMP_ROOT and os.path.isdir(entry_mod._TMP_ROOT)
+    assert any(n.startswith(("pcx_jsonl_", "warc_"))
+               for n in os.listdir(entry_mod._TMP_ROOT))
+
+
 def test_snapshot_commit_is_metadata_only(spark, tmp_path, monkeypatch):
     """The commit path must not rescan the just-written data: row_count
     comes from parquet footers (Iceberg-manifest analog). Spies on
