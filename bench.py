@@ -89,6 +89,34 @@ def main() -> None:
     docs_per_sec = round(n_pages / timings["extract_count"], 1)
     log(f"  -> {docs_per_sec} docs/s over {n_ok} ok rows")
 
+    # SAME-WINDOW raw-kernel ceiling (r4 VERDICT #2 / "what's wrong"
+    # #3): this VM's throughput swings ~2x between phases, so a wall
+    # number alone is uninterpretable round-over-round. Measuring the
+    # pure-Python kernel ceiling in the SAME invocation yields
+    # share_of_ceiling: a regressed wall with a flat share is
+    # self-evidently host noise, a dropped share is a real regression.
+    # Run in a SUBPROCESS (never fork a JVM-attached driver); Spark is
+    # idle meanwhile, so the measurement is uncontaminated.
+    import subprocess
+    ceiling = None
+    try:
+        script = (
+            "import json, sys\n"
+            f"sys.path.insert(0, {REPO!r})\n"
+            f"sys.path.insert(0, {os.path.join(REPO, 'bench')!r})\n"
+            "from scaling import measure_ceiling\n"
+            "print(json.dumps(measure_ceiling(int(sys.argv[1]), "
+            "sys.argv[2])))\n")
+        proc = subprocess.run(
+            [sys.executable, "-c", script, str(cpus), pages_dir],
+            capture_output=True, text=True, timeout=900, check=True)
+        ceiling = float(proc.stdout.strip().splitlines()[-1])
+    except Exception as exc:  # noqa: BLE001 — the bench must still emit
+        log(f"  ceiling measurement failed: {exc}")
+    share = round(docs_per_sec / ceiling, 4) if ceiling else None
+    log(f"  ceiling: {ceiling and round(ceiling, 1)} docs/s raw kernel "
+        f"-> share_of_ceiling {share}")
+
     # full pipeline: extraction + snapshot commit + lineage commit
     sink = os.path.join(REPO, ".bench_cache", f"sink-{uuid.uuid4().hex[:8]}")
     try:
@@ -114,6 +142,8 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "docs_per_sec_extract": docs_per_sec,
+        "ceiling_docs_per_sec": round(ceiling, 1) if ceiling else None,
+        "share_of_ceiling": share,
         "n_pages": n_pages,
         "cpus": cpus,
     }
