@@ -1268,78 +1268,28 @@ def _pipeline_corpus_filter(spark, sf_dir):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Contract queries.
 
-    ORDERING CONTRACT (round 4): the driver verifies only the FIRST 50 dict
-    entries against the DuckDB oracles.  Entries are therefore ordered by
-    verification need, not by topic:
+    ORDERING CONTRACT (rotation policy, COVERAGE.md): the driver
+    verifies only the FIRST 50 dict entries against the DuckDB
+    oracles.  Entries are therefore ordered by verification need, not
+    by topic:
 
-      1. the 17 entries that fell outside the round-3 check window (two of
-         them — mm_features_png, w_stream_window_counts — have never had a
-         driver row), so they earn a driver-green row this round;
-      2. queries added or whose implementation changed in round 4;
-      3. stable round-3-green queries, filling the head to exactly 50;
-      4. tail (positions 51+): stable round-3-green queries rotated out this
-         round — they re-enter the head next round so every query re-earns a
-         green CORRECTNESS row at least every two rounds.
+      1. the 26 entries that sat in the round-4 tail (all r3-green,
+         unchanged) — the rotation policy's promise comes due this
+         round, so they re-earn a driver-green row now;
+      2. queries ADDED in round 5 (dedup_substring, mm_features_wav,
+         text_zlib_ratio, capstone_web_pipeline_v2 — the latter two
+         rows-only: DuckDB has no zlib);
+      3. queries whose implementation or fixtures CHANGED in round 5
+         (paragraph-dedup skew rewrite, robots case-folding, PNG
+         doc_id%3 palette contract, IVF pruned fetch, as-of skew
+         split, charset-sniff guard, session-tmpdir reroutes);
+      4. stable round-4-green fills to exactly 50;
+      5. tail (51+): stable round-4-green queries rotated out this
+         round — they re-enter the head next round so every query
+         re-earns a green CORRECTNESS row at least every two rounds.
     """
     return {
-        # -- 1. outside the round-3 check window (driver-green needed) -------
-        "mm_features": _mm_features,
-        "mm_features_png": _mm_features_png,
-        "mm_features_wav": _mm_features_wav,
-        "a_cube_rollup": _a_cube_rollup,
-        "a_pivot_events": _a_pivot_events,
-        "x_json_extract": _x_json_extract,
-        "f5_exists_hof": _f5_exists_hof,
-        "x6_case_mapping": _x6_case_mapping,
-        "o3_truncate_slice": _o3_truncate_slice,
-        "j_asof_backward": _j_asof_backward,
-        "dedup_embedding_cosine": _dedup_embedding_cosine,
-        "pipeline_corpus_filter": _pipeline_corpus_filter,
-        "x2_param_regex": _x2_param_regex,
-        "j4_regex_key_join": _j4_regex_key_join,
-        "s6_artifact_manifest": _s6_artifact_manifest,
-        "a_exact_stats": _a_exact_stats,
-        "w_sessionize_batch": _w_sessionize_batch,
-        "w_stream_window_counts": _w_stream_window_counts,
-        # -- 2. changed in round 4 -------------------------------------------
-        "dedup_paragraphs": _dedup_paragraphs,
-        "dedup_substring": _dedup_substring,
-        "sim_ivf_topk_indexed": _sim_ivf_topk_indexed,
-        "sim_ivf_recall": _sim_ivf_recall,
-        "sim_kmeans_assign": _sim_kmeans_assign,
-        "web_robots_filter": _web_robots_filter,
-        "warc_extract": _warc_extract,
-        "warc_stream_extract": _warc_stream_extract,
-        "setop_anti_resume": _setop_anti_resume,
-        "text_charset_breakdown": _text_charset_breakdown,
-        "text_charset_utf16_nobom": _text_charset_utf16_nobom,
-        "text_charset_cjk": _text_charset_cjk,
-        "text_quality_v2": _text_quality_v2,
-        "text_nfc_normalize": _text_nfc_normalize,
-        "web_etld1": _web_etld1,
-        "text_token_chunks": _text_token_chunks,
-        "text_sentences": _text_sentences,
-        "sim_quantize_int8": _sim_quantize_int8,
-        "sim_quantized_topk": _sim_quantized_topk,
-        "j_bucketed_colocated": _j_bucketed_colocated,
-        "capstone_web_pipeline": _capstone_web_pipeline,
-        "text_zlib_ratio": _text_zlib_ratio,
-        "capstone_web_pipeline_v2": _capstone_web_pipeline_v2,
-        "mm_binary_meta": _mm_binary_meta,
-        "mm_png_resize": _mm_png_resize,
-        # -- 3. stable r3-green, filling the head to 50 ----------------------
-        "flagship_extract": _flagship_extract,
-        "flagship_extract_pdf": _flagship_extract_pdf,
-        "flagship_extract_pdf15": _flagship_extract_pdf15,
-        "sim_ivf_topk": _sim_ivf_topk,
-        "sim_cosine_all": _sim_cosine_all,
-        "sim_cosine_topk": _sim_cosine_topk,
-        "text_quality": _text_quality,
-        "text_repetition": _text_repetition,
-        "text_lang_id": _text_lang_id,
-        "text_token_count": _text_token_count,
-        "text_fingerprint": _text_fingerprint,
-        # -- 4. tail: r3-green, rotated out this round (re-head next round) --
+        # -- 1. round-4 tail: rotation promise due (r4 VERDICT #1) ----------
         "agg_salted_host_stats": _agg_salted_host_stats,
         "dedup_exact": _dedup_exact,
         "dedup_minhash_lsh": _dedup_minhash_lsh,
@@ -1366,6 +1316,64 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x1_regex_extract": _x1_regex_extract,
         "x7_unit_format": _x7_unit_format,
         "w_running_sum": _w_running_sum,
+        # -- 2. added in round 5 --------------------------------------------
+        "dedup_substring": _dedup_substring,
+        "mm_features_wav": _mm_features_wav,
+        "text_zlib_ratio": _text_zlib_ratio,
+        "capstone_web_pipeline_v2": _capstone_web_pipeline_v2,
+        # -- 3. changed in round 5 ------------------------------------------
+        "dedup_paragraphs": _dedup_paragraphs,
+        "web_robots_filter": _web_robots_filter,
+        "capstone_web_pipeline": _capstone_web_pipeline,
+        "mm_features": _mm_features,
+        "mm_features_png": _mm_features_png,
+        "mm_png_resize": _mm_png_resize,
+        "sim_ivf_topk_indexed": _sim_ivf_topk_indexed,
+        "j_asof_backward": _j_asof_backward,
+        "j_bucketed_colocated": _j_bucketed_colocated,
+        "text_charset_utf16_nobom": _text_charset_utf16_nobom,
+        "text_charset_breakdown": _text_charset_breakdown,
+        "text_charset_cjk": _text_charset_cjk,
+        "flagship_extract": _flagship_extract,
+        "warc_extract": _warc_extract,
+        "warc_stream_extract": _warc_stream_extract,
+        "w_stream_window_counts": _w_stream_window_counts,
+        # -- 4. stable r4-green, filling the head to 50 ---------------------
+        "flagship_extract_pdf": _flagship_extract_pdf,
+        "flagship_extract_pdf15": _flagship_extract_pdf15,
+        "text_quality_v2": _text_quality_v2,
+        "text_nfc_normalize": _text_nfc_normalize,
+        # -- 5. tail: r4-green, rotated out this round (re-head next round) -
+        "mm_binary_meta": _mm_binary_meta,
+        "a_cube_rollup": _a_cube_rollup,
+        "a_pivot_events": _a_pivot_events,
+        "x_json_extract": _x_json_extract,
+        "f5_exists_hof": _f5_exists_hof,
+        "x6_case_mapping": _x6_case_mapping,
+        "o3_truncate_slice": _o3_truncate_slice,
+        "dedup_embedding_cosine": _dedup_embedding_cosine,
+        "pipeline_corpus_filter": _pipeline_corpus_filter,
+        "x2_param_regex": _x2_param_regex,
+        "j4_regex_key_join": _j4_regex_key_join,
+        "s6_artifact_manifest": _s6_artifact_manifest,
+        "a_exact_stats": _a_exact_stats,
+        "w_sessionize_batch": _w_sessionize_batch,
+        "sim_ivf_recall": _sim_ivf_recall,
+        "sim_kmeans_assign": _sim_kmeans_assign,
+        "web_etld1": _web_etld1,
+        "text_token_chunks": _text_token_chunks,
+        "text_sentences": _text_sentences,
+        "sim_quantize_int8": _sim_quantize_int8,
+        "sim_quantized_topk": _sim_quantized_topk,
+        "setop_anti_resume": _setop_anti_resume,
+        "sim_ivf_topk": _sim_ivf_topk,
+        "sim_cosine_all": _sim_cosine_all,
+        "sim_cosine_topk": _sim_cosine_topk,
+        "text_quality": _text_quality,
+        "text_repetition": _text_repetition,
+        "text_lang_id": _text_lang_id,
+        "text_token_count": _text_token_count,
+        "text_fingerprint": _text_fingerprint,
     }
 
 
