@@ -339,6 +339,39 @@ def _sample_stratified(spark, sf_dir):
             .select("doc_id", "host_id", "h"))
 
 
+def _sample_hash_split(spark, sf_dir):
+    """Deterministic train/val/test partition (r5): bucket =
+    H('split'||doc_id) % 100, 80/10/10 — reproducible across runs and
+    engines (rand() is not), and adding docs never reshuffles existing
+    assignments. Map-only, zero shuffle."""
+    from powerpoint_context_extractor_spark.operators.sampling import (
+        hash_split,
+    )
+    return hash_split(_t(spark, sf_dir, "documents"))
+
+
+MIXTURE_WEIGHTS_BP = {"d0": 4000, "d1": 3000, "d2": 1500, "d3": 1000,
+                      "d4": 500}
+
+
+def _sample_mixture_domains(spark, sf_dir):
+    """Domain-weighted mixture resampling (r5, DoReMi-style public
+    method): domains d0..d4 (doc_id % 5, equal counts) re-balanced
+    toward 40/30/15/10/5 target weights at half the corpus — integer
+    quota -> per-domain acceptance rate -> hash gate, all mirrored in
+    SQL. One per-domain count agg + a broadcast rates join; the corpus
+    never shuffles."""
+    from powerpoint_context_extractor_spark.operators.sampling import (
+        mixture_sample,
+    )
+    d = (_t(spark, sf_dir, "documents")
+         .select("doc_id",
+                 F.format_string("d%d", F.col("doc_id") % 5)
+                 .alias("domain")))
+    return mixture_sample(d, "domain", MIXTURE_WEIGHTS_BP,
+                          out_fraction_bp=5000)
+
+
 def _web_robots_filter(spark, sf_dir):
     """Crawl-politeness filter: per-host robots.txt (User-agent: *
     Disallow prefixes) parsed with array HOFs and broadcast-joined to
@@ -1277,8 +1310,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
          unchanged) — the rotation policy's promise comes due this
          round, so they re-earn a driver-green row now;
       2. queries ADDED in round 5 (dedup_substring, mm_features_wav,
-         text_zlib_ratio, capstone_web_pipeline_v2 — the latter two
-         rows-only: DuckDB has no zlib);
+         text_zlib_ratio + capstone_web_pipeline_v2 — those two
+         rows-only: DuckDB has no zlib — and the sampling pair
+         sample_hash_split / sample_mixture_domains);
       3. queries whose implementation or fixtures CHANGED in round 5
          (paragraph-dedup skew rewrite, robots case-folding, PNG
          doc_id%3 palette contract, IVF pruned fetch, as-of skew
@@ -1321,6 +1355,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_features_wav": _mm_features_wav,
         "text_zlib_ratio": _text_zlib_ratio,
         "capstone_web_pipeline_v2": _capstone_web_pipeline_v2,
+        "sample_hash_split": _sample_hash_split,
+        "sample_mixture_domains": _sample_mixture_domains,
         # -- 3. changed in round 5 ------------------------------------------
         "dedup_paragraphs": _dedup_paragraphs,
         "web_robots_filter": _web_robots_filter,
@@ -1341,9 +1377,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- 4. stable r4-green, filling the head to 50 ---------------------
         "flagship_extract_pdf": _flagship_extract_pdf,
         "flagship_extract_pdf15": _flagship_extract_pdf15,
+        # -- 5. tail: r4-green, rotated out this round (re-head next round) -
         "text_quality_v2": _text_quality_v2,
         "text_nfc_normalize": _text_nfc_normalize,
-        # -- 5. tail: r4-green, rotated out this round (re-head next round) -
         "mm_binary_meta": _mm_binary_meta,
         "a_cube_rollup": _a_cube_rollup,
         "a_pivot_events": _a_pivot_events,
@@ -2612,6 +2648,48 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT doc_id, host_id, h FROM k
         WHERE h < CASE WHEN host_id = 0 THEN 5 ELSE 50 END
+    """
+    d["sample_hash_split"] = """
+        WITH b AS (
+          SELECT doc_id,
+                 (('0x' || substr(md5(printf('split%d', doc_id)), 1, 8))
+                  ::BIGINT % 1000000007) % 100 AS bucket
+          FROM documents
+        )
+        SELECT doc_id, bucket,
+               CASE WHEN bucket < 80 THEN 'train'
+                    WHEN bucket < 90 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM b
+    """
+    _wrows = ", ".join(f"('{d_}', {w})"
+                       for d_, w in sorted(MIXTURE_WEIGHTS_BP.items()))
+    d["sample_mixture_domains"] = f"""
+        -- integer mixture math mirrored from sampling.mixture_sample:
+        -- N_out = (N*5000)//10000; quota = (N_out*w)//10000;
+        -- rate_bp = least(10000, quota*10000//count)
+        WITH src AS (
+          SELECT doc_id, printf('d%d', doc_id % 5) AS domain
+          FROM documents
+        ),
+        n AS (SELECT count(*) AS nt FROM src),
+        cnt AS (SELECT domain, count(*) AS c FROM src GROUP BY domain),
+        w AS (SELECT * FROM (VALUES {_wrows}) AS t(domain, wbp)),
+        rates AS (
+          SELECT cnt.domain,
+                 least(10000,
+                       (((nt * 5000) // 10000) * wbp // 10000)
+                       * 10000 // c) AS rate_bp
+          FROM cnt JOIN w USING (domain), n
+        ),
+        sel AS (
+          SELECT s.doc_id, s.domain, r.rate_bp,
+                 (('0x' || substr(md5(printf('mix%d', s.doc_id)), 1, 8))
+                  ::BIGINT % 1000000007) % 10000 AS h
+          FROM src s JOIN rates r USING (domain)
+        )
+        SELECT doc_id, domain, CAST(rate_bp AS BIGINT) AS rate_bp
+        FROM sel WHERE h < rate_bp
     """
     # channel-aware NN resize (r4): output byte j maps to source byte
     # ((sy*16 + sx)*ch + c) with sy=(y*8)//4, sx=(x*16)//4, where

@@ -1,0 +1,86 @@
+"""Deterministic corpus-sampling operators for training-data mixtures.
+
+Every training run needs (a) a reproducible train/val/test partition
+and (b) domain re-balancing toward target mixture proportions (the
+DoReMi / The-Pile-style "domain weights" step — public methods). Both
+are HASH-GATED here, never ``rand()``: the decision for a row is a
+pure function of its id, so reruns, resumes, and cross-engine oracles
+all agree, and adding data never reshuffles existing assignments.
+
+Scale shape: the split is map-only (zero shuffle, scan speed). The
+mixture sampler does ONE combiner-friendly count per domain (domains
+are a small dimension — thousands at web scale), derives integer
+acceptance rates driver-free as a tiny rates table, and broadcasts it
+back onto the corpus; the corpus itself never shuffles.
+
+Everything is integer-exact (basis points, ``div``), so both operators
+are DuckDB-oracle-checkable. Reference analog: the slide-subset
+selection loop at `pptx_extractor/pptx_extract.py:129-143`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import portable_hash
+
+
+def hash_split(docs: DataFrame, id_col: str = "doc_id",
+               train_pct: int = 80, val_pct: int = 10,
+               salt: str = "split") -> DataFrame:
+    """Deterministic train/val/test assignment: bucket =
+    H(salt || id) % 100; [0, train) -> train, [train, train+val) ->
+    val, rest -> test. Emits (id, bucket, split)."""
+    if not (0 <= train_pct and 0 <= val_pct
+            and train_pct + val_pct <= 100):
+        raise ValueError("hash_split: percentages must fit in [0, 100]")
+    bucket = (portable_hash(
+        F.format_string(f"{salt}%d", F.col(id_col))) % 100)
+    split = (F.when(F.col("bucket") < train_pct, "train")
+             .when(F.col("bucket") < train_pct + val_pct, "val")
+             .otherwise("test"))
+    return (docs.select(F.col(id_col), bucket.alias("bucket"))
+            .withColumn("split", split))
+
+
+def mixture_sample(docs: DataFrame, domain_col: str,
+                   weights_bp: dict, out_fraction_bp: int = 5000,
+                   id_col: str = "doc_id",
+                   salt: str = "mix") -> DataFrame:
+    """Re-balance a corpus toward target domain proportions: given
+    target mixture weights (basis points per domain, summing to <=
+    10000) and a target output fraction of the corpus, compute each
+    domain's integer acceptance rate and keep a row iff
+    ``H(salt || id) % 10000 < rate_bp(domain)``.
+
+    Exact integer derivation (mirrored in the oracle):
+      N_out    = (N_total * out_fraction_bp) div 10000
+      quota_d  = (N_out * weights_bp[d]) div 10000
+      rate_bp_d = least(10000, (quota_d * 10000) div count_d)
+    A domain too small for its quota saturates at rate 10000 (keep
+    all) — the standard behavior when a target up-weights a scarce
+    domain. Domains absent from ``weights_bp`` get rate 0. Emits the
+    kept rows as (id, domain, rate_bp)."""
+    if not weights_bp or sum(weights_bp.values()) > 10000:
+        raise ValueError("mixture_sample: weights_bp must sum to <= 10000")
+    counts = docs.groupBy(F.col(domain_col).alias("_dom")).agg(
+        F.count(F.lit(1)).alias("_cnt"))
+    total = docs.select(F.count(F.lit(1)).alias("_n"))
+    wmap = F.create_map(
+        *[x for d, w in sorted(weights_bp.items())
+          for x in (F.lit(d), F.lit(int(w)))])
+    rates = (counts.crossJoin(F.broadcast(total))
+             .withColumn("_w", F.coalesce(
+                 F.element_at(wmap, F.col("_dom")), F.lit(0)))
+             .withColumn("rate_bp", F.least(
+                 F.lit(10000),
+                 F.expr("(((_n * " + str(int(out_fraction_bp))
+                        + ") div 10000) * _w div 10000) * 10000 div _cnt")))
+             .select("_dom", "rate_bp"))
+    h = portable_hash(F.format_string(f"{salt}%d", F.col(id_col))) % 10000
+    return (docs.select(F.col(id_col), F.col(domain_col).alias("domain"),
+                        h.alias("_h"))
+            .join(F.broadcast(rates), F.col("domain") == F.col("_dom"))
+            .filter(F.col("_h") < F.col("rate_bp"))
+            .select(id_col, "domain", "rate_bp"))

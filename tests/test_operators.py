@@ -547,6 +547,62 @@ def test_paragraph_dedup_plan_has_no_token_shuffle(spark):
         assert "para#" not in m.group(1) or "ph#" in m.group(1), plan
 
 
+def test_hash_split_deterministic_partition(spark):
+    """r5: train/val/test assignment is a pure function of the id —
+    dual-run identical, proportions near 80/10/10, and adding rows
+    never changes existing assignments."""
+    import pytest as _pytest
+
+    from powerpoint_context_extractor_spark.operators import sampling
+    docs = spark.range(2000).selectExpr("id AS doc_id")
+    a = {r["doc_id"]: (r["bucket"], r["split"])
+         for r in sampling.hash_split(docs).collect()}
+    b = {r["doc_id"]: (r["bucket"], r["split"])
+         for r in sampling.hash_split(docs).collect()}
+    assert a == b and len(a) == 2000
+    n_train = sum(1 for v in a.values() if v[1] == "train")
+    n_val = sum(1 for v in a.values() if v[1] == "val")
+    assert 0.74 < n_train / 2000 < 0.86
+    assert 0.06 < n_val / 2000 < 0.14
+    # growing the corpus keeps old assignments (hash-gated, not rand)
+    grown = {r["doc_id"]: (r["bucket"], r["split"])
+             for r in sampling.hash_split(
+                 spark.range(3000).selectExpr("id AS doc_id")).collect()}
+    assert all(grown[k] == v for k, v in a.items())
+    with _pytest.raises(ValueError, match="percentages"):
+        sampling.hash_split(docs, train_pct=95, val_pct=10)
+
+
+def test_mixture_sample_hits_domain_quotas(spark):
+    """r5: integer quota math — each domain's kept count approximates
+    quota_d = ((N*frac)//1e4 * w_d)//1e4, a scarce up-weighted domain
+    saturates at keep-all, and unknown domains drop to zero."""
+    import pytest as _pytest
+
+    from powerpoint_context_extractor_spark.operators import sampling
+    rows = ([(i, "big") for i in range(1800)]
+            + [(10000 + i, "rare") for i in range(40)]
+            + [(20000 + i, "junk") for i in range(160)])
+    docs = spark.createDataFrame(rows, "doc_id long, domain string")
+    out = sampling.mixture_sample(
+        docs, "domain", {"big": 5000, "rare": 5000},
+        out_fraction_bp=5000).collect()
+    by_dom: dict = {}
+    for r in out:
+        by_dom.setdefault(r["domain"], []).append(r)
+    # N=2000, N_out=1000, quota=500 each. rare has 40 < 500 rows ->
+    # rate saturates at 10000 -> ALL 40 kept
+    assert len(by_dom["rare"]) == 40
+    assert by_dom["rare"][0]["rate_bp"] == 10000
+    # big: rate = 500*10000//1800 = 2777 bp -> ~500 of 1800 kept
+    assert by_dom["big"][0]["rate_bp"] == 500 * 10000 // 1800
+    assert 400 < len(by_dom["big"]) < 600
+    # junk has no target weight -> nothing kept
+    assert "junk" not in by_dom
+    with _pytest.raises(ValueError, match="weights_bp"):
+        sampling.mixture_sample(docs, "domain", {"a": 9000, "b": 2000})
+
+
 def test_compression_ratio_deterministic_and_discriminative(spark):
     """r5 zlib quality signal: dual-run bit-identical (fixed level ->
     pure function of input bytes), integer-exact ratio math, and the
