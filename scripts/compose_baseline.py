@@ -233,6 +233,21 @@ else runs during a measurement. Reproduce:
 `python bench/scaling.py --repeat 2` (8v32),
 `--n-cores 2 --xn-cores 8` (2v8), then
 `python scripts/compose_baseline.py`.
+
+### Per-round bench noise normalization (r5, r4 VERDICT #2)
+
+`bench.py` (the driver's per-round headline) now measures the
+raw-kernel ceiling in the SAME invocation (fork-free subprocess while
+Spark idles) and emits `ceiling_docs_per_sec` + `share_of_ceiling`
+alongside the wall numbers, so a BENCH_rN headline can never again be
+ambiguous the way BENCH_r04's 1.8x host-phase artifact was: a
+regressed wall under a FLAT share is host noise; a dropped share is a
+real regression. Observed while landing it (three back-to-back sf0.1
+runs, same corpus): walls 11.8 / 8.9 / 10.0 s while the same-window
+ceiling stayed 44.0-47.6k docs/s — shares 0.55 / 0.71 / 0.69. The
+extraction headline is min-of-3 measured passes (passes within one
+run trend 14.2 -> 11.4 -> 10.0 as the JVM warms; min-of-2
+under-sampled that tail).
 """
     extra = os.path.join(REPO, "BENCH", "EXTRA.md")
     if os.path.exists(extra):  # sf1.0 + skew sections (bench/big, bench/skew)
