@@ -1059,6 +1059,21 @@ def _mm_features_png(spark, sf_dir):
     return extract_png_features(_t(spark, sf_dir, "documents"))
 
 
+def _mm_features_jpeg(spark, sf_dir):
+    """Real baseline-JPEG decode under the correctness gate (r5, r4
+    VERDICT missing #2): every documents row becomes a genuine JFIF
+    file (markers, Annex-K tables, huffman-coded scan with byte
+    stuffing) whose two 8x8 blocks are constant at (doc_id*29 + b*97)
+    % 256 — constant blocks are DC-only, and the frozen integer DC
+    quantization makes the lossy decode a pure integer function of
+    doc_id that DuckDB reproduces analytically. Spark runs the actual
+    huffman + dequant + IDCT path."""
+    from powerpoint_context_extractor_spark.operators.multimodal import (
+        extract_jpeg_features,
+    )
+    return extract_jpeg_features(_t(spark, sf_dir, "documents"))
+
+
 def _mm_features_wav(spark, sf_dir):
     """Real audio decode under the correctness gate (r5, r4 VERDICT
     'next round' #7): every documents row becomes a genuine RIFF/WAVE
@@ -1357,6 +1372,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "capstone_web_pipeline_v2": _capstone_web_pipeline_v2,
         "sample_hash_split": _sample_hash_split,
         "sample_mixture_domains": _sample_mixture_domains,
+        "mm_features_jpeg": _mm_features_jpeg,
         # -- 3. changed in round 5 ------------------------------------------
         "dedup_paragraphs": _dedup_paragraphs,
         "web_robots_filter": _web_robots_filter,
@@ -1376,8 +1392,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w_stream_window_counts": _w_stream_window_counts,
         # -- 4. stable r4-green, filling the head to 50 ---------------------
         "flagship_extract_pdf": _flagship_extract_pdf,
-        "flagship_extract_pdf15": _flagship_extract_pdf15,
         # -- 5. tail: r4-green, rotated out this round (re-head next round) -
+        "flagship_extract_pdf15": _flagship_extract_pdf15,
         "text_quality_v2": _text_quality_v2,
         "text_nfc_normalize": _text_nfc_normalize,
         "mm_binary_meta": _mm_binary_meta,
@@ -2227,6 +2243,32 @@ def oracle_sql() -> dict[str, str]:
                CAST(MIN(p) AS BIGINT) AS px_min,
                CAST(MAX(p) AS BIGINT) AS px_max
         FROM px GROUP BY doc_id
+    """
+    d["mm_features_jpeg"] = """
+        -- frozen JPEG rule (r5): 16x8, two constant 8x8 blocks,
+        -- v_b = (doc_id*29 + b*97) % 256; DC = half-away(64*(v-128)
+        -- / 128) exact-integer; decoded pixel = clamp(2*DC + 128)
+        -- (Annex-K q00 = 16)
+        WITH blk AS (
+          SELECT d.doc_id, t.b,
+                 (d.doc_id*29 + t.b*97) % 256 AS v
+          FROM documents d, range(0, 2) t(b)
+        ), rec AS (
+          SELECT doc_id, b,
+                 least(255, greatest(0,
+                   2 * (CASE WHEN v >= 128
+                             THEN (128*(v-128) + 128) // 256
+                             ELSE -((128*(128-v) + 128) // 256) END)
+                   + 128)) AS r
+          FROM blk
+        )
+        SELECT doc_id,
+               CAST(16 AS BIGINT) AS width,
+               CAST(8 AS BIGINT) AS height,
+               CAST(64 * sum(r) AS BIGINT) AS px_sum,
+               CAST(min(r) AS BIGINT) AS px_min,
+               CAST(max(r) AS BIGINT) AS px_max
+        FROM rec GROUP BY doc_id
     """
     d["mm_features_wav"] = """
         -- frozen WAV rule (r5): PCM16 mono, rate 8000, 64 samples,

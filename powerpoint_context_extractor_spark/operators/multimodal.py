@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..jpeg import QTABLE, decode_jpeg_gray, render_jpeg_gray
 from ..png import decode_png, render_png
 from ..wav import decode_wav, render_wav
 
@@ -98,9 +99,12 @@ def _decode_payload(kind: str, payload: bytes) -> list:
                 float(min(samples) if samples else 0),
                 float(max(samples) if samples else 0)]
     if kind == "jpeg":
-        raise ValueError(
-            "unsupported: jpeg decode requires an external codec "
-            "(not available in this container)")
+        # r5: REAL baseline grayscale decode (huffman + dequant +
+        # IDCT, pure stdlib); color/progressive jpegs still raise the
+        # honest subset ValueError into the error column (F6 policy)
+        w, h, px = decode_jpeg_gray(payload)
+        return [float(w), float(h), 1.0, float(sum(px) % 997),
+                float(min(px)), float(max(px))]
     return _decode_stub(payload)
 
 
@@ -238,6 +242,76 @@ def extract_png_resized(docs: DataFrame, out_w: int = 4,
 
     return docs.select("doc_id").mapInPandas(
         _batches, schema=PNG_RESIZE_SCHEMA)
+
+
+# --- real-JPEG contract path (r5) ------------------------------------------
+
+JPEG_W, JPEG_H = 16, 8
+
+
+def jpeg_block_value(doc_id: int, b: int) -> int:
+    """Frozen rule: block b (of the two 8x8 MCUs in the 16x8 fixture)
+    is CONSTANT at value (doc_id*29 + b*97) % 256. Constant blocks
+    have only a DC coefficient, whose quantization is exact integer
+    math (jpeg._fdct_quant), so the decoded pixel is a pure integer
+    function of doc_id — what makes this lossy codec oracle-able."""
+    return (doc_id * 29 + b * 97) % 256
+
+
+def jpeg_reconstructed_value(v: int) -> int:
+    """The decoded pixel of a constant block of value ``v`` under the
+    frozen Annex-K table (q00 = 16): DC = half-away(64*(v-128)/128),
+    pixel = clamp(2*DC + 128). Mirrored verbatim in the SQL oracle."""
+    s = 64 * (v - 128)
+    d = 8 * QTABLE[0]
+    dcq = (2 * abs(s) + d) // (2 * d)
+    dcq = dcq if s >= 0 else -dcq
+    rec = (QTABLE[0] * dcq) // 8 + 128
+    return 0 if rec < 0 else (255 if rec > 255 else rec)
+
+
+def jpeg_payload_for_doc(doc_id: int) -> bytes:
+    """Deterministic 16x8 block-constant baseline grayscale JPEG."""
+    px = bytearray(JPEG_W * JPEG_H)
+    for b in range(2):
+        v = jpeg_block_value(doc_id, b)
+        for y in range(JPEG_H):
+            for x in range(8):
+                px[y * JPEG_W + b * 8 + x] = v
+    return render_jpeg_gray(JPEG_W, JPEG_H, bytes(px))
+
+
+JPEG_FEATURE_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType(), False),
+    T.StructField("width", T.LongType()),
+    T.StructField("height", T.LongType()),
+    T.StructField("px_sum", T.LongType()),
+    T.StructField("px_min", T.LongType()),
+    T.StructField("px_max", T.LongType()),
+])
+
+
+def extract_jpeg_features(docs: DataFrame) -> DataFrame:
+    """Render + decode a real baseline JPEG per documents row and emit
+    exact pixel statistics — the full marker-parse + huffman + dequant
+    + IDCT path runs inside Arrow batches, zero shuffles."""
+
+    def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("doc_id", "width", "height",
+                                   "px_sum", "px_min", "px_max")}
+            for doc_id in pdf["doc_id"].tolist():
+                w, h, px = decode_jpeg_gray(jpeg_payload_for_doc(doc_id))
+                out["doc_id"].append(doc_id)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["px_sum"].append(sum(px))
+                out["px_min"].append(min(px))
+                out["px_max"].append(max(px))
+            yield pd.DataFrame(out)
+
+    return docs.select("doc_id").mapInPandas(
+        _batches, schema=JPEG_FEATURE_SCHEMA)
 
 
 # --- real-WAV contract path (r5) -------------------------------------------

@@ -436,17 +436,68 @@ def test_wav_kind_routed_through_real_decoder(spark):
     assert got[4]["kind"] == "riff"        # stub path, not mojibake'd
 
 
-def test_jpeg_kind_errors_explicitly_unsupported(spark):
-    """r4 VERDICT #5: jpeg magic routes to an honest unsupported error
-    row, not the byte-stats stub."""
+def test_jpeg_roundtrip_and_subset_errors():
+    """r5 baseline-JPEG codec: constant blocks decode EXACTLY to the
+    frozen integer rule; smooth general images round-trip within
+    normal quantization loss; everything outside the subset raises."""
+    import math as _math
+
+    import pytest as _pytest
+
+    from powerpoint_context_extractor_spark.jpeg import (
+        decode_jpeg_gray, render_jpeg_gray,
+    )
+    from powerpoint_context_extractor_spark.operators.multimodal import (
+        jpeg_reconstructed_value,
+    )
+    w, h = 16, 8
+    for vals in ([57, 201], [0, 255], [127, 128]):
+        px = bytearray(w * h)
+        for b, v in enumerate(vals):
+            for y in range(h):
+                for x in range(8):
+                    px[y * w + b * 8 + x] = v
+        dw, dh, dec = decode_jpeg_gray(render_jpeg_gray(w, h, bytes(px)))
+        assert (dw, dh) == (w, h)
+        for b, v in enumerate(vals):
+            got = {dec[y * w + b * 8 + x] for y in range(h)
+                   for x in range(8)}
+            assert got == {jpeg_reconstructed_value(v)}, (v, got)
+    # smooth image: real huffman/AC path, bounded quantization error
+    W, H = 64, 32
+    img = bytes((128 + int(40 * _math.sin(x / 9) + 30 * _math.cos(y / 7)))
+                % 256 for y in range(H) for x in range(W))
+    _, _, dec2 = decode_jpeg_gray(render_jpeg_gray(W, H, img))
+    assert max(abs(a - b) for a, b in zip(img, dec2)) <= 8
+    with _pytest.raises(ValueError, match="multiples of 8"):
+        render_jpeg_gray(10, 8, bytes(80))
+    with _pytest.raises(ValueError, match="missing SOI"):
+        decode_jpeg_gray(b"not a jpeg")
+    with _pytest.raises(ValueError, match="truncated|missing"):
+        decode_jpeg_gray(render_jpeg_gray(8, 8, bytes(64))[:20])
+
+
+def test_jpeg_kind_routed_through_real_decoder(spark):
+    """r5 (supersedes the r4 honest-unsupported contract): baseline
+    grayscale jpegs decode for REAL in the generic feature path;
+    payloads outside the subset still produce an honest error row."""
     from powerpoint_context_extractor_spark.operators import multimodal as mm
-    jpeg = b"\xff\xd8\xff\xe0" + b"\x00" * 32
-    df = spark.createDataFrame([(1, bytearray(jpeg))],
-                               "doc_id long, payload binary")
-    row = mm.extract_features(df).collect()[0]
-    assert row["kind"] == "jpeg"
-    assert row["features"] is None
-    assert "unsupported" in row["error"]
+    raw = mm.jpeg_payload_for_doc(4)
+    bad = b"\xff\xd8\xff\xe0" + b"\x00" * 32   # junk after SOI/APP0
+    df = spark.createDataFrame(
+        [(4, bytearray(raw)), (5, bytearray(bad))],
+        "doc_id long, payload binary")
+    got = {r["doc_id"]: r for r in mm.extract_features(df).collect()}
+    v0 = mm.jpeg_block_value(4, 0)
+    v1 = mm.jpeg_block_value(4, 1)
+    r0 = mm.jpeg_reconstructed_value(v0)
+    r1 = mm.jpeg_reconstructed_value(v1)
+    assert got[4]["kind"] == "jpeg" and got[4]["error"] is None
+    assert got[4]["features"] == [16.0, 8.0, 1.0,
+                                  float(64 * (r0 + r1) % 997),
+                                  float(min(r0, r1)), float(max(r0, r1))]
+    assert got[5]["kind"] == "jpeg" and got[5]["features"] is None
+    assert got[5]["error"] is not None
 
 
 
