@@ -393,6 +393,47 @@ def test_png_feature_kind_routed_through_real_decoder(spark):
                                   float(min(px5)), float(max(px5))]
 
 
+def test_avi_roundtrip_and_subset_errors():
+    """r5 uncompressed-DIB AVI codec: frames round-trip through the
+    real DIB layout (BGR, bottom-up, stride padding — 6px width pads
+    18 -> 20 bytes); compressed frames and non-AVI RIFF raise."""
+    import struct as _struct
+
+    import pytest as _pytest
+
+    from powerpoint_context_extractor_spark.avi import decode_avi, render_avi
+    w, h = 6, 4
+    frames = [bytes((f * 31 + i * 7) % 256 for i in range(w * h * 3))
+              for f in range(3)]
+    raw = render_avi(w, h, frames, fps=10)
+    assert decode_avi(raw) == (w, h, 10, frames)
+    with _pytest.raises(ValueError, match="RIFF/AVI"):
+        decode_avi(b"RIFF" + _struct.pack("<I", 4) + b"WAVE")
+    with _pytest.raises(ValueError, match="truncated"):
+        decode_avi(raw[:-10])
+    # a compressed-frame chunk id is an explicit subset error
+    comp = raw.replace(b"00db", b"00dc", 1)
+    with _pytest.raises(ValueError, match="unsupported"):
+        decode_avi(comp)
+
+
+def test_avi_kind_routed_through_real_decoder(spark):
+    """r5: the video kind decodes for REAL in the generic feature path
+    (n_frames, w, h, fps, first/last frame checksums) — the U1 stub
+    surface is now empty; non-WAVE/AVI RIFF still stubs."""
+    from powerpoint_context_extractor_spark.operators import multimodal as mm
+    raw = mm.avi_payload_for_doc(6)
+    df = spark.createDataFrame([(6, bytearray(raw))],
+                               "doc_id long, payload binary")
+    row = mm.extract_features(df).collect()[0]
+    assert row["kind"] == "avi" and row["error"] is None
+    f0 = mm.avi_frame_bytes_for_doc(6, 0)
+    f3 = mm.avi_frame_bytes_for_doc(6, mm.AVI_FRAMES - 1)
+    assert row["features"] == [
+        float(mm.AVI_FRAMES), float(mm.AVI_W), float(mm.AVI_H),
+        float(mm.AVI_FPS), float(sum(f0) % 997), float(sum(f3) % 997)]
+
+
 def test_wav_roundtrip_and_subset_errors():
     import pytest as _pytest
 
