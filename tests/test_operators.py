@@ -747,6 +747,26 @@ def test_compression_ratio_deterministic_and_discriminative(spark):
     assert (r["n_windows"], r["dup_windows"]) == (13, 0)
 
 
+def test_substring_dedup_plan_shape(spark):
+    """r5: same scale gates as paragraph_dedup — windows are assembled
+    map-side (no Window operator, no token shuffle), the frequency is
+    the salted two-stage aggregate, and only digest keys feed it."""
+    import contextlib
+    import io
+    import re
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"t{i}_{j}" for j in range(30))) for i in range(40)],
+        "doc_id long, text string")
+    out = dedup.substring_dedup_stats(docs, k=8)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    assert "Window" not in plan, plan
+    shuffles = re.findall(r"\(\d+\) Exchange\b", plan)
+    assert len(shuffles) <= 4, plan
+
+
 def test_paragraph_dedup_survives_hot_paragraph_skew(spark):
     """r4 VERDICT "what's wrong" #1 'done' gate: one boilerplate
     paragraph present in >=30% of docs (the exact shape the operator
