@@ -259,6 +259,33 @@ def _capstone_web_pipeline(spark, sf_dir):
                     "clean_md5", "rep_flagged", "gopher_pass"))
 
 
+def _text_coherence(spark, sf_dir):
+    """Corpus bigram-coherence quality score (r5) — integer-exact
+    CCNet-perplexity stand-in: average corpus-wide support of a doc's
+    token bigrams. Gibberish twins (reversed-token docs share almost
+    no bigrams with the corpus) score near 100 (only themselves)."""
+    from powerpoint_context_extractor_spark.operators.textstats import (
+        bigram_coherence,
+    )
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    # plant low-coherence twins: reversed token order breaks bigrams
+    rev = (d.filter(F.col("doc_id") < 20)
+           .select((F.col("doc_id") + 5000000).alias("doc_id"),
+                   F.concat_ws(" ", F.reverse(F.split(F.col("text"), " ")))
+                   .alias("text")))
+    return bigram_coherence(d.unionByName(rev))
+
+
+def _text_bpe_pairs(spark, sf_dir):
+    """Tokenizer vocabulary induction (r5): corpus-wide top-20
+    adjacent-character-pair frequencies (the first BPE merge
+    statistic), deterministic (count desc, pair asc) tie-break."""
+    from powerpoint_context_extractor_spark.operators.textstats import (
+        bpe_pair_counts,
+    )
+    return bpe_pair_counts(_t(spark, sf_dir, "documents"), k=20)
+
+
 def _text_zlib_ratio(spark, sf_dir):
     """Compression-ratio quality signal (r5): zlib ratio in basis
     points per doc over documents plus planted hyper-compressible spam
@@ -1388,6 +1415,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_mixture_domains": _sample_mixture_domains,
         "mm_features_jpeg": _mm_features_jpeg,
         "mm_video_frame_sample": _mm_video_frame_sample,
+        "text_coherence": _text_coherence,
+        "text_bpe_pairs": _text_bpe_pairs,
         # -- 3. changed in round 5 ------------------------------------------
         "dedup_paragraphs": _dedup_paragraphs,
         "web_robots_filter": _web_robots_filter,
@@ -1403,9 +1432,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_charset_cjk": _text_charset_cjk,
         "flagship_extract": _flagship_extract,
         "warc_extract": _warc_extract,
+        # -- 4. tail: r4-green, rotated out this round (re-head next round).
+        # warc_stream_extract / w_stream_window_counts changed only their
+        # scratch-dir location in r5 (behavior-identical; pytest + local
+        # full-sweep green this round) and lead the tail so they head r6.
         "warc_stream_extract": _warc_stream_extract,
         "w_stream_window_counts": _w_stream_window_counts,
-        # -- 4. tail: r4-green, rotated out this round (re-head next round) -
         "flagship_extract_pdf": _flagship_extract_pdf,
         "flagship_extract_pdf15": _flagship_extract_pdf15,
         "text_quality_v2": _text_quality_v2,
@@ -2876,6 +2908,46 @@ def oracle_sql() -> dict[str, str]:
                  AS clean_md5
         FROM paras p JOIN freq f USING (para)
         GROUP BY p.doc_id
+    """
+    d["text_coherence"] = """
+        WITH base AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 5000000 AS doc_id,
+                 array_to_string(list_reverse(string_split(text, ' ')), ' ')
+                   AS text
+          FROM documents WHERE doc_id < 20
+        ), b AS (
+          SELECT doc_id,
+                 CASE WHEN len(ts) >= 2
+                      THEN list_transform(range(1, len(ts)),
+                                          k -> ts[k] || ' ' || ts[k+1])
+                      ELSE []::VARCHAR[] END AS bgs
+          FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM base)
+        ), ex AS (
+          SELECT doc_id, unnest(bgs) AS bg FROM b WHERE len(bgs) > 0
+        ), f AS (
+          SELECT bg, count(*) AS corpus_n FROM ex GROUP BY bg
+        )
+        SELECT ex.doc_id,
+               CAST(count(*) AS BIGINT) AS n_bigrams,
+               CAST(sum(f.corpus_n) AS BIGINT) AS freq_sum,
+               CAST((sum(f.corpus_n) * 100) // count(*) AS BIGINT)
+                 AS coherence_x100
+        FROM ex JOIN f USING (bg)
+        GROUP BY ex.doc_id
+    """
+    d["text_bpe_pairs"] = """
+        WITH w AS (
+          SELECT unnest(string_split(text, ' ')) AS w FROM documents
+        ), p AS (
+          SELECT unnest([w[i:i+1] for i in range(1, len(w))]) AS pair
+          FROM w WHERE len(w) >= 2
+        )
+        SELECT pair, CAST(count(*) AS BIGINT) AS n
+        FROM p GROUP BY pair
+        ORDER BY n DESC, pair ASC
+        LIMIT 20
     """
     d["dedup_substring"] = f"""
         WITH {_DOCS_UNION},

@@ -254,6 +254,69 @@ def normalize_nfc(docs: DataFrame, id_col: str = "doc_id",
     return docs.select(id_col, text_col).mapInPandas(_batches, schema=schema)
 
 
+def bigram_coherence(docs: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Corpus-statistics coherence score (r5) — the integer-exact
+    stand-in for CCNet's LM-perplexity quality signal (public method;
+    floating log-probs are not cross-engine-exact, corpus frequencies
+    are): a document whose token bigrams are frequent across the
+    corpus reads like the corpus; gibberish and boilerplate-free spam
+    score low. coherence_x100 = (sum of corpus-wide counts of the
+    doc's bigrams * 100) div n_bigrams — average corpus support per
+    bigram. Docs with < 2 tokens have no bigrams and are excluded
+    (mirrored in the oracle).
+
+    Scale shape: bigrams are assembled map-side (repetition_stats
+    pattern); the corpus frequency is a combiner-friendly count keyed
+    by the bigram string, rejoined via an AQE-skew-splittable hash
+    join (a stop-bigram like 'of the' is a hot key by construction) —
+    the same safe topology as substring dedup."""
+    toks = _toks(text_col)
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(F.sequence(F.lit(0), F.size(toks) - 2),
+                    lambda k: F.concat_ws(" ", F.element_at(toks, k + 1),
+                                          F.element_at(toks, k + 2)))
+    ).otherwise(F.array().cast("array<string>"))
+    bg = (docs.select(F.col(id_col), bigrams.alias("_bgs"))
+          .filter(F.size("_bgs") > 0)
+          .select(F.col(id_col), F.explode("_bgs").alias("bg")))
+    freq = bg.groupBy("bg").agg(F.count(F.lit(1)).alias("corpus_n"))
+    return (bg.join(freq, "bg")
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_bigrams"),
+                 F.sum("corpus_n").alias("freq_sum"))
+            .select(F.col(id_col),
+                    F.col("n_bigrams").cast("long").alias("n_bigrams"),
+                    F.col("freq_sum").cast("long").alias("freq_sum"),
+                    F.expr("(freq_sum * 100) div n_bigrams")
+                    .alias("coherence_x100")))
+
+
+def bpe_pair_counts(docs: DataFrame, text_col: str = "text",
+                    k: int = 20) -> DataFrame:
+    """First BPE merge step (Sennrich et al. 2016 — public method):
+    corpus-wide adjacent-CHARACTER-pair frequencies within words, top-k
+    by (count desc, pair asc) — the vocabulary-induction statistic a
+    tokenizer-training pipeline computes over the cleaned corpus.
+    Deterministic tie-break makes the top-k exactly oracle-checkable.
+
+    Scale shape: pairs are assembled map-side from each word; ONE
+    combiner-friendly count shuffle keyed by the 2-char pair (at most
+    ~64k distinct keys — the reduce side is trivially small however
+    large the corpus), then a driver-bound top-k sort over those few
+    thousand rows."""
+    words = docs.select(F.explode(_toks(text_col)).alias("w"))
+    pairs = words.filter(F.length("w") >= 2).select(
+        F.explode(F.expr(
+            "transform(sequence(1, length(w) - 1), "
+            "i -> substring(w, i, 2))")).alias("pair"))
+    return (pairs.groupBy("pair")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.col("n").desc(), F.col("pair").asc())
+            .limit(k))
+
+
 def compression_ratio(docs: DataFrame, id_col: str = "doc_id",
                       text_col: str = "text", level: int = 6) -> DataFrame:
     """zlib compression-ratio quality signal (r5, r4 VERDICT missing

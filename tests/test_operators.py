@@ -639,6 +639,41 @@ def test_paragraph_dedup_plan_has_no_token_shuffle(spark):
         assert "para#" not in m.group(1) or "ph#" in m.group(1), plan
 
 
+def test_bigram_coherence_scores_corpus_support(spark):
+    """r5 LM-lite quality signal: exact integer math on a
+    hand-checkable corpus — docs sharing bigrams support each other,
+    a gibberish doc only supports itself."""
+    rows = [
+        (0, "the cat sat on the mat"),
+        (1, "the cat sat on a chair"),
+        (2, "zq xv qj wk pz"),          # gibberish: unique bigrams
+        (3, "one"),                     # single token: excluded
+    ]
+    out = {r["doc_id"]: r for r in textstats.bigram_coherence(
+        spark.createDataFrame(rows, "doc_id long, text string")).collect()}
+    assert 3 not in out and len(out) == 3
+    # doc 0 bigrams: [the cat]x2-corpus, [cat sat]x2, [sat on]x2,
+    # [on the]x1, [the mat]x1 -> freq_sum 8 over 5
+    assert (out[0]["n_bigrams"], out[0]["freq_sum"]) == (5, 8)
+    assert out[0]["coherence_x100"] == 8 * 100 // 5
+    # gibberish: every bigram count 1 -> coherence exactly 100
+    assert out[2]["coherence_x100"] == 100
+    assert out[0]["coherence_x100"] > out[2]["coherence_x100"]
+
+
+def test_bpe_pair_counts_topk_deterministic(spark):
+    """r5 vocabulary induction: exact adjacent-char-pair counts with
+    the (count desc, pair asc) tie-break."""
+    rows = [(0, "aaab aab"), (1, "ab ba")]
+    out = textstats.bpe_pair_counts(
+        spark.createDataFrame(rows, "doc_id long, text string"),
+        k=3).collect()
+    # pairs: aaab -> aa,aa,ab; aab -> aa,ab; ab -> ab; ba -> ba
+    # counts: aa=3, ab=3, ba=1 -> tie at 3 broken by pair asc
+    assert [(r["pair"], r["n"]) for r in out] == [
+        ("aa", 3), ("ab", 3), ("ba", 1)]
+
+
 def test_hash_split_deterministic_partition(spark):
     """r5: train/val/test assignment is a pure function of the id —
     dual-run identical, proportions near 80/10/10, and adding rows
