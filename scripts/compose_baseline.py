@@ -46,22 +46,13 @@ def collect(corpus: str):
     return best, ceil, runs, by_ts
 
 
-def _big_section(best: dict, ceil: dict, runs: dict, by_ts: dict) -> str:
-    """Steady-state (4x input) section, when that history exists."""
-    if 8 not in best or 32 not in best:
-        return ""
-    e = (best[32][0] / best[8][0]) / 4
-    hw = (ceil[32] / ceil[8]) / 4 if 8 in ceil and 32 in ceil else None
-    rows = "\n".join(
-        f"| local[{c}] (pinned to {c} CPUs) | {best[c][0]:,.0f} | "
-        f"{best[c][1]:.1f} | {runs[c]} |" for c in sorted(best))
-    hw_s = format(hw, ".3f") if hw is not None else "n/a"
-    norm_s = format(e / hw, ".3f") if hw else "n/a"
-    # same-window pairs: each invocation interleaves the arms within
-    # minutes (8,32,8,32) and measures its own ceilings, so a pair is
-    # internally consistent — the cross-window best-of above can pit an
-    # 8-arm from a fast host phase against a 32-arm from a slow one
-    # (and does: the host swings 2x between phases)
+def _pair_table(by_ts: dict) -> tuple:
+    """Per-invocation 8v32 same-window pairs: each invocation
+    interleaves the arms within minutes (8,32,8,32) and measures its
+    own ceilings, so a pair is internally consistent — a cross-window
+    best-of can pit an 8-arm from a fast host phase against a 32-arm
+    from a slow one (and does: the host swings 2x between phases).
+    Returns (markdown rows, best (eff, hw, norm, ts)) or ("", None)."""
     pair_rows, best_pair = [], None
     for ts in sorted(by_ts):
         inv = by_ts[ts]
@@ -78,7 +69,41 @@ def _big_section(best: dict, ceil: dict, runs: dict, by_ts: dict) -> str:
             f"{format(inorm, '.3f') if inorm else 'n/a'} |")
         if best_pair is None or pe > best_pair[0]:
             best_pair = (pe, ihw, inorm, ts)
-    pairs_md = "\n".join(pair_rows)
+    return "\n".join(pair_rows), best_pair
+
+
+def _base_pairs_section(by_ts: dict) -> str:
+    """Same-window 8v32 pairs on the base 300k corpus (when any
+    invocation recorded both arms + ceilings)."""
+    pairs_md, best_pair = _pair_table(by_ts)
+    if not best_pair:
+        return ""
+    bp, _bphw, bpnorm, bpts = best_pair
+    verdict = "PASS" if bp >= 0.8 else "below target in recorded windows"
+    return f"""## Same-window 8v32 pairs on this corpus (every invocation, none discarded)
+
+| invocation (UTC) | best 8 | best 32 | efficiency | hw control | normalized |
+|---|---|---|---|---|---|
+{pairs_md}
+
+Best same-window pair here: **{bp:.3f}** raw ({bpts}; normalized
+{format(bpnorm, '.3f') if bpnorm else 'n/a'}) — target >= 0.8: **{verdict}**.
+
+"""
+
+
+def _big_section(best: dict, ceil: dict, runs: dict, by_ts: dict) -> str:
+    """Steady-state (4x input) section, when that history exists."""
+    if 8 not in best or 32 not in best:
+        return ""
+    e = (best[32][0] / best[8][0]) / 4
+    hw = (ceil[32] / ceil[8]) / 4 if 8 in ceil and 32 in ceil else None
+    rows = "\n".join(
+        f"| local[{c}] (pinned to {c} CPUs) | {best[c][0]:,.0f} | "
+        f"{best[c][1]:.1f} | {runs[c]} |" for c in sorted(best))
+    hw_s = format(hw, ".3f") if hw is not None else "n/a"
+    norm_s = format(e / hw, ".3f") if hw else "n/a"
+    pairs_md, best_pair = _pair_table(by_ts)
     bp, bphw, bpnorm, bpts = best_pair
     e28_line = ""
     if 2 in best:
@@ -125,7 +150,7 @@ def main() -> None:
     ap.add_argument("--big-corpus", default=DEFAULT_CORPUS + "_big")
     args = ap.parse_args()
 
-    best, ceil, runs, _ts = collect(args.corpus)
+    best, ceil, runs, base_ts = collect(args.corpus)
     bigb, bigc, bigr, big_ts = collect(args.big_corpus)
 
     def eff(n, xn):
@@ -177,7 +202,7 @@ no Spark — the host's own scaling curve, which no framework can beat.
 | **local[2] -> local[8]** | **{fmt(e28)}** | {fmt(hw28)} | {fmt(e28 / hw28 if e28 and hw28 else None)} | **{'PASS' if e28 and e28 >= 0.8 else ('FAIL' if e28 else 'n/a')}** |
 | local[8] -> local[32] | {fmt(e832)} | {fmt(hw832)} | {fmt(norm832)} | {'PASS' if e832 and e832 >= 0.8 else 'see analysis'} |
 
-{_big_section(bigb, bigc, bigr, big_ts)}
+{_base_pairs_section(base_ts)}{_big_section(bigb, bigc, bigr, big_ts)}
 ## Analysis — where the 8->32 loss comes from (all measured)
 
 0. **Spark holds a near-constant fraction of the raw ceiling at every
