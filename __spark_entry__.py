@@ -1999,7 +1999,12 @@ def oracle_sql() -> dict[str, str]:
             -- integer byte-math: [len, first byte, last byte,
             -- sum(first 64 bytes) % 997]; documents.text is ASCII at
             -- test SFs (mm_binary_meta relies on the same), so byte
-            -- arithmetic == ascii() arithmetic
+            -- arithmetic == ascii() arithmetic.
+            -- CONSTRAINT (r5 ADVICE #3): kind='unknown' is hardcoded,
+            -- so no document text may start with a magic prefix that
+            -- _kind_of recognizes — in particular the ASCII-typable
+            -- 'RIFF', '%PDF', '%WDO' (pinned by
+            -- tests/test_operators.py::test_document_text_never_magic)
             WITH b AS (
               SELECT doc_id,
                      len(text)::BIGINT AS n_bytes,

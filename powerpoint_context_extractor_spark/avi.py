@@ -3,9 +3,11 @@
 Makes the LAST multimodal stub kind (video) REAL (r4 VERDICT: U1 was
 the one 'partial' row): the container has no ffmpeg, but an
 uncompressed-DIB AVI needs only ``struct``. The writer emits spec-
-valid RIFF('AVI ') files — LIST('hdrl') with an 'avih' main header,
-LIST('movi') with one '00db' chunk per frame, word-aligned chunks —
-and the reader walks the RIFF tree and decodes the frames.
+valid RIFF('AVI ') files — LIST('hdrl') with an 'avih' main header
+plus the mandatory LIST('strl') strh/strf stream headers,
+LIST('movi') with one '00db' chunk per frame, word-aligned chunks,
+and an 'idx1' index chunk backing the AVIF_HASINDEX flag — and the
+reader walks the RIFF tree and decodes the frames.
 
 Frames use the REAL DIB conventions that trip naive decoders:
 24-bit BGR byte order, BOTTOM-UP row order, and rows padded to 4-byte
@@ -52,18 +54,47 @@ def render_avi(width: int, height: int, frames: list,
         "<IIIIIIIIIIIIII",
         1_000_000 // fps,          # dwMicroSecPerFrame
         stride * height * fps,     # dwMaxBytesPerSec
-        0, 0x10,                   # padding, AVIF_HASINDEX off: 0x10=frames
+        0, 0x10,                   # padding, dwFlags=AVIF_HASINDEX
         len(frames), 0, 1, stride * height,
         width, height, 0, 0, 0, 0)
-    hdrl = b"LIST" + struct.pack("<I", 4 + 8 + len(avih)) \
-        + b"hdrl" + b"avih" + struct.pack("<I", len(avih)) + avih
+    # mandatory per-stream headers (r5 ADVICE #2): LIST('strl') with an
+    # 'strh' (vids/DIB) and an 'strf' BITMAPINFOHEADER
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIIIhhhh",
+        b"vids", b"DIB ", 0, 0, 0, 0,
+        1, fps,                    # dwScale/dwRate -> fps
+        0, len(frames), stride * height, 0, 0,
+        0, 0, width, height)       # rcFrame
+    strf = struct.pack(
+        "<IiiHHIIiiII",
+        40, width, height, 1, 24,  # BITMAPINFOHEADER, 24bpp
+        0,                         # BI_RGB (uncompressed)
+        stride * height, 0, 0, 0, 0)
+    strl_body = (b"strl"
+                 + b"strh" + struct.pack("<I", len(strh)) + strh
+                 + b"strf" + struct.pack("<I", len(strf)) + strf)
+    strl = b"LIST" + struct.pack("<I", len(strl_body)) + strl_body
+    hdrl_body = (b"hdrl"
+                 + b"avih" + struct.pack("<I", len(avih)) + avih
+                 + strl)
+    hdrl = b"LIST" + struct.pack("<I", len(hdrl_body)) + hdrl_body
     movi_body = bytearray(b"movi")
+    idx_entries = []
     for d in dibs:
+        # idx1 offsets point at the chunk id, relative to the 'movi'
+        # fourcc position (the convention most players expect): the
+        # first chunk sits at +4, right after the 'movi' fourcc
+        idx_entries.append((len(movi_body), len(d)))
         movi_body += b"00db" + struct.pack("<I", len(d)) + d
         if len(d) % 2:
             movi_body += b"\x00"                     # word alignment
     movi = b"LIST" + struct.pack("<I", len(movi_body)) + bytes(movi_body)
-    body = b"AVI " + hdrl + movi
+    # idx1 chunk backs the AVIF_HASINDEX flag set in avih
+    idx_body = b"".join(
+        struct.pack("<4sIII", b"00db", 0x10, off, ln)   # AVIIF_KEYFRAME
+        for off, ln in idx_entries)
+    idx1 = b"idx1" + struct.pack("<I", len(idx_body)) + idx_body
+    body = b"AVI " + hdrl + movi + idx1
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 

@@ -45,12 +45,16 @@ def write_bucketed(df: DataFrame, table: str, key: str,
             "stale-location cleanup)")
     spark = df.sparkSession
     if spark.catalog.tableExists(table):
-        loc = next((r.data_type
-                    for r in spark.sql(
-                        f"DESCRIBE TABLE EXTENDED {table}").collect()
-                    if r.col_name == "Location"), None)
+        desc = {r.col_name: r.data_type
+                for r in spark.sql(
+                    f"DESCRIBE TABLE EXTENDED {table}").collect()}
+        loc = desc.get("Location")
+        managed = desc.get("Type", "").upper() == "MANAGED"
         spark.sql(f"DROP TABLE {table}")      # managed: drops data too
-        if loc and loc.startswith("file:"):   # belt over braces
+        # r5 ADVICE #4: DROP of an EXTERNAL table intentionally keeps
+        # its data — only sweep the location for MANAGED tables, else
+        # we'd destroy a user's external data directory
+        if managed and loc and loc.startswith("file:"):
             shutil.rmtree(re.sub("^file:/*", "/", loc), ignore_errors=True)
     else:
         # catalog forgot the table (fresh session) but its managed dir
@@ -122,8 +126,12 @@ def asof_join_backward(left: DataFrame, right: DataFrame, key: str,
     if not hot_keys:
         return _windowed(u, [key]).filter(F.col("_side") == 1).drop("_side")
 
-    cold = (_windowed(u.filter(~F.col(key).isin(hot_keys)), [key])
-            .filter(F.col("_side") == 1).drop("_side"))
+    # NULL keys must go to the cold branch explicitly: ``~isin`` is
+    # NULL (not true) for a NULL key, which would silently drop those
+    # left rows and diverge from the unsplit path (r5 ADVICE #1)
+    cold = (_windowed(
+        u.filter(F.col(key).isNull() | ~F.col(key).isin(hot_keys)), [key])
+        .filter(F.col("_side") == 1).drop("_side"))
 
     hot_u = u.filter(F.col(key).isin(hot_keys))
     tnum = (F.unix_micros(F.col(ts).cast("timestamp"))

@@ -46,7 +46,11 @@ def test_asof_hot_key_time_split_matches_unsplit(spark):
     the pre-history None)."""
     left_rows = [(7, _ts(f"2024-01-0{1 + i % 9}T{i % 24:02d}:00"), i)
                  for i in range(500)] + \
-                [(1, _ts("2024-01-02T10:00"), 9001)]
+                [(1, _ts("2024-01-02T10:00"), 9001),
+                 # NULL-key left row: ~isin(hot_keys) is NULL for it, so
+                 # the cold branch must route NULL keys explicitly or
+                 # this row vanishes from the split output (r5 ADVICE #1)
+                 (None, _ts("2024-01-02T11:00"), 9002)]
     right_rows = [(7, _ts(f"2024-01-0{1 + i % 9}T{i % 24:02d}:30"), i * 10)
                   for i in range(0, 500, 7)] + \
                  [(1, _ts("2024-01-01T10:00"), 5)]
@@ -65,7 +69,8 @@ def test_asof_hot_key_time_split_matches_unsplit(spark):
             for r in plain.collect()}
     got = {(r["user_id"], r["event_id"]): r["purchase_cents"]
            for r in split.collect()}
-    assert got == want and len(got) == 501
+    assert got == want and len(got) == 502
+    assert got[(None, 9002)] is None   # NULL-key row kept, unmatched
     # the hot branch's window really partitions by (key, _tbkt)
     plan = split._jdf.queryExecution().executedPlan().toString()
     assert "_tbkt" in plan, plan
@@ -92,6 +97,30 @@ def test_asof_matches_bruteforce_on_events(spark, sf_dir):
         cands = [c for t, c in p_by_user.get(r["user_id"], []) if t <= r["ts"]]
         want = cands[-1] if cands else None
         assert got[r["event_id"]] == want, r["event_id"]
+
+
+def test_write_bucketed_preserves_external_table_data(spark, tmp_path):
+    """r5 ADVICE #4: overwriting a name that previously pointed at an
+    EXTERNAL table must not rmtree the user's external data directory
+    (DROP TABLE intentionally keeps external data; only MANAGED
+    locations are swept)."""
+    import os
+    from powerpoint_context_extractor_spark.operators.joins import (
+        write_bucketed,
+    )
+    ext_dir = str(tmp_path / "external_data")
+    df = spark.range(10).withColumnRenamed("id", "k")
+    df.write.parquet(ext_dir)
+    spark.sql("DROP TABLE IF EXISTS bkt_ext_guard")
+    spark.sql(f"CREATE TABLE bkt_ext_guard (k long) USING parquet "
+              f"LOCATION '{ext_dir}'")
+    try:
+        write_bucketed(df, "bkt_ext_guard", "k", n_buckets=2)
+        # external files survived the name takeover
+        assert any(f.endswith(".parquet") for f in os.listdir(ext_dir))
+        assert spark.table("bkt_ext_guard").count() == 10
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bkt_ext_guard")
 
 
 def test_embedding_near_dup_finds_scaled_copies(spark):

@@ -171,6 +171,19 @@ def test_multimodal_stub_plumbing(spark):
     assert meta[0]["n_bytes"] > 0
 
 
+def test_document_text_never_magic(spark, sf_dir):
+    """r5 ADVICE #3: mm_features feeds document TEXT bytes through
+    _kind_of and its DuckDB oracle hardcodes kind='unknown' for every
+    row — so no fixture text may start with a recognizable magic
+    prefix. The ASCII-typable ones ('RIFF', '%PDF', '%WDO') are the
+    realistic hazards; binary magics (PNG/JPEG) can't occur in text."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from pyspark.sql import functions as F
+    hits = docs.filter(
+        F.substring("text", 1, 4).isin("RIFF", "%PDF", "%WDO")).count()
+    assert hits == 0, f"{hits} document texts start with a magic prefix"
+
+
 def test_ivf_index_partition_pruning(spark, sf_dir, tmp_path):
     """The materialized IVF index must actually prune: the probe's scan
     touches only the nprobe nearest k-means cells' partition
