@@ -399,6 +399,28 @@ def _sample_mixture_domains(spark, sf_dir):
                           out_fraction_bp=5000)
 
 
+UPSAMPLE_WEIGHTS_BP = {"d0": 1000, "d1": 1000, "d2": 1000, "d3": 7000}
+
+
+def _sample_mixture_domains_v2(spark, sf_dir):
+    """Mixture resampling WITH upsampling (r6, r5 VERDICT #4): domains
+    d0..d3 are deliberately skewed (doc_id%10 -> 40/30/20/10% of the
+    corpus) while d3 carries 70% of the target weight at an 80% output
+    fraction — its quota (0.56N) exceeds its count (0.1N), so rate_bp
+    = 56000: every d3 row repeats 5 full times plus a hash-gated 6th.
+    Integer-exact, mirrored in SQL via range()+unnest."""
+    from powerpoint_context_extractor_spark.operators.sampling import (
+        mixture_sample_upsample,
+    )
+    dom = (F.when(F.col("doc_id") % 10 < 4, 0)
+           .when(F.col("doc_id") % 10 < 7, 1)
+           .when(F.col("doc_id") % 10 < 9, 2).otherwise(3))
+    d = (_t(spark, sf_dir, "documents")
+         .select("doc_id", F.format_string("d%d", dom).alias("domain")))
+    return mixture_sample_upsample(d, "domain", UPSAMPLE_WEIGHTS_BP,
+                                   out_fraction_bp=8000)
+
+
 def _web_robots_filter(spark, sf_dir):
     """Crawl-politeness filter: per-host robots.txt (User-agent: *
     Disallow prefixes) parsed with array HOFs and broadcast-joined to
@@ -1417,6 +1439,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_video_frame_sample": _mm_video_frame_sample,
         "text_coherence": _text_coherence,
         "text_bpe_pairs": _text_bpe_pairs,
+        "sample_mixture_domains_v2": _sample_mixture_domains_v2,
         # -- 3. changed in round 5 ------------------------------------------
         "dedup_paragraphs": _dedup_paragraphs,
         "web_robots_filter": _web_robots_filter,
@@ -2797,6 +2820,45 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT doc_id, domain, CAST(rate_bp AS BIGINT) AS rate_bp
         FROM sel WHERE h < rate_bp
+    """
+    _uwrows = ", ".join(f"('{d_}', {w})"
+                        for d_, w in sorted(UPSAMPLE_WEIGHTS_BP.items()))
+    d["sample_mixture_domains_v2"] = f"""
+        -- upsampling mixture math mirrored from
+        -- sampling.mixture_sample_upsample: rate_bp UNCAPPED, row
+        -- emitted (rate_bp // 10000) times plus a hash-gated extra
+        WITH src AS (
+          SELECT doc_id,
+                 printf('d%d', CASE WHEN doc_id % 10 < 4 THEN 0
+                                    WHEN doc_id % 10 < 7 THEN 1
+                                    WHEN doc_id % 10 < 9 THEN 2
+                                    ELSE 3 END) AS domain
+          FROM documents
+        ),
+        cnt AS (SELECT domain, count(*) AS c FROM src GROUP BY domain),
+        n AS (SELECT sum(c) AS nt FROM cnt),
+        w AS (SELECT * FROM (VALUES {_uwrows}) AS t(domain, wbp)),
+        rates AS (
+          SELECT cnt.domain,
+                 (((nt * 8000) // 10000) * wbp // 10000)
+                 * 10000 // c AS rate_bp
+          FROM cnt JOIN w USING (domain), n
+        ),
+        sel AS (
+          SELECT s.doc_id, s.domain, r.rate_bp,
+                 (('0x' || substr(md5(printf('mix%d', s.doc_id)), 1, 8))
+                  ::BIGINT % 1000000007) % 10000 AS h
+          FROM src s JOIN rates r USING (domain)
+        ),
+        nc AS (
+          SELECT doc_id, domain, rate_bp,
+                 rate_bp // 10000
+                 + CASE WHEN h < rate_bp % 10000 THEN 1 ELSE 0 END AS n_copies
+          FROM sel
+        )
+        SELECT doc_id, domain, CAST(rate_bp AS BIGINT) AS rate_bp,
+               CAST(unnest(range(CAST(n_copies AS BIGINT))) AS BIGINT) AS rep
+        FROM nc WHERE n_copies > 0
     """
     # channel-aware NN resize (r4): output byte j maps to source byte
     # ((sy*16 + sx)*ch + c) with sy=(y*8)//4, sx=(x*16)//4, where

@@ -743,6 +743,63 @@ def test_mixture_sample_hits_domain_quotas(spark):
         sampling.mixture_sample(docs, "domain", {"a": 9000, "b": 2000})
 
 
+def test_mixture_upsample_repeats_scarce_domain(spark):
+    """r6 (r5 VERDICT #4): when a domain's quota exceeds its count the
+    UNCAPPED rate produces repetition factor > 1 — every row of that
+    domain appears floor(rate/1e4) times plus a hash-gated extra, with
+    rep ids 0..n-1; dual-run identical."""
+    from powerpoint_context_extractor_spark.operators import sampling
+    rows = ([(i, "big") for i in range(1800)]
+            + [(10000 + i, "rare") for i in range(40)])
+    docs = spark.createDataFrame(rows, "doc_id long, domain string")
+    out = sampling.mixture_sample_upsample(
+        docs, "domain", {"big": 5000, "rare": 5000},
+        out_fraction_bp=5000).collect()
+    by_dom: dict = {}
+    for r in out:
+        by_dom.setdefault(r["domain"], []).append(r)
+    # N=1840, N_out=920, quota=460 each. rare: rate = 460*1e4//40 =
+    # 115000 bp -> 11 full copies + gated 12th for each of 40 rows
+    rare = by_dom["rare"]
+    assert rare[0]["rate_bp"] == 460 * 10000 // 40 == 115000
+    per_doc: dict = {}
+    for r in rare:
+        per_doc.setdefault(r["doc_id"], set()).add(r["rep"])
+    assert len(per_doc) == 40                      # every rare row kept
+    for reps in per_doc.values():
+        assert reps in (set(range(11)), set(range(12)))
+    assert 40 * 11 <= len(rare) <= 40 * 12
+    # big: rate = 460*1e4//1800 = 2555 bp < 1e4 -> plain downsample,
+    # rep always 0
+    big = by_dom["big"]
+    assert big[0]["rate_bp"] == 2555
+    assert all(r["rep"] == 0 for r in big) and 350 < len(big) < 570
+    # determinism
+    again = sampling.mixture_sample_upsample(
+        docs, "domain", {"big": 5000, "rare": 5000},
+        out_fraction_bp=5000).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_mixture_sample_single_corpus_scan(spark, sf_dir):
+    """r5 VERDICT wrong #3 'done' gate: the rates derivation no longer
+    scans the corpus twice — the total comes from sum(_cnt) over the
+    tiny counts table, so the whole plan reads the documents relation
+    exactly twice (once for counts, once for the gated output), not
+    three times."""
+    from pyspark.sql import functions as F
+
+    from powerpoint_context_extractor_spark.operators import sampling
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id",
+                    F.format_string("d%d", F.col("doc_id") % 5)
+                    .alias("domain")))
+    out = sampling.mixture_sample(docs, "domain", {"d0": 5000, "d1": 5000})
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    n_scans = plan.count("Relation")
+    assert n_scans == 2, f"expected 2 corpus scans, plan has {n_scans}:\n{plan}"
+
+
 def test_compression_ratio_deterministic_and_discriminative(spark):
     """r5 zlib quality signal: dual-run bit-identical (fixed level ->
     pure function of input bytes), integer-exact ratio math, and the
