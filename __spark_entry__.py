@@ -286,6 +286,20 @@ def _text_bpe_pairs(spark, sf_dir):
     return bpe_pair_counts(_t(spark, sf_dir, "documents"), k=20)
 
 
+def _text_bpe_vocab(spark, sf_dir):
+    """Iterative BPE vocabulary induction (r6, r5 VERDICT #5): 8 real
+    merge steps over the corpus word-frequency table — each picks the
+    most frequent adjacent symbol pair (count desc, pair asc) and
+    applies it corpus-wide via the documented double-anchored-replace
+    rule — emitting the ordered merge table. DuckDB mirrors the SAME
+    unrolled 8 merges (generated CTE chain), so the check is
+    hash-exact."""
+    from powerpoint_context_extractor_spark.operators.textstats import (
+        bpe_learn,
+    )
+    return bpe_learn(_t(spark, sf_dir, "documents"), n_merges=8)
+
+
 def _text_zlib_ratio(spark, sf_dir):
     """Compression-ratio quality signal (r5): zlib ratio in basis
     points per doc over documents plus planted hyper-compressible spam
@@ -1440,6 +1454,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_coherence": _text_coherence,
         "text_bpe_pairs": _text_bpe_pairs,
         "sample_mixture_domains_v2": _sample_mixture_domains_v2,
+        "text_bpe_vocab": _text_bpe_vocab,
         # -- 3. changed in round 5 ------------------------------------------
         "dedup_paragraphs": _dedup_paragraphs,
         "web_robots_filter": _web_robots_filter,
@@ -3015,6 +3030,41 @@ def oracle_sql() -> dict[str, str]:
         FROM p GROUP BY pair
         ORDER BY n DESC, pair ASC
         LIMIT 20
+    """
+    # text_bpe_vocab (r6): the SAME 8 merges bpe_learn runs, unrolled
+    # as a generated CTE chain — w{t} applies step t's top pair to
+    # w{t-1} with the identical double-anchored replace rule
+    _bpe_steps, _bpe_sel = [], []
+    for _t_ in range(1, 9):
+        _bpe_steps.append(f"""
+        p{_t_} AS (
+          SELECT pair, sum(freq) AS n
+          FROM (SELECT unnest([a[i] || ' ' || a[i+1]
+                              for i in range(1, len(a))]) AS pair, freq
+                FROM (SELECT string_split(trim(s), ' ') AS a, freq
+                      FROM w{_t_ - 1}))
+          GROUP BY pair ORDER BY n DESC, pair ASC LIMIT 1
+        ),
+        w{_t_} AS (
+          SELECT replace(replace(s, ' '||pair||' ',
+                                 ' '||replace(pair,' ','')||' '),
+                         ' '||pair||' ', ' '||replace(pair,' ','')||' ')
+                   AS s, freq
+          FROM w{_t_ - 1}, p{_t_}
+        )""")
+        _bpe_sel.append(
+            f"SELECT {_t_} AS step, pair, replace(pair,' ','') AS merged,"
+            f" CAST(n AS BIGINT) AS n FROM p{_t_}")
+    d["text_bpe_vocab"] = f"""
+        WITH w0 AS (
+          SELECT ' ' || array_to_string(string_split(w, ''), ' ') || ' '
+                   AS s, freq
+          FROM (SELECT w, count(*) AS freq
+                FROM (SELECT unnest(string_split(text, ' ')) AS w
+                      FROM documents)
+                WHERE len(w) >= 1 GROUP BY w)
+        ),{",".join(_bpe_steps)}
+        {" UNION ALL ".join(_bpe_sel)}
     """
     d["dedup_substring"] = f"""
         WITH {_DOCS_UNION},
