@@ -1052,6 +1052,19 @@ def _dedup_substring(spark, sf_dir):
     return substring_dedup_stats(_docs_with_near_dups(spark, sf_dir), k=8)
 
 
+def _dedup_substring_trim(spark, sf_dir):
+    """Substring dedup with span TRIMMING (r6, r5 VERDICT #3): the
+    duplicated 8-token windows are merged into covered token spans and
+    removed; emits per-doc token totals and the trimmed-text hash
+    (clean_md5) over the same planted near-dup corpus. Hash-exact
+    oracle: DuckDB mirrors the windowing, coverage merge, and
+    re-assembly with list comprehensions."""
+    from powerpoint_context_extractor_spark.operators.dedup import (
+        substring_dedup_trim,
+    )
+    return substring_dedup_trim(_docs_with_near_dups(spark, sf_dir), k=8)
+
+
 def _text_repetition(spark, sf_dir):
     """Gopher/MassiveText repetition rule: duplicate-bigram fraction per
     doc, integer-exact flag at >10% — zero-shuffle scan-speed filter."""
@@ -1455,6 +1468,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bpe_pairs": _text_bpe_pairs,
         "sample_mixture_domains_v2": _sample_mixture_domains_v2,
         "text_bpe_vocab": _text_bpe_vocab,
+        "dedup_substring_trim": _dedup_substring_trim,
         # -- 3. changed in round 5 ------------------------------------------
         "dedup_paragraphs": _dedup_paragraphs,
         "web_robots_filter": _web_robots_filter,
@@ -3065,6 +3079,43 @@ def oracle_sql() -> dict[str, str]:
                 WHERE len(w) >= 1 GROUP BY w)
         ),{",".join(_bpe_steps)}
         {" UNION ALL ".join(_bpe_sel)}
+    """
+    d["dedup_substring_trim"] = f"""
+        -- span-trimming mirror of substring_dedup_trim: window at pos
+        -- p covers tokens [p, least(p+7, m)]; token x removed iff any
+        -- duplicated window covers it; kept tokens re-join with ' '
+        WITH {_DOCS_UNION},
+        toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM u),
+        w AS (SELECT doc_id, ts, len(ts) AS m,
+                     CASE WHEN len(ts) >= 8
+                          THEN [array_to_string(ts[i:i+7], ' ')
+                                for i in range(1, len(ts) - 6)]
+                          ELSE [array_to_string(ts, ' ')] END AS ws
+              FROM toks),
+        ex AS (SELECT doc_id, unnest(ws) AS win,
+                      unnest(range(1, len(ws) + 1)) AS pos FROM w),
+        f AS (SELECT win, count(DISTINCT doc_id) AS nd
+              FROM ex GROUP BY win),
+        dupl AS (SELECT ex.doc_id, list(ex.pos) AS dups
+                 FROM ex JOIN f USING (win) WHERE f.nd >= 2
+                 GROUP BY ex.doc_id),
+        j AS (SELECT w.doc_id, w.ts, w.m,
+                     coalesce(d.dups, CAST([] AS BIGINT[])) AS dups
+              FROM w LEFT JOIN dupl d USING (doc_id)),
+        kp AS (SELECT doc_id, ts, m,
+                      [x for x in range(1, m + 1)
+                       if len([p for p in dups
+                               if x >= p and x <= least(p + 7, m)]) = 0]
+                        AS kj
+               FROM j)
+        SELECT doc_id, CAST(m AS BIGINT) AS n_tokens,
+               CAST(m - len(kj) AS BIGINT) AS removed_tokens,
+               -- DuckDB array_to_string([]) is NULL, Spark array_join
+               -- is '' — coalesce so fully-trimmed docs hash md5('')
+               md5(coalesce(array_to_string(
+                     [ts[CAST(x AS BIGINT)] for x in kj], ' '), ''))
+                 AS clean_md5
+        FROM kp
     """
     d["dedup_substring"] = f"""
         WITH {_DOCS_UNION},

@@ -336,6 +336,71 @@ def substring_dedup_stats(docs: DataFrame, id_col: str = "doc_id",
                     .alias("dup_bp")))
 
 
+def substring_dedup_trim(docs: DataFrame, id_col: str = "doc_id",
+                         text_col: str = "text", k: int = 8,
+                         min_docs: int = 2) -> DataFrame:
+    """Exact substring dedup WITH span trimming (r6, r5 VERDICT #3 —
+    the stats tier's missing output half): duplicated rolling k-token
+    windows are merged into covered TOKEN spans and REMOVED, and the
+    surviving tokens re-join in document order — the actual Lee et al.
+    2021 cleaning step, mirroring ``paragraph_dedup``'s output shape.
+    Spans are token-granular because windows are token-granular (the
+    flagship corpus is whitespace-token text throughout).
+
+    Per doc: window at position p (1-based) covers tokens
+    [p, least(p+k-1, m)] (a doc shorter than k has one whole-doc
+    window); token j is removed iff ANY duplicated window covers it —
+    overlapping windows merge implicitly. Output: (doc_id, n_tokens,
+    removed_tokens, clean_md5) where clean_md5 hashes the kept tokens
+    joined by ' ' (md5('') for fully-trimmed docs).
+
+    Scale shape: same as :func:`substring_dedup_stats` — windows
+    assembled map-side, only md5 digests shuffle, salted two-stage
+    frequency, AQE-splittable rejoin. The trim itself adds one
+    per-doc aggregate (collect positions of the doc's OWN duplicated
+    windows — bounded by doc length, never corpus-sized) and a
+    map-side HOF pass over the token array; per-doc cost is
+    O(tokens x dup-windows), bounded because the kernel caps document
+    length. Reference analog: the keep/drop + deterministic
+    re-assembly contract, pptx_extractor/utils/common.py:83-120."""
+    base = docs.select(F.col(id_col), tokens_col(text_col).alias("_toks"))
+    wins = base.select(
+        F.col(id_col),
+        F.posexplode(F.when(
+            F.size("_toks") >= k,
+            F.transform(F.sequence(F.lit(0), F.size("_toks") - k),
+                        lambda i: F.concat_ws(
+                            " ", F.slice("_toks", i + 1, k)))
+        ).otherwise(F.array(F.concat_ws(" ", F.col("_toks")))))
+        .alias("p0", "win"))
+    keyed = wins.select(F.col(id_col), (F.col("p0") + 1).alias("pos"),
+                        F.md5(F.col("win")).alias("wh"))
+    freq = (keyed.select("wh", F.col(id_col)).distinct()
+            .groupBy("wh").agg(F.count(F.lit(1)).alias("n_docs")))
+    dup_pos = (keyed.join(freq, "wh")
+               .filter(F.col("n_docs") >= min_docs)
+               .groupBy(id_col)
+               .agg(F.collect_list("pos").alias("_dups")))
+    j = base.join(dup_pos, id_col, "left").select(
+        F.col(id_col), "_toks",
+        F.coalesce(F.col("_dups"), F.array().cast("array<int>"))
+        .alias("_dups"),
+        F.size("_toks").alias("_m"))
+    covered = lambda jj: F.exists(  # noqa: E731
+        F.col("_dups"),
+        lambda p: (jj >= p) & (jj <= F.least(p + k - 1, F.col("_m"))))
+    kept = F.filter(
+        F.sequence(F.lit(1), F.col("_m")),
+        lambda jj: ~covered(jj))
+    kept_txt = F.array_join(
+        F.transform(kept, lambda jj: F.element_at("_toks", jj)), " ")
+    return j.select(
+        F.col(id_col),
+        F.col("_m").cast("long").alias("n_tokens"),
+        (F.col("_m") - F.size(kept)).cast("long").alias("removed_tokens"),
+        F.md5(kept_txt.cast("binary")).alias("clean_md5"))
+
+
 def paragraph_dedup(docs: DataFrame, id_col: str = "doc_id",
                     text_col: str = "text", para_tokens: int = 20,
                     min_docs: int = 2) -> DataFrame:

@@ -901,6 +901,45 @@ def test_substring_dedup_plan_shape(spark):
     assert len(shuffles) <= 4, plan
 
 
+def test_substring_trim_merges_overlapping_spans(spark):
+    """r6 (r5 VERDICT #3): duplicated windows merge into token spans
+    and the trimmed text is the kept tokens in document order —
+    partial overlap trims a middle span, a fully-shared doc trims to
+    md5(''), an untouched doc keeps its exact text hash, and a short
+    (<k) doc duplicated as a whole trims entirely."""
+    import hashlib
+    shared = " ".join(f"s{j}" for j in range(10))     # 10 shared tokens
+    a_pre = " ".join(f"a{j}" for j in range(6))
+    a_post = " ".join(f"z{j}" for j in range(6))
+    rows = [
+        (0, f"{a_pre} {shared} {a_post}"),   # shared span mid-doc
+        (1, shared),                         # exactly the shared text
+        (2, " ".join(f"u{j}" for j in range(15))),   # unique
+        (3, "tiny doc"), (4, "tiny doc"),    # short whole-window dup
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in dedup.substring_dedup_trim(
+        docs, k=8).collect()}
+    # doc 0: windows starting in the shared run match doc 1's windows.
+    # shared tokens are positions 7..16 of doc 0; duplicated windows
+    # are those fully inside the shared run: starts 7,8,9 -> cover
+    # tokens 7..16 exactly (10 removed)
+    assert (out[0]["n_tokens"], out[0]["removed_tokens"]) == (22, 10)
+    kept = f"{a_pre} {a_post}"
+    assert out[0]["clean_md5"] == hashlib.md5(kept.encode()).hexdigest()
+    # doc 1 is wholly shared -> fully trimmed
+    assert out[1]["removed_tokens"] == 10
+    assert out[1]["clean_md5"] == hashlib.md5(b"").hexdigest()
+    # unique doc untouched, hash of its own text
+    assert out[2]["removed_tokens"] == 0
+    assert out[2]["clean_md5"] == hashlib.md5(
+        rows[2][1].encode()).hexdigest()
+    # short docs: one whole-text window each, duplicated across 3 & 4
+    for i in (3, 4):
+        assert (out[i]["n_tokens"], out[i]["removed_tokens"]) == (2, 2)
+        assert out[i]["clean_md5"] == hashlib.md5(b"").hexdigest()
+
+
 def test_paragraph_dedup_survives_hot_paragraph_skew(spark):
     """r4 VERDICT "what's wrong" #1 'done' gate: one boilerplate
     paragraph present in >=30% of docs (the exact shape the operator
