@@ -829,6 +829,28 @@ def test_mixture_sample_single_corpus_scan(spark, sf_dir):
     assert n_scans == 2, f"expected 2 corpus scans, plan has {n_scans}:\n{plan}"
 
 
+def test_zlib_ratio_matches_committed_golden(spark, sf_dir):
+    """r6 (r5 VERDICT #7): the two rows-only driver queries
+    (text_zlib_ratio, capstone_web_pipeline_v2) have no DuckDB value
+    oracle — this committed golden (doc_id -> raw/zlib/ratio at
+    sf0.001) pins their VALUES across rounds, so a silent zlib/codec
+    drift can't hide behind rows-only forever. capstone_v2's
+    zlib_pass is a pure band over the same ratio_bp, so the pin
+    covers it transitively."""
+    import json
+    import os
+    if os.path.basename(sf_dir) != "sf0.001":
+        import pytest as _pytest
+        _pytest.skip("golden frozen at sf0.001")
+    import __spark_entry__ as entry_mod
+    with open(os.path.join(os.path.dirname(__file__), "fixtures",
+                           "zlib_golden.json")) as f:
+        golden = json.load(f)
+    got = {str(r["doc_id"]): [r["raw_len"], r["zlib_len"], r["ratio_bp"]]
+           for r in entry_mod._text_zlib_ratio(spark, sf_dir).collect()}
+    assert got == golden
+
+
 def test_compression_ratio_deterministic_and_discriminative(spark):
     """r5 zlib quality signal: dual-run bit-identical (fixed level ->
     pure function of input bytes), integer-exact ratio math, and the
