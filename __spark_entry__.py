@@ -1150,6 +1150,21 @@ def _mm_features_jpeg(spark, sf_dir):
     return extract_jpeg_features(_t(spark, sf_dir, "documents"))
 
 
+def _mm_features_jpeg_color(spark, sf_dir):
+    """Real YCbCr 4:2:0 color-JPEG decode under the correctness gate
+    (r6, r5 VERDICT #6 — the dominant web JPEG shape): every documents
+    row becomes a genuine 3-component JFIF (interleaved Y/Y/Y/Y/Cb/Cr
+    MCUs, Annex-K chroma huffman tables, frozen integer color
+    conversion) whose two 16x16 MCUs are constant RGB — DC-only blocks
+    make the lossy decode a pure integer function of doc_id that
+    DuckDB reproduces analytically through the full
+    convert->quantize->reconstruct->invert chain."""
+    from powerpoint_context_extractor_spark.operators.multimodal import (
+        extract_jpeg_color_features,
+    )
+    return extract_jpeg_color_features(_t(spark, sf_dir, "documents"))
+
+
 def _mm_video_frame_sample(spark, sf_dir):
     """Real video decode + frame sampling under the correctness gate
     (r5 — the LAST multimodal stub kind made real): every documents
@@ -1469,6 +1484,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_mixture_domains_v2": _sample_mixture_domains_v2,
         "text_bpe_vocab": _text_bpe_vocab,
         "dedup_substring_trim": _dedup_substring_trim,
+        "mm_features_jpeg_color": _mm_features_jpeg_color,
         # -- 3. changed in round 5 ------------------------------------------
         "dedup_paragraphs": _dedup_paragraphs,
         "web_robots_filter": _web_robots_filter,
@@ -2372,6 +2388,69 @@ def oracle_sql() -> dict[str, str]:
                CAST(min(r) AS BIGINT) AS px_min,
                CAST(max(r) AS BIGINT) AS px_max
         FROM rec GROUP BY doc_id
+    """
+    d["mm_features_jpeg_color"] = """
+        -- frozen color-JPEG rule (r6): 32x16, two constant 16x16
+        -- 4:2:0 MCUs, rgb_m = ((doc*29+m*97)%256, (doc*53+m*31)%256,
+        -- (doc*71+m*13)%256); frozen integer YCbCr (coeffs x10000,
+        -- half-away rnd), per-channel DC reconstruction (q00 = 16,
+        -- same seam as mm_features_jpeg), frozen inverse conversion
+        WITH mcu AS (
+          SELECT d.doc_id, t.m,
+                 (d.doc_id*29 + t.m*97) % 256 AS r,
+                 (d.doc_id*53 + t.m*31) % 256 AS g,
+                 (d.doc_id*71 + t.m*13) % 256 AS b
+          FROM documents d, range(0, 2) t(m)
+        ), ycc AS (
+          SELECT doc_id, m,
+                 (2990*r + 5870*g + 1140*b + 5000) // 10000 AS y,
+                 least(255, greatest(0, 128 +
+                   ((2*abs(5000*b - 1687*r - 3313*g) + 10000) // 20000)
+                   * (CASE WHEN 5000*b - 1687*r - 3313*g >= 0
+                           THEN 1 ELSE -1 END))) AS cb,
+                 least(255, greatest(0, 128 +
+                   ((2*abs(5000*r - 4187*g - 813*b) + 10000) // 20000)
+                   * (CASE WHEN 5000*r - 4187*g - 813*b >= 0
+                           THEN 1 ELSE -1 END))) AS cr
+          FROM mcu
+        ), dec AS (
+          SELECT doc_id, m,
+                 least(255, greatest(0, 2 *
+                   (((2*abs(64*(y - 128)) + 128) // 256)
+                    * (CASE WHEN y >= 128 THEN 1 ELSE -1 END)) + 128))
+                   AS yd,
+                 least(255, greatest(0, 2 *
+                   (((2*abs(64*(cb - 128)) + 128) // 256)
+                    * (CASE WHEN cb >= 128 THEN 1 ELSE -1 END)) + 128))
+                   AS cbd,
+                 least(255, greatest(0, 2 *
+                   (((2*abs(64*(cr - 128)) + 128) // 256)
+                    * (CASE WHEN cr >= 128 THEN 1 ELSE -1 END)) + 128))
+                   AS crd
+          FROM ycc
+        ), rgb AS (
+          SELECT doc_id, m,
+                 least(255, greatest(0, yd +
+                   ((2*abs(14020*(crd - 128)) + 10000) // 20000)
+                   * (CASE WHEN crd >= 128 THEN 1 ELSE -1 END))) AS rr,
+                 least(255, greatest(0, yd -
+                   ((2*abs(3441*(cbd - 128) + 7141*(crd - 128)) + 10000)
+                     // 20000)
+                   * (CASE WHEN 3441*(cbd - 128) + 7141*(crd - 128) >= 0
+                           THEN 1 ELSE -1 END))) AS gg,
+                 least(255, greatest(0, yd +
+                   ((2*abs(17720*(cbd - 128)) + 10000) // 20000)
+                   * (CASE WHEN cbd >= 128 THEN 1 ELSE -1 END))) AS bb
+          FROM dec
+        )
+        SELECT doc_id,
+               CAST(32 AS BIGINT) AS width,
+               CAST(16 AS BIGINT) AS height,
+               CAST(3 AS BIGINT) AS ncomp,
+               CAST(256 * sum(rr + gg + bb) AS BIGINT) AS px_sum,
+               CAST(min(least(rr, gg, bb)) AS BIGINT) AS px_min,
+               CAST(max(greatest(rr, gg, bb)) AS BIGINT) AS px_max
+        FROM rgb GROUP BY doc_id
     """
     d["mm_video_frame_sample"] = """
         -- frozen AVI rule (r5): 8x4 RGB, 4 frames, every 2nd sampled

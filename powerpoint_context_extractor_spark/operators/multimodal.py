@@ -24,7 +24,9 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..avi import decode_avi, render_avi
-from ..jpeg import QTABLE, decode_jpeg_gray, render_jpeg_gray
+from ..jpeg import (QTABLE, decode_jpeg, decode_jpeg_gray,
+                    render_jpeg_color, render_jpeg_gray, rgb_from_ycbcr,
+                    ycbcr_from_rgb)
 from ..png import decode_png, render_png
 from ..wav import decode_wav, render_wav
 
@@ -105,11 +107,12 @@ def _decode_payload(kind: str, payload: bytes) -> list:
                 float(min(samples) if samples else 0),
                 float(max(samples) if samples else 0)]
     if kind == "jpeg":
-        # r5: REAL baseline grayscale decode (huffman + dequant +
-        # IDCT, pure stdlib); color/progressive jpegs still raise the
-        # honest subset ValueError into the error column (F6 policy)
-        w, h, px = decode_jpeg_gray(payload)
-        return [float(w), float(h), 1.0, float(sum(px) % 997),
+        # r5: REAL baseline decode (huffman + dequant + IDCT, pure
+        # stdlib); r6 extends to 3-component YCbCr 4:2:0 — the web
+        # default — so the error surface shrinks to progressive/
+        # arithmetic/exotic-sampling (honest ValueError, F6 policy)
+        w, h, nc, px = decode_jpeg(payload)
+        return [float(w), float(h), float(nc), float(sum(px) % 997),
                 float(min(px)), float(max(px))]
     if kind == "avi":
         # r5: REAL uncompressed-DIB video decode — the last stub kind
@@ -325,6 +328,82 @@ def extract_jpeg_features(docs: DataFrame) -> DataFrame:
 
     return docs.select("doc_id").mapInPandas(
         _batches, schema=JPEG_FEATURE_SCHEMA)
+
+
+# --- real color-JPEG contract path (r6, r5 VERDICT #6) ---------------------
+
+JPEG_C_W, JPEG_C_H = 32, 16      # two 16x16 4:2:0 MCUs side by side
+
+
+def jpeg_color_mcu_rgb(doc_id: int, m: int) -> tuple:
+    """Frozen rule mirrored by the DuckDB oracle: MCU m of the 32x16
+    color fixture is CONSTANT at rgb = ((doc*29 + m*97) % 256,
+    (doc*53 + m*31) % 256, (doc*71 + m*13) % 256). Constant MCUs make
+    every block DC-only, so the full YCbCr 4:2:0 decode is a pure
+    integer function of doc_id."""
+    return ((doc_id * 29 + m * 97) % 256,
+            (doc_id * 53 + m * 31) % 256,
+            (doc_id * 71 + m * 13) % 256)
+
+
+def jpeg_color_payload_for_doc(doc_id: int) -> bytes:
+    """Deterministic 32x16 MCU-constant baseline YCbCr 4:2:0 JPEG."""
+    px = bytearray(JPEG_C_W * JPEG_C_H * 3)
+    for m in range(2):
+        r, g, b = jpeg_color_mcu_rgb(doc_id, m)
+        for y in range(JPEG_C_H):
+            for x in range(16):
+                o = (y * JPEG_C_W + m * 16 + x) * 3
+                px[o], px[o + 1], px[o + 2] = r, g, b
+    return render_jpeg_color(JPEG_C_W, JPEG_C_H, bytes(px))
+
+
+def jpeg_color_reconstructed_rgb(doc_id: int, m: int) -> tuple:
+    """Analytic decode of MCU m: rgb -> frozen integer YCbCr ->
+    DC-quantized channel reconstruction (jpeg_reconstructed_value, the
+    same q00=16 seam as the gray contract) -> frozen inverse
+    conversion. Mirrored verbatim in the SQL oracle."""
+    y, cb, cr = ycbcr_from_rgb(*jpeg_color_mcu_rgb(doc_id, m))
+    return rgb_from_ycbcr(jpeg_reconstructed_value(y),
+                          jpeg_reconstructed_value(cb),
+                          jpeg_reconstructed_value(cr))
+
+
+JPEG_COLOR_FEATURE_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType(), False),
+    T.StructField("width", T.LongType()),
+    T.StructField("height", T.LongType()),
+    T.StructField("ncomp", T.LongType()),
+    T.StructField("px_sum", T.LongType()),
+    T.StructField("px_min", T.LongType()),
+    T.StructField("px_max", T.LongType()),
+])
+
+
+def extract_jpeg_color_features(docs: DataFrame) -> DataFrame:
+    """Render + decode a real YCbCr 4:2:0 color JPEG per documents row
+    and emit exact pixel statistics over the decoded RGB bytes — the
+    marker parse (incl. DHT), interleaved-MCU huffman decode, chroma
+    upsample, and integer color conversion all run inside Arrow
+    batches, zero shuffles."""
+
+    def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("doc_id", "width", "height", "ncomp",
+                                   "px_sum", "px_min", "px_max")}
+            for doc_id in pdf["doc_id"].tolist():
+                w, h, nc, px = decode_jpeg(jpeg_color_payload_for_doc(doc_id))
+                out["doc_id"].append(doc_id)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["ncomp"].append(nc)
+                out["px_sum"].append(sum(px))
+                out["px_min"].append(min(px))
+                out["px_max"].append(max(px))
+            yield pd.DataFrame(out)
+
+    return docs.select("doc_id").mapInPandas(
+        _batches, schema=JPEG_COLOR_FEATURE_SCHEMA)
 
 
 # --- real-AVI (video) contract path + frame sampling (r5) ------------------

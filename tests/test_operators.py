@@ -531,6 +531,87 @@ def test_jpeg_roundtrip_and_subset_errors():
         decode_jpeg_gray(render_jpeg_gray(8, 8, bytes(64))[:20])
 
 
+def test_jpeg_color_roundtrip_and_exactness():
+    """r6 (r5 VERDICT #6): YCbCr 4:2:0 — constant MCUs decode EXACTLY
+    to the analytic integer chain, a gradient image round-trips within
+    normal chroma-subsampled loss, the decoder honors the stream's
+    DHT tables, and unsupported shapes still raise honestly."""
+    import pytest as _pytest
+
+    from powerpoint_context_extractor_spark.jpeg import (
+        decode_jpeg, render_jpeg_color,
+    )
+    from powerpoint_context_extractor_spark.operators import multimodal as mm
+    for doc in (0, 7, 123, 254, 9999):
+        w, h, nc, px = decode_jpeg(mm.jpeg_color_payload_for_doc(doc))
+        assert (w, h, nc) == (32, 16, 3)
+        for m in range(2):
+            exp = mm.jpeg_color_reconstructed_rgb(doc, m)
+            got = {tuple(px[(y * 32 + m * 16 + x) * 3:
+                            (y * 32 + m * 16 + x) * 3 + 3])
+                   for y in range(16) for x in range(16)}
+            assert got == {exp}, (doc, m, got, exp)
+    # gradient: full AC + chroma path, bounded loss
+    W, H = 32, 32
+    rgb = bytes(c for y in range(H) for x in range(W)
+                for c in ((x * 8) % 256, (y * 8) % 256, ((x + y) * 4) % 256))
+    _, _, nc, dec = decode_jpeg(render_jpeg_color(W, H, rgb))
+    assert nc == 3
+    errs = [abs(a - b) for a, b in zip(rgb, dec)]
+    assert max(errs) < 64 and sum(errs) / len(errs) < 12
+    with _pytest.raises(ValueError, match="multiples of 16"):
+        render_jpeg_color(8, 8, bytes(8 * 8 * 3))
+    # progressive SOF2 still an honest error
+    data = bytearray(render_jpeg_color(16, 16, bytes(16 * 16 * 3)))
+    sof = data.find(b"\xff\xc0")
+    data[sof + 1] = 0xC2
+    with _pytest.raises(ValueError, match="baseline"):
+        decode_jpeg(bytes(data))
+    # non-4:2:0 sampling (e.g. 4:2:2) is outside the subset
+    data2 = bytearray(render_jpeg_color(16, 16, bytes(16 * 16 * 3)))
+    sof2 = data2.find(b"\xff\xc0")
+    data2[sof2 + 11] = 0x21                    # Y sampling 2x1
+    with _pytest.raises(ValueError, match="sampling|4:2:0"):
+        decode_jpeg(bytes(data2))
+
+
+def test_jpeg_decoder_honors_stream_huffman_tables():
+    """r6: DHT is parsed, not assumed — swapping which table ids the
+    scan references (and emitting the tables under those ids) must
+    decode identically."""
+    import struct as _struct
+
+    from powerpoint_context_extractor_spark.jpeg import (
+        decode_jpeg, render_jpeg_gray,
+    )
+    orig = render_jpeg_gray(8, 8, bytes(range(64)))
+    base = decode_jpeg(orig)
+    # rewrite: move the two tables from ids (0,0)/(1,0) to (0,3)/(1,3)
+    # and point the scan selector at id 3
+    out = bytearray()
+    i = 0
+    data = orig
+    out += data[:2]
+    i = 2
+    while i < len(data):
+        marker = data[i + 1]
+        if marker == 0xD9:
+            out += data[i:]
+            break
+        (ln,) = _struct.unpack(">H", data[i + 2:i + 4])
+        seg = bytearray(data[i:i + 2 + ln])
+        if marker == 0xC4:
+            seg[4] = (seg[4] & 0xF0) | 0x03    # table id -> 3
+        if marker == 0xDA:
+            seg[6] = 0x33                      # scan selects DC3/AC3
+            out += seg
+            out += data[i + 2 + ln:]
+            break
+        out += seg
+        i += 2 + ln
+    assert decode_jpeg(bytes(out)) == base
+
+
 def test_jpeg_kind_routed_through_real_decoder(spark):
     """r5 (supersedes the r4 honest-unsupported contract): baseline
     grayscale jpegs decode for REAL in the generic feature path;
