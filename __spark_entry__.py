@@ -1124,11 +1124,12 @@ def _mm_features(spark, sf_dir):
 # case-mapping, truncation (SURVEY.md §2 A/F5/X6/O3-O4 analogs) ----
 
 def _mm_features_png(spark, sf_dir):
-    """Real image decode under the correctness gate (r3 VERDICT #7):
-    every documents row becomes a genuine grayscale PNG (zlib IDAT, all
-    five scanline filters, CRC'd chunks) whose pixels are (doc_id*31+i)
-    % 256; Spark decodes the actual bytes while DuckDB computes the
-    expected pixel stats analytically."""
+    """Real image decode under the correctness gate (r3 VERDICT #7,
+    widened r4-r6): every documents row becomes a genuine PNG (zlib
+    IDAT, all five scanline filters, CRC'd chunks) under the frozen
+    doc_id % 4 rule — gray / RGB / indexed-palette / RGBA — with bytes
+    a pure function of doc_id; Spark decodes the actual bytes while
+    DuckDB computes the expected pixel stats analytically."""
     from powerpoint_context_extractor_spark.operators.multimodal import (
         extract_png_features,
     )
@@ -2337,23 +2338,26 @@ def oracle_sql() -> dict[str, str]:
     # the oracle computes the same pixel stats analytically from the
     # generator rule byte_i = (doc_id*31 + i) % 256 over 16x8xchannels
     d["mm_features_png"] = """
-        -- frozen doc_id % 3 rule (r5): 0 gray, 1 RGB, 2 indexed
-        -- palette (PLTE entry j = ((j*37)%256,(j*59)%256,(j*83)%256),
-        -- index i = (doc_id*31+i)%16, decoded to RGB)
+        -- frozen doc_id % 4 rule (r6 widens r5's % 3): 0 gray, 1 RGB,
+        -- 2 indexed palette (PLTE entry j = ((j*37)%256,(j*59)%256,
+        -- (j*83)%256), index i = (doc_id*31+i)%16, decoded to RGB),
+        -- 3 RGBA (color type 6)
         WITH px AS (
           SELECT d.doc_id,
-                 CASE WHEN d.doc_id % 3 = 0 THEN 1 ELSE 3 END AS ch,
+                 CASE d.doc_id % 4 WHEN 0 THEN 1 WHEN 3 THEN 4
+                      ELSE 3 END AS ch,
                  (d.doc_id*31 + t.i) % 256 AS p
-          FROM documents d, unnest(range(0, 384)) AS t(i)
-          WHERE d.doc_id % 3 < 2
-            AND t.i < 128 * (CASE WHEN d.doc_id % 3 = 0 THEN 1 ELSE 3 END)
+          FROM documents d, unnest(range(0, 512)) AS t(i)
+          WHERE d.doc_id % 4 <> 2
+            AND t.i < 128 * (CASE d.doc_id % 4 WHEN 0 THEN 1
+                                  WHEN 3 THEN 4 ELSE 3 END)
           UNION ALL
           SELECT d.doc_id, 3 AS ch,
                  (((d.doc_id*31 + j.j) % 16) *
                   CASE c.c WHEN 0 THEN 37 WHEN 1 THEN 59 ELSE 83 END)
                  % 256 AS p
           FROM documents d, range(0, 128) j(j), range(0, 3) c(c)
-          WHERE d.doc_id % 3 = 2
+          WHERE d.doc_id % 4 = 2
         )
         SELECT doc_id,
                CAST(16 AS BIGINT) AS width, CAST(8 AS BIGINT) AS height,
@@ -2973,26 +2977,31 @@ def oracle_sql() -> dict[str, str]:
     # y=(j//ch)//4, x=(j//ch)%4, c=j%ch; gray (ch=1) for even doc_id,
     # RGB (ch=3) for odd
     d["mm_png_resize"] = """
-        -- NN floor-index resize 16x8 -> 4x4 under the doc_id % 3 rule:
+        -- NN floor-index resize 16x8 -> 4x4 under the doc_id % 4 rule:
         -- source pixel of out (y, x) is (2y, 4x); palette docs resize
-        -- the DECODED RGB bytes (PLTE formula inlined)
+        -- the DECODED RGB bytes (PLTE formula inlined); RGBA docs
+        -- carry 4 interleaved channels
         WITH g AS (
           SELECT d.doc_id,
-                 CASE WHEN d.doc_id % 3 = 0 THEN 1 ELSE 3 END AS ch,
+                 CASE d.doc_id % 4 WHEN 0 THEN 1 WHEN 3 THEN 4
+                      ELSE 3 END AS ch,
                  y.y, x.x, c.c,
                  CASE
-                   WHEN d.doc_id % 3 = 0 THEN
+                   WHEN d.doc_id % 4 = 0 THEN
                      (d.doc_id*31 + ((2*y.y)*16 + 4*x.x)) % 256
-                   WHEN d.doc_id % 3 = 1 THEN
+                   WHEN d.doc_id % 4 = 1 THEN
                      (d.doc_id*31 + ((2*y.y)*16 + 4*x.x)*3 + c.c) % 256
+                   WHEN d.doc_id % 4 = 3 THEN
+                     (d.doc_id*31 + ((2*y.y)*16 + 4*x.x)*4 + c.c) % 256
                    ELSE
                      (((d.doc_id*31 + ((2*y.y)*16 + 4*x.x)) % 16) *
                       CASE c.c WHEN 0 THEN 37 WHEN 1 THEN 59 ELSE 83 END)
                      % 256
                  END AS v
           FROM documents d, range(0, 4) y(y), range(0, 4) x(x),
-               range(0, 3) c(c)
-          WHERE c.c < CASE WHEN d.doc_id % 3 = 0 THEN 1 ELSE 3 END
+               range(0, 4) c(c)
+          WHERE c.c < CASE d.doc_id % 4 WHEN 0 THEN 1 WHEN 3 THEN 4
+                           ELSE 3 END
         )
         SELECT doc_id,
                CAST(4 AS BIGINT) AS out_w,

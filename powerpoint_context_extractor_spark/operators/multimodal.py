@@ -155,33 +155,35 @@ def extract_features(df: DataFrame, id_col: str = "doc_id",
 
 PNG_W, PNG_H = 16, 8
 
-# frozen 16-entry palette for doc_id % 3 == 2 fixtures (r5): entry j =
+# frozen 16-entry palette for doc_id % 4 == 2 fixtures (r5): entry j =
 # ((j*37)%256, (j*59)%256, (j*83)%256) — mirrored in the DuckDB oracles
 PNG_PALETTE = [((j * 37) % 256, (j * 59) % 256, (j * 83) % 256)
                for j in range(16)]
 
 
 def png_channels_for_doc(doc_id: int) -> int:
-    """DECODED channel count under the frozen doc_id % 3 rule:
-    0 -> grayscale (1), 1 -> RGB truecolor (3), 2 -> indexed palette
-    (decodes to RGB, 3)."""
-    return 1 if doc_id % 3 == 0 else 3
+    """DECODED channel count under the frozen doc_id % 4 rule (r6
+    widens r5's % 3): 0 -> grayscale (1), 1 -> RGB truecolor (3),
+    2 -> indexed palette (decodes to RGB, 3), 3 -> RGBA (4)."""
+    k = doc_id % 4
+    return 1 if k == 0 else (4 if k == 3 else 3)
 
 
 def png_payload_for_doc(doc_id: int) -> bytes:
-    """Deterministic 16x8 PNG under the frozen doc_id % 3 rule (r5
-    adds indexed palette to the r4 gray/RGB pair): grayscale/RGB byte
-    i = (doc_id*31 + i) % 256 over w*h*channels bytes; palette docs
-    store index i = (doc_id*31 + i) % 16 against PNG_PALETTE. Rows
-    cycle through all five filter types — the pixel stats stay a pure
-    SQL expression of doc_id, so DuckDB can grade the real zlib +
-    de-filter + PLTE-expansion decode."""
-    kind = doc_id % 3
+    """Deterministic 16x8 PNG under the frozen doc_id % 4 rule (r6
+    adds RGBA color type 6 to r5's gray/RGB/palette triple):
+    grayscale/RGB/RGBA byte i = (doc_id*31 + i) % 256 over
+    w*h*channels bytes; palette docs store index i =
+    (doc_id*31 + i) % 16 against PNG_PALETTE. Rows cycle through all
+    five filter types — the pixel stats stay a pure SQL expression of
+    doc_id, so DuckDB can grade the real zlib + de-filter +
+    PLTE-expansion decode."""
+    kind = doc_id % 4
     if kind == 2:
         idx = bytes((doc_id * 31 + i) % 16 for i in range(PNG_W * PNG_H))
         return render_png(PNG_W, PNG_H, idx, row_filters=[0, 1, 2, 3, 4],
                           palette=PNG_PALETTE)
-    ch = 1 if kind == 0 else 3
+    ch = 1 if kind == 0 else (4 if kind == 3 else 3)
     pixels = bytes((doc_id * 31 + i) % 256 for i in range(PNG_W * PNG_H * ch))
     return render_png(PNG_W, PNG_H, pixels, row_filters=[0, 1, 2, 3, 4],
                       channels=ch)
@@ -233,8 +235,9 @@ PNG_RESIZE_SCHEMA = T.StructType([
 
 def extract_png_resized(docs: DataFrame, out_w: int = 4,
                         out_h: int = 4) -> DataFrame:
-    """Decode the deterministic PNG per row (gray for even doc_id, RGB
-    for odd) and nearest-neighbor resize it (png.resize_nn,
+    """Decode the deterministic PNG per row (the frozen doc_id % 4
+    rule, see png_payload_for_doc) and nearest-neighbor resize it
+    (png.resize_nn,
     channel-aware) — the preprocess step every multimodal training
     pipeline runs before feature extraction. The resized pixel bytes
     are emitted as hex so the DuckDB oracle can reconstruct them from

@@ -11,9 +11,11 @@ bytes, not a byte-statistics stand-in.
 
 Subset (documented, raises ValueError outside it): 8-bit grayscale
 (color type 0), 8-bit RGB truecolor (color type 2, r4 VERDICT #5),
-and 8-bit indexed palette (color type 3 + PLTE, r5 — the most common
-small-image form on the real web; decode expands indices to RGB), no
-interlace, no ancillary-chunk interpretation.
+8-bit indexed palette (color type 3 + PLTE, r5 — the most common
+small-image form on the real web; decode expands indices to RGB),
+and 8-bit RGBA truecolor-with-alpha (color type 6, r6 — the standard
+transparent-web-asset form), no interlace, no ancillary-chunk
+interpretation.
 Reference analog: the color raster output at
 `pptx_extractor/slides/extractor.py:258-279`.
 """
@@ -28,8 +30,8 @@ __all__ = ["render_png", "decode_png", "resize_nn"]
 _SIG = b"\x89PNG\r\n\x1a\n"
 
 # IHDR color type per channel count (the supported subset)
-_COLOR_FOR_CHANNELS = {1: 0, 3: 2}
-_CHANNELS_FOR_COLOR = {0: 1, 2: 3}
+_COLOR_FOR_CHANNELS = {1: 0, 3: 2, 4: 6}
+_CHANNELS_FOR_COLOR = {0: 1, 2: 3, 6: 4}
 
 
 def _paeth(a: int, b: int, c: int) -> int:
@@ -92,7 +94,8 @@ def render_png(width: int, height: int, pixels: bytes,
                row_filters=None, channels: int = 1,
                palette=None) -> bytes:
     """Encode ``pixels`` (row-major bytes, len == w*h*channels; channels
-    1 = grayscale, 3 = RGB interleaved) as a valid PNG. ``row_filters``
+    1 = grayscale, 3 = RGB interleaved, 4 = RGBA interleaved) as a
+    valid PNG. ``row_filters``
     optionally cycles filter types per row (default: Sub — exercises
     real de-filtering on decode).
 
@@ -132,7 +135,7 @@ def render_png(width: int, height: int, pixels: bytes,
 
 
 def decode_png(data: bytes) -> tuple:
-    """Decode a grayscale-8, truecolor-8, or indexed-8 PNG ->
+    """Decode a grayscale-8, truecolor-8, indexed-8, or RGBA-8 PNG ->
     (width, height, channels, pixel bytes). Indexed (color type 3)
     images are expanded through their PLTE to interleaved RGB, so
     channels is 3 for them. Validates signature, per-chunk CRCs, and

@@ -337,7 +337,7 @@ def test_near_dup_clusters_raises_instead_of_partial_labels(spark):
 def test_png_roundtrip_all_filters():
     from powerpoint_context_extractor_spark.png import decode_png, render_png
     w, h = 7, 9
-    for ch in (1, 3):                         # grayscale AND RGB (r4)
+    for ch in (1, 3, 4):                      # gray, RGB (r4), RGBA (r6)
         px = bytes((i * 37 + 11) % 256 for i in range(w * h * ch))
         for filters in ([0], [1], [2], [3], [4], [0, 1, 2, 3, 4]):
             raw = render_png(w, h, px, row_filters=filters, channels=ch)
@@ -385,13 +385,13 @@ def test_png_rejects_corruption_and_unsupported():
 
 def test_png_feature_kind_routed_through_real_decoder(spark):
     from powerpoint_context_extractor_spark.operators import multimodal as mm
-    # doc_id % 3 rule (r5): 6 -> gray, 7 -> RGB, 5 -> indexed palette
-    rows = [(d, bytearray(mm.png_payload_for_doc(d))) for d in (5, 6, 7)]
+    # doc_id % 4 rule (r6): 8 -> gray, 5 -> RGB, 6 -> palette, 7 -> RGBA
+    rows = [(d, bytearray(mm.png_payload_for_doc(d))) for d in (5, 6, 7, 8)]
     df = spark.createDataFrame(rows, "doc_id long, payload binary")
     got = {r["doc_id"]: r for r in mm.extract_features(df).collect()}
     w, h = mm.PNG_W, mm.PNG_H
-    for d in (6, 7):
-        ch = 1 if d % 3 == 0 else 3
+    for d in (5, 7, 8):
+        ch = mm.png_channels_for_doc(d)
         row = got[d]
         assert row["kind"] == "png" and row["error"] is None
         px = [(d * 31 + i) % 256 for i in range(w * h * ch)]
@@ -399,11 +399,11 @@ def test_png_feature_kind_routed_through_real_decoder(spark):
                                    float(sum(px) % 997),
                                    float(min(px)), float(max(px))]
     # palette doc: decoded bytes come from PLTE expansion
-    px5 = [mm.PNG_PALETTE[(5 * 31 + j) % 16][c]
+    px6 = [mm.PNG_PALETTE[(6 * 31 + j) % 16][c]
            for j in range(w * h) for c in range(3)]
-    assert got[5]["features"] == [float(w), float(h), 3.0,
-                                  float(sum(px5) % 997),
-                                  float(min(px5)), float(max(px5))]
+    assert got[6]["features"] == [float(w), float(h), 3.0,
+                                  float(sum(px6) % 997),
+                                  float(min(px6)), float(max(px6))]
 
 
 def test_avi_roundtrip_and_subset_errors():
@@ -1226,34 +1226,41 @@ def test_png_resize_nn_exact():
         PNG_H, PNG_W, png_payload_for_doc,
     )
     from powerpoint_context_extractor_spark.png import decode_png, resize_nn
-    # doc 6 -> grayscale payload (6 % 3 == 0)
-    w, h, ch, px = decode_png(png_payload_for_doc(6))
+    # doc 8 -> grayscale payload (8 % 4 == 0, r6 rule)
+    w, h, ch, px = decode_png(png_payload_for_doc(8))
     assert (w, h, ch) == (PNG_W, PNG_H, 1)
     r = resize_nn(w, h, px, 4, 4)
-    want = bytes((6 * 31 + (2 * y) * 16 + 4 * x) % 256
+    want = bytes((8 * 31 + (2 * y) * 16 + 4 * x) % 256
                  for y in range(4) for x in range(4))
     assert r == want
     # identity resize round-trips; upscale replicates
     assert resize_nn(w, h, px, w, h) == px
     up = resize_nn(2, 1, bytes([10, 200]), 4, 1)
     assert up == bytes([10, 10, 200, 200])
-    # RGB (r4): doc 7 (7 % 3 == 1) -> 3 channels; floor-index per channel
-    w3, h3, ch3, px3 = decode_png(png_payload_for_doc(7))
+    # RGB (r4): doc 5 (5 % 4 == 1) -> 3 channels; floor-index per channel
+    w3, h3, ch3, px3 = decode_png(png_payload_for_doc(5))
     assert (w3, h3, ch3) == (PNG_W, PNG_H, 3)
     r3 = resize_nn(w3, h3, px3, 4, 4, channels=3)
-    want3 = bytes((7 * 31 + ((2 * y) * 16 + 4 * x) * 3 + c) % 256
+    want3 = bytes((5 * 31 + ((2 * y) * 16 + 4 * x) * 3 + c) % 256
                   for y in range(4) for x in range(4) for c in range(3))
     assert r3 == want3
-    # palette (r5): doc 5 (5 % 3 == 2) decodes to PLTE-expanded RGB
+    # palette (r5): doc 6 (6 % 4 == 2) decodes to PLTE-expanded RGB
     from powerpoint_context_extractor_spark.operators.multimodal import (
         PNG_PALETTE,
     )
-    wp, hp, chp, pxp = decode_png(png_payload_for_doc(5))
+    wp, hp, chp, pxp = decode_png(png_payload_for_doc(6))
     assert (wp, hp, chp) == (PNG_W, PNG_H, 3)
     rp = resize_nn(wp, hp, pxp, 4, 4, channels=3)
-    wantp = bytes(PNG_PALETTE[(5 * 31 + (2 * y) * 16 + 4 * x) % 16][c]
+    wantp = bytes(PNG_PALETTE[(6 * 31 + (2 * y) * 16 + 4 * x) % 16][c]
                   for y in range(4) for x in range(4) for c in range(3))
     assert rp == wantp
+    # RGBA (r6): doc 7 (7 % 4 == 3) -> 4 channels, alpha rides along
+    w4, h4, ch4, px4 = decode_png(png_payload_for_doc(7))
+    assert (w4, h4, ch4) == (PNG_W, PNG_H, 4)
+    r4 = resize_nn(w4, h4, px4, 4, 4, channels=4)
+    want4 = bytes((7 * 31 + ((2 * y) * 16 + 4 * x) * 4 + c) % 256
+                  for y in range(4) for x in range(4) for c in range(4))
+    assert r4 == want4
     # channel-aware upscale keeps pixels (triples) intact
     up3 = resize_nn(2, 1, bytes([1, 2, 3, 9, 8, 7]), 4, 1, channels=3)
     assert up3 == bytes([1, 2, 3, 1, 2, 3, 9, 8, 7, 9, 8, 7])
