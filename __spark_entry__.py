@@ -1193,6 +1193,19 @@ def _mm_features_wav(spark, sf_dir):
     return extract_wav_features(_t(spark, sf_dir, "documents"))
 
 
+def _mm_features_wav_stereo(spark, sf_dir):
+    """Stereo audio decode under the correctness gate (r6 — widens the
+    r5 mono subset): every documents row becomes a 2-channel
+    interleaved PCM16 RIFF/WAVE payload (left = the mono rule, right =
+    ((doc_id*97 + i*53) % 4001) - 2000); Spark de-interleaves the real
+    decoded frames per channel while DuckDB computes both channels'
+    statistics analytically."""
+    from powerpoint_context_extractor_spark.operators.multimodal import (
+        extract_wav_stereo_features,
+    )
+    return extract_wav_stereo_features(_t(spark, sf_dir, "documents"))
+
+
 def _a_cube_rollup(spark, sf_dir):
     l = _t(spark, sf_dir, "lineitem")  # noqa: E741
     return (l.cube("l_returnflag", "l_linestatus")
@@ -1486,6 +1499,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bpe_vocab": _text_bpe_vocab,
         "dedup_substring_trim": _dedup_substring_trim,
         "mm_features_jpeg_color": _mm_features_jpeg_color,
+        "mm_features_wav_stereo": _mm_features_wav_stereo,
         # -- 3. changed in round 5 ------------------------------------------
         "dedup_paragraphs": _dedup_paragraphs,
         "web_robots_filter": _web_robots_filter,
@@ -2484,6 +2498,25 @@ def oracle_sql() -> dict[str, str]:
                CAST(sum(abs(v)) AS BIGINT) AS abs_sum,
                CAST(min(v) AS BIGINT) AS s_min,
                CAST(max(v) AS BIGINT) AS s_max
+        FROM s GROUP BY doc_id
+    """
+    d["mm_features_wav_stereo"] = """
+        -- frozen stereo rule (r6): 64 interleaved frames, left i =
+        -- ((doc_id*73 + i*29) % 4001) - 2000, right i =
+        -- ((doc_id*97 + i*53) % 4001) - 2000
+        WITH s AS (
+          SELECT d.doc_id,
+                 ((d.doc_id*73 + t.i*29) % 4001) - 2000 AS l,
+                 ((d.doc_id*97 + t.i*53) % 4001) - 2000 AS r
+          FROM documents d, range(0, 64) t(i)
+        )
+        SELECT doc_id,
+               CAST(8000 AS BIGINT) AS sample_rate,
+               CAST(64 AS BIGINT) AS n_frames,
+               CAST(sum(abs(l)) AS BIGINT) AS abs_sum_l,
+               CAST(sum(abs(r)) AS BIGINT) AS abs_sum_r,
+               CAST(least(min(l), min(r)) AS BIGINT) AS s_min,
+               CAST(greatest(max(l), max(r)) AS BIGINT) AS s_max
         FROM s GROUP BY doc_id
     """
     # charset sniffer contract: detected label is a pure function of

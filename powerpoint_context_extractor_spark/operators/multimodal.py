@@ -100,8 +100,8 @@ def _decode_payload(kind: str, payload: bytes) -> list:
         return [float(w), float(h), float(ch), float(sum(px) % 997),
                 float(min(px)), float(max(px))]
     if kind == "wav":
-        rate, samples = decode_wav(payload)
-        n = len(samples)
+        rate, n_ch, samples = decode_wav(payload)
+        n = len(samples) // n_ch           # frames, channel-agnostic
         return [float(n), float(rate), float(n * 1000 // rate),
                 float(sum(abs(s) for s in samples) % 997),
                 float(min(samples) if samples else 0),
@@ -511,7 +511,7 @@ def extract_wav_features(docs: DataFrame) -> DataFrame:
                                    "duration_ms", "abs_sum", "s_min",
                                    "s_max")}
             for doc_id in pdf["doc_id"].tolist():
-                rate, samples = decode_wav(wav_payload_for_doc(doc_id))
+                rate, _ch, samples = decode_wav(wav_payload_for_doc(doc_id))
                 out["doc_id"].append(doc_id)
                 out["sample_rate"].append(rate)
                 out["n_samples"].append(len(samples))
@@ -523,3 +523,57 @@ def extract_wav_features(docs: DataFrame) -> DataFrame:
 
     return docs.select("doc_id").mapInPandas(
         _batches, schema=WAV_FEATURE_SCHEMA)
+
+
+def wav_stereo_samples_for_doc(doc_id: int) -> list:
+    """Frozen stereo rule (r6), channel-interleaved: frame i carries
+    left = ((doc_id*73 + i*29) % 4001) - 2000 (the mono rule) and
+    right = ((doc_id*97 + i*53) % 4001) - 2000 — exact small ints, so
+    per-channel statistics stay pure SQL expressions of doc_id."""
+    out = []
+    for i in range(WAV_N):
+        out.append(((doc_id * 73 + i * 29) % 4001) - 2000)
+        out.append(((doc_id * 97 + i * 53) % 4001) - 2000)
+    return out
+
+
+WAV_STEREO_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType(), False),
+    T.StructField("sample_rate", T.LongType()),
+    T.StructField("n_frames", T.LongType()),
+    T.StructField("abs_sum_l", T.LongType()),
+    T.StructField("abs_sum_r", T.LongType()),
+    T.StructField("s_min", T.LongType()),
+    T.StructField("s_max", T.LongType()),
+])
+
+
+def extract_wav_stereo_features(docs: DataFrame) -> DataFrame:
+    """Stereo (2-channel interleaved PCM16) decode + per-channel
+    de-interleaved statistics (r6 — widens the r5 mono subset): the
+    payload round-trips through the real container walk, the fmt
+    block-align/byte-rate fields carry the channel count, and the
+    left/right split exercises genuine de-interleaving rather than a
+    flat sample scan. Arrow-batched, zero shuffles."""
+
+    def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("doc_id", "sample_rate", "n_frames",
+                                   "abs_sum_l", "abs_sum_r", "s_min",
+                                   "s_max")}
+            for doc_id in pdf["doc_id"].tolist():
+                payload = render_wav(wav_stereo_samples_for_doc(doc_id),
+                                     sample_rate=WAV_RATE, channels=2)
+                rate, n_ch, samples = decode_wav(payload)
+                left, right = samples[0::n_ch], samples[1::n_ch]
+                out["doc_id"].append(doc_id)
+                out["sample_rate"].append(rate)
+                out["n_frames"].append(len(samples) // n_ch)
+                out["abs_sum_l"].append(sum(abs(s) for s in left))
+                out["abs_sum_r"].append(sum(abs(s) for s in right))
+                out["s_min"].append(min(samples))
+                out["s_max"].append(max(samples))
+            yield pd.DataFrame(out)
+
+    return docs.select("doc_id").mapInPandas(
+        _batches, schema=WAV_STEREO_SCHEMA)

@@ -9,8 +9,9 @@ decodes 16-bit mono PCM samples — so the Spark feature path parses
 real audio bytes, not a byte-statistics stand-in.
 
 Subset (documented, raises ValueError outside it): PCM (format tag 1),
-mono, 16-bit little-endian. Reference analog: the media enrichment
-batch at `pptx_extractor/recommendations/generator.py:306-343`.
+mono or stereo (r6 adds 2-channel interleaved), 16-bit little-endian.
+Reference analog: the media enrichment batch at
+`pptx_extractor/recommendations/generator.py:306-343`.
 """
 
 from __future__ import annotations
@@ -20,15 +21,21 @@ import struct
 __all__ = ["render_wav", "decode_wav"]
 
 
-def render_wav(samples, sample_rate: int = 8000) -> bytes:
-    """Encode 16-bit signed mono samples as a canonical RIFF/WAVE
-    file."""
+def render_wav(samples, sample_rate: int = 8000,
+               channels: int = 1) -> bytes:
+    """Encode 16-bit signed samples (channel-interleaved for stereo:
+    L0 R0 L1 R1 ...) as a canonical RIFF/WAVE file."""
     if sample_rate <= 0:
         raise ValueError("wav: non-positive sample rate")
+    if channels not in (1, 2):
+        raise ValueError("wav: subset is mono or stereo")
+    if len(samples) % channels != 0:
+        raise ValueError("wav: sample count not a multiple of channels")
     if any(not -32768 <= s <= 32767 for s in samples):
         raise ValueError("wav: sample outside int16 range")
     data = struct.pack(f"<{len(samples)}h", *samples)
-    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    fmt = struct.pack("<HHIIHH", 1, channels, sample_rate,
+                      sample_rate * 2 * channels, 2 * channels, 16)
     body = (b"WAVE"
             + b"fmt " + struct.pack("<I", len(fmt)) + fmt
             + b"data" + struct.pack("<I", len(data)) + data)
@@ -38,10 +45,11 @@ def render_wav(samples, sample_rate: int = 8000) -> bytes:
 
 
 def decode_wav(data: bytes) -> tuple:
-    """Decode a PCM16-mono RIFF/WAVE file -> (sample_rate, samples
-    list). Validates the RIFF/WAVE container, the fmt subset, and
-    chunk bounds; raises ValueError outside the subset
-    (log-and-continue at the operator layer, F6 policy)."""
+    """Decode a PCM16 mono/stereo RIFF/WAVE file -> (sample_rate,
+    n_channels, channel-interleaved samples list). Validates the
+    RIFF/WAVE container, the fmt subset, and chunk bounds; raises
+    ValueError outside the subset (log-and-continue at the operator
+    layer, F6 policy)."""
     if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
         raise ValueError("wav: not a RIFF/WAVE container")
     (riff_len,) = struct.unpack("<I", data[4:8])
@@ -49,6 +57,7 @@ def decode_wav(data: bytes) -> tuple:
         raise ValueError("wav: truncated RIFF payload")
     i = 12
     sample_rate = None
+    n_channels = None
     samples = None
     while i + 8 <= len(data):
         cid = data[i:i + 4]
@@ -61,11 +70,12 @@ def decode_wav(data: bytes) -> tuple:
                 raise ValueError("wav: short fmt chunk")
             tag, n_ch, rate, _brate, _align, bits = struct.unpack(
                 "<HHIIHH", body[:16])
-            if (tag, n_ch, bits) != (1, 1, 16):
+            if tag != 1 or bits != 16 or n_ch not in (1, 2):
                 raise ValueError(
                     f"wav: unsupported format tag={tag} channels={n_ch} "
-                    f"bits={bits} (subset is PCM16 mono)")
+                    f"bits={bits} (subset is PCM16 mono/stereo)")
             sample_rate = rate
+            n_channels = n_ch
         elif cid == b"data":
             if ln % 2 != 0:
                 raise ValueError("wav: odd data length for 16-bit PCM")
@@ -73,4 +83,6 @@ def decode_wav(data: bytes) -> tuple:
         i += 8 + ln + (ln % 2)             # skip word-alignment pad
     if sample_rate is None or samples is None:
         raise ValueError("wav: missing fmt or data chunk")
-    return sample_rate, samples
+    if len(samples) % n_channels != 0:
+        raise ValueError("wav: data length not a whole number of frames")
+    return sample_rate, n_channels, samples

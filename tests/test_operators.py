@@ -453,15 +453,23 @@ def test_wav_roundtrip_and_subset_errors():
     from powerpoint_context_extractor_spark.wav import decode_wav, render_wav
     samples = [0, 1, -1, 32767, -32768, 123, -4567]  # odd count -> pad
     raw = render_wav(samples, sample_rate=44100)
-    assert decode_wav(raw) == (44100, samples)
+    assert decode_wav(raw) == (44100, 1, samples)
     with _pytest.raises(ValueError, match="RIFF/WAVE"):
         decode_wav(b"RIFFxxxxAVI " + b"\x00" * 20)
     with _pytest.raises(ValueError, match="truncated"):
         decode_wav(raw[:-4])
-    # stereo / non-PCM stay outside the subset
+    # stereo round-trips (r6): fmt carries channels=2, block align 4
+    st = [10, -10, 200, -200, 3000, -3000]
+    raw2 = render_wav(st, sample_rate=8000, channels=2)
+    assert decode_wav(raw2) == (8000, 2, st)
     import struct as _struct
-    stereo_fmt = _struct.pack("<HHIIHH", 1, 2, 8000, 32000, 4, 16)
-    body = (b"WAVE" + b"fmt " + _struct.pack("<I", 16) + stereo_fmt
+    assert _struct.unpack("<HHIIHH", raw2[20:36]) == \
+        (1, 2, 8000, 32000, 4, 16)
+    with _pytest.raises(ValueError, match="multiple of channels"):
+        render_wav([1, 2, 3], channels=2)
+    # >2 channels / non-PCM stay outside the subset
+    quad_fmt = _struct.pack("<HHIIHH", 1, 4, 8000, 64000, 8, 16)
+    body = (b"WAVE" + b"fmt " + _struct.pack("<I", 16) + quad_fmt
             + b"data" + _struct.pack("<I", 0))
     bad = b"RIFF" + _struct.pack("<I", len(body)) + body
     with _pytest.raises(ValueError, match="unsupported"):
