@@ -74,6 +74,23 @@ def _flagship_extract(spark, sf_dir):
     return extract_wrapped_documents(_t(spark, sf_dir, "documents"))
 
 
+def _flagship_extract_sql(spark, sf_dir):
+    """SQL-surface twin of the flagship (r6, SURVEY §4's optional
+    EXTRACT(...) table function — r5 VERDICT 'missing' #5): the same
+    wrap + kernel runs through a registered Arrow-optimized Python
+    UDTF driven entirely from SQL (LATERAL join), graded by the SAME
+    oracle as flagship_extract. The mapInArrow path stays the batch
+    hot path; this pins the SQL seam's semantics to it."""
+    from powerpoint_context_extractor_spark.functions.sqlsurface import (
+        register_sql_extraction,
+    )
+    register_sql_extraction(spark)
+    _t(spark, sf_dir, "documents").createOrReplaceTempView("_docs_sql_v")
+    return spark.sql(
+        "SELECT e.url, e.title, e.text, e.n_blocks "
+        "FROM _docs_sql_v d, LATERAL extract_doc(d.doc_id, d.text) e")
+
+
 def _flagship_extract_pdf(spark, sf_dir):
     """PDF twin of the flagship: the same documents rows wrapped as
     real PDF payloads (corpus.pdf_page_for_document) and extracted by
@@ -1500,6 +1517,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_substring_trim": _dedup_substring_trim,
         "mm_features_jpeg_color": _mm_features_jpeg_color,
         "mm_features_wav_stereo": _mm_features_wav_stereo,
+        "flagship_extract_sql": _flagship_extract_sql,
         # -- 3. changed in round 5 ------------------------------------------
         "dedup_paragraphs": _dedup_paragraphs,
         "web_robots_filter": _web_robots_filter,
@@ -2271,6 +2289,8 @@ def oracle_sql() -> dict[str, str]:
     d["flagship_extract_pdf"] = d["flagship_extract"]
     # ... and the PDF 1.5 (ObjStm + xref-stream + Flate) wrap likewise
     d["flagship_extract_pdf15"] = d["flagship_extract"]
+    # the SQL UDTF surface runs the identical wrap + kernel (r6)
+    d["flagship_extract_sql"] = d["flagship_extract"]
     # the WARC round-trip re-extracts the same invertible wrap
     d["warc_extract"] = d["flagship_extract"]
     # ... and the streamed WARC ingestion commits exactly those rows
