@@ -1457,86 +1457,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     oracles.  Entries are therefore ordered by verification need, not
     by topic:
 
-      1. the 26 entries that sat in the round-4 tail (all r3-green,
+      1. the 36 entries that sat in the round-5 tail (all r4-green,
          unchanged) — the rotation policy's promise comes due this
          round, so they re-earn a driver-green row now;
-      2. queries ADDED in round 5 (dedup_substring, mm_features_wav,
-         text_zlib_ratio + capstone_web_pipeline_v2 — those two
-         rows-only: DuckDB has no zlib — and the sampling pair
-         sample_hash_split / sample_mixture_domains);
-      3. queries whose implementation or fixtures CHANGED in round 5
-         (paragraph-dedup skew rewrite, robots case-folding, PNG
-         doc_id%3 palette contract, IVF pruned fetch, as-of skew
-         split, charset-sniff guard, session-tmpdir reroutes);
-      4. stable round-4-green fills to exactly 50;
-      5. tail (51+): stable round-4-green queries rotated out this
+      2. queries ADDED in round 6 (mixture upsampling, iterative BPE,
+         substring span trimming, color JPEG, stereo WAV, the SQL
+         UDTF surface);
+      3. queries whose implementation or fixtures CHANGED in round 6
+         (PNG doc_id%4 RGBA contract, WAV stereo refactor, JPEG
+         color refactor, AVI header fix, the RIFF-kind guard in
+         mm_features, the single-scan mixture rates, the as-of
+         NULL-key hot-routing fix) — exactly filling the head to 50;
+      4. tail (51+): stable round-5-green queries rotated out this
          round — they re-enter the head next round so every query
          re-earns a green CORRECTNESS row at least every two rounds.
+         j_bucketed_colocated leads the tail: its r6 change (the
+         EXTERNAL-table rmtree guard in write_bucketed) is
+         unreachable from the query and pytest-pinned, so it yields
+         its head slot and re-earns green first in r7.
     """
     return {
-        # -- 1. round-4 tail: rotation promise due (r4 VERDICT #1) ----------
-        "agg_salted_host_stats": _agg_salted_host_stats,
-        "dedup_exact": _dedup_exact,
-        "dedup_minhash_lsh": _dedup_minhash_lsh,
-        "dedup_minhash_lsh_capped": _dedup_minhash_lsh_capped,
-        "dedup_clusters": _dedup_clusters,
-        "dedup_simhash_query": _dedup_simhash_query,
-        "dedup_ngram_jaccard": _dedup_ngram_jaccard,
-        "sample_stratified": _sample_stratified,
-        "dedup_url_latest": _dedup_url_latest,
-        "text_url_host": _text_url_host,
-        "text_url_canonical": _text_url_canonical,
-        "sink_jsonl_shards": _sink_jsonl_shards,
-        "web_crawl_diff": _web_crawl_diff,
-        "agg_host_rollup": _agg_host_rollup,
-        "q1_pricing_summary": _q1_pricing_summary,
-        "f1_keyset_filter": _f1_keyset_filter,
-        "f2_pushdown_residual": _f2_pushdown_residual,
-        "j1_full_outer_coalesce": _j1_full_outer_coalesce,
-        "j2_pref_merge": _j2_pref_merge,
-        "j3_broadcast_dim_chain": _j3_broadcast_dim_chain,
-        "o2_top1_per_group": _o2_top1_per_group,
-        "a3_groupby_distinct": _a3_groupby_distinct,
-        "t1_explode_tokens": _t1_explode_tokens,
-        "x1_regex_extract": _x1_regex_extract,
-        "x7_unit_format": _x7_unit_format,
-        "w_running_sum": _w_running_sum,
-        # -- 2. added in round 5 --------------------------------------------
-        "dedup_substring": _dedup_substring,
-        "mm_features_wav": _mm_features_wav,
-        "text_zlib_ratio": _text_zlib_ratio,
-        "capstone_web_pipeline_v2": _capstone_web_pipeline_v2,
-        "sample_hash_split": _sample_hash_split,
-        "sample_mixture_domains": _sample_mixture_domains,
-        "mm_features_jpeg": _mm_features_jpeg,
-        "mm_video_frame_sample": _mm_video_frame_sample,
-        "text_coherence": _text_coherence,
-        "text_bpe_pairs": _text_bpe_pairs,
-        "sample_mixture_domains_v2": _sample_mixture_domains_v2,
-        "text_bpe_vocab": _text_bpe_vocab,
-        "dedup_substring_trim": _dedup_substring_trim,
-        "mm_features_jpeg_color": _mm_features_jpeg_color,
-        "mm_features_wav_stereo": _mm_features_wav_stereo,
-        "flagship_extract_sql": _flagship_extract_sql,
-        # -- 3. changed in round 5 ------------------------------------------
-        "dedup_paragraphs": _dedup_paragraphs,
-        "web_robots_filter": _web_robots_filter,
-        "capstone_web_pipeline": _capstone_web_pipeline,
-        "mm_features": _mm_features,
-        "mm_features_png": _mm_features_png,
-        "mm_png_resize": _mm_png_resize,
-        "sim_ivf_topk_indexed": _sim_ivf_topk_indexed,
-        "j_asof_backward": _j_asof_backward,
-        "j_bucketed_colocated": _j_bucketed_colocated,
-        "text_charset_utf16_nobom": _text_charset_utf16_nobom,
-        "text_charset_breakdown": _text_charset_breakdown,
-        "text_charset_cjk": _text_charset_cjk,
-        "flagship_extract": _flagship_extract,
-        "warc_extract": _warc_extract,
-        # -- 4. tail: r4-green, rotated out this round (re-head next round).
-        # warc_stream_extract / w_stream_window_counts changed only their
-        # scratch-dir location in r5 (behavior-identical; pytest + local
-        # full-sweep green this round) and lead the tail so they head r6.
+        # -- 1. round-5 tail: rotation promise due (r5 VERDICT #1) ----------
         "warc_stream_extract": _warc_stream_extract,
         "w_stream_window_counts": _w_stream_window_counts,
         "flagship_extract_pdf": _flagship_extract_pdf,
@@ -1573,6 +1514,68 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lang_id": _text_lang_id,
         "text_token_count": _text_token_count,
         "text_fingerprint": _text_fingerprint,
+        # -- 2. added in round 6 --------------------------------------------
+        "sample_mixture_domains_v2": _sample_mixture_domains_v2,
+        "text_bpe_vocab": _text_bpe_vocab,
+        "dedup_substring_trim": _dedup_substring_trim,
+        "mm_features_jpeg_color": _mm_features_jpeg_color,
+        "mm_features_wav_stereo": _mm_features_wav_stereo,
+        "flagship_extract_sql": _flagship_extract_sql,
+        # -- 3. changed in round 6 (head filled to exactly 50) --------------
+        "mm_features": _mm_features,
+        "mm_features_png": _mm_features_png,
+        "mm_png_resize": _mm_png_resize,
+        "mm_features_wav": _mm_features_wav,
+        "mm_features_jpeg": _mm_features_jpeg,
+        "mm_video_frame_sample": _mm_video_frame_sample,
+        "sample_mixture_domains": _sample_mixture_domains,
+        "j_asof_backward": _j_asof_backward,
+        # -- 4. tail: r5-green, rotated out this round (re-head in r7).
+        # j_bucketed_colocated leads: its r6 change (EXTERNAL-table
+        # rmtree guard) is unreachable from the query and pytest-pinned
+        # (test_write_bucketed_* in tests/test_joins.py).
+        "j_bucketed_colocated": _j_bucketed_colocated,
+        "agg_salted_host_stats": _agg_salted_host_stats,
+        "dedup_exact": _dedup_exact,
+        "dedup_minhash_lsh": _dedup_minhash_lsh,
+        "dedup_minhash_lsh_capped": _dedup_minhash_lsh_capped,
+        "dedup_clusters": _dedup_clusters,
+        "dedup_simhash_query": _dedup_simhash_query,
+        "dedup_ngram_jaccard": _dedup_ngram_jaccard,
+        "sample_stratified": _sample_stratified,
+        "dedup_url_latest": _dedup_url_latest,
+        "text_url_host": _text_url_host,
+        "text_url_canonical": _text_url_canonical,
+        "sink_jsonl_shards": _sink_jsonl_shards,
+        "web_crawl_diff": _web_crawl_diff,
+        "agg_host_rollup": _agg_host_rollup,
+        "q1_pricing_summary": _q1_pricing_summary,
+        "f1_keyset_filter": _f1_keyset_filter,
+        "f2_pushdown_residual": _f2_pushdown_residual,
+        "j1_full_outer_coalesce": _j1_full_outer_coalesce,
+        "j2_pref_merge": _j2_pref_merge,
+        "j3_broadcast_dim_chain": _j3_broadcast_dim_chain,
+        "o2_top1_per_group": _o2_top1_per_group,
+        "a3_groupby_distinct": _a3_groupby_distinct,
+        "t1_explode_tokens": _t1_explode_tokens,
+        "x1_regex_extract": _x1_regex_extract,
+        "x7_unit_format": _x7_unit_format,
+        "w_running_sum": _w_running_sum,
+        "dedup_substring": _dedup_substring,
+        "text_zlib_ratio": _text_zlib_ratio,
+        "capstone_web_pipeline_v2": _capstone_web_pipeline_v2,
+        "sample_hash_split": _sample_hash_split,
+        "text_coherence": _text_coherence,
+        "text_bpe_pairs": _text_bpe_pairs,
+        "dedup_paragraphs": _dedup_paragraphs,
+        "web_robots_filter": _web_robots_filter,
+        "capstone_web_pipeline": _capstone_web_pipeline,
+        "sim_ivf_topk_indexed": _sim_ivf_topk_indexed,
+        "text_charset_utf16_nobom": _text_charset_utf16_nobom,
+        "text_charset_breakdown": _text_charset_breakdown,
+        "text_charset_cjk": _text_charset_cjk,
+        "flagship_extract": _flagship_extract,
+        "warc_extract": _warc_extract,
     }
 
 
