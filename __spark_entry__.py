@@ -317,6 +317,20 @@ def _text_bpe_vocab(spark, sf_dir):
     return bpe_learn(_t(spark, sf_dir, "documents"), n_merges=8)
 
 
+def _text_bpe_encode(spark, sf_dir):
+    """BPE encode (r6 — the encode half of the tokenizer story): train
+    8 merges on the documents corpus (same loop text_bpe_vocab pins),
+    then apply them map-side and emit per-doc integer-exact token
+    accounting (ws_tokens, bpe_tokens, fertility_bp). Encoding is
+    zero-shuffle: the merge table is a driver-held constant folded
+    into transform/aggregate HOFs. DuckDB mirrors the same unrolled
+    8 merges applied per document word, so the check is hash-exact."""
+    from powerpoint_context_extractor_spark.operators.textstats import (
+        bpe_encode,
+    )
+    return bpe_encode(_t(spark, sf_dir, "documents"), n_merges=8)
+
+
 def _text_zlib_ratio(spark, sf_dir):
     """Compression-ratio quality signal (r5): zlib ratio in basis
     points per doc over documents plus planted hyper-compressible spam
@@ -1521,6 +1535,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_features_jpeg_color": _mm_features_jpeg_color,
         "mm_features_wav_stereo": _mm_features_wav_stereo,
         "flagship_extract_sql": _flagship_extract_sql,
+        "text_bpe_encode": _text_bpe_encode,
         # -- 3. changed in round 6 (head filled to exactly 50) --------------
         "mm_features": _mm_features,
         "mm_features_png": _mm_features_png,
@@ -1529,11 +1544,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_features_jpeg": _mm_features_jpeg,
         "mm_video_frame_sample": _mm_video_frame_sample,
         "sample_mixture_domains": _sample_mixture_domains,
-        "j_asof_backward": _j_asof_backward,
         # -- 4. tail: r5-green, rotated out this round (re-head in r7).
-        # j_bucketed_colocated leads: its r6 change (EXTERNAL-table
-        # rmtree guard) is unreachable from the query and pytest-pinned
-        # (test_write_bucketed_* in tests/test_joins.py).
+        # j_asof_backward and j_bucketed_colocated lead: their r6
+        # changes (NULL-key routing under hot_keys, which this query
+        # never passes; the EXTERNAL-table rmtree guard) are
+        # unreachable from the queries and pytest-pinned
+        # (test_asof_hot_key_time_split_matches_unsplit NULL-key row,
+        # test_write_bucketed_preserves_external_table_data).
+        "j_asof_backward": _j_asof_backward,
         "j_bucketed_colocated": _j_bucketed_colocated,
         "agg_salted_host_stats": _agg_salted_host_stats,
         "dedup_exact": _dedup_exact,
@@ -3223,6 +3241,47 @@ def oracle_sql() -> dict[str, str]:
                 WHERE len(w) >= 1 GROUP BY w)
         ),{",".join(_bpe_steps)}
         {" UNION ALL ".join(_bpe_sel)}
+    """
+    # text_bpe_encode (r6): train the SAME 8 merges, then apply them to
+    # every document word occurrence (e-chain) and account tokens
+    _bpe_enc = []
+    for _t_ in range(1, 9):
+        _bpe_enc.append(f"""
+        e{_t_} AS (
+          SELECT doc_id,
+                 replace(replace(s, ' '||pair||' ',
+                                 ' '||replace(pair,' ','')||' '),
+                         ' '||pair||' ', ' '||replace(pair,' ','')||' ')
+                   AS s
+          FROM e{_t_ - 1}, p{_t_}
+        )""")
+    d["text_bpe_encode"] = f"""
+        WITH w0 AS (
+          SELECT ' ' || array_to_string(string_split(w, ''), ' ') || ' '
+                   AS s, freq
+          FROM (SELECT w, count(*) AS freq
+                FROM (SELECT unnest(string_split(text, ' ')) AS w
+                      FROM documents)
+                WHERE len(w) >= 1 GROUP BY w)
+        ),{",".join(_bpe_steps)},
+        e0 AS (
+          SELECT doc_id,
+                 ' ' || array_to_string(string_split(w, ''), ' ') || ' '
+                   AS s
+          FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                FROM documents)
+          WHERE len(w) >= 1
+        ),{",".join(_bpe_enc)},
+        agg AS (SELECT doc_id, count(*) AS ws,
+                       sum(len(string_split(trim(s), ' '))) AS bpe
+                FROM e8 GROUP BY doc_id)
+        SELECT d.doc_id,
+               CAST(coalesce(a.ws, 0) AS BIGINT) AS ws_tokens,
+               CAST(coalesce(a.bpe, 0) AS BIGINT) AS bpe_tokens,
+               CAST(CASE WHEN coalesce(a.ws, 0) > 0
+                         THEN (a.bpe * 10000) // a.ws END AS BIGINT)
+                 AS fertility_bp
+        FROM documents d LEFT JOIN agg a USING (doc_id)
     """
     d["dedup_substring_trim"] = f"""
         -- span-trimming mirror of substring_dedup_trim: window at pos

@@ -388,6 +388,58 @@ def bpe_learn(docs: DataFrame, text_col: str = "text",
     return spark.createDataFrame(merges, schema)
 
 
+def bpe_encode(docs: DataFrame, merges: list | None = None,
+               id_col: str = "doc_id", text_col: str = "text",
+               n_merges: int = 8) -> DataFrame:
+    """Apply a learned BPE merge table to the corpus (r6 — the encode
+    half of the tokenizer story; ``bpe_learn`` is the train half):
+    per document, tokenize, expand each word to its symbol string,
+    apply the ``merges`` pairs IN ORDER with the same double-anchored
+    replace rule bpe_learn documents, and emit integer-exact token
+    accounting: (id, ws_tokens, bpe_tokens, fertility_bp) where
+    fertility_bp = bpe_tokens * 10000 div ws_tokens — the
+    tokens-per-word statistic LLM-data pipelines budget context by.
+
+    ``merges=None`` trains on ``docs`` itself (8 driver-held jobs over
+    the vocabulary-sized word-frequency table, kmeans-loop precedent)
+    then encodes. Explicit ``merges`` (list of 'a b' pair strings)
+    skips training — the production shape: train once, encode many.
+
+    Scale shape: encoding is MAP-ONLY, zero shuffle — the merge table
+    is a driver-held constant folded into the plan (≤ n_merges string
+    literals), each word's symbol string is rewritten in place via
+    array ``transform``, and the per-doc sums are ``aggregate`` HOFs.
+    No explode, no per-doc regroup, nothing corpus-sized moves."""
+    if merges is None:
+        merges = [r["pair"]
+                  for r in bpe_learn(docs, text_col, n_merges).collect()]
+    toks = F.filter(_toks(text_col), lambda w: F.length(w) >= 1)
+    sym = F.transform(
+        toks,
+        lambda w: F.concat(F.lit(" "), F.concat_ws(" ", F.split(w, "")),
+                           F.lit(" ")))
+    def _apply(pat, rep):
+        # closure factory, NOT default args: Spark derives HOF arity
+        # from the Python signature, so `lambda s, pat=pat: ...` would
+        # be treated as a 3-argument lambda
+        return lambda s: F.replace(F.replace(s, pat, rep), pat, rep)
+
+    for pair in merges:
+        sym = F.transform(sym, _apply(F.lit(f" {pair} "),
+                                      F.lit(f" {pair.replace(' ', '')} ")))
+    bpe = F.aggregate(
+        sym, F.lit(0).cast("long"),
+        lambda acc, s: acc + F.size(F.split(F.trim(s), " ")))
+    out = docs.select(
+        F.col(id_col),
+        F.size(toks).cast("long").alias("ws_tokens"),
+        bpe.alias("bpe_tokens"))
+    return out.withColumn(
+        "fertility_bp",
+        F.expr("CASE WHEN ws_tokens > 0 "
+               "THEN bpe_tokens * 10000 div ws_tokens END").cast("long"))
+
+
 def compression_ratio(docs: DataFrame, id_col: str = "doc_id",
                       text_col: str = "text", level: int = 6) -> DataFrame:
     """zlib compression-ratio quality signal (r5, r4 VERDICT missing

@@ -805,6 +805,33 @@ def test_bpe_learn_iterative_merges(spark):
     assert [r["merged"] for r in rows] == ["ab"]
 
 
+def test_bpe_encode_counts_and_zero_shuffle(spark):
+    """r6: encoding with an explicit merge table is integer-exact and
+    MAP-ONLY — the merges fold into transform/aggregate HOFs, so the
+    physical plan has no Exchange at all (the 100 TB shape: encode is
+    a pure per-row rewrite)."""
+    from powerpoint_context_extractor_spark.operators.textstats import (
+        bpe_encode, bpe_learn,
+    )
+    docs = spark.createDataFrame(
+        [(0, "low lower lowest low low"), (1, "new newer newest new"),
+         (2, "")],
+        "doc_id long, text string")
+    merges = [r["pair"] for r in bpe_learn(docs, n_merges=6).collect()]
+    out = bpe_encode(docs, merges=merges)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    # doc 0: low->1 lower->[low,er]=2 lowest->[low,es,t]=3 low low->1+1
+    assert (rows[0]["ws_tokens"], rows[0]["bpe_tokens"]) == (5, 8)
+    assert rows[0]["fertility_bp"] == 8 * 10000 // 5
+    # doc 1: new->1 newer->[new,er]=2 newest->[new,es,t]=3 new->1
+    assert (rows[1]["ws_tokens"], rows[1]["bpe_tokens"]) == (4, 7)
+    # empty doc: zero tokens, NULL fertility, still one output row
+    assert (rows[2]["ws_tokens"], rows[2]["bpe_tokens"]) == (0, 0)
+    assert rows[2]["fertility_bp"] is None
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan      # zero shuffle: map-only encode
+
+
 def test_hash_split_deterministic_partition(spark):
     """r5: train/val/test assignment is a pure function of the id —
     dual-run identical, proportions near 80/10/10, and adding rows
