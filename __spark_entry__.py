@@ -1167,6 +1167,34 @@ def _mm_features_png(spark, sf_dir):
     return extract_png_features(_t(spark, sf_dir, "documents"))
 
 
+def _mm_image_dhash(spark, sf_dir):
+    """Perceptual image hash (r6): decode the frozen doc_id%4 PNG
+    fixture for real (zlib + filters + PLTE/RGBA expansion), integer
+    luma, nearest-neighbor 9x8 sample, gradient-sign dHash — Spark
+    hashes the actual decoded bytes while DuckDB recomputes the hash
+    analytically from the fixture pixel formulas, so the 64-bit
+    fingerprint (hex + four 16-bit bands) is hash-exact."""
+    from powerpoint_context_extractor_spark.operators.multimodal import (
+        image_dhash,
+    )
+    return image_dhash(_t(spark, sf_dir, "documents"))
+
+
+def _dedup_image_phash(spark, sf_dir):
+    """Image near-dup candidates (r6), production discipline: the
+    ramp fixtures are dHash-degenerate (the corpus plants exact
+    collisions wherever doc_ids share a pixel pattern), so first
+    collapse identical hashes to min-id representatives (the exact
+    image-dedup hash-agg), then emit representative pairs within
+    hamming 1 via band buckets — never a global self-join. The pair
+    set is a pure integer function of the ids that DuckDB mirrors."""
+    from powerpoint_context_extractor_spark.operators.multimodal import (
+        image_dhash, image_near_dup_pairs,
+    )
+    h = image_dhash(_t(spark, sf_dir, "documents"))
+    return image_near_dup_pairs(h, max_hamming=1, collapse_exact=True)
+
+
 def _mm_features_jpeg(spark, sf_dir):
     """Real baseline-JPEG decode under the correctness gate (r5, r4
     VERDICT missing #2): every documents row becomes a genuine JFIF
@@ -1536,21 +1564,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_features_wav_stereo": _mm_features_wav_stereo,
         "flagship_extract_sql": _flagship_extract_sql,
         "text_bpe_encode": _text_bpe_encode,
+        "mm_image_dhash": _mm_image_dhash,
+        "dedup_image_phash": _dedup_image_phash,
         # -- 3. changed in round 6 (head filled to exactly 50) --------------
-        "mm_features": _mm_features,
         "mm_features_png": _mm_features_png,
         "mm_png_resize": _mm_png_resize,
         "mm_features_wav": _mm_features_wav,
         "mm_features_jpeg": _mm_features_jpeg,
         "mm_video_frame_sample": _mm_video_frame_sample,
-        "sample_mixture_domains": _sample_mixture_domains,
         # -- 4. tail: r5-green, rotated out this round (re-head in r7).
-        # j_asof_backward and j_bucketed_colocated lead: their r6
-        # changes (NULL-key routing under hot_keys, which this query
-        # never passes; the EXTERNAL-table rmtree guard) are
-        # unreachable from the queries and pytest-pinned
-        # (test_asof_hot_key_time_split_matches_unsplit NULL-key row,
+        # The four leads carry value-neutral r6 changes, each
+        # pytest-pinned: mm_features (_kind_of RIFF guard;
+        # test_document_text_never_magic), sample_mixture_domains
+        # (single-scan rates, hash unchanged;
+        # test_mixture_sample_single_corpus_scan), j_asof_backward
+        # (NULL-key routing under hot_keys, which the query never
+        # passes), j_bucketed_colocated (EXTERNAL-table rmtree guard;
         # test_write_bucketed_preserves_external_table_data).
+        "mm_features": _mm_features,
+        "sample_mixture_domains": _sample_mixture_domains,
         "j_asof_backward": _j_asof_backward,
         "j_bucketed_colocated": _j_bucketed_colocated,
         "agg_salted_host_stats": _agg_salted_host_stats,
@@ -3084,6 +3116,102 @@ def oracle_sql() -> dict[str, str]:
                CAST(sum(v) AS BIGINT) AS px_sum,
                string_agg(printf('%02x', v), '' ORDER BY y, x, c) AS px_hex
         FROM g GROUP BY doc_id
+    """
+    # mm_image_dhash / dedup_image_phash (r6): dHash recomputed
+    # analytically — integer luma ((r+g+b)//3, identity for gray,
+    # alpha ignored), NN sample to 9x8 (source col (c*16)//9, rows
+    # 1:1), bit (r,c) = gray(r,c) > gray(r,c+1), MSB-first row bytes
+    _DHASH_ROWB = """
+        g AS (
+          SELECT d.doc_id, r.r, c.c,
+                 CASE d.doc_id % 4
+                   WHEN 0 THEN
+                     (d.doc_id*31 + (r.r*16 + (c.c*16)//9)) % 256
+                   WHEN 1 THEN
+                     (((d.doc_id*31 + (r.r*16 + (c.c*16)//9)*3) % 256)
+                    + ((d.doc_id*31 + (r.r*16 + (c.c*16)//9)*3 + 1) % 256)
+                    + ((d.doc_id*31 + (r.r*16 + (c.c*16)//9)*3 + 2) % 256))
+                     // 3
+                   WHEN 2 THEN
+                     (((((d.doc_id*31 + r.r*16 + (c.c*16)//9) % 16) * 37)
+                        % 256)
+                    + ((((d.doc_id*31 + r.r*16 + (c.c*16)//9) % 16) * 59)
+                        % 256)
+                    + ((((d.doc_id*31 + r.r*16 + (c.c*16)//9) % 16) * 83)
+                        % 256)) // 3
+                   ELSE
+                     (((d.doc_id*31 + (r.r*16 + (c.c*16)//9)*4) % 256)
+                    + ((d.doc_id*31 + (r.r*16 + (c.c*16)//9)*4 + 1) % 256)
+                    + ((d.doc_id*31 + (r.r*16 + (c.c*16)//9)*4 + 2) % 256))
+                     // 3
+                 END AS gv
+          FROM documents d, range(0, 8) r(r), range(0, 9) c(c)
+        ),
+        bits AS (
+          SELECT a.doc_id, a.r, a.c,
+                 CASE WHEN a.gv > b.gv THEN 1 ELSE 0 END AS bit
+          FROM g a JOIN g b
+            ON b.doc_id = a.doc_id AND b.r = a.r AND b.c = a.c + 1
+          WHERE a.c < 8
+        ),
+        rowb AS (
+          SELECT doc_id, r, CAST(sum(bit << (7 - c)) AS INT) AS byte
+          FROM bits GROUP BY doc_id, r
+        ),
+        hx AS (
+          SELECT doc_id,
+                 string_agg(printf('%02x', byte), '' ORDER BY r)
+                   AS dhash_hex,
+                 CAST(max(CASE WHEN r = 0 THEN byte END) * 256
+                    + max(CASE WHEN r = 1 THEN byte END) AS BIGINT)
+                   AS band0,
+                 CAST(max(CASE WHEN r = 2 THEN byte END) * 256
+                    + max(CASE WHEN r = 3 THEN byte END) AS BIGINT)
+                   AS band1,
+                 CAST(max(CASE WHEN r = 4 THEN byte END) * 256
+                    + max(CASE WHEN r = 5 THEN byte END) AS BIGINT)
+                   AS band2,
+                 CAST(max(CASE WHEN r = 6 THEN byte END) * 256
+                    + max(CASE WHEN r = 7 THEN byte END) AS BIGINT)
+                   AS band3
+          FROM rowb GROUP BY doc_id
+        )"""
+    d["mm_image_dhash"] = f"""
+        WITH {_DHASH_ROWB}
+        SELECT doc_id, dhash_hex, band0, band1, band2, band3 FROM hx
+    """
+    d["dedup_image_phash"] = f"""
+        WITH {_DHASH_ROWB},
+        rep AS (
+          SELECT min(doc_id) AS doc_id,
+                 min(band0) AS band0, min(band1) AS band1,
+                 min(band2) AS band2, min(band3) AS band3
+          FROM hx GROUP BY dhash_hex
+        ),
+        bands AS (
+          SELECT doc_id, 0 AS bi, band0 AS bv FROM rep UNION ALL
+          SELECT doc_id, 1, band1 FROM rep UNION ALL
+          SELECT doc_id, 2, band2 FROM rep UNION ALL
+          SELECT doc_id, 3, band3 FROM rep
+        ),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM bands a JOIN bands b
+            ON a.bi = b.bi AND a.bv = b.bv AND a.doc_id < b.doc_id
+        )
+        SELECT id_a, id_b,
+               CAST(bit_count(xor(ha.band0, hb.band0))
+                  + bit_count(xor(ha.band1, hb.band1))
+                  + bit_count(xor(ha.band2, hb.band2))
+                  + bit_count(xor(ha.band3, hb.band3)) AS BIGINT)
+                 AS hamming
+        FROM cand
+        JOIN rep ha ON ha.doc_id = cand.id_a
+        JOIN rep hb ON hb.doc_id = cand.id_b
+        WHERE bit_count(xor(ha.band0, hb.band0))
+            + bit_count(xor(ha.band1, hb.band1))
+            + bit_count(xor(ha.band2, hb.band2))
+            + bit_count(xor(ha.band3, hb.band3)) BETWEEN 1 AND 1
     """
     d["web_robots_filter"] = """
         SELECT doc_id,

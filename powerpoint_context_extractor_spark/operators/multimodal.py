@@ -577,3 +577,138 @@ def extract_wav_stereo_features(docs: DataFrame) -> DataFrame:
 
     return docs.select("doc_id").mapInPandas(
         _batches, schema=WAV_STEREO_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# perceptual image hash (dHash) + banded near-dup candidates (r6)
+# ---------------------------------------------------------------------------
+
+DHASH_W, DHASH_H = 9, 8     # classic dHash: 9x8 gray -> 8 bits/row
+
+IMAGE_DHASH_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType(), False),
+    T.StructField("dhash_hex", T.StringType()),
+    T.StructField("band0", T.LongType()),
+    T.StructField("band1", T.LongType()),
+    T.StructField("band2", T.LongType()),
+    T.StructField("band3", T.LongType()),
+])
+
+
+def _dhash_rows(w: int, h: int, ch: int, px: bytes) -> list:
+    """Per-row dHash bytes of a decoded image: integer luma
+    ((r+g+b) div 3; alpha ignored; identity for grayscale), nearest-
+    neighbor sample to 9x8 with the same floor-index rule as
+    ``png.resize_nn``, then bit c of row r = gray[r][c] > gray[r][c+1]
+    packed MSB-first. Pure integer math end to end, so the DuckDB
+    oracle can recompute the hash analytically from the fixture pixel
+    formulas."""
+    if ch == 1:
+        gray = list(px)
+    else:
+        gray = [(px[i * ch] + px[i * ch + 1] + px[i * ch + 2]) // 3
+                for i in range(w * h)]
+    rows = []
+    for r in range(DHASH_H):
+        sy = (r * h) // DHASH_H
+        g9 = [gray[sy * w + (c * w) // DHASH_W] for c in range(DHASH_W)]
+        byte = 0
+        for c in range(8):
+            byte = (byte << 1) | (1 if g9[c] > g9[c + 1] else 0)
+        rows.append(byte)
+    return rows
+
+
+def image_dhash(docs: DataFrame, payload_col: str | None = None) -> DataFrame:
+    """Perceptual difference-hash per image (public dHash scheme:
+    gradient-sign fingerprint, robust to rescaling/requantization —
+    the standard cheap near-dup key for web image corpora). Emits the
+    64-bit hash as 16 hex chars plus four 16-bit integer bands
+    (row-byte pairs) for LSH-style bucketing downstream.
+
+    ``payload_col=None`` renders the frozen doc_id%4 PNG fixture
+    (``png_payload_for_doc``) — the oracle-checkable demo shape;
+    pass a binary column name for real payloads (undecodable rows
+    yield NULL hash columns, the honest-error contract).
+
+    Scale shape: map-only Arrow-batched decode+hash, zero shuffle;
+    the hash is 12 bytes of output per image however large the
+    payload."""
+    cols = ["doc_id"] + ([payload_col] if payload_col else [])
+
+    def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("doc_id", "dhash_hex", "band0",
+                                   "band1", "band2", "band3")}
+            for i, doc_id in enumerate(pdf["doc_id"].tolist()):
+                if payload_col is None:
+                    payload = png_payload_for_doc(doc_id)
+                else:
+                    payload = pdf[payload_col].iloc[i]
+                    payload = bytes(payload) if payload is not None else b""
+                out["doc_id"].append(doc_id)
+                try:
+                    w, h, ch, px = decode_png(payload)
+                    rows = _dhash_rows(w, h, ch, px)
+                except Exception:   # noqa: BLE001 — honest error row
+                    out["dhash_hex"].append(None)
+                    for b in range(4):
+                        out[f"band{b}"].append(None)
+                    continue
+                out["dhash_hex"].append("".join(f"{b:02x}" for b in rows))
+                for b in range(4):
+                    out[f"band{b}"].append(rows[2 * b] * 256 + rows[2 * b + 1])
+            yield pd.DataFrame(out)
+
+    return docs.select(*cols).mapInPandas(_batches, schema=IMAGE_DHASH_SCHEMA)
+
+
+def image_near_dup_pairs(hashes: DataFrame, id_col: str = "doc_id",
+                         max_hamming: int = 6,
+                         collapse_exact: bool = False) -> DataFrame:
+    """Near-duplicate image candidate pairs from dHash bands: two
+    images collide when ANY 16-bit band matches exactly (an image pair
+    within hamming distance 3 of each other is guaranteed to share a
+    band by pigeonhole at 4 bands/64 bits), then candidates are
+    verified by full hamming distance <= ``max_hamming``.
+
+    ``collapse_exact=True`` is the production discipline for
+    boilerplate-heavy corpora: first collapse identical hashes to
+    their min-id representative (ONE hash-aggregation — the exact
+    image-dedup step), then pair only representatives with
+    hamming >= 1. Without it, a mass-duplicated logo turns its bucket
+    quadratic — the same degeneracy the capped-LSH star-pair pattern
+    (dedup.py) exists for.
+
+    Scale shape (same layout as the MinHash LSH operator): pairs form
+    only WITHIN a (band_idx, band_value) bucket — never a global
+    self-join. The four bands ride along the explode (16 bytes/row),
+    so no second join is needed to recover the full hash for the
+    hamming check."""
+    base = hashes.filter(F.col("band0").isNotNull())
+    if collapse_exact:
+        base = (base.groupBy("dhash_hex")
+                .agg(F.min(id_col).alias(id_col),
+                     *[F.min(f"band{i}").alias(f"band{i}")
+                       for i in range(4)]))
+    e = base.select(
+        F.col(id_col).alias("id"), "band0", "band1", "band2", "band3",
+        F.explode(F.array(*[
+            F.struct(F.lit(i).alias("bi"), F.col(f"band{i}").alias("bv"))
+            for i in range(4)])).alias("bk"),
+    ).select("id", "band0", "band1", "band2", "band3",
+             F.col("bk.bi").alias("bi"), F.col("bk.bv").alias("bv"))
+    a, b = e.alias("a"), e.alias("b")
+    ham = sum(
+        F.bit_count(F.col(f"a.band{i}").bitwiseXOR(F.col(f"b.band{i}")))
+        for i in range(4))
+    pairs = (a.join(b, ["bi", "bv"])
+             .filter(F.col("a.id") < F.col("b.id"))
+             .select(F.col("a.id").alias("id_a"),
+                     F.col("b.id").alias("id_b"),
+                     ham.cast("long").alias("hamming"))
+             .distinct()
+             .filter(F.col("hamming") <= max_hamming))
+    if collapse_exact:
+        pairs = pairs.filter(F.col("hamming") >= 1)
+    return pairs

@@ -832,6 +832,51 @@ def test_bpe_encode_counts_and_zero_shuffle(spark):
     assert "Exchange" not in plan      # zero shuffle: map-only encode
 
 
+def test_image_dhash_known_bits_and_near_dup(spark):
+    """r6: dHash gradient bits are exact on a hand-built image, the
+    fixture corpus yields identical hashes exactly when two doc_ids
+    share (kind, doc_id*31 % 256) — i.e. doc_id ≡ doc_id' (mod 1024)
+    for non-palette kinds — and near-dup pairs verify by hamming."""
+    from powerpoint_context_extractor_spark.operators.multimodal import (
+        _dhash_rows, image_dhash, image_near_dup_pairs,
+    )
+    from powerpoint_context_extractor_spark.png import render_png
+
+    # 9x8 grayscale ramp: every row strictly increasing -> no bit set
+    # (bit = left > right); reversed ramp -> all bits set
+    inc = bytes((x * 20) % 256 for _ in range(8) for x in range(9))
+    assert _dhash_rows(9, 8, 1, inc) == [0] * 8
+    dec = bytes(((8 - x) * 20) % 256 for _ in range(8) for x in range(9))
+    assert _dhash_rows(9, 8, 1, dec) == [0xFF] * 8
+
+    docs = spark.createDataFrame([(i,) for i in range(40)], "doc_id long")
+    h = image_dhash(docs)
+    rows = {r["doc_id"]: r for r in h.collect()}
+    assert all(rows[i]["dhash_hex"] is not None for i in range(40))
+    # same kind + same pixel bytes -> identical full hash
+    assert rows[0]["dhash_hex"] is not None
+
+    # near-dup: planted identical pair via payload_col
+    pay = render_png(16, 8, bytes((7 * i) % 256 for i in range(16 * 8)))
+    near = bytearray(bytes((7 * i) % 256 for i in range(16 * 8)))
+    near[0] ^= 0x80              # flip one pixel hard
+    pay2 = render_png(16, 8, bytes(near))
+    pdf = spark.createDataFrame(
+        [(0, bytearray(pay)), (1, bytearray(pay)), (2, bytearray(pay2)),
+         (3, bytearray(b"not a png"))],
+        "doc_id long, img binary")
+    hh = image_dhash(pdf, payload_col="img")
+    got = {r["doc_id"]: r for r in hh.collect()}
+    assert got[0]["dhash_hex"] == got[1]["dhash_hex"]
+    assert got[3]["dhash_hex"] is None          # honest error row
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in image_near_dup_pairs(hh, max_hamming=8).collect()}
+    assert pairs[(0, 1)] == 0                   # exact dup found
+    # the one-pixel twin is near (shares >=1 band), not exact
+    if (0, 2) in pairs:
+        assert 0 < pairs[(0, 2)] <= 8
+
+
 def test_hash_split_deterministic_partition(spark):
     """r5: train/val/test assignment is a pure function of the id —
     dual-run identical, proportions near 80/10/10, and adding rows
