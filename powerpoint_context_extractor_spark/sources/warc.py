@@ -219,3 +219,93 @@ def write_documents_as_warc(docs: DataFrame, out_dir: str,
      .withColumn("part", (F.col("doc_id") % n_files).cast("int"))
      .groupBy("part").applyInPandas(_write, schema="part int, n long")
      .collect())
+
+
+# ---------------------------------------------------------------------------
+# WET (the Common Crawl extracted-text sidecar format): a WARC whose
+# records are WARC-Type: conversion with text/plain bodies — the
+# standard interchange shape for "pages already extracted to text"
+# ---------------------------------------------------------------------------
+
+def build_wet_record(url: str, date: str, text: str) -> bytes:
+    """One WET conversion record (text/plain body, no HTTP envelope)."""
+    body = text.encode("utf-8")
+    head = (f"WARC/1.0{CRLF}"
+            f"WARC-Type: conversion{CRLF}"
+            f"WARC-Target-URI: {url}{CRLF}"
+            f"WARC-Date: {date}{CRLF}"
+            f"Content-Type: text/plain{CRLF}"
+            f"Content-Length: {len(body)}{CRLF}{CRLF}").encode("latin-1")
+    return head + body + b"\r\n\r\n"
+
+
+WET_SCHEMA = T.StructType([
+    T.StructField("url", T.StringType(), True),
+    T.StructField("warc_date", T.StringType(), True),
+    T.StructField("text", T.StringType(), True),
+])
+
+
+def _wet_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        out = {"url": [], "warc_date": [], "text": []}
+        for content in pdf["content"]:
+            for headers, payload in iter_warc_records(bytes(content)):
+                if headers.get("warc-type") != "conversion":
+                    continue              # warcinfo / anything else
+                out["url"].append(headers.get("warc-target-uri"))
+                out["warc_date"].append(headers.get("warc-date"))
+                out["text"].append(payload.decode("utf-8", "replace"))
+        yield pd.DataFrame(out)
+
+
+def read_wet(spark: SparkSession, path: str) -> DataFrame:
+    """WET source: (url, warc_date, text) — one row per conversion
+    record. Same file-per-task + gzip-member-splitting layout as
+    ``read_warc``."""
+    files = (spark.read.format("binaryFile")
+             .option("pathGlobFilter", "*.warc*")
+             .load(path)
+             .select("content"))
+    return files.mapInPandas(_wet_batches, schema=WET_SCHEMA)
+
+
+def write_extracted_as_wet(extracted: DataFrame, out_dir: str,
+                           n_files: int = 8,
+                           gzip_records: bool = True) -> None:
+    """WET sink: (url, text) rows -> ``n_files`` .wet.warc.gz files,
+    one gzip member per conversion record (the CC layout). File index
+    = portable hash of url % n_files; records ordered by url within a
+    file — the output corpus is a pure function of the input rows, and
+    the writer is one applyInPandas pass (no driver collect of data,
+    only the per-file manifest)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    os.makedirs(out_dir, exist_ok=True)
+    ext = "wet.warc.gz" if gzip_records else "wet.warc"
+
+    def _write(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        part = int(key[0])
+        pdf = pdf.sort_values("url")
+        recs = bytearray()
+        for url, text in zip(pdf["url"].tolist(), pdf["text"].tolist()):
+            raw = build_wet_record(url, "2024-01-01T00:00:00Z", text or "")
+            if gzip_records:
+                co = zlib.compressobj(6, zlib.DEFLATED, 31)
+                recs += co.compress(raw) + co.flush()
+            else:
+                recs += raw
+        path = os.path.join(out_dir, f"part-{part:05d}.{ext}")
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(bytes(recs))
+        os.replace(tmp, path)
+        return pd.DataFrame({"part": [part], "n": [len(pdf)]})
+
+    (extracted.select("url", "text")
+     .withColumn("part", F.pmod(F.xxhash64("url"), F.lit(n_files))
+                 .cast("int"))
+     .groupBy("part").applyInPandas(_write, schema="part int, n long")
+     .collect())

@@ -152,3 +152,27 @@ def test_whole_file_gzip_warc_parses_all_records():
     got = [(h["warc-target-uri"], warc.http_body(p))
            for h, p in warc.iter_warc_records(whole)]
     assert got == [(u, b) for u, _d, b in rows]
+
+
+def test_wet_roundtrip_unicode_and_type_filter(spark, tmp_path):
+    """r6 WET sidecar format: conversion records round-trip unicode
+    text byte-losslessly through the distributed sink + source, the
+    reader skips non-conversion records, and empty text survives."""
+    rows = [("http://a/1", "héllo wörld — 中文 text"),
+            ("http://a/2", ""),
+            ("http://a/3", "plain ascii")]
+    df = spark.createDataFrame(rows, "url string, text string")
+    out = str(tmp_path / "wet")
+    warc.write_extracted_as_wet(df, out, n_files=2)
+    back = {r["url"]: r["text"]
+            for r in warc.read_wet(spark, out).collect()}
+    assert back == dict(rows)
+    # a WARC with response + warcinfo records yields NO wet rows
+    mixed = warc.build_warc(
+        [("file://0", "2024-01-01T00:00:00Z", b"software: x", "warcinfo"),
+         ("http://b/1", "2024-01-01T00:00:00Z", b"<p>html</p>")])
+    p = tmp_path / "mixed" ; p.mkdir()
+    (p / "part-0.warc.gz").write_bytes(mixed)
+    assert warc.read_wet(spark, str(p)).count() == 0
+    # ...while the wet reader on wet files is what read_warc skips
+    assert warc.read_warc(spark, out).count() == 0
