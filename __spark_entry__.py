@@ -1275,6 +1275,20 @@ def _mm_features_wav(spark, sf_dir):
     return extract_wav_features(_t(spark, sf_dir, "documents"))
 
 
+def _mm_features_wav_ulaw(spark, sf_dir):
+    """G.711 mu-law audio decode under the correctness gate (r6 —
+    widens the WAV subset to format tag 7, the telephony/web
+    companding codec): the SAME mono sample rule companded to one
+    byte per sample by the real encoder; Spark expands the actual
+    companded bytes while DuckDB mirrors the lossy integer math
+    (bias + segment-exponent CASE ladder + mantissa) analytically —
+    the companding itself is under the hash."""
+    from powerpoint_context_extractor_spark.operators.multimodal import (
+        extract_wav_ulaw_features,
+    )
+    return extract_wav_ulaw_features(_t(spark, sf_dir, "documents"))
+
+
 def _mm_features_wav_stereo(spark, sf_dir):
     """Stereo audio decode under the correctness gate (r6 — widens the
     r5 mono subset): every documents row becomes a 2-channel
@@ -1596,7 +1610,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_features_wav": _mm_features_wav,
         "mm_features_jpeg": _mm_features_jpeg,
         # -- 4. tail: r5-green, rotated out this round (re-head in r7).
-        # The five leads carry value-neutral r6 changes, each
+        # mm_features_wav_ulaw is NEW this round but the head is full:
+        # it ships with a pytest + a local full-oracle check (see
+        # COVERAGE.md) and earns its driver row when it heads r7.
+        "mm_features_wav_ulaw": _mm_features_wav_ulaw,
+        # The next five leads carry value-neutral r6 changes, each
         # pytest-pinned: mm_video_frame_sample (avi.py header-field
         # fix — bytes the feature stats never read;
         # test_avi_roundtrip_and_subset_errors), mm_features (_kind_of
@@ -2601,6 +2619,40 @@ def oracle_sql() -> dict[str, str]:
                CAST(min(v) AS BIGINT) AS s_min,
                CAST(max(v) AS BIGINT) AS s_max
         FROM s GROUP BY doc_id
+    """
+    d["mm_features_wav_ulaw"] = """
+        -- mu-law rule (r6): the mono sample rule companded through
+        -- G.711 — decoded value = expand(compress(v)), mirrored as
+        -- bias + segment CASE ladder + mantissa (exact integers)
+        WITH s AS (
+          SELECT d.doc_id, ((d.doc_id*73 + t.i*29) % 4001) - 2000 AS v
+          FROM documents d, range(0, 64) t(i)
+        ),
+        e AS (
+          SELECT doc_id, v, m,
+                 CASE WHEN m < 256 THEN 0 WHEN m < 512 THEN 1
+                      WHEN m < 1024 THEN 2 WHEN m < 2048 THEN 3
+                      WHEN m < 4096 THEN 4 WHEN m < 8192 THEN 5
+                      WHEN m < 16384 THEN 6 ELSE 7 END AS ex
+          FROM (SELECT doc_id, v, least(abs(v), 32635) + 132 AS m FROM s)
+        ),
+        dec AS (
+          SELECT doc_id,
+                 CASE WHEN v < 0 THEN
+                   -(((((m >> (ex + 3)) & 15) * 8 + 132) << ex) - 132)
+                 ELSE
+                   ((((m >> (ex + 3)) & 15) * 8 + 132) << ex) - 132
+                 END AS dv
+          FROM e
+        )
+        SELECT doc_id,
+               CAST(8000 AS BIGINT) AS sample_rate,
+               CAST(64 AS BIGINT) AS n_samples,
+               CAST(8 AS BIGINT) AS duration_ms,
+               CAST(sum(abs(dv)) AS BIGINT) AS abs_sum,
+               CAST(min(dv) AS BIGINT) AS s_min,
+               CAST(max(dv) AS BIGINT) AS s_max
+        FROM dec GROUP BY doc_id
     """
     d["mm_features_wav_stereo"] = """
         -- frozen stereo rule (r6): 64 interleaved frames, left i =

@@ -712,3 +712,41 @@ def image_near_dup_pairs(hashes: DataFrame, id_col: str = "doc_id",
     if collapse_exact:
         pairs = pairs.filter(F.col("hamming") >= 1)
     return pairs
+
+
+def wav_ulaw_payload_for_doc(doc_id: int) -> bytes:
+    """Deterministic G.711 mu-law mono RIFF/WAVE payload per doc (r6):
+    the SAME sample rule as the PCM16 fixture
+    (``wav_samples_for_doc``), companded through the real mu-law
+    encoder — so the decoded values are the exact integer function
+    ulaw_decode(ulaw_encode(s)) that DuckDB mirrors with the segment
+    CASE ladder."""
+    return render_wav(wav_samples_for_doc(doc_id), sample_rate=WAV_RATE,
+                      encoding="ulaw")
+
+
+def extract_wav_ulaw_features(docs: DataFrame) -> DataFrame:
+    """Render + decode a real mu-law WAV per documents row (format tag
+    7, one companded byte per sample) and emit exact statistics of the
+    EXPANDED samples — pinning the lossy companding math itself under
+    the DuckDB gate, same shape as ``extract_wav_features``."""
+
+    def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("doc_id", "sample_rate", "n_samples",
+                                   "duration_ms", "abs_sum", "s_min",
+                                   "s_max")}
+            for doc_id in pdf["doc_id"].tolist():
+                rate, _ch, samples = decode_wav(
+                    wav_ulaw_payload_for_doc(doc_id))
+                out["doc_id"].append(doc_id)
+                out["sample_rate"].append(rate)
+                out["n_samples"].append(len(samples))
+                out["duration_ms"].append(len(samples) * 1000 // rate)
+                out["abs_sum"].append(sum(abs(s) for s in samples))
+                out["s_min"].append(min(samples))
+                out["s_max"].append(max(samples))
+            yield pd.DataFrame(out)
+
+    return docs.select("doc_id").mapInPandas(
+        _batches, schema=WAV_FEATURE_SCHEMA)

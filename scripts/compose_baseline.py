@@ -273,6 +273,31 @@ ceiling stayed 44.0-47.6k docs/s — shares 0.55 / 0.71 / 0.69. The
 extraction headline is min-of-3 measured passes (passes within one
 run trend 14.2 -> 11.4 -> 10.0 as the JVM warms; min-of-2
 under-sampled that tail).
+
+### Interleaved ceiling pairing (r6, r5 VERDICT #2 / "what's wrong" #1)
+
+r5's single post-Spark ceiling pass could land in a different host
+sub-window than the Spark passes it normalizes (the r5 headline read
+share 0.57 vs the 0.66 audit for exactly that reason). `bench.py` now
+(a) pins the whole bench to the first N cores (`sched_setaffinity`,
+like the width-32 harness), and (b) runs (ceiling, 3x spark, ceiling)
+and pairs the min-wall Spark pass with its nearest-in-time ceiling,
+emitting `ceiling_pre`/`ceiling_post` so flatness-within-window is
+itself on the record. Same-day validation (2026-08-17, back-to-back):
+
+| run | ceiling (pre/post) | spark docs/s | share |
+|---|---|---|---|
+| bench.py, slow host phase | 39,924 / 38,587 | 19,914 | 0.52 |
+| width-32 audit, ~10 min later | 51,055 | 32,809 | **0.64** |
+| bench.py, same window as audit | 40,692 / 47,932 | 30,303 | **0.63** |
+
+Same-window bench-vs-audit shares agree within ~1 point (0.632 vs
+0.643) — the <=5-point criterion from r5 VERDICT #2 — while the
+slow-phase run shows the residual truth that share itself compresses
+when the host slows (Spark's fixed JVM/scheduler costs don't shrink
+with the kernel). A BENCH_rN share must therefore be read against its
+own `ceiling_*` fields: flat pre/post ceilings near the audit-day
+level make the share comparable; a depressed ceiling flags the window.
 """
     extra = os.path.join(REPO, "BENCH", "EXTRA.md")
     if os.path.exists(extra):  # sf1.0 + skew sections (bench/big, bench/skew)

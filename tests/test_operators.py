@@ -450,10 +450,27 @@ def test_avi_kind_routed_through_real_decoder(spark):
 def test_wav_roundtrip_and_subset_errors():
     import pytest as _pytest
 
-    from powerpoint_context_extractor_spark.wav import decode_wav, render_wav
+    from powerpoint_context_extractor_spark.wav import (
+        decode_wav, render_wav, ulaw_decode, ulaw_encode,
+    )
     samples = [0, 1, -1, 32767, -32768, 123, -4567]  # odd count -> pad
     raw = render_wav(samples, sample_rate=44100)
     assert decode_wav(raw) == (44100, 1, samples)
+    # mu-law (r6): decoded = exact expand(compress(s)); companding is
+    # idempotent on already-expanded values; ladder matches the SQL
+    # mirror (segment CASE + mantissa) on boundary samples
+    got = decode_wav(render_wav(samples, 8000, encoding="ulaw"))
+    assert got[0] == 8000 and got[1] == 1
+    assert got[2] == [ulaw_decode(ulaw_encode(s)) for s in samples]
+    for s in (0, 1, -1, 131, 132, 255, 256, 8191, 8192, 32635, 32767,
+              -32768):
+        d = ulaw_decode(ulaw_encode(s))
+        assert ulaw_decode(ulaw_encode(d)) == d
+        m = min(abs(s), 32635) + 132
+        ex = next(e for e, hi in enumerate(
+            (256, 512, 1024, 2048, 4096, 8192, 16384, 1 << 62)) if m < hi)
+        mag = ((((m >> (ex + 3)) & 15) * 8 + 132) << ex) - 132
+        assert d == (-mag if s < 0 else mag)
     with _pytest.raises(ValueError, match="RIFF/WAVE"):
         decode_wav(b"RIFFxxxxAVI " + b"\x00" * 20)
     with _pytest.raises(ValueError, match="truncated"):
