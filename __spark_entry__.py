@@ -1275,6 +1275,21 @@ def _mm_features_wav(spark, sf_dir):
     return extract_wav_features(_t(spark, sf_dir, "documents"))
 
 
+def _mm_features_jpeg_prog(spark, sf_dir):
+    """Progressive-JPEG decode under the correctness gate (r6 —
+    shrinks the honest-error surface to successive-approximation/
+    arithmetic): the SAME block-constant pixels as the baseline
+    fixture rendered as a real SOF2 spectral-selection stream (DC
+    scan + AC band scan with EOB runs, stream-defined huffman
+    tables); the multi-scan decode must land on the identical
+    integer pixel function of doc_id, so the query shares the
+    baseline JPEG oracle verbatim."""
+    from powerpoint_context_extractor_spark.operators.multimodal import (
+        extract_jpeg_prog_features,
+    )
+    return extract_jpeg_prog_features(_t(spark, sf_dir, "documents"))
+
+
 def _mm_features_wav_ulaw(spark, sf_dir):
     """G.711 mu-law audio decode under the correctness gate (r6 —
     widens the WAV subset to format tag 7, the telephony/web
@@ -1613,7 +1628,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # mm_features_wav_ulaw is NEW this round but the head is full:
         # it ships with a pytest + a local full-oracle check (see
         # COVERAGE.md) and earns its driver row when it heads r7.
+        # Same for mm_features_jpeg_prog (progressive twin of the
+        # baseline fixture; shares the baseline oracle verbatim).
         "mm_features_wav_ulaw": _mm_features_wav_ulaw,
+        "mm_features_jpeg_prog": _mm_features_jpeg_prog,
         # The next five leads carry value-neutral r6 changes, each
         # pytest-pinned: mm_video_frame_sample (avi.py header-field
         # fix — bytes the feature stats never read;
@@ -2527,6 +2545,9 @@ def oracle_sql() -> dict[str, str]:
                CAST(max(r) AS BIGINT) AS px_max
         FROM rec GROUP BY doc_id
     """
+    # progressive twin (r6): same block-constant pixels, same frozen
+    # DC quantization -> the SOF2 multi-scan decode shares the oracle
+    d["mm_features_jpeg_prog"] = d["mm_features_jpeg"]
     d["mm_features_jpeg_color"] = """
         -- frozen color-JPEG rule (r6): 32x16, two constant 16x16
         -- 4:2:0 MCUs, rgb_m = ((doc*29+m*97)%256, (doc*53+m*31)%256,

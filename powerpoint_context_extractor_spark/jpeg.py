@@ -35,7 +35,8 @@ import math
 import struct
 
 __all__ = ["render_jpeg_gray", "decode_jpeg_gray", "render_jpeg_color",
-           "decode_jpeg", "QTABLE", "ycbcr_from_rgb", "rgb_from_ycbcr"]
+           "render_jpeg_gray_progressive", "decode_jpeg", "QTABLE",
+           "ycbcr_from_rgb", "rgb_from_ycbcr"]
 
 # ITU T.81 Annex K.1 example luminance quantization table (row-major)
 QTABLE = [
@@ -476,6 +477,8 @@ def decode_jpeg(data: bytes) -> tuple:
     comps: list = []          # (id, h, v, tq)
     scan_sel: dict = {}       # comp id -> (td, ta)
     scan = None
+    progressive = False
+    scans: list = []          # progressive: (sel, Ss, Se, Ah, Al, entropy)
     while i + 4 <= len(data):
         if data[i] != 0xFF:
             raise ValueError("jpeg: bad marker alignment")
@@ -506,7 +509,8 @@ def decode_jpeg(data: bytes) -> tuple:
                 vals = list(body[o + 17:o + 17 + nv])
                 huff[(tc, th)] = _build_decoder(bits, vals)
                 o += 17 + nv
-        elif marker == 0xC0:
+        elif marker in (0xC0, 0xC2):
+            progressive = marker == 0xC2
             prec, height, width, nc = struct.unpack(">BHHB", body[:6])
             if prec != 8:
                 raise ValueError("jpeg: only 8-bit precision supported")
@@ -514,22 +518,42 @@ def decode_jpeg(data: bytes) -> tuple:
                 raise ValueError(
                     f"jpeg: unsupported component count {nc} "
                     "(subset is grayscale or YCbCr 4:2:0)")
+            if progressive and nc != 1:
+                raise ValueError(
+                    "jpeg: progressive color unsupported "
+                    "(subset is progressive grayscale)")
             for c in range(nc):
                 cid, hv, tq = body[6 + 3 * c:9 + 3 * c]
                 comps.append((cid, hv >> 4, hv & 0x0F, tq))
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
-            raise ValueError("jpeg: only baseline SOF0 is supported")
+            raise ValueError("jpeg: only SOF0/SOF2 are supported")
         elif marker == 0xDD:
             raise ValueError("jpeg: restart intervals unsupported")
         elif marker == 0xDA:
             ns = body[0]
+            sel = {}
             for c in range(ns):
                 cid, tdta = body[1 + 2 * c:3 + 2 * c]
-                scan_sel[cid] = (tdta >> 4, tdta & 0x0F)
-            scan = data[i + 2 + ln:]
-            break
+                sel[cid] = (tdta >> 4, tdta & 0x0F)
+            if not progressive:
+                scan_sel = sel
+                scan = data[i + 2 + ln:]
+                break
+            ss, se, ahal = body[1 + 2 * ns], body[2 + 2 * ns], \
+                body[3 + 2 * ns]
+            ent_start = i + 2 + ln
+            ent_end = _find_scan_end(data, ent_start)
+            scans.append((sel, ss, se, ahal >> 4, ahal & 0x0F,
+                          data[ent_start:ent_end]))
+            i = ent_end
+            continue
         i += 2 + ln
+    if progressive:
+        if width is None or not qtabs or not scans or not comps:
+            raise ValueError("jpeg: missing SOF/DQT/SOS")
+        return _decode_progressive_gray(width, height, comps, qtabs,
+                                        huff, scans)
     if width is None or not qtabs or scan is None or not comps:
         raise ValueError("jpeg: missing SOF/DQT/SOS")
     end = scan.rfind(b"\xff\xd9")
@@ -609,6 +633,84 @@ def decode_jpeg(data: bytes) -> tuple:
     return width, height, 3, bytes(rgb)
 
 
+def _decode_progressive_gray(width: int, height: int, comps: list,
+                             qtabs: dict, huff: dict,
+                             scans: list) -> tuple:
+    """Progressive (SOF2) grayscale decode, spectral selection only
+    (Ah=Al=0): coefficients accumulate across scans — the DC scan is
+    plain DPCM, AC scans fill their band with T.81 G.1.2.2 EOB-run
+    semantics — then every block dequantizes + IDCTs once at the end.
+    Successive approximation raises the honest subset error (F6)."""
+    if width % 8 or height % 8:
+        raise ValueError("jpeg: non-multiple-of-8 dims unsupported")
+    cid, _, _, tq = comps[0]
+    qt = qtabs.get(tq)
+    if qt is None:
+        raise ValueError("jpeg: missing quant table")
+    nbx, nby = width // 8, height // 8
+    nb = nbx * nby
+    coefs = [[0] * 64 for _ in range(nb)]
+    seen_dc = False
+    for sel, ss, se, ah, al, ent in scans:
+        if ah or al:
+            raise ValueError(
+                "jpeg: successive approximation unsupported "
+                "(subset is spectral selection)")
+        if cid not in sel:
+            raise ValueError("jpeg: scan references unknown component")
+        td, ta = sel[cid]
+        r = _BitReader(ent)
+        if ss == 0:
+            if se != 0:
+                raise ValueError("jpeg: progressive DC scan must be band 0")
+            dc_t = huff.get((0, td))
+            if dc_t is None:
+                raise ValueError("jpeg: scan references missing huffman table")
+            pred = 0
+            for b in range(nb):
+                size = r.huff(dc_t)
+                diff = _extend(r.bits(size), size) if size else 0
+                pred += diff
+                coefs[b][0] = pred
+            seen_dc = True
+        else:
+            if not 1 <= ss <= se <= 63:
+                raise ValueError("jpeg: bad progressive AC band")
+            ac_t = huff.get((1, ta))
+            if ac_t is None:
+                raise ValueError("jpeg: scan references missing huffman table")
+            eobrun = 0
+            for b in range(nb):
+                if eobrun:
+                    eobrun -= 1
+                    continue
+                k = ss
+                while k <= se:
+                    rs = r.huff(ac_t)
+                    rr, s = rs >> 4, rs & 0x0F
+                    if s == 0:
+                        if rr == 15:                   # ZRL
+                            k += 16
+                            continue
+                        eobrun = (1 << rr) - 1 + (r.bits(rr) if rr else 0)
+                        break
+                    k += rr
+                    if k > se:
+                        raise ValueError("jpeg: AC run past band end")
+                    coefs[b][k] = _extend(r.bits(s), s)
+                    k += 1
+    if not seen_dc:
+        raise ValueError("jpeg: progressive stream has no DC scan")
+    pixels = bytearray(width * height)
+    for by in range(nby):
+        for bx in range(nbx):
+            block = _dequant_idct(coefs[by * nbx + bx], qt)
+            for y in range(8):
+                row = (by * 8 + y) * width + bx * 8
+                pixels[row:row + 8] = bytes(block[y * 8:(y + 1) * 8])
+    return width, height, 1, bytes(pixels)
+
+
 def decode_jpeg_gray(data: bytes) -> tuple:
     """Back-compat wrapper: decode and require a single-component
     image -> (width, height, pixel bytes)."""
@@ -616,3 +718,118 @@ def decode_jpeg_gray(data: bytes) -> tuple:
     if nc != 1:
         raise ValueError("jpeg: not grayscale (use decode_jpeg)")
     return w, h, px
+
+
+# ---------------------------------------------------------------------------
+# progressive (SOF2) grayscale subset — spectral selection only (r6)
+# ---------------------------------------------------------------------------
+
+# Progressive AC scans emit EOBn symbols (0x10..0xE0 with SSSS=0) the
+# sequential Annex-K table has no codes for, so the progressive AC
+# scan ships its OWN stream-defined table: 255 symbols, all length 8
+# (canonical; code 0xFF stays unused as the spec's all-ones reserve).
+# Wasteful per byte, trivially correct — the decoder honors whatever
+# DHT the stream carries.
+_AC_PROG_BITS = [0, 0, 0, 0, 0, 0, 0, 255, 0, 0, 0, 0, 0, 0, 0, 0]
+_AC_PROG_VALS = list(range(255))
+_AC_PROG_CODES = _build_codes(_AC_PROG_BITS, _AC_PROG_VALS)
+
+
+def render_jpeg_gray_progressive(width: int, height: int,
+                                 pixels: bytes) -> bytes:
+    """Encode row-major grayscale bytes as a PROGRESSIVE (SOF2) JFIF
+    using spectral selection only (T.81 G.1: scan 1 = the DC band,
+    scan 2 = the full AC band 1..63 with EOB-run batching, both with
+    Ah=Al=0). Same frozen coefficient math as the baseline encoder —
+    a block-constant fixture decodes to the identical integer pixels,
+    which is what lets the progressive query share the baseline
+    oracle."""
+    if width % 8 or height % 8 or width <= 0 or height <= 0:
+        raise ValueError("jpeg: dimensions must be positive multiples of 8")
+    if len(pixels) != width * height:
+        raise ValueError("jpeg: pixels length != width*height")
+    zzs = []
+    for by in range(height // 8):
+        for bx in range(width // 8):
+            zzs.append(_fdct_quant(
+                [pixels[(by * 8 + y) * width + bx * 8 + x]
+                 for y in range(8) for x in range(8)]))
+    out = bytearray(b"\xff\xd8")                       # SOI
+    out += _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    zz_q = bytes(QTABLE[_ZIGZAG[k]] for k in range(64))
+    out += _seg(0xDB, b"\x00" + zz_q)                  # DQT id 0
+    out += _seg(0xC2, struct.pack(">BHHB", 8, height, width, 1)
+                + b"\x01\x11\x00")                     # SOF2, 1 comp
+    out += _seg(0xC4, b"\x00" + bytes(_DC_BITS) + bytes(_DC_VALS))
+    out += _seg(0xC4, b"\x10" + bytes(_AC_PROG_BITS)
+                + bytes(_AC_PROG_VALS))
+    # ---- scan 1: DC band (Ss=0, Se=0, Ah=Al=0) ----
+    out += _seg(0xDA, b"\x01\x01\x00" + bytes([0, 0, 0]))
+    w = _BitWriter()
+    pred = 0
+    for zz in zzs:
+        size, mag = _magnitude(zz[0] - pred)
+        pred = zz[0]
+        code, ln = _DC_CODES[size]
+        w.put(code, ln)
+        if size:
+            w.put(mag, size)
+    out += w.flush()
+    # ---- scan 2: AC band 1..63 (Ah=Al=0), EOB runs span blocks ----
+    out += _seg(0xDA, b"\x01\x01\x00" + bytes([1, 63, 0]))
+    w = _BitWriter()
+    eobrun = 0
+
+    def _flush_eob() -> None:
+        nonlocal eobrun
+        while eobrun:
+            chunk = min(eobrun, 32767)
+            rr = chunk.bit_length() - 1
+            code, ln = _AC_PROG_CODES[rr << 4]
+            w.put(code, ln)
+            if rr:
+                w.put(chunk - (1 << rr), rr)
+            eobrun -= chunk
+
+    for zz in zzs:
+        last = 0
+        for k in range(63, 0, -1):
+            if zz[k]:
+                last = k
+                break
+        if last == 0:
+            eobrun += 1
+            continue
+        _flush_eob()
+        run = 0
+        for k in range(1, last + 1):
+            if zz[k] == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, ln = _AC_PROG_CODES[0xF0]        # ZRL
+                w.put(code, ln)
+                run -= 16
+            size, mag = _magnitude(zz[k])
+            code, ln = _AC_PROG_CODES[(run << 4) | size]
+            w.put(code, ln)
+            w.put(mag, size)
+            run = 0
+        if last < 63:
+            eobrun += 1
+    _flush_eob()
+    out += w.flush()
+    out += b"\xff\xd9"                                 # EOI
+    return bytes(out)
+
+
+def _find_scan_end(data: bytes, start: int) -> int:
+    """Index of the marker that terminates entropy data at ``start``
+    (skips stuffed FF00 and RST markers)."""
+    i = start
+    while i + 1 < len(data):
+        if data[i] == 0xFF and data[i + 1] != 0x00 \
+                and not 0xD0 <= data[i + 1] <= 0xD7:
+            return i
+        i += 1
+    raise ValueError("jpeg: unterminated scan")

@@ -25,7 +25,8 @@ from pyspark.sql import types as T
 
 from ..avi import decode_avi, render_avi
 from ..jpeg import (QTABLE, decode_jpeg, decode_jpeg_gray,
-                    render_jpeg_color, render_jpeg_gray, rgb_from_ycbcr,
+                    render_jpeg_color, render_jpeg_gray,
+                    render_jpeg_gray_progressive, rgb_from_ycbcr,
                     ycbcr_from_rgb)
 from ..png import decode_png, render_png
 from ..wav import decode_wav, render_wav
@@ -108,9 +109,11 @@ def _decode_payload(kind: str, payload: bytes) -> list:
                 float(max(samples) if samples else 0)]
     if kind == "jpeg":
         # r5: REAL baseline decode (huffman + dequant + IDCT, pure
-        # stdlib); r6 extends to 3-component YCbCr 4:2:0 — the web
-        # default — so the error surface shrinks to progressive/
-        # arithmetic/exotic-sampling (honest ValueError, F6 policy)
+        # stdlib); r6 adds 3-component YCbCr 4:2:0 — the web default —
+        # and progressive grayscale (SOF2 spectral selection), so the
+        # error surface shrinks to successive-approximation/
+        # arithmetic/progressive-color/exotic-sampling (honest
+        # ValueError, F6 policy)
         w, h, nc, px = decode_jpeg(payload)
         return [float(w), float(h), float(nc), float(sum(px) % 997),
                 float(min(px)), float(max(px))]
@@ -750,3 +753,41 @@ def extract_wav_ulaw_features(docs: DataFrame) -> DataFrame:
 
     return docs.select("doc_id").mapInPandas(
         _batches, schema=WAV_FEATURE_SCHEMA)
+
+
+def jpeg_prog_payload_for_doc(doc_id: int) -> bytes:
+    """Deterministic PROGRESSIVE (SOF2, spectral-selection) twin of the
+    baseline grayscale JPEG fixture: the SAME block-constant pixels,
+    so the multi-scan decode must land on the identical integer pixel
+    function of doc_id the baseline oracle computes."""
+    px = bytearray(JPEG_W * JPEG_H)
+    for b in range(2):
+        v = jpeg_block_value(doc_id, b)
+        for y in range(JPEG_H):
+            for x in range(8):
+                px[y * JPEG_W + b * 8 + x] = v
+    return render_jpeg_gray_progressive(JPEG_W, JPEG_H, bytes(px))
+
+
+def extract_jpeg_prog_features(docs: DataFrame) -> DataFrame:
+    """Render + decode a real PROGRESSIVE JPEG per documents row
+    (SOF2: DC scan then AC band scan with EOB runs) and emit exact
+    pixel statistics — same shape and oracle as the baseline path."""
+
+    def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("doc_id", "width", "height",
+                                   "px_sum", "px_min", "px_max")}
+            for doc_id in pdf["doc_id"].tolist():
+                w, h, nc, px = decode_jpeg(jpeg_prog_payload_for_doc(doc_id))
+                assert nc == 1
+                out["doc_id"].append(doc_id)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["px_sum"].append(sum(px))
+                out["px_min"].append(min(px))
+                out["px_max"].append(max(px))
+            yield pd.DataFrame(out)
+
+    return docs.select("doc_id").mapInPandas(
+        _batches, schema=JPEG_FEATURE_SCHEMA)

@@ -556,6 +556,38 @@ def test_jpeg_roundtrip_and_subset_errors():
         decode_jpeg_gray(render_jpeg_gray(8, 8, bytes(64))[:20])
 
 
+def test_jpeg_progressive_decode_equals_baseline():
+    """r6: the SOF2 spectral-selection path (DC scan + AC band scan
+    with cross-block EOB runs, stream-defined huffman tables) decodes
+    any image to the SAME pixels as the baseline path; the honest
+    subset errors stay honest (successive approximation, progressive
+    color)."""
+    import random
+
+    import pytest as _pytest
+
+    from powerpoint_context_extractor_spark.jpeg import (
+        decode_jpeg, render_jpeg_gray, render_jpeg_gray_progressive,
+    )
+    random.seed(11)
+    for (w, h) in ((16, 8), (32, 16)):
+        px = bytes(random.randrange(256) for _ in range(w * h))
+        assert decode_jpeg(render_jpeg_gray_progressive(w, h, px)) \
+            == decode_jpeg(render_jpeg_gray(w, h, px))
+    # gradient exercises ZRL + multi-coefficient AC + EOB runs
+    px = bytes((x * 16 + y) % 256 for y in range(16) for x in range(32))
+    assert decode_jpeg(render_jpeg_gray_progressive(32, 16, px)) \
+        == decode_jpeg(render_jpeg_gray(32, 16, px))
+    # successive-approximation scan -> honest subset error: flip the
+    # first DC scan's AhAl byte (last SOS header byte) to Al=1
+    raw = bytearray(render_jpeg_gray_progressive(16, 8, bytes(128 for _ in range(128))))
+    sos = raw.find(b"\xff\xda")
+    # FF DA len2 ns1 cid,tdta Ss Se AhAl -> AhAl is at sos + 9
+    raw[sos + 9] = 0x01
+    with _pytest.raises(ValueError, match="successive approximation"):
+        decode_jpeg(bytes(raw))
+
+
 def test_jpeg_color_roundtrip_and_exactness():
     """r6 (r5 VERDICT #6): YCbCr 4:2:0 — constant MCUs decode EXACTLY
     to the analytic integer chain, a gradient image round-trips within
@@ -586,11 +618,12 @@ def test_jpeg_color_roundtrip_and_exactness():
     assert max(errs) < 64 and sum(errs) / len(errs) < 12
     with _pytest.raises(ValueError, match="multiples of 16"):
         render_jpeg_color(8, 8, bytes(8 * 8 * 3))
-    # progressive SOF2 still an honest error
+    # progressive COLOR still an honest error (r6: the progressive
+    # subset is grayscale spectral selection only)
     data = bytearray(render_jpeg_color(16, 16, bytes(16 * 16 * 3)))
     sof = data.find(b"\xff\xc0")
     data[sof + 1] = 0xC2
-    with _pytest.raises(ValueError, match="baseline"):
+    with _pytest.raises(ValueError, match="progressive color"):
         decode_jpeg(bytes(data))
     # non-4:2:0 sampling (e.g. 4:2:2) is outside the subset
     data2 = bytearray(render_jpeg_color(16, 16, bytes(16 * 16 * 3)))
