@@ -1275,6 +1275,29 @@ def _mm_features_wav(spark, sf_dir):
     return extract_wav_features(_t(spark, sf_dir, "documents"))
 
 
+def _table_time_travel(spark, sf_dir):
+    """Snapshot time travel (r6 — the Iceberg as-of read analog on the
+    engine's own snapshot table): three appends split documents by
+    doc_id % 3, with a compaction committed AFTER the second append;
+    reading AS OF the second snapshot id must replay the manifest to
+    exactly the first two thirds — untouched by the later compaction
+    and third append. Oracle: the same % 3 split in SQL."""
+    import uuid as _uuid
+
+    from powerpoint_context_extractor_spark.sources.table_io import (
+        SnapshotTable,
+    )
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    tbl = SnapshotTable(os.path.join(
+        _session_root(), f"ttv_{_uuid.uuid4().hex[:10]}"))
+    tbl.append(docs.filter(F.col("doc_id") % 3 == 0), "run-a")
+    s2 = tbl.append(docs.filter(F.col("doc_id") % 3 == 1), "run-b")
+    tbl.compact(spark, run_id="compact-later")
+    tbl.append(docs.filter(F.col("doc_id") % 3 == 2), "run-c")
+    return tbl.read_at(
+        spark, snapshot_id=s2["snapshot_id"]).select("doc_id")
+
+
 def _mm_features_jpeg_prog(spark, sf_dir):
     """Progressive-JPEG decode under the correctness gate (r6 —
     shrinks the honest-error surface to successive-approximation/
@@ -1632,6 +1655,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # baseline fixture; shares the baseline oracle verbatim).
         "mm_features_wav_ulaw": _mm_features_wav_ulaw,
         "mm_features_jpeg_prog": _mm_features_jpeg_prog,
+        "table_time_travel": _table_time_travel,
         # The next five leads carry value-neutral r6 changes, each
         # pytest-pinned: mm_video_frame_sample (avi.py header-field
         # fix — bytes the feature stats never read;
@@ -2548,6 +2572,10 @@ def oracle_sql() -> dict[str, str]:
     # progressive twin (r6): same block-constant pixels, same frozen
     # DC quantization -> the SOF2 multi-scan decode shares the oracle
     d["mm_features_jpeg_prog"] = d["mm_features_jpeg"]
+    # time travel (r6): as-of the second snapshot = first two thirds
+    d["table_time_travel"] = """
+        SELECT doc_id FROM documents WHERE doc_id % 3 IN (0, 1)
+    """
     d["mm_features_jpeg_color"] = """
         -- frozen color-JPEG rule (r6): 32x16, two constant 16x16
         -- 4:2:0 MCUs, rgb_m = ((doc*29+m*97)%256, (doc*53+m*31)%256,

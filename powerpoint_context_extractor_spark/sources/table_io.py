@@ -325,6 +325,55 @@ class SnapshotTable:
             return None
         return spark.read.parquet(*files)
 
+    # -- time travel (r6: the Iceberg snapshot-as-of read analog) -------
+    def snapshots_at(self, snapshot_id: str | None = None,
+                     as_of_ts: str | None = None) -> list:
+        """LIVE snapshots as of a historical point: replay the
+        append-log only up to (and including) ``snapshot_id``, or up
+        to the last entry with ``committed_at <= as_of_ts`` (ISO
+        string; manifest timestamps are UTC ISO so plain string
+        comparison is chronological). Compactions after the cut
+        simply haven't happened yet in the replay, so the pre-compact
+        file lists come back exactly as a reader at that time saw
+        them — O(manifest), no data touched."""
+        if (snapshot_id is None) == (as_of_ts is None):
+            raise ValueError(
+                "time travel: pass exactly one of snapshot_id / as_of_ts")
+        live: dict = {}
+        found = False
+        for e in self._entries():
+            if as_of_ts is not None and e["committed_at"] > as_of_ts:
+                break
+            for rid in e.get("replaces", ()):
+                live.pop(rid, None)
+            live[e["snapshot_id"]] = e
+            if snapshot_id is not None and e["snapshot_id"] == snapshot_id:
+                found = True
+                break
+        if snapshot_id is not None and not found:
+            raise ValueError(
+                f"time travel: unknown snapshot_id {snapshot_id!r}")
+        return list(live.values())
+
+    def read_at(self, spark: SparkSession,
+                snapshot_id: str | None = None,
+                as_of_ts: str | None = None) -> DataFrame | None:
+        """Read the table as of a snapshot id or timestamp. Raises if
+        the historical files were already vacuumed (snapshot isolation
+        holds until vacuum — the explicit destructive step — exactly
+        like expiring snapshots in Iceberg)."""
+        snaps = self.snapshots_at(snapshot_id=snapshot_id,
+                                  as_of_ts=as_of_ts)
+        files = [f for s in snaps for f in s["files"]]
+        gone = [f for f in files if not os.path.exists(f)]
+        if gone:
+            raise ValueError(
+                "time travel: target snapshot's files were vacuumed: "
+                + gone[0])
+        if not files:
+            return None
+        return spark.read.parquet(*files)
+
     def committed_keys(self, spark: SparkSession, key_col: str) -> DataFrame | None:
         """Column-pruned scan of just the key column across committed
         snapshots — the probe side of the resume anti-join (U3)."""

@@ -207,3 +207,44 @@ def test_snapshot_commit_is_metadata_only(spark, tmp_path, monkeypatch):
     assert reads == []          # no Spark re-read of committed data
     # readers still see exactly the committed rows
     assert tbl.read(spark).count() == 1234
+
+
+def test_snapshot_time_travel_and_vacuum_guard(spark, tmp_path):
+    """r6 time travel: as-of reads replay the manifest to a historical
+    point (by snapshot id or timestamp); a later compaction doesn't
+    rewrite history; vacuum honestly breaks pre-compaction targets."""
+    import pytest as _pytest
+
+    from powerpoint_context_extractor_spark.sources.table_io import (
+        SnapshotTable,
+    )
+    tbl = SnapshotTable(str(tmp_path / "ttv"))
+    s1 = tbl.append(spark.range(0, 10).toDF("id"), "a")
+    s2 = tbl.append(spark.range(10, 25).toDF("id"), "b")
+    tbl.compact(spark, run_id="c")
+    s3 = tbl.append(spark.range(25, 30).toDF("id"), "d")
+
+    def ids(df):
+        return sorted(r["id"] for r in df.collect())
+
+    assert ids(tbl.read_at(spark, snapshot_id=s1["snapshot_id"])) \
+        == list(range(10))
+    assert ids(tbl.read_at(spark, snapshot_id=s2["snapshot_id"])) \
+        == list(range(25))
+    # timestamp cut at s2's commit == the same state
+    assert ids(tbl.read_at(spark, as_of_ts=s2["committed_at"])) \
+        == list(range(25))
+    # current read includes the compaction + third append
+    assert ids(tbl.read(spark)) == list(range(30))
+    with _pytest.raises(ValueError, match="unknown snapshot_id"):
+        tbl.read_at(spark, snapshot_id="nope")
+    with _pytest.raises(ValueError, match="exactly one"):
+        tbl.read_at(spark)
+    # vacuum drops the replaced pre-compaction files -> honest error
+    # for historical targets, while current reads stay intact
+    assert tbl.vacuum()
+    with _pytest.raises(ValueError, match="vacuumed"):
+        tbl.read_at(spark, snapshot_id=s1["snapshot_id"])
+    assert ids(tbl.read(spark)) == list(range(30))
+    assert ids(tbl.read_at(spark, snapshot_id=s3["snapshot_id"])) \
+        == list(range(30))
