@@ -1327,6 +1327,22 @@ def _mm_features_wav_ulaw(spark, sf_dir):
     return extract_wav_ulaw_features(_t(spark, sf_dir, "documents"))
 
 
+def _mm_video_rle8(spark, sf_dir):
+    """RLE8-COMPRESSED video decode under the correctness gate (r6 —
+    closes the 'compressed AVI' honest-error surface): every documents
+    row becomes a real BI_RLE8 AVI (8bpp strf with the frozen
+    16-entry palette; every row's stream holds a 5-pixel run, a
+    3-pixel absolute segment with word pad, and an EOL/EOB escape);
+    Spark decompresses the actual streams and expands the palette
+    while DuckDB computes per-frame RGB statistics analytically from
+    the frozen index rule idx = (doc*7 + f*5 + y*3 + max(0,x-4)) % 16
+    and palette rule (j*37, j*59, j*83) % 256."""
+    from powerpoint_context_extractor_spark.operators.multimodal import (
+        extract_video_rle8_frames,
+    )
+    return extract_video_rle8_frames(_t(spark, sf_dir, "documents"))
+
+
 def _mm_features_wav_stereo(spark, sf_dir):
     """Stereo audio decode under the correctness gate (r6 — widens the
     r5 mono subset): every documents row becomes a 2-channel
@@ -1656,6 +1672,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_features_wav_ulaw": _mm_features_wav_ulaw,
         "mm_features_jpeg_prog": _mm_features_jpeg_prog,
         "table_time_travel": _table_time_travel,
+        "mm_video_rle8": _mm_video_rle8,
         # The next five leads carry value-neutral r6 changes, each
         # pytest-pinned: mm_video_frame_sample (avi.py header-field
         # fix — bytes the feature stats never read;
@@ -2652,6 +2669,28 @@ def oracle_sql() -> dict[str, str]:
                CAST(min(p) AS BIGINT) AS px_min,
                CAST(max(p) AS BIGINT) AS px_max
         FROM px GROUP BY doc_id, frame_id
+    """
+    d["mm_video_rle8"] = """
+        -- frozen RLE8 rule (r6): 8x4 indexed frames, 4 frames, all
+        -- decoded; index at (f, y, x) =
+        -- (doc_id*7 + f*5 + y*3 + greatest(0, x-4)) % 16 against the
+        -- frozen palette entry j = ((j*37)%256, (j*59)%256, (j*83)%256)
+        WITH px AS (
+          SELECT d.doc_id, f.f AS frame_id,
+                 (d.doc_id*7 + f.f*5 + y.y*3 + greatest(0, x.x - 4)) % 16
+                   AS j
+          FROM documents d, range(0, 4) f(f), range(0, 4) y(y),
+               range(0, 8) x(x)
+        ), rgb AS (
+          SELECT doc_id, frame_id,
+                 (j*37) % 256 AS r, (j*59) % 256 AS g, (j*83) % 256 AS b
+          FROM px
+        )
+        SELECT doc_id, CAST(frame_id AS BIGINT) AS frame_id,
+               CAST(sum(r + g + b) AS BIGINT) AS px_sum,
+               CAST(min(least(r, g, b)) AS BIGINT) AS px_min,
+               CAST(max(greatest(r, g, b)) AS BIGINT) AS px_max
+        FROM rgb GROUP BY doc_id, frame_id
     """
     d["mm_features_wav"] = """
         -- frozen WAV rule (r5): PCM16 mono, rate 8000, 64 samples,

@@ -14,8 +14,10 @@ Frames use the REAL DIB conventions that trip naive decoders:
 multiples. ``decode_avi`` returns frames as top-down RGB bytes.
 
 Subset (documented, raises ValueError outside it): uncompressed
-24-bit DIB frames ('00db'), single video stream. Reference analog:
-the media enrichment batch at
+24-bit DIB frames ('00db') or — since r6 — BI_RLE8 compressed 8-bit
+palettized frames ('00dc': runs, absolute mode, EOL/EOB/delta
+escapes, word-aligned absolute segments), single video stream.
+Reference analog: the media enrichment batch at
 `pptx_extractor/recommendations/generator.py:306-343`.
 """
 
@@ -23,7 +25,8 @@ from __future__ import annotations
 
 import struct
 
-__all__ = ["render_avi", "decode_avi"]
+__all__ = ["render_avi", "render_avi_rle8", "decode_avi",
+           "rle8_encode_frame", "rle8_decode_frame"]
 
 
 def _row_stride(width: int) -> int:
@@ -98,9 +101,162 @@ def render_avi(width: int, height: int, frames: list,
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
+# --- BI_RLE8 compressed frames (r6) ----------------------------------------
+
+def rle8_encode_frame(width: int, height: int, idx: bytes) -> bytes:
+    """RLE8-compress one frame of top-down palette indices (len w*h)
+    using the REAL Windows BI_RLE8 wire format: encoded rows run
+    BOTTOM-UP; repeats >= 3 become (count, index) runs; literal
+    stretches >= 3 become absolute mode (00, n, bytes, word-pad);
+    1-2 stray literals fall back to short runs; every row ends with
+    the 00 00 end-of-line escape and the frame with 00 01
+    end-of-bitmap."""
+    if len(idx) != width * height:
+        raise ValueError("rle8: frame length != width*height")
+    out = bytearray()
+    for y in range(height - 1, -1, -1):              # bottom-up rows
+        row = idx[y * width:(y + 1) * width]
+        x = 0
+        lits = bytearray()
+
+        def flush_lits() -> None:
+            nonlocal lits
+            while lits:
+                if len(lits) >= 3:
+                    n = min(len(lits), 255)
+                    out.append(0)
+                    out.append(n)
+                    out.extend(lits[:n])
+                    if n % 2:
+                        out.append(0)                # absolute word-pad
+                    lits = lits[n:]
+                else:                                # 1-2 strays: runs
+                    out.append(1)
+                    out.append(lits[0])
+                    lits = lits[1:]
+
+        while x < width:
+            run = 1
+            while (x + run < width and run < 255
+                   and row[x + run] == row[x]):
+                run += 1
+            if run >= 3:
+                flush_lits()
+                out.append(run)
+                out.append(row[x])
+            else:
+                lits.extend(row[x:x + run])
+            x += run
+        flush_lits()
+        out.extend(b"\x00\x00" if y > 0 else b"\x00\x01")  # EOL / EOB
+    return bytes(out)
+
+
+def rle8_decode_frame(width: int, height: int, data: bytes) -> bytes:
+    """Decode one BI_RLE8 frame -> top-down palette indices (len w*h).
+    Handles runs, absolute mode (word-aligned), and the EOL (00 00),
+    EOB (00 01), and delta (00 02 dx dy) escapes; delta-skipped pixels
+    keep the DIB-conventional 0 fill. Raises ValueError on overruns."""
+    idx = bytearray(width * height)
+    x, y = 0, height - 1                             # bottom-up cursor
+    i = 0
+
+    def put(run: bytes) -> None:
+        nonlocal x
+        if y < 0 or x + len(run) > width:
+            raise ValueError("rle8: pixel run overflows row")
+        base = y * width + x
+        idx[base:base + len(run)] = run
+        x += len(run)
+
+    while i + 2 <= len(data):
+        b0, b1 = data[i], data[i + 1]
+        i += 2
+        if b0 > 0:                                   # encoded run
+            put(bytes([b1]) * b0)
+        elif b1 == 0:                                # EOL
+            x, y = 0, y - 1
+        elif b1 == 1:                                # EOB
+            return bytes(idx)
+        elif b1 == 2:                                # delta: skip pixels
+            if i + 2 > len(data):
+                raise ValueError("rle8: truncated delta escape")
+            dx, dy = data[i], data[i + 1]
+            i += 2
+            x, y = x + dx, y - dy
+            if x > width or y < 0:
+                raise ValueError("rle8: delta escape out of bounds")
+        else:                                        # absolute mode
+            seg = data[i:i + b1]
+            if len(seg) != b1:
+                raise ValueError("rle8: truncated absolute segment")
+            put(seg)
+            i += b1 + (b1 % 2)                       # word alignment
+    raise ValueError("rle8: stream ended without end-of-bitmap")
+
+
+def render_avi_rle8(width: int, height: int, frames: list, palette: list,
+                    fps: int = 10) -> bytes:
+    """Encode ``frames`` (each top-down palette-index bytes, len w*h)
+    as a BI_RLE8 compressed 8-bit AVI: the strf BITMAPINFOHEADER says
+    biBitCount=8 / biCompression=1 and carries the RGBQUAD palette
+    (BGR0 order), frames go in '00dc' (compressed) chunks, and the
+    idx1 index backs AVIF_HASINDEX exactly like the uncompressed
+    writer."""
+    if width <= 0 or height <= 0 or fps <= 0 or not frames:
+        raise ValueError("avi: need positive dims/fps and >= 1 frame")
+    if not 1 <= len(palette) <= 256:
+        raise ValueError("avi: palette must have 1..256 entries")
+    comp = []
+    for f in frames:
+        if any(b >= len(palette) for b in f):
+            raise ValueError("avi: palette index out of range")
+        comp.append(rle8_encode_frame(width, height, f))
+    bufsz = max(len(c) for c in comp)
+    avih = struct.pack(
+        "<IIIIIIIIIIIIII",
+        1_000_000 // fps, bufsz * fps, 0, 0x10,      # AVIF_HASINDEX
+        len(frames), 0, 1, bufsz,
+        width, height, 0, 0, 0, 0)
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIIIhhhh",
+        b"vids", b"MRLE", 0, 0, 0, 0,
+        1, fps, 0, len(frames), bufsz, 0, 0,
+        0, 0, width, height)
+    strf = struct.pack(
+        "<IiiHHIIiiII",
+        40, width, height, 1, 8,                     # 8bpp
+        1,                                           # BI_RLE8
+        0, 0, 0, len(palette), 0)
+    strf += b"".join(bytes((b, g, r, 0)) for r, g, b in palette)
+    strl_body = (b"strl"
+                 + b"strh" + struct.pack("<I", len(strh)) + strh
+                 + b"strf" + struct.pack("<I", len(strf)) + strf)
+    strl = b"LIST" + struct.pack("<I", len(strl_body)) + strl_body
+    hdrl_body = (b"hdrl"
+                 + b"avih" + struct.pack("<I", len(avih)) + avih
+                 + strl)
+    hdrl = b"LIST" + struct.pack("<I", len(hdrl_body)) + hdrl_body
+    movi_body = bytearray(b"movi")
+    idx_entries = []
+    for c in comp:
+        idx_entries.append((len(movi_body), len(c)))
+        movi_body += b"00dc" + struct.pack("<I", len(c)) + c
+        if len(c) % 2:
+            movi_body += b"\x00"
+    movi = b"LIST" + struct.pack("<I", len(movi_body)) + bytes(movi_body)
+    idx_body = b"".join(
+        struct.pack("<4sIII", b"00dc", 0x10, off, ln)
+        for off, ln in idx_entries)
+    idx1 = b"idx1" + struct.pack("<I", len(idx_body)) + idx_body
+    body = b"AVI " + hdrl + movi + idx1
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
 def decode_avi(data: bytes) -> tuple:
-    """Decode an uncompressed-DIB AVI -> (width, height, fps, frames)
-    where each frame is top-down RGB bytes. Raises ValueError outside
+    """Decode an uncompressed-DIB or BI_RLE8 AVI -> (width, height,
+    fps, frames) where each frame is top-down RGB bytes (RLE8 indices
+    are expanded through the strf palette). Raises ValueError outside
     the subset (log-and-continue at the operator layer, F6 policy)."""
     if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"AVI ":
         raise ValueError("avi: not a RIFF/AVI container")
@@ -108,10 +264,12 @@ def decode_avi(data: bytes) -> tuple:
     if riff_len + 8 > len(data):
         raise ValueError("avi: truncated RIFF payload")
     width = height = fps = None
+    bitcount = compression = None
+    palette = []
     frames = []
 
     def walk(start: int, end: int) -> None:
-        nonlocal width, height, fps
+        nonlocal width, height, fps, bitcount, compression, palette
         i = start
         while i + 8 <= end:
             cid = data[i:i + 4]
@@ -131,24 +289,52 @@ def decode_avi(data: bytes) -> tuple:
                     raise ValueError("avi: zero frame period")
                 width, height = w, h
                 fps = 1_000_000 // usec
+            elif cid == b"strf" and bitcount is None and ln >= 40:
+                _sz, _w, _h, _planes, bc, cm, _si, _xp, _yp, used, _imp = \
+                    struct.unpack("<IiiHHIIiiII", data[body_start:
+                                                       body_start + 40])
+                bitcount, compression = bc, cm
+                n_pal = used if used else (256 if bc == 8 else 0)
+                pal_raw = data[body_start + 40:body_start + 40 + 4 * n_pal]
+                if len(pal_raw) == 4 * n_pal:          # RGBQUAD = BGR0
+                    palette = [(pal_raw[4 * j + 2], pal_raw[4 * j + 1],
+                                pal_raw[4 * j]) for j in range(n_pal)]
             elif cid == b"00db":
-                frames.append((body_start, ln))
-            elif cid in (b"00dc", b"01dc"):
+                frames.append(("db", body_start, ln))
+            elif cid == b"00dc":
+                frames.append(("dc", body_start, ln))
+            elif cid == b"01dc":
                 raise ValueError(
-                    "avi: compressed frames unsupported (subset is "
-                    "uncompressed 24-bit DIB '00db')")
+                    "avi: multi-stream files unsupported (subset is a "
+                    "single video stream)")
             i = body_start + ln + (ln % 2)
 
     walk(12, 8 + riff_len)
     if width is None or not frames:
         raise ValueError("avi: missing avih header or frames")
+    has_dc = any(k == "dc" for k, _s, _l in frames)
+    if has_dc and compression != 1:
+        raise ValueError(
+            "avi: compressed frames unsupported (subset is uncompressed "
+            f"24-bit DIB '00db' or BI_RLE8; strf compression={compression})")
+    if has_dc and (bitcount != 8 or not palette):
+        raise ValueError("avi: BI_RLE8 needs an 8bpp strf with a palette")
     stride = _row_stride(width)
     out = []
-    for body_start, ln in frames:
+    for kind, body_start, ln in frames:
+        rgb = bytearray(width * height * 3)
+        if kind == "dc":
+            idx = rle8_decode_frame(width, height,
+                                    data[body_start:body_start + ln])
+            for p, j in enumerate(idx):
+                if j >= len(palette):
+                    raise ValueError("avi: palette index out of range")
+                rgb[p * 3:p * 3 + 3] = bytes(palette[j])
+            out.append(bytes(rgb))
+            continue
         if ln != stride * height:
             raise ValueError("avi: frame size != stride*height")
         dib = data[body_start:body_start + ln]
-        rgb = bytearray(width * height * 3)
         for y in range(height):
             src_row = (height - 1 - y) * stride      # bottom-up -> top
             for x in range(width):

@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..avi import decode_avi, render_avi
+from ..avi import decode_avi, render_avi, render_avi_rle8
 from ..jpeg import (QTABLE, decode_jpeg, decode_jpeg_gray,
                     render_jpeg_color, render_jpeg_gray,
                     render_jpeg_gray_progressive, rgb_from_ycbcr,
@@ -472,6 +472,60 @@ def extract_video_frames(docs: DataFrame, every: int = 2) -> DataFrame:
         _batches, schema=FRAME_SAMPLE_SCHEMA)
 
 
+# --- BI_RLE8 compressed video contract path (r6) ---------------------------
+
+RLE_W, RLE_H, RLE_FRAMES = 8, 4, 4
+
+
+def rle8_index_for_doc(doc_id: int, f: int, y: int, x: int) -> int:
+    """Frozen rule mirrored by the DuckDB oracle: the palette index at
+    (frame f, top-down row y, column x) is
+    (doc_id*7 + f*5 + y*3 + max(0, x-4)) % 16 — the first five pixels
+    of every row repeat (forcing an RLE run) and the last three are
+    distinct (forcing absolute mode), so the encoded stream exercises
+    runs, absolute segments with word padding, EOL, and EOB on every
+    single row."""
+    return (doc_id * 7 + f * 5 + y * 3 + max(0, x - 4)) % 16
+
+
+def rle8_payload_for_doc(doc_id: int) -> bytes:
+    """Deterministic 4-frame BI_RLE8 AVI per doc against the frozen
+    16-entry palette (PNG_PALETTE: entry j = ((j*37)%256, (j*59)%256,
+    (j*83)%256) — shared with the indexed-PNG fixture so the oracles
+    stay on one palette rule)."""
+    frames = [bytes(rle8_index_for_doc(doc_id, f, y, x)
+                    for y in range(RLE_H) for x in range(RLE_W))
+              for f in range(RLE_FRAMES)]
+    return render_avi_rle8(RLE_W, RLE_H, frames, PNG_PALETTE, fps=AVI_FPS)
+
+
+def extract_video_rle8_frames(docs: DataFrame) -> DataFrame:
+    """Decode a real RLE8-COMPRESSED video payload per documents row
+    (r6 — closes the 'compressed AVI' honest-error surface): the full
+    RIFF walk, strf palette parse, run/absolute/EOL/EOB decompression,
+    and palette expansion run inside Arrow batches; exact per-frame
+    RGB statistics come out for the DuckDB gate. Arrow-batched, zero
+    shuffles — at 100 TB this is scan-speed like the other decode
+    kernels."""
+
+    def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("doc_id", "frame_id", "px_sum",
+                                   "px_min", "px_max")}
+            for doc_id in pdf["doc_id"].tolist():
+                _w, _h, _fps, frames = decode_avi(rle8_payload_for_doc(doc_id))
+                for fid, px in enumerate(frames):
+                    out["doc_id"].append(doc_id)
+                    out["frame_id"].append(fid)
+                    out["px_sum"].append(sum(px))
+                    out["px_min"].append(min(px))
+                    out["px_max"].append(max(px))
+            yield pd.DataFrame(out)
+
+    return docs.select("doc_id").mapInPandas(
+        _batches, schema=FRAME_SAMPLE_SCHEMA)
+
+
 # --- real-WAV contract path (r5) -------------------------------------------
 
 WAV_RATE, WAV_N = 8000, 64
@@ -742,6 +796,44 @@ def extract_wav_ulaw_features(docs: DataFrame) -> DataFrame:
             for doc_id in pdf["doc_id"].tolist():
                 rate, _ch, samples = decode_wav(
                     wav_ulaw_payload_for_doc(doc_id))
+                out["doc_id"].append(doc_id)
+                out["sample_rate"].append(rate)
+                out["n_samples"].append(len(samples))
+                out["duration_ms"].append(len(samples) * 1000 // rate)
+                out["abs_sum"].append(sum(abs(s) for s in samples))
+                out["s_min"].append(min(samples))
+                out["s_max"].append(max(samples))
+            yield pd.DataFrame(out)
+
+    return docs.select("doc_id").mapInPandas(
+        _batches, schema=WAV_FEATURE_SCHEMA)
+
+
+def wav_adpcm_payload_for_doc(doc_id: int) -> bytes:
+    """Deterministic IMA ADPCM mono RIFF/WAVE payload per doc (r6):
+    the SAME sample rule as the PCM16 fixture compressed through the
+    real stateful encoder (predictor + step-index state machine, one
+    4-bit nibble per sample) — the DuckDB oracle replays the exact
+    quantize/reconstruct recursion as a recursive CTE, so the lossy
+    codec's full state trajectory is under the hash."""
+    return render_wav(wav_samples_for_doc(doc_id), sample_rate=WAV_RATE,
+                      encoding="adpcm")
+
+
+def extract_wav_adpcm_features(docs: DataFrame) -> DataFrame:
+    """Render + decode a real IMA ADPCM WAV per documents row (format
+    tag 0x11: block header + nibble stream, low nibble first) and emit
+    exact statistics of the RECONSTRUCTED samples — same shape as
+    ``extract_wav_features``. Arrow-batched, zero shuffles."""
+
+    def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("doc_id", "sample_rate", "n_samples",
+                                   "duration_ms", "abs_sum", "s_min",
+                                   "s_max")}
+            for doc_id in pdf["doc_id"].tolist():
+                rate, _ch, samples = decode_wav(
+                    wav_adpcm_payload_for_doc(doc_id))
                 out["doc_id"].append(doc_id)
                 out["sample_rate"].append(rate)
                 out["n_samples"].append(len(samples))

@@ -430,6 +430,71 @@ def test_avi_roundtrip_and_subset_errors():
         decode_avi(comp)
 
 
+def test_avi_rle8_roundtrip_delta_and_subset_errors():
+    """r6 BI_RLE8 codec: palettized frames round-trip through the real
+    wire format (runs, absolute mode with word pad, EOL/EOB); the
+    delta escape skips pixels leaving the DIB-conventional 0 fill;
+    truncated streams and out-of-range palette indices raise."""
+    import pytest as _pytest
+
+    from powerpoint_context_extractor_spark.avi import (
+        decode_avi, render_avi_rle8, rle8_decode_frame, rle8_encode_frame,
+    )
+    from powerpoint_context_extractor_spark.operators import multimodal as mm
+
+    # container round-trip on the frozen fixture rule
+    frames = [bytes(mm.rle8_index_for_doc(9, f, y, x)
+                    for y in range(mm.RLE_H) for x in range(mm.RLE_W))
+              for f in range(mm.RLE_FRAMES)]
+    raw = render_avi_rle8(mm.RLE_W, mm.RLE_H, frames, mm.PNG_PALETTE, fps=10)
+    w, h, fps, rgbs = decode_avi(raw)
+    assert (w, h, fps) == (mm.RLE_W, mm.RLE_H, 10)
+    assert rgbs[2] == b"".join(bytes(mm.PNG_PALETTE[j]) for j in frames[2])
+
+    # raw codec round-trip across run/literal mixes (incl. >255 runs)
+    for pat in (b"\x00" * 300, bytes(range(7)) * 3, b"\x05\x05\x01\x02",
+                bytes((i * 11) % 4 for i in range(50))):
+        wdt = len(pat)
+        assert rle8_decode_frame(wdt, 1, rle8_encode_frame(wdt, 1, pat)) == pat
+
+    # delta escape: dx=2, dy=1 from the bottom row, then a 2-run
+    enc = bytes([0, 2, 2, 1, 2, 5, 0, 0, 0, 0, 0, 1])
+    dec = rle8_decode_frame(4, 3, enc)
+    exp = bytearray(12)
+    exp[1 * 4 + 2] = exp[1 * 4 + 3] = 5
+    assert dec == bytes(exp)
+
+    with _pytest.raises(ValueError, match="end-of-bitmap"):
+        rle8_decode_frame(4, 3, bytes([2, 1, 0, 0]))
+    with _pytest.raises(ValueError, match="palette index"):
+        render_avi_rle8(2, 1, [b"\x10\x00"], mm.PNG_PALETTE)
+    # an 8bpp strf with a non-RLE8 compression keeps the honest error
+    rle4 = raw.replace(
+        b"\x01\x00\x08\x00\x01\x00\x00\x00",      # planes=1,bpp=8,comp=1
+        b"\x01\x00\x08\x00\x02\x00\x00\x00", 1)   # -> comp=2 (BI_RLE4)
+    assert rle4 != raw
+    with _pytest.raises(ValueError, match="unsupported"):
+        decode_avi(rle4)
+
+
+def test_mm_video_rle8_matches_analytic_rule(spark):
+    """The Spark RLE8 decode query reproduces the frozen index/palette
+    rule exactly (the same math the DuckDB oracle runs)."""
+    from powerpoint_context_extractor_spark.operators import multimodal as mm
+    docs = spark.createDataFrame([(3,), (14,)], "doc_id long")
+    got = {(r["doc_id"], r["frame_id"]): r
+           for r in mm.extract_video_rle8_frames(docs).collect()}
+    assert len(got) == 2 * mm.RLE_FRAMES
+    for doc_id in (3, 14):
+        for f in range(mm.RLE_FRAMES):
+            px = [c for y in range(mm.RLE_H) for x in range(mm.RLE_W)
+                  for c in mm.PNG_PALETTE[mm.rle8_index_for_doc(
+                      doc_id, f, y, x)]]
+            r = got[(doc_id, f)]
+            assert (r["px_sum"], r["px_min"], r["px_max"]) == (
+                sum(px), min(px), max(px))
+
+
 def test_avi_kind_routed_through_real_decoder(spark):
     """r5: the video kind decodes for REAL in the generic feature path
     (n_frames, w, h, fps, first/last frame checksums) — the U1 stub
