@@ -1327,6 +1327,21 @@ def _mm_features_wav_ulaw(spark, sf_dir):
     return extract_wav_ulaw_features(_t(spark, sf_dir, "documents"))
 
 
+def _mm_features_wav_adpcm(spark, sf_dir):
+    """IMA ADPCM audio decode under the correctness gate (r6 — closes
+    the 'ADPCM WAV' honest-error surface): the SAME mono sample rule
+    compressed through the real STATEFUL codec (predictor + step-index
+    state machine, 4-bit nibbles, format tag 0x11). Spark expands the
+    actual nibble stream; DuckDB replays the exact quantize/
+    reconstruct recursion as a RECURSIVE CTE over the 89-entry step
+    table — the codec's full 64-step state trajectory per doc is under
+    the hash, not just a per-sample formula."""
+    from powerpoint_context_extractor_spark.operators.multimodal import (
+        extract_wav_adpcm_features,
+    )
+    return extract_wav_adpcm_features(_t(spark, sf_dir, "documents"))
+
+
 def _mm_video_rle8(spark, sf_dir):
     """RLE8-COMPRESSED video decode under the correctness gate (r6 —
     closes the 'compressed AVI' honest-error surface): every documents
@@ -1673,6 +1688,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_features_jpeg_prog": _mm_features_jpeg_prog,
         "table_time_travel": _table_time_travel,
         "mm_video_rle8": _mm_video_rle8,
+        "mm_features_wav_adpcm": _mm_features_wav_adpcm,
         # The next five leads carry value-neutral r6 changes, each
         # pytest-pinned: mm_video_frame_sample (avi.py header-field
         # fix — bytes the feature stats never read;
@@ -2741,6 +2757,63 @@ def oracle_sql() -> dict[str, str]:
                CAST(min(dv) AS BIGINT) AS s_min,
                CAST(max(dv) AS BIGINT) AS s_max
         FROM dec GROUP BY doc_id
+    """
+    # IMA ADPCM (r6): the oracle REPLAYS the stateful codec — a
+    # recursive CTE advances (predictor, step index) one sample at a
+    # time through the exact quantize/reconstruct integer math the
+    # encoder and decoder share; the step table is interpolated from
+    # the frozen wav.py constant so the engines can never drift
+    from powerpoint_context_extractor_spark.wav import IMA_STEPS
+    d["mm_features_wav_adpcm"] = f"""
+        WITH RECURSIVE samp AS (
+          SELECT d.doc_id, t.i,
+                 ((d.doc_id*73 + t.i*29) % 4001) - 2000 AS s
+          FROM documents d, range(0, 64) t(i)
+        ), steps AS (
+          SELECT unnest(range(0, 89)) AS idx,
+                 unnest([{", ".join(map(str, IMA_STEPS))}]) AS step
+        ), st AS (
+          SELECT doc_id, 0 AS i, s AS pred, 0 AS sidx FROM samp WHERE i = 0
+          UNION ALL
+          SELECT doc_id, i,
+                 greatest(-32768, least(32767,
+                   pred + CASE WHEN d0 < 0 THEN -recon ELSE recon END))
+                   AS pred,
+                 greatest(0, least(88,
+                   sidx + CASE WHEN nl < 4 THEN -1 ELSE (nl - 3) * 2 END))
+                   AS sidx
+          FROM (
+            SELECT *,
+                   step // 8 + b4 * step + b2 * (step // 2)
+                     + b1 * (step // 4) AS recon,
+                   b4 * 4 + b2 * 2 + b1 AS nl
+            FROM (
+              SELECT *, CASE WHEN ad - b4*step - b2*(step//2) >= step//4
+                             THEN 1 ELSE 0 END AS b1
+              FROM (
+                SELECT *, CASE WHEN ad - b4*step >= step//2
+                               THEN 1 ELSE 0 END AS b2
+                FROM (
+                  SELECT st.doc_id, n.i, st.pred, st.sidx, sp.step,
+                         n.s - st.pred AS d0, abs(n.s - st.pred) AS ad,
+                         CASE WHEN abs(n.s - st.pred) >= sp.step
+                              THEN 1 ELSE 0 END AS b4
+                  FROM st
+                  JOIN samp n ON n.doc_id = st.doc_id AND n.i = st.i + 1
+                  JOIN steps sp ON sp.idx = st.sidx
+                )
+              )
+            )
+          )
+        )
+        SELECT doc_id,
+               CAST(8000 AS BIGINT) AS sample_rate,
+               CAST(64 AS BIGINT) AS n_samples,
+               CAST(8 AS BIGINT) AS duration_ms,
+               CAST(sum(abs(pred)) AS BIGINT) AS abs_sum,
+               CAST(min(pred) AS BIGINT) AS s_min,
+               CAST(max(pred) AS BIGINT) AS s_max
+        FROM st GROUP BY doc_id
     """
     d["mm_features_wav_stereo"] = """
         -- frozen stereo rule (r6): 64 interleaved frames, left i =

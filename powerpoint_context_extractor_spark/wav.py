@@ -11,17 +11,112 @@ real audio bytes, not a byte-statistics stand-in.
 Subset (documented, raises ValueError outside it): PCM (format tag 1,
 16-bit little-endian) or G.711 mu-law (format tag 7, 8-bit — the
 telephony/web-audio companding codec; r6), mono or stereo (r6 adds
-2-channel interleaved). Reference analog: the media enrichment batch
-at `pptx_extractor/recommendations/generator.py:306-343`.
+2-channel interleaved), or IMA ADPCM (format tag 0x11, 4-bit, mono —
+the classic stateful predictor/step-table codec; r6). Reference
+analog: the media enrichment batch at
+`pptx_extractor/recommendations/generator.py:306-343`.
 """
 
 from __future__ import annotations
 
 import struct
 
-__all__ = ["render_wav", "decode_wav", "ulaw_encode", "ulaw_decode"]
+__all__ = ["render_wav", "decode_wav", "ulaw_encode", "ulaw_decode",
+           "adpcm_encode_block", "adpcm_decode_block"]
 
 _ULAW_CLIP, _ULAW_BIAS = 32635, 0x84
+
+# the public IMA/DVI ADPCM tables (step sizes + index adjustments)
+IMA_STEPS = [
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767]
+IMA_INDEX_ADJUST = [-1, -1, -1, -1, 2, 4, 6, 8]
+
+
+def _adpcm_step(pred: int, index: int, s: int) -> tuple:
+    """Advance the IMA state machine by one target sample: quantize
+    (s - pred) to a 4-bit nibble against the current step, then
+    reconstruct EXACTLY as the decoder will — the encoder's tracked
+    predictor IS the decoded output, which is what makes the lossy
+    codec oracle-able (the SQL recursive CTE replays this function
+    verbatim). Returns (nibble, new_pred, new_index)."""
+    step = IMA_STEPS[index]
+    diff = s - pred
+    nib = 8 if diff < 0 else 0
+    diff = -diff if diff < 0 else diff
+    if diff >= step:
+        nib |= 4
+        diff -= step
+    if diff >= step >> 1:
+        nib |= 2
+        diff -= step >> 1
+    if diff >= step >> 2:
+        nib |= 1
+    recon = step >> 3
+    if nib & 4:
+        recon += step
+    if nib & 2:
+        recon += step >> 1
+    if nib & 1:
+        recon += step >> 2
+    pred = pred - recon if nib & 8 else pred + recon
+    pred = max(-32768, min(32767, pred))
+    index = max(0, min(88, index + IMA_INDEX_ADJUST[nib & 7]))
+    return nib, pred, index
+
+
+def adpcm_encode_block(samples, init_index: int = 0) -> bytes:
+    """Encode one mono IMA ADPCM block: 4-byte header (int16 predictor
+    = sample 0 verbatim, step index, reserved 0) + one nibble per
+    remaining sample, packed low-nibble-first, zero-padded to whole
+    bytes."""
+    if not samples:
+        raise ValueError("adpcm: empty block")
+    pred, index = samples[0], init_index
+    head = struct.pack("<hBB", pred, index, 0)
+    nibs = []
+    for s in samples[1:]:
+        nib, pred, index = _adpcm_step(pred, index, s)
+        nibs.append(nib)
+    if len(nibs) % 2:
+        nibs.append(0)                         # pad nibble (ignored)
+    body = bytes(nibs[i] | (nibs[i + 1] << 4) for i in range(0, len(nibs), 2))
+    return head + body
+
+
+def adpcm_decode_block(block: bytes, n_samples: int) -> list:
+    """Decode one mono IMA ADPCM block -> ``n_samples`` linear samples
+    (header sample + expanded nibbles, low nibble first; trailing pad
+    nibbles beyond the sample count are ignored per the WAV spec)."""
+    if len(block) < 4:
+        raise ValueError("adpcm: short block header")
+    pred, index, _res = struct.unpack("<hBB", block[:4])
+    if index > 88:
+        raise ValueError("adpcm: step index out of range")
+    if n_samples < 1 or (n_samples - 1 + 1) // 2 > len(block) - 4:
+        raise ValueError("adpcm: block too short for sample count")
+    out = [pred]
+    for k in range(n_samples - 1):
+        byte = block[4 + (k >> 1)]
+        nib = (byte >> 4) if k & 1 else (byte & 0x0F)
+        step = IMA_STEPS[index]
+        recon = step >> 3
+        if nib & 4:
+            recon += step
+        if nib & 2:
+            recon += step >> 1
+        if nib & 1:
+            recon += step >> 2
+        pred = pred - recon if nib & 8 else pred + recon
+        pred = max(-32768, min(32767, pred))
+        index = max(0, min(88, index + IMA_INDEX_ADJUST[nib & 7]))
+        out.append(pred)
+    return out
 
 
 def ulaw_encode(s: int) -> int:
@@ -46,9 +141,12 @@ def render_wav(samples, sample_rate: int = 8000,
                channels: int = 1, encoding: str = "pcm16") -> bytes:
     """Encode 16-bit signed samples (channel-interleaved for stereo:
     L0 R0 L1 R1 ...) as a canonical RIFF/WAVE file. ``encoding`` is
-    ``pcm16`` (format tag 1) or ``ulaw`` (format tag 7: each sample
+    ``pcm16`` (format tag 1), ``ulaw`` (format tag 7: each sample
     companded to one G.711 byte; the fmt chunk carries the spec's
-    cbSize=0 extension for non-PCM tags)."""
+    cbSize=0 extension for non-PCM tags), or ``adpcm`` (format tag
+    0x11, mono only: ONE IMA block holding all samples, block align
+    4 + ceil((n-1)/2), wSamplesPerBlock = n in the cbSize=2
+    extension)."""
     if sample_rate <= 0:
         raise ValueError("wav: non-positive sample rate")
     if channels not in (1, 2):
@@ -65,6 +163,14 @@ def render_wav(samples, sample_rate: int = 8000,
         data = bytes(ulaw_encode(s) for s in samples)
         fmt = struct.pack("<HHIIHHH", 7, channels, sample_rate,
                           sample_rate * channels, channels, 8, 0)
+    elif encoding == "adpcm":
+        if channels != 1:
+            raise ValueError("wav: adpcm subset is mono only")
+        data = adpcm_encode_block(samples)
+        align = len(data)
+        fmt = struct.pack("<HHIIHHHH", 0x11, 1, sample_rate,
+                          (sample_rate * align) // max(1, len(samples)),
+                          align, 4, 2, len(samples))
     else:
         raise ValueError(f"wav: unsupported encoding {encoding!r}")
     body = (b"WAVE"
@@ -90,6 +196,8 @@ def decode_wav(data: bytes) -> tuple:
     sample_rate = None
     n_channels = None
     fmt_tag = None
+    block_align = None
+    spb = None                             # ADPCM wSamplesPerBlock
     data_body = None
     while i + 8 <= len(data):
         cid = data[i:i + 4]
@@ -100,15 +208,26 @@ def decode_wav(data: bytes) -> tuple:
         if cid == b"fmt ":
             if ln < 16:
                 raise ValueError("wav: short fmt chunk")
-            tag, n_ch, rate, _brate, _align, bits = struct.unpack(
+            tag, n_ch, rate, _brate, align, bits = struct.unpack(
                 "<HHIIHH", body[:16])
-            if n_ch not in (1, 2) or (tag, bits) not in ((1, 16), (7, 8)):
+            if (n_ch not in (1, 2)
+                    or (tag, bits) not in ((1, 16), (7, 8), (0x11, 4))
+                    or (tag == 0x11 and n_ch != 1)):
                 raise ValueError(
                     f"wav: unsupported format tag={tag} channels={n_ch} "
-                    f"bits={bits} (subset is PCM16 or mu-law mono/stereo)")
+                    f"bits={bits} (subset is PCM16 / mu-law mono-stereo "
+                    f"/ IMA ADPCM mono)")
+            if tag == 0x11:
+                if ln < 20:
+                    raise ValueError("wav: adpcm fmt missing extension")
+                (_cb, spb) = struct.unpack("<HH", body[16:20])
+                if spb < 1 or align < 4 + (spb - 1 + 1) // 2:
+                    raise ValueError("wav: adpcm block align too small "
+                                     "for samples per block")
             sample_rate = rate
             n_channels = n_ch
             fmt_tag = tag
+            block_align = align
         elif cid == b"data":
             data_body = body
         i += 8 + ln + (ln % 2)             # skip word-alignment pad
@@ -118,6 +237,13 @@ def decode_wav(data: bytes) -> tuple:
         if len(data_body) % 2 != 0:
             raise ValueError("wav: odd data length for 16-bit PCM")
         samples = list(struct.unpack(f"<{len(data_body) // 2}h", data_body))
+    elif fmt_tag == 0x11:                  # IMA ADPCM: stateful blocks
+        if block_align == 0 or len(data_body) % block_align != 0:
+            raise ValueError("wav: adpcm data not whole blocks")
+        samples = []
+        for b0 in range(0, len(data_body), block_align):
+            samples.extend(adpcm_decode_block(
+                data_body[b0:b0 + block_align], spb))
     else:                                  # mu-law: one byte per sample
         samples = [ulaw_decode(b) for b in data_body]
     if len(samples) % n_channels != 0:

@@ -430,6 +430,58 @@ def test_avi_roundtrip_and_subset_errors():
         decode_avi(comp)
 
 
+def test_wav_adpcm_roundtrip_and_subset_errors():
+    """r6 IMA ADPCM: the container round-trips through the real block
+    layout (int16 predictor header, low-nibble-first packing); the
+    decoded trajectory tracks the input within the codec's step
+    resolution; clamps and index saturation hold under full-scale
+    swings; subset errors stay honest."""
+    import pytest as _pytest
+
+    from powerpoint_context_extractor_spark.wav import (
+        adpcm_decode_block, adpcm_encode_block, decode_wav, render_wav,
+    )
+
+    s = [((11 * 73 + i * 29) % 4001) - 2000 for i in range(64)]
+    raw = render_wav(s, sample_rate=8000, encoding="adpcm")
+    rate, ch, dec = decode_wav(raw)
+    assert (rate, ch, len(dec)) == (8000, 1, 64)
+    assert dec == adpcm_decode_block(adpcm_encode_block(s), 64)
+    assert dec[0] == s[0]                       # header sample verbatim
+    assert max(abs(a - b) for a, b in zip(dec, s)) < 64  # tracks input
+
+    # full-scale alternation saturates the step index and hits clamps
+    swing = [(-1) ** i * min(32767, i * 1000) for i in range(64)]
+    d = adpcm_decode_block(adpcm_encode_block(swing), 64)
+    assert all(-32768 <= v <= 32767 for v in d)
+
+    with _pytest.raises(ValueError, match="mono"):
+        render_wav(s, sample_rate=8000, channels=2, encoding="adpcm")
+    with _pytest.raises(ValueError, match="short block"):
+        adpcm_decode_block(b"\x00\x00", 4)
+    with _pytest.raises(ValueError, match="too short"):
+        adpcm_decode_block(b"\x00\x00\x00\x00\x12", 64)
+    # odd data tail -> not whole blocks
+    with _pytest.raises(ValueError, match="whole blocks"):
+        decode_wav(raw.replace(b"data" + (36).to_bytes(4, "little"),
+                               b"data" + (35).to_bytes(4, "little")))
+
+
+def test_mm_wav_adpcm_matches_python_state_machine(spark):
+    """The Spark ADPCM decode query equals the pure-Python state
+    machine (which the DuckDB recursive-CTE oracle replays)."""
+    from powerpoint_context_extractor_spark.operators import multimodal as mm
+    from powerpoint_context_extractor_spark.wav import decode_wav
+    docs = spark.createDataFrame([(2,), (77,)], "doc_id long")
+    got = {r["doc_id"]: r
+           for r in mm.extract_wav_adpcm_features(docs).collect()}
+    for doc_id in (2, 77):
+        _rate, _ch, samples = decode_wav(mm.wav_adpcm_payload_for_doc(doc_id))
+        r = got[doc_id]
+        assert (r["n_samples"], r["abs_sum"], r["s_min"], r["s_max"]) == (
+            64, sum(abs(v) for v in samples), min(samples), max(samples))
+
+
 def test_avi_rle8_roundtrip_delta_and_subset_errors():
     """r6 BI_RLE8 codec: palettized frames round-trip through the real
     wire format (runs, absolute mode with word pad, EOL/EOB); the
