@@ -489,6 +489,64 @@ def _sample_mixture_domains_v2(spark, sf_dir):
                                    out_fraction_bp=8000)
 
 
+def _sample_reservoir(spark, sf_dir):
+    """Deterministic per-stratum fixed-k sample (r6): rows ranked by
+    (H('res'||doc_id), doc_id) within stratum doc_id%4, k=25 smallest
+    win — hash-rank reservoir semantics, rerun- and resume-stable.
+    Two-level exact top-k in Spark (no hot-stratum single-task sort);
+    the oracle uses the equivalent one-level row_number formulation."""
+    from powerpoint_context_extractor_spark.operators.sampling import (
+        reservoir_sample,
+    )
+    d = (_t(spark, sf_dir, "documents")
+         .select("doc_id", F.format_string(
+             "s%d", F.col("doc_id") % 4).alias("stratum")))
+    return reservoir_sample(d, "stratum", k=25)
+
+
+def _sample_temperature(spark, sf_dir):
+    """Temperature-flattened mixture (r6, mT5 T=2 public method):
+    domains d0..d3 skewed 40/30/20/10 via doc_id%10; target shares
+    proportional to isqrt(count) so scarce d3 is up-weighted without a
+    weights table. Integer-exact (floor(sqrt()) identical across
+    engines for counts < 2^52); half-corpus output fraction."""
+    from powerpoint_context_extractor_spark.operators.sampling import (
+        temperature_sample,
+    )
+    dom = (F.when(F.col("doc_id") % 10 < 4, 0)
+           .when(F.col("doc_id") % 10 < 7, 1)
+           .when(F.col("doc_id") % 10 < 9, 2).otherwise(3))
+    d = (_t(spark, sf_dir, "documents")
+         .select("doc_id", F.format_string("d%d", dom).alias("domain")))
+    return temperature_sample(d, "domain", out_fraction_bp=5000)
+
+
+def _graph_pagerank_hosts(spark, sf_dir):
+    """Host-graph PageRank (r6): the session click graph — consecutive
+    events per user, host = event_id % 13 — becomes a weighted
+    src->dst edge list, then 5 power iterations of integer-exact
+    PageRank (damping 85/100, scale 1e12). Link centrality as a corpus
+    quality prior, the Common Crawl host-ranking use case. The oracle
+    unrolls the same 5 iterations as CTEs; every rank value matches
+    bit-for-bit because all divisions are integer."""
+    from pyspark.sql import Window as W
+
+    from powerpoint_context_extractor_spark.operators.graph import (
+        pagerank,
+    )
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id",
+        (F.col("event_id") % 13).alias("host"))
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    v = e.withColumn("prev", F.lag("host").over(w))
+    edges = (v.filter(F.col("prev").isNotNull())
+             .groupBy(F.col("prev").alias("src"),
+                      F.col("host").alias("dst"))
+             .agg(F.count(F.lit(1)).alias("w")))
+    return pagerank(edges, iterations=5).select(
+        F.col("node").alias("host"), "rank_scaled")
+
+
 def _web_robots_filter(spark, sf_dir):
     """Crawl-politeness filter: per-host robots.txt (User-agent: *
     Disallow prefixes) parsed with array HOFs and broadcast-joined to
@@ -1745,6 +1803,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_charset_cjk": _text_charset_cjk,
         "flagship_extract": _flagship_extract,
         "warc_extract": _warc_extract,
+        # -- added late in round 6 (tail; earn driver rows when they
+        # head r7): reservoir + temperature sampling ----------------------
+        "sample_reservoir": _sample_reservoir,
+        "sample_temperature": _sample_temperature,
+        "graph_pagerank_hosts": _graph_pagerank_hosts,
     }
 
 
@@ -3779,4 +3842,96 @@ def oracle_sql() -> dict[str, str]:
                END AS text_md5
         FROM toks t LEFT JOIN agg a USING (doc_id)
     """
+    d["sample_reservoir"] = """
+        -- hash-rank reservoir: one-level row_number formulation; the
+        -- Spark side's two-level bucket top-k is exactly equivalent
+        WITH src AS (
+          SELECT doc_id, printf('s%d', doc_id % 4) AS stratum,
+                 ('0x' || substr(md5(printf('res%d', doc_id)), 1, 8))
+                 ::BIGINT % 1000000007 AS h
+          FROM documents
+        ),
+        r AS (
+          SELECT doc_id, stratum,
+                 row_number() OVER (PARTITION BY stratum
+                                    ORDER BY h, doc_id) AS rk
+          FROM src
+        )
+        SELECT doc_id, stratum, CAST(rk AS BIGINT) AS rk
+        FROM r WHERE rk <= 25
+    """
+    d["sample_temperature"] = """
+        -- temperature T=2 mixture mirrored from
+        -- sampling.temperature_sample: w = floor(sqrt(count)),
+        -- quota = ((N*5000)//10000) * w // sum(w),
+        -- rate_bp = least(10000, quota*10000//count)
+        WITH src AS (
+          SELECT doc_id,
+                 printf('d%d', CASE WHEN doc_id % 10 < 4 THEN 0
+                                    WHEN doc_id % 10 < 7 THEN 1
+                                    WHEN doc_id % 10 < 9 THEN 2
+                                    ELSE 3 END) AS domain
+          FROM documents
+        ),
+        cnt AS (SELECT domain, count(*) AS c FROM src GROUP BY domain),
+        agg AS (SELECT sum(c) AS nt,
+                       sum(CAST(floor(sqrt(c)) AS BIGINT)) AS sw
+                FROM cnt),
+        rates AS (
+          SELECT domain,
+                 least(10000,
+                       (((nt * 5000) // 10000)
+                        * CAST(floor(sqrt(c)) AS BIGINT) // sw)
+                       * 10000 // c) AS rate_bp
+          FROM cnt, agg
+        ),
+        sel AS (
+          SELECT s.doc_id, s.domain, r.rate_bp,
+                 (('0x' || substr(md5(printf('temp%d', s.doc_id)), 1, 8))
+                  ::BIGINT % 1000000007) % 10000 AS h
+          FROM src s JOIN rates r USING (domain)
+        )
+        SELECT doc_id, domain, CAST(rate_bp AS BIGINT) AS rate_bp
+        FROM sel WHERE h < rate_bp
+    """
+    d["graph_pagerank_hosts"] = _pagerank_oracle(iterations=5)
     return d
+
+
+def _pagerank_oracle(iterations: int) -> str:
+    """Unrolled power-iteration CTE chain mirroring graph.pagerank
+    bit-for-bit: base = ((1e12 // n) * 15) // 100, per-edge contrib
+    (r * w) // outw, damped inflow (85 * sum) // 100."""
+    its = []
+    for k in range(1, iterations + 1):
+        its.append(f"""
+        it{k} AS (
+          SELECT nd.node,
+                 (((1000000000000 // nn.n) * 15) // 100)
+                 + (85 * coalesce(s.infl, 0)) // 100 AS r
+          FROM nodes nd CROSS JOIN nn
+          LEFT JOIN (SELECT e.dst AS node,
+                            sum((p.r * e.w) // o.ow) AS infl
+                     FROM edges e
+                     JOIN it{k - 1} p ON e.src = p.node
+                     JOIN outw o ON e.src = o.src
+                     GROUP BY e.dst) s ON nd.node = s.node
+        )""")
+    return f"""
+        WITH e0 AS (SELECT user_id, ts, event_id,
+                           event_id % 13 AS host FROM events),
+        v AS (SELECT host,
+                     lag(host) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev
+              FROM e0),
+        edges AS (SELECT prev AS src, host AS dst, count(*) AS w
+                  FROM v WHERE prev IS NOT NULL GROUP BY 1, 2),
+        nodes AS (SELECT src AS node FROM edges
+                  UNION SELECT dst FROM edges),
+        nn AS (SELECT count(*) AS n FROM nodes),
+        outw AS (SELECT src, sum(w) AS ow FROM edges GROUP BY src),
+        it0 AS (SELECT node, 1000000000000 // n AS r FROM nodes, nn),
+        {",".join(its)}
+        SELECT node AS host, CAST(r AS BIGINT) AS rank_scaled
+        FROM it{iterations}
+    """

@@ -140,3 +140,86 @@ def mixture_sample_upsample(docs: DataFrame, domain_col: str,
                     F.explode(F.sequence(
                         F.lit(0).cast("long"),
                         F.col("_nc").cast("long") - 1)).alias("rep")))
+
+
+def reservoir_sample(docs: DataFrame, stratum_col: str, k: int,
+                     id_col: str = "doc_id", salt: str = "res",
+                     buckets: int = 32) -> DataFrame:
+    """Deterministic fixed-size-k sample per stratum ("reservoir"
+    semantics without the sequential reservoir): rows are ranked within
+    their stratum by ``(H(salt || id), id)`` and the k smallest win.
+    Hash-rank top-k is the distributed, rerun-stable equivalent of
+    Vitter's algorithm R — the "random" order is a pure function of the
+    row id, so resumes and cross-engine oracles agree, and appending
+    new rows can only displace old winners the way a true reservoir
+    would. Emits (id, stratum, rk) with rk in [1, k].
+
+    Scale shape: a naive single window over the stratum would sort
+    every row of a hot stratum on one task (windows cannot be
+    AQE-skew-split).  Instead: two-level exact top-k — stage 1 ranks
+    within ``(stratum, id % buckets)`` and keeps k per bucket, so no
+    task ever sorts more than ~1/buckets of a hot stratum; stage 2
+    ranks the <= buckets*k survivors per stratum.  The global top-k by
+    a total order is always contained in the union of per-bucket
+    top-ks, so the two-level result is EXACTLY the single-window
+    result (the oracle uses the plain one-level formulation)."""
+    if k <= 0 or buckets <= 0:
+        raise ValueError("reservoir_sample: k and buckets must be > 0")
+    from pyspark.sql import Window as W
+    h = portable_hash(F.format_string(f"{salt}%d", F.col(id_col)))
+    base = docs.select(F.col(id_col),
+                       F.col(stratum_col).alias("stratum"),
+                       h.alias("_h"),
+                       (F.col(id_col) % buckets).alias("_b"))
+    w1 = W.partitionBy("stratum", "_b").orderBy("_h", id_col)
+    stage1 = (base.withColumn("_r1", F.row_number().over(w1))
+              .filter(F.col("_r1") <= k))
+    w2 = W.partitionBy("stratum").orderBy("_h", id_col)
+    return (stage1.withColumn("rk", F.row_number().over(w2))
+            .filter(F.col("rk") <= k)
+            .select(id_col, "stratum", F.col("rk").cast("long").alias("rk")))
+
+
+def temperature_sample(docs: DataFrame, domain_col: str,
+                       out_fraction_bp: int = 5000,
+                       id_col: str = "doc_id",
+                       salt: str = "temp") -> DataFrame:
+    """Temperature-flattened mixture sampling (the mT5 / multilingual-
+    pretraining rebalance, public method): target domain shares are
+    proportional to count^(1/2) — i.e. sampling temperature T=2, the
+    common setting — so scarce domains are up-weighted relative to
+    their natural share without a hand-written weights table.
+
+    Integer-exact derivation (mirrored in the oracle; ``isqrt`` is
+    ``floor(sqrt(x))``, identical in Spark and DuckDB because IEEE-754
+    sqrt is correctly rounded and counts < 2^52 are exact doubles):
+      w_d      = isqrt(count_d)
+      N_out    = (N_total * out_fraction_bp) div 10000
+      quota_d  = (N_out * w_d) div sum(w)
+      rate_bp  = least(10000, quota_d * 10000 div count_d)
+    Keep a row iff ``H(salt || id) % 10000 < rate_bp``.  Emits
+    (id, domain, rate_bp).
+
+    Scale shape: same as :func:`mixture_sample` — one combiner count
+    per domain, weights derived on the tiny counts table (single-
+    partition window over thousands of domain rows is free), rates
+    broadcast back; the corpus never shuffles."""
+    from pyspark.sql import Window as W
+    counts = docs.groupBy(F.col(domain_col).alias("_dom")).agg(
+        F.count(F.lit(1)).alias("_cnt"))
+    win = W.partitionBy(F.lit(1))
+    rates = (counts
+             .withColumn("_w", F.floor(F.sqrt(F.col("_cnt"))).cast("long"))
+             .withColumn("_n", F.sum("_cnt").over(win))
+             .withColumn("_sw", F.sum("_w").over(win))
+             .withColumn("rate_bp", F.least(F.lit(10000), F.expr(
+                 f"(((_n * {int(out_fraction_bp)}) div 10000)"
+                 " * _w div _sw) * 10000 div _cnt")))
+             .select("_dom", "rate_bp"))
+    h = portable_hash(F.format_string(f"{salt}%d", F.col(id_col))) % 10000
+    return (docs.select(F.col(id_col), F.col(domain_col).alias("domain"),
+                        h.alias("_h"))
+            .join(F.broadcast(rates), F.col("domain") == F.col("_dom"))
+            .filter(F.col("_h") < F.col("rate_bp"))
+            .select(id_col, "domain",
+                    F.col("rate_bp").cast("long").alias("rate_bp")))

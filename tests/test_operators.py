@@ -1511,3 +1511,98 @@ def test_png_resize_nn_exact():
     # channel-aware upscale keeps pixels (triples) intact
     up3 = resize_nn(2, 1, bytes([1, 2, 3, 9, 8, 7]), 4, 1, channels=3)
     assert up3 == bytes([1, 2, 3, 1, 2, 3, 9, 8, 7, 9, 8, 7])
+
+
+def test_reservoir_two_level_equals_one_level(spark):
+    """r6: the two-level bucket top-k in reservoir_sample is exactly
+    the one-level hash-rank top-k (the oracle formulation), including
+    on a hot stratum and a stratum smaller than k; dual-run stable."""
+    from pyspark.sql import Window as W
+
+    from powerpoint_context_extractor_spark.operators import sampling
+    from powerpoint_context_extractor_spark.operators.dedup import (
+        portable_hash,
+    )
+    # hot stratum: 70% of rows in s0; s2 has only 3 rows (< k)
+    rows = ([(i, "s0") for i in range(700)]
+            + [(1000 + i, "s1") for i in range(297)]
+            + [(5000 + i, "s2") for i in range(3)])
+    docs = spark.createDataFrame(rows, "doc_id long, stratum string")
+    out = sampling.reservoir_sample(docs, "stratum", k=10).collect()
+    h = portable_hash(F.format_string("res%d", F.col("doc_id")))
+    w = W.partitionBy("stratum").orderBy("_h", "doc_id")
+    want = (docs.withColumn("_h", h)
+            .withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= 10)
+            .select("doc_id", "stratum", F.col("rk").cast("long"))
+            .collect())
+    assert sorted(map(tuple, out)) == sorted(map(tuple, want))
+    by_s: dict = {}
+    for r in out:
+        by_s.setdefault(r["stratum"], []).append(r["rk"])
+    assert sorted(by_s["s0"]) == list(range(1, 11))
+    assert sorted(by_s["s1"]) == list(range(1, 11))
+    assert sorted(by_s["s2"]) == [1, 2, 3]        # undersized stratum
+    again = sampling.reservoir_sample(docs, "stratum", k=10).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+    with pytest.raises(ValueError, match="reservoir"):
+        sampling.reservoir_sample(docs, "stratum", k=0)
+
+
+def test_temperature_sample_flattens_shares(spark):
+    """r6: T=2 temperature sampling up-weights scarce domains — the
+    acceptance rate for a 64-row domain exceeds the natural-share rate,
+    the 1600-row domain's is below it, and every rate matches the
+    integer isqrt formula."""
+    from powerpoint_context_extractor_spark.operators import sampling
+    rows = ([(i, "big") for i in range(1600)]
+            + [(10000 + i, "rare") for i in range(64)])
+    docs = spark.createDataFrame(rows, "doc_id long, domain string")
+    out = sampling.temperature_sample(docs, "domain",
+                                      out_fraction_bp=5000).collect()
+    # w(big)=40, w(rare)=8, sum=48; N_out=832
+    # quota(big) = 832*40//48 = 693 -> rate 693*1e4//1600 = 4331
+    # quota(rare) = 832*8//48 = 138 -> rate 10000 (capped: 138 > 64)
+    rates = {r["domain"]: r["rate_bp"] for r in out}
+    assert rates == {"big": 4331, "rare": 10000}
+    n_rare = sum(1 for r in out if r["domain"] == "rare")
+    assert n_rare == 64                      # capped rate keeps all
+    n_big = sum(1 for r in out if r["domain"] == "big")
+    assert 550 < n_big < 840                 # ~43% hash gate
+    # natural share would give both domains rate 5000: rare got 2x+
+    assert rates["rare"] > 5000 > rates["big"]
+
+
+def test_pagerank_star_and_cycle(spark):
+    """r6: integer PageRank sanity on known graphs — a 3-cycle stays
+    uniform (rank = base + 85% of a full share, constant across
+    iterations up to rounding), a star concentrates rank on the hub,
+    and total mass never exceeds SCALE; dual-run identical."""
+    import pytest as _pytest
+
+    from powerpoint_context_extractor_spark.operators import graph
+    cyc = spark.createDataFrame(
+        [(0, 1, 1), (1, 2, 1), (2, 0, 1)], "src long, dst long, w long")
+    r = {x["node"]: x["rank_scaled"]
+         for x in graph.pagerank(cyc, iterations=5).collect()}
+    assert len(r) == 3 and len(set(r.values())) == 1
+    # uniform orbit: rk+1 = base + (85 * rk) // 100 (floor drift keeps
+    # it 1 below the previous value each step — exactness is the point)
+    base, rk = ((graph.SCALE // 3) * 15) // 100, graph.SCALE // 3
+    for _ in range(5):
+        rk = base + (85 * rk) // 100
+    assert r[0] == rk
+    # star: leaves 1..4 all point at hub 0; hub dangles (mass drops)
+    star = spark.createDataFrame(
+        [(i, 0, 1) for i in range(1, 5)], "src long, dst long, w long")
+    s = {x["node"]: x["rank_scaled"]
+         for x in graph.pagerank(star, iterations=3).collect()}
+    assert s[0] > s[1] == s[2] == s[3] == s[4]
+    assert sum(s.values()) <= graph.SCALE
+    # leaves get base only (no in-edges)
+    assert s[1] == ((graph.SCALE // 5) * 15) // 100
+    again = {x["node"]: x["rank_scaled"]
+             for x in graph.pagerank(star, iterations=3).collect()}
+    assert s == again
+    with _pytest.raises(ValueError, match="pagerank"):
+        graph.pagerank(star, iterations=-1)
