@@ -1356,6 +1356,28 @@ def _table_time_travel(spark, sf_dir):
         spark, snapshot_id=s2["snapshot_id"]).select("doc_id")
 
 
+def _table_schema_evolution(spark, sf_dir):
+    """Schema evolution on the snapshot table (r6 — the Iceberg
+    add-column analog): a v1 append carries (doc_id, lang), a later
+    v2 append adds n_chars; the evolved read projects every snapshot
+    to the LATEST schema, so v1 rows surface n_chars as typed NULLs
+    with no rewrite of committed data. Oracle: the same %2 split with
+    a CASE-NULL for the pre-evolution rows."""
+    import uuid as _uuid
+
+    from powerpoint_context_extractor_spark.sources.table_io import (
+        SnapshotTable,
+    )
+    docs = _t(spark, sf_dir, "documents")
+    tbl = SnapshotTable(os.path.join(
+        _session_root(), f"evo_{_uuid.uuid4().hex[:10]}"))
+    tbl.append(docs.filter(F.col("doc_id") % 2 == 0)
+               .select("doc_id", "lang"), "run-v1")
+    tbl.append(docs.filter(F.col("doc_id") % 2 == 1)
+               .select("doc_id", "lang", "n_chars"), "run-v2")
+    return tbl.read_evolved(spark)
+
+
 def _mm_features_jpeg_prog(spark, sf_dir):
     """Progressive-JPEG decode under the correctness gate (r6 —
     shrinks the honest-error surface to successive-approximation/
@@ -1808,6 +1830,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_reservoir": _sample_reservoir,
         "sample_temperature": _sample_temperature,
         "graph_pagerank_hosts": _graph_pagerank_hosts,
+        "table_schema_evolution": _table_schema_evolution,
     }
 
 
@@ -3895,6 +3918,13 @@ def oracle_sql() -> dict[str, str]:
         FROM sel WHERE h < rate_bp
     """
     d["graph_pagerank_hosts"] = _pagerank_oracle(iterations=5)
+    d["table_schema_evolution"] = """
+        -- evolved read: v1 rows (even doc_id) predate the n_chars
+        -- column and surface it as NULL; v2 rows carry their value
+        SELECT doc_id, lang,
+               CASE WHEN doc_id % 2 = 1 THEN n_chars END AS n_chars
+        FROM documents
+    """
     return d
 
 

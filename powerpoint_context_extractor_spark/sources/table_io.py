@@ -31,6 +31,7 @@ import uuid
 from datetime import datetime, timezone
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 MANIFEST = "_snapshots.jsonl"
 LEGACY_MANIFEST = "_snapshots.json"
@@ -120,8 +121,78 @@ class SnapshotTable:
             files.extend(s["files"])
         return files
 
+    # -- schema evolution (r6: the Iceberg add-column/widen analog) ----
+    #: type changes an append may make to an existing column, old ->
+    #: new (Iceberg's promotion rules: integers widen, float widens to
+    #: double — never the lossy direction)
+    _WIDENINGS = {("tinyint", "smallint"), ("tinyint", "int"),
+                  ("tinyint", "bigint"), ("smallint", "int"),
+                  ("smallint", "bigint"), ("int", "bigint"),
+                  ("float", "double")}
+
+    def _snap_schema(self, spark: SparkSession, snap: dict) -> list:
+        """(name, simple type) pairs for one snapshot: the manifest
+        records the schema at commit time (r6+); pre-r6 entries derive
+        it once from the snapshot's own parquet footer."""
+        if "schema" in snap:
+            return [tuple(c) for c in snap["schema"]]
+        st = spark.read.parquet(snap["files"][0]).schema
+        return [(f.name, f.dataType.simpleString()) for f in st]
+
+    def table_schema(self, spark: SparkSession) -> list | None:
+        """Current schema = the LATEST live snapshot's schema (adds
+        and widenings land by appending; a column absent from the
+        newest snapshot is dropped from evolved reads)."""
+        snaps = self.snapshots()
+        return self._snap_schema(spark, snaps[-1]) if snaps else None
+
+    def _check_evolution(self, cur: list | None, new: list) -> None:
+        if cur is None:
+            return
+        cur_types = dict(cur)
+        for name, t in new:
+            old = cur_types.get(name)
+            if old is None or old == t:
+                continue
+            if (old, t) in self._WIDENINGS:
+                continue          # widening: reads cast old data up
+            raise ValueError(
+                f"schema evolution: column {name!r} cannot change "
+                f"{old} -> {t} (only additive changes and integer/"
+                "float widenings are allowed)")
+
+    def read_evolved(self, spark: SparkSession) -> DataFrame | None:
+        """Read across schema versions: project every snapshot to the
+        latest schema — missing columns become typed NULLs, widened
+        columns cast up, dropped columns are omitted. Snapshots are
+        grouped by schema so the scan count is O(#distinct schemas)
+        (a handful, ever), not O(#snapshots); each group is a plain
+        multi-file parquet read with pushdown intact — no mergeSchema
+        footer sampling."""
+        snaps = self.snapshots()
+        if not snaps:
+            return None
+        latest = self._snap_schema(spark, snaps[-1])
+        groups: dict = {}
+        for s in snaps:
+            key = tuple(self._snap_schema(spark, s))
+            groups.setdefault(key, []).extend(s["files"])
+        out = None
+        for key, files in groups.items():
+            have = {n for n, _ in key}
+            proj = spark.read.parquet(*files).select(
+                *[(F.col(n).cast(t) if n in have
+                   else F.lit(None).cast(t)).alias(n)
+                  for n, t in latest])
+            out = proj if out is None else out.unionByName(proj)
+        return out
+
     # -- IO --------------------------------------------------------------
     def append(self, df: DataFrame, run_id: str) -> dict:
+        new_schema = [(f.name, f.dataType.simpleString())
+                      for f in df.schema.fields]
+        self._check_evolution(self.table_schema(df.sparkSession),
+                              new_schema)
         snap_id = uuid.uuid4().hex
         out_dir = os.path.join(self.root, f"snap-{snap_id}")
         df.write.mode("error").parquet(out_dir)
@@ -138,6 +209,7 @@ class SnapshotTable:
             "run_id": run_id,
             "files": files,
             "row_count": row_count,
+            "schema": [list(c) for c in new_schema],
             "committed_at": datetime.now(timezone.utc).isoformat(),
         }
         self._commit(entry)
@@ -267,7 +339,9 @@ class SnapshotTable:
         files = [f for s in snaps for f in s["files"]]
         if not files:
             return None
-        df = spark.read.parquet(*files)
+        # evolved read: compaction across schema versions projects to
+        # the latest schema instead of trusting one footer's layout
+        df = self.read_evolved(spark)
         if key_col is not None:
             from pyspark.sql import Window as W
             from pyspark.sql import functions as F
@@ -288,6 +362,8 @@ class SnapshotTable:
             "run_id": run_id,
             "files": new_files,
             "row_count": _footer_row_count(new_files),
+            "schema": [[f.name, f.dataType.simpleString()]
+                       for f in df.schema.fields],
             "replaces": [s["snapshot_id"] for s in snaps],
             "committed_at": datetime.now(timezone.utc).isoformat(),
         }

@@ -434,3 +434,51 @@ def test_paragraph_dedup_shuffles_hash_keys_not_bodies(spark, sf):
     docs = spark.read.parquet(f"{sf}/documents.parquet")
     plan = _plan(paragraph_dedup(docs.select("doc_id", "text")))
     assert "CartesianProduct" not in plan and "ph" in plan
+
+
+def test_schema_evolution_add_widen_reject_and_legacy(spark, tmp_path):
+    """r6: evolved reads project old snapshots to the latest schema
+    (typed NULLs for added columns, casts for widened ones);
+    incompatible type changes are rejected at append; pre-r6 manifest
+    entries without a recorded schema fall back to the parquet footer;
+    compaction across schema versions preserves the evolved shape."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from powerpoint_context_extractor_spark.sources.table_io import (
+        MANIFEST, SnapshotTable,
+    )
+    table = SnapshotTable(str(tmp_path / "t"))
+    v1 = spark.createDataFrame([(1, "a"), (2, "b")], "id int, s string")
+    table.append(v1, "v1")
+    # add a column AND widen id int -> bigint in one evolution step
+    v2 = spark.createDataFrame([(3, "c", 30)],
+                               "id long, s string, extra long")
+    table.append(v2, "v2")
+    assert table.table_schema(spark) == [
+        ("id", "bigint"), ("s", "string"), ("extra", "bigint")]
+    got = {r["id"]: (r["s"], r["extra"])
+           for r in table.read_evolved(spark).collect()}
+    assert got == {1: ("a", None), 2: ("b", None), 3: ("c", 30)}
+    assert dict(table.read_evolved(spark).dtypes)["id"] == "bigint"
+    # narrowing / retyping is refused
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="cannot change"):
+        table.append(spark.createDataFrame([(9, 1)], "id long, s int"),
+                     "bad")
+    # legacy manifest lines (no recorded schema) derive from footers
+    mf = tmp_path / "t" / MANIFEST
+    lines = [_json.loads(x) for x in mf.read_text().splitlines()]
+    for e in lines:
+        e.pop("schema")
+    mf.write_text("".join(_json.dumps(e) + "\n" for e in lines))
+    got2 = {r["id"]: (r["s"], r["extra"])
+            for r in table.read_evolved(spark).collect()}
+    assert got2 == got
+    # compaction over mixed schemas keeps the evolved projection
+    table.compact(spark, run_id="c")
+    got3 = {r["id"]: (r["s"], r["extra"])
+            for r in table.read_evolved(spark).collect()}
+    assert got3 == got
+    assert [s.get("run_id") for s in table.snapshots()] == ["c"]
