@@ -1393,6 +1393,21 @@ def _mm_features_jpeg_prog(spark, sf_dir):
     return extract_jpeg_prog_features(_t(spark, sf_dir, "documents"))
 
 
+def _mm_features_jpeg_prog_sa(spark, sf_dir):
+    """Successive-approximation progressive JPEG under the correctness
+    gate (r6 — shrinks the honest-error surface to arithmetic coding
+    and progressive color): the SAME block-constant pixels rendered
+    as a 4-scan SOF2 stream (DC/AC first passes at Al=1, then DC/AC
+    refinement per T.81 G.1.2.3 with the two-pool correction-bit
+    protocol); the refinement decode must reassemble every
+    coefficient exactly, so the query shares the baseline JPEG
+    oracle verbatim."""
+    from powerpoint_context_extractor_spark.operators.multimodal import (
+        extract_jpeg_prog_sa_features,
+    )
+    return extract_jpeg_prog_sa_features(_t(spark, sf_dir, "documents"))
+
+
 def _mm_features_wav_ulaw(spark, sf_dir):
     """G.711 mu-law audio decode under the correctness gate (r6 —
     widens the WAV subset to format tag 7, the telephony/web
@@ -1831,6 +1846,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_temperature": _sample_temperature,
         "graph_pagerank_hosts": _graph_pagerank_hosts,
         "table_schema_evolution": _table_schema_evolution,
+        "mm_features_jpeg_prog_sa": _mm_features_jpeg_prog_sa,
     }
 
 
@@ -2691,6 +2707,8 @@ def oracle_sql() -> dict[str, str]:
     # progressive twin (r6): same block-constant pixels, same frozen
     # DC quantization -> the SOF2 multi-scan decode shares the oracle
     d["mm_features_jpeg_prog"] = d["mm_features_jpeg"]
+    # successive-approximation twin: same pixels, same oracle (r6)
+    d["mm_features_jpeg_prog_sa"] = d["mm_features_jpeg"]
     # time travel (r6): as-of the second snapshot = first two thirds
     d["table_time_travel"] = """
         SELECT doc_id FROM documents WHERE doc_id % 3 IN (0, 1)

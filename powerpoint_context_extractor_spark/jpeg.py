@@ -633,14 +633,75 @@ def decode_jpeg(data: bytes) -> tuple:
     return width, height, 3, bytes(rgb)
 
 
+def _refine_ac_band(r: "_BitReader", ac_tab: dict, coefs: list,
+                    nb: int, ss: int, se: int, al: int) -> None:
+    """T.81 G.1.2.3 AC refinement scan: for each block's band, symbols
+    (run<<4)|1 make a coefficient newly significant at +-2^Al (sign
+    from one appended bit); runs count only zero-history positions,
+    and every already-nonzero coefficient passed on the way consumes
+    one correction bit (set -> magnitude grows by 2^Al, moving away
+    from zero). EOB runs cover whole blocks whose remaining band has
+    no new significant coefficients — their nonzero coefficients still
+    consume correction bits, in scan order after the EOB symbol."""
+    p1, m1 = 1 << al, -(1 << al)
+
+    def _correct(co: list, k: int) -> None:
+        if r.bit() and not (co[k] & p1):
+            co[k] += p1 if co[k] >= 0 else m1
+
+    eobrun = 0
+    for b in range(nb):
+        co = coefs[b]
+        if eobrun:
+            for k in range(ss, se + 1):
+                if co[k]:
+                    _correct(co, k)
+            eobrun -= 1
+            continue
+        k = ss
+        while k <= se:
+            rs = r.huff(ac_tab)
+            rr, s = rs >> 4, rs & 0x0F
+            if s == 0 and rr != 15:                    # EOBn
+                eobrun = (1 << rr) + (r.bits(rr) if rr else 0)
+                break
+            if s == 0:                                 # ZRL
+                new = 0
+            elif s == 1:
+                new = p1 if r.bit() else m1
+            else:
+                raise ValueError("jpeg: refinement AC size must be 1")
+            while k <= se:
+                if co[k]:
+                    _correct(co, k)
+                else:
+                    if rr == 0:
+                        break
+                    rr -= 1
+                k += 1
+            if new and k <= se:
+                co[k] = new
+            k += 1
+        if eobrun:                   # tail of the EOB-starting block
+            for kk in range(k, se + 1):
+                if co[kk]:
+                    _correct(co, kk)
+            eobrun -= 1
+
+
 def _decode_progressive_gray(width: int, height: int, comps: list,
                              qtabs: dict, huff: dict,
                              scans: list) -> tuple:
-    """Progressive (SOF2) grayscale decode, spectral selection only
-    (Ah=Al=0): coefficients accumulate across scans — the DC scan is
-    plain DPCM, AC scans fill their band with T.81 G.1.2.2 EOB-run
-    semantics — then every block dequantizes + IDCTs once at the end.
-    Successive approximation raises the honest subset error (F6)."""
+    """Progressive (SOF2) grayscale decode: spectral selection AND
+    successive approximation (T.81 G.1.2). Coefficients accumulate
+    across scans — first scans (Ah=0) deliver values at Al-bit
+    precision (DC is DPCM of the point-transformed value, AC bands
+    use EOB-run semantics with values scaled by 2^Al), refinement
+    scans (Ah=Al+1) append one magnitude bit per coefficient: a raw
+    bit for DC, the G.1.2.3 correction-bit protocol for AC (newly-
+    significant coefficients coded with size 1, history-nonzero ones
+    refined by interleaved bits, EOB runs carrying the tail bits).
+    Every block dequantizes + IDCTs once at the end."""
     if width % 8 or height % 8:
         raise ValueError("jpeg: non-multiple-of-8 dims unsupported")
     cid, _, _, tq = comps[0]
@@ -652,10 +713,9 @@ def _decode_progressive_gray(width: int, height: int, comps: list,
     coefs = [[0] * 64 for _ in range(nb)]
     seen_dc = False
     for sel, ss, se, ah, al, ent in scans:
-        if ah or al:
+        if ah and al != ah - 1:
             raise ValueError(
-                "jpeg: successive approximation unsupported "
-                "(subset is spectral selection)")
+                "jpeg: refinement scan must have Al = Ah - 1")
         if cid not in sel:
             raise ValueError("jpeg: scan references unknown component")
         td, ta = sel[cid]
@@ -663,6 +723,11 @@ def _decode_progressive_gray(width: int, height: int, comps: list,
         if ss == 0:
             if se != 0:
                 raise ValueError("jpeg: progressive DC scan must be band 0")
+            if ah:                       # DC refinement: one raw bit/block
+                for b in range(nb):
+                    if r.bit():
+                        coefs[b][0] |= 1 << al
+                continue
             dc_t = huff.get((0, td))
             if dc_t is None:
                 raise ValueError("jpeg: scan references missing huffman table")
@@ -671,7 +736,7 @@ def _decode_progressive_gray(width: int, height: int, comps: list,
                 size = r.huff(dc_t)
                 diff = _extend(r.bits(size), size) if size else 0
                 pred += diff
-                coefs[b][0] = pred
+                coefs[b][0] = pred << al
             seen_dc = True
         else:
             if not 1 <= ss <= se <= 63:
@@ -679,6 +744,9 @@ def _decode_progressive_gray(width: int, height: int, comps: list,
             ac_t = huff.get((1, ta))
             if ac_t is None:
                 raise ValueError("jpeg: scan references missing huffman table")
+            if ah:
+                _refine_ac_band(r, ac_t, coefs, nb, ss, se, al)
+                continue
             eobrun = 0
             for b in range(nb):
                 if eobrun:
@@ -697,7 +765,7 @@ def _decode_progressive_gray(width: int, height: int, comps: list,
                     k += rr
                     if k > se:
                         raise ValueError("jpeg: AC run past band end")
-                    coefs[b][k] = _extend(r.bits(s), s)
+                    coefs[b][k] = _extend(r.bits(s), s) << al
                     k += 1
     if not seen_dc:
         raise ValueError("jpeg: progressive stream has no DC scan")
@@ -818,6 +886,175 @@ def render_jpeg_gray_progressive(width: int, height: int,
         if last < 63:
             eobrun += 1
     _flush_eob()
+    out += w.flush()
+    out += b"\xff\xd9"                                 # EOI
+    return bytes(out)
+
+
+def render_jpeg_gray_progressive_sa(width: int, height: int,
+                                    pixels: bytes) -> bytes:
+    """Encode grayscale bytes as a PROGRESSIVE (SOF2) JFIF using BOTH
+    progressive dimensions (T.81 G.1): spectral selection AND
+    successive approximation. Four scans — DC first at Al=1 (DPCM of
+    the arithmetic-shifted value), AC band 1..63 first at Al=1
+    (magnitude-shifted, EOB-run batching), DC refinement (one raw bit
+    per block), AC refinement (G.1.2.3: newly-significant coefficients
+    at size 1 with a sign bit, correction bits for history-nonzero
+    coefficients buffered and flushed after the covering symbol).
+    The two passes reassemble every coefficient exactly — (v>>1)<<1
+    plus the refinement bit is v for DC, and +-((|v|>>1)<<1 + bit) for
+    AC — so a fixture decodes to the identical integer pixels as the
+    baseline encoder, which is what lets the query share the baseline
+    oracle."""
+    if width % 8 or height % 8 or width <= 0 or height <= 0:
+        raise ValueError("jpeg: dimensions must be positive multiples of 8")
+    if len(pixels) != width * height:
+        raise ValueError("jpeg: pixels length != width*height")
+    zzs = []
+    for by in range(height // 8):
+        for bx in range(width // 8):
+            zzs.append(_fdct_quant(
+                [pixels[(by * 8 + y) * width + bx * 8 + x]
+                 for y in range(8) for x in range(8)]))
+    out = bytearray(b"\xff\xd8")                       # SOI
+    out += _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    zz_q = bytes(QTABLE[_ZIGZAG[k]] for k in range(64))
+    out += _seg(0xDB, b"\x00" + zz_q)                  # DQT id 0
+    out += _seg(0xC2, struct.pack(">BHHB", 8, height, width, 1)
+                + b"\x01\x11\x00")                     # SOF2, 1 comp
+    out += _seg(0xC4, b"\x00" + bytes(_DC_BITS) + bytes(_DC_VALS))
+    out += _seg(0xC4, b"\x10" + bytes(_AC_PROG_BITS)
+                + bytes(_AC_PROG_VALS))
+    # ---- scan 1: DC first, Al=1 (DPCM of dc >> 1, T.81 A.4 shift) ----
+    out += _seg(0xDA, b"\x01\x01\x00" + bytes([0, 0, 0x01]))
+    w = _BitWriter()
+    pred = 0
+    for zz in zzs:
+        v = zz[0] >> 1
+        size, mag = _magnitude(v - pred)
+        pred = v
+        code, ln = _DC_CODES[size]
+        w.put(code, ln)
+        if size:
+            w.put(mag, size)
+    out += w.flush()
+    # ---- scan 2: AC first, band 1..63, Al=1 (shifted magnitudes) ----
+    out += _seg(0xDA, b"\x01\x01\x00" + bytes([1, 63, 0x01]))
+    w = _BitWriter()
+    eobrun = 0
+
+    def _flush_eob() -> None:
+        nonlocal eobrun
+        while eobrun:
+            chunk = min(eobrun, 32767)
+            rr = chunk.bit_length() - 1
+            code, ln = _AC_PROG_CODES[rr << 4]
+            w.put(code, ln)
+            if rr:
+                w.put(chunk - (1 << rr), rr)
+            eobrun -= chunk
+
+    def _shift1(v: int) -> int:
+        return -((-v) >> 1) if v < 0 else v >> 1
+
+    for zz in zzs:
+        sh = [_shift1(zz[k]) for k in range(64)]
+        last = 0
+        for k in range(63, 0, -1):
+            if sh[k]:
+                last = k
+                break
+        if last == 0:
+            eobrun += 1
+            continue
+        _flush_eob()
+        run = 0
+        for k in range(1, last + 1):
+            if sh[k] == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, ln = _AC_PROG_CODES[0xF0]        # ZRL
+                w.put(code, ln)
+                run -= 16
+            size, mag = _magnitude(sh[k])
+            code, ln = _AC_PROG_CODES[(run << 4) | size]
+            w.put(code, ln)
+            w.put(mag, size)
+            run = 0
+        if last < 63:
+            eobrun += 1
+    _flush_eob()
+    out += w.flush()
+    # ---- scan 3: DC refinement, Ah=1 Al=0 (one raw bit per block) ----
+    out += _seg(0xDA, b"\x01\x01\x00" + bytes([0, 0, 0x10]))
+    w = _BitWriter()
+    for zz in zzs:
+        w.put(zz[0] & 1, 1)
+    out += w.flush()
+    # ---- scan 4: AC refinement, Ah=1 Al=0 (G.1.2.3) ----
+    out += _seg(0xDA, b"\x01\x01\x00" + bytes([1, 63, 0x10]))
+    w = _BitWriter()
+    eobrun = 0
+    # TWO correction-bit pools (T.81 G.1.2.3 / the classic BE vs BR
+    # split): tail bits of blocks already absorbed into the pending
+    # EOB run flush with the EOBn symbol; the CURRENT block's bits
+    # flush after its own symbols — the decoder reads them exactly
+    # where its band walk passes the history-nonzero positions.
+    run_bits: list = []               # prior run blocks' tails
+    cur_bits: list = []               # current block, since last symbol
+
+    def _emit_cur() -> None:
+        for bit in cur_bits:
+            w.put(bit, 1)
+        cur_bits.clear()
+
+    def _emit_eobrun() -> None:
+        nonlocal eobrun
+        if eobrun:
+            rr = eobrun.bit_length() - 1
+            code, ln = _AC_PROG_CODES[rr << 4]
+            w.put(code, ln)
+            if rr:
+                w.put(eobrun - (1 << rr), rr)
+            eobrun = 0
+            for bit in run_bits:
+                w.put(bit, 1)
+            run_bits.clear()
+
+    for zz in zzs:
+        eob = 0
+        for k in range(1, 64):
+            if abs(zz[k]) == 1:       # newly significant at Al=0
+                eob = k
+        run = 0
+        for k in range(1, 64):
+            temp = abs(zz[k])
+            if temp == 0:
+                run += 1
+                continue
+            while run > 15 and k <= eob:
+                _emit_eobrun()
+                code, ln = _AC_PROG_CODES[0xF0]        # ZRL
+                w.put(code, ln)
+                run -= 16
+                _emit_cur()
+            if temp > 1:              # history-nonzero: correction bit
+                cur_bits.append(temp & 1)
+                continue
+            _emit_eobrun()
+            code, ln = _AC_PROG_CODES[(run << 4) | 1]
+            w.put(code, ln)
+            w.put(0 if zz[k] < 0 else 1, 1)
+            _emit_cur()
+            run = 0
+        if run > 0 or cur_bits:       # tail joins the pending EOB run
+            eobrun += 1
+            run_bits.extend(cur_bits)
+            cur_bits.clear()
+            if eobrun == 32767:
+                _emit_eobrun()
+    _emit_eobrun()
     out += w.flush()
     out += b"\xff\xd9"                                 # EOI
     return bytes(out)

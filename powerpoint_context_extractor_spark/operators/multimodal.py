@@ -26,7 +26,8 @@ from pyspark.sql import types as T
 from ..avi import decode_avi, render_avi, render_avi_rle8
 from ..jpeg import (QTABLE, decode_jpeg, decode_jpeg_gray,
                     render_jpeg_color, render_jpeg_gray,
-                    render_jpeg_gray_progressive, rgb_from_ycbcr,
+                    render_jpeg_gray_progressive,
+                    render_jpeg_gray_progressive_sa, rgb_from_ycbcr,
                     ycbcr_from_rgb)
 from ..png import decode_png, render_png
 from ..wav import decode_wav, render_wav
@@ -859,6 +860,47 @@ def jpeg_prog_payload_for_doc(doc_id: int) -> bytes:
             for x in range(8):
                 px[y * JPEG_W + b * 8 + x] = v
     return render_jpeg_gray_progressive(JPEG_W, JPEG_H, bytes(px))
+
+
+def jpeg_prog_sa_payload_for_doc(doc_id: int) -> bytes:
+    """Deterministic successive-approximation twin (r6): the SAME
+    block-constant pixels rendered as a 4-scan SOF2 stream — DC and
+    AC first passes at Al=1, then DC and AC refinement scans (T.81
+    G.1.2.3). Both progressive dimensions reassemble the coefficients
+    exactly, so the decode lands on the same integer pixel function
+    of doc_id the baseline oracle computes."""
+    px = bytearray(JPEG_W * JPEG_H)
+    for b in range(2):
+        v = jpeg_block_value(doc_id, b)
+        for y in range(JPEG_H):
+            for x in range(8):
+                px[y * JPEG_W + b * 8 + x] = v
+    return render_jpeg_gray_progressive_sa(JPEG_W, JPEG_H, bytes(px))
+
+
+def extract_jpeg_prog_sa_features(docs: DataFrame) -> DataFrame:
+    """Render + decode a successive-approximation progressive JPEG per
+    documents row and emit exact pixel statistics — same shape and
+    oracle as the baseline path."""
+
+    def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("doc_id", "width", "height",
+                                   "px_sum", "px_min", "px_max")}
+            for doc_id in pdf["doc_id"].tolist():
+                w, h, nc, px = decode_jpeg(
+                    jpeg_prog_sa_payload_for_doc(doc_id))
+                assert nc == 1
+                out["doc_id"].append(doc_id)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["px_sum"].append(sum(px))
+                out["px_min"].append(min(px))
+                out["px_max"].append(max(px))
+            yield pd.DataFrame(out)
+
+    return docs.select("doc_id").mapInPandas(
+        _batches, schema=JPEG_FEATURE_SCHEMA)
 
 
 def extract_jpeg_prog_features(docs: DataFrame) -> DataFrame:

@@ -695,14 +695,42 @@ def test_jpeg_progressive_decode_equals_baseline():
     px = bytes((x * 16 + y) % 256 for y in range(16) for x in range(32))
     assert decode_jpeg(render_jpeg_gray_progressive(32, 16, px)) \
         == decode_jpeg(render_jpeg_gray(32, 16, px))
-    # successive-approximation scan -> honest subset error: flip the
-    # first DC scan's AhAl byte (last SOS header byte) to Al=1
+    # malformed refinement (Ah without Al = Ah-1) stays an honest
+    # error: flip the DC scan's AhAl byte (last SOS header byte) to
+    # Ah=2, Al=0
     raw = bytearray(render_jpeg_gray_progressive(16, 8, bytes(128 for _ in range(128))))
     sos = raw.find(b"\xff\xda")
     # FF DA len2 ns1 cid,tdta Ss Se AhAl -> AhAl is at sos + 9
-    raw[sos + 9] = 0x01
-    with _pytest.raises(ValueError, match="successive approximation"):
+    raw[sos + 9] = 0x20
+    with _pytest.raises(ValueError, match="Al = Ah - 1"):
         decode_jpeg(bytes(raw))
+
+
+def test_jpeg_successive_approximation_equals_baseline():
+    """r6: the 4-scan successive-approximation stream (DC/AC first
+    passes at Al=1 + DC/AC refinement per T.81 G.1.2.3) reassembles
+    every coefficient exactly — any image decodes to the SAME pixels
+    as the baseline path, including dense-AC images that exercise the
+    two-pool correction-bit protocol (run-tail bits flushing with the
+    EOBn symbol, in-block bits after their covering symbol)."""
+    import random
+
+    from powerpoint_context_extractor_spark.jpeg import (
+        decode_jpeg, render_jpeg_gray, render_jpeg_gray_progressive_sa,
+    )
+    random.seed(13)
+    for (w, h) in ((16, 8), (32, 16), (8, 8)):
+        for _ in range(8):            # dense AC: every block differs
+            px = bytes(random.randrange(256) for _ in range(w * h))
+            assert decode_jpeg(render_jpeg_gray_progressive_sa(w, h, px)) \
+                == decode_jpeg(render_jpeg_gray(w, h, px))
+    # block-constant (DC-only) and gradient (ZRL + EOB runs) shapes
+    for px in (bytes(((x // 8) * 37 + 40) % 256
+                     for _ in range(8) for x in range(32)),
+               bytes((x * 3 + y * 5) % 256
+                     for y in range(8) for x in range(32))):
+        assert decode_jpeg(render_jpeg_gray_progressive_sa(32, 8, px)) \
+            == decode_jpeg(render_jpeg_gray(32, 8, px))
 
 
 def test_jpeg_color_roundtrip_and_exactness():
