@@ -1408,6 +1408,21 @@ def _mm_features_jpeg_prog_sa(spark, sf_dir):
     return extract_jpeg_prog_sa_features(_t(spark, sf_dir, "documents"))
 
 
+def _mm_features_jpeg_prog_color(spark, sf_dir):
+    """Progressive COLOR JPEG under the correctness gate (r6 — the
+    honest-error surface shrinks to arithmetic coding only): the SAME
+    MCU-constant RGB as the baseline color fixture rendered as a real
+    SOF2 stream (MCU-interleaved DC scan with per-component DPCM,
+    then one non-interleaved AC band scan per component); decode
+    reconstructs the identical integer RGB function of doc_id, so the
+    query shares the baseline color oracle verbatim."""
+    from powerpoint_context_extractor_spark.operators.multimodal import (
+        extract_jpeg_color_prog_features,
+    )
+    return extract_jpeg_color_prog_features(
+        _t(spark, sf_dir, "documents"))
+
+
 def _mm_features_wav_ulaw(spark, sf_dir):
     """G.711 mu-law audio decode under the correctness gate (r6 —
     widens the WAV subset to format tag 7, the telephony/web
@@ -1847,6 +1862,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_pagerank_hosts": _graph_pagerank_hosts,
         "table_schema_evolution": _table_schema_evolution,
         "mm_features_jpeg_prog_sa": _mm_features_jpeg_prog_sa,
+        "mm_features_jpeg_prog_color": _mm_features_jpeg_prog_color,
     }
 
 
@@ -2776,6 +2792,8 @@ def oracle_sql() -> dict[str, str]:
                CAST(max(greatest(rr, gg, bb)) AS BIGINT) AS px_max
         FROM rgb GROUP BY doc_id
     """
+    # progressive color twin: same RGB, same oracle (r6)
+    d["mm_features_jpeg_prog_color"] = d["mm_features_jpeg_color"]
     d["mm_video_frame_sample"] = """
         -- frozen AVI rule (r5): 8x4 RGB, 4 frames, every 2nd sampled
         -- (f in {0, 2}); frame f byte i = (doc_id*13 + f*31 + i) % 256

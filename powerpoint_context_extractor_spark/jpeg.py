@@ -518,10 +518,6 @@ def decode_jpeg(data: bytes) -> tuple:
                 raise ValueError(
                     f"jpeg: unsupported component count {nc} "
                     "(subset is grayscale or YCbCr 4:2:0)")
-            if progressive and nc != 1:
-                raise ValueError(
-                    "jpeg: progressive color unsupported "
-                    "(subset is progressive grayscale)")
             for c in range(nc):
                 cid, hv, tq = body[6 + 3 * c:9 + 3 * c]
                 comps.append((cid, hv >> 4, hv & 0x0F, tq))
@@ -552,8 +548,11 @@ def decode_jpeg(data: bytes) -> tuple:
     if progressive:
         if width is None or not qtabs or not scans or not comps:
             raise ValueError("jpeg: missing SOF/DQT/SOS")
-        return _decode_progressive_gray(width, height, comps, qtabs,
-                                        huff, scans)
+        if len(comps) == 1:
+            return _decode_progressive_gray(width, height, comps,
+                                            qtabs, huff, scans)
+        return _decode_progressive_color(width, height, comps, qtabs,
+                                         huff, scans)
     if width is None or not qtabs or scan is None or not comps:
         raise ValueError("jpeg: missing SOF/DQT/SOS")
     end = scan.rfind(b"\xff\xd9")
@@ -631,6 +630,32 @@ def decode_jpeg(data: bytes) -> tuple:
             o = (y * width + x) * 3
             rgb[o], rgb[o + 1], rgb[o + 2] = r8, g8, b8
     return width, height, 3, bytes(rgb)
+
+
+def _first_ac_band(r: "_BitReader", ac_tab: dict, coefs: list,
+                   nb: int, ss: int, se: int, al: int) -> None:
+    """First-pass AC band scan (Ah=0): T.81 G.1.2.2 — values land at
+    2^Al precision, EOB runs span blocks."""
+    eobrun = 0
+    for b in range(nb):
+        if eobrun:
+            eobrun -= 1
+            continue
+        k = ss
+        while k <= se:
+            rs = r.huff(ac_tab)
+            rr, s = rs >> 4, rs & 0x0F
+            if s == 0:
+                if rr == 15:                           # ZRL
+                    k += 16
+                    continue
+                eobrun = (1 << rr) - 1 + (r.bits(rr) if rr else 0)
+                break
+            k += rr
+            if k > se:
+                raise ValueError("jpeg: AC run past band end")
+            coefs[b][k] = _extend(r.bits(s), s) << al
+            k += 1
 
 
 def _refine_ac_band(r: "_BitReader", ac_tab: dict, coefs: list,
@@ -746,27 +771,8 @@ def _decode_progressive_gray(width: int, height: int, comps: list,
                 raise ValueError("jpeg: scan references missing huffman table")
             if ah:
                 _refine_ac_band(r, ac_t, coefs, nb, ss, se, al)
-                continue
-            eobrun = 0
-            for b in range(nb):
-                if eobrun:
-                    eobrun -= 1
-                    continue
-                k = ss
-                while k <= se:
-                    rs = r.huff(ac_t)
-                    rr, s = rs >> 4, rs & 0x0F
-                    if s == 0:
-                        if rr == 15:                   # ZRL
-                            k += 16
-                            continue
-                        eobrun = (1 << rr) - 1 + (r.bits(rr) if rr else 0)
-                        break
-                    k += rr
-                    if k > se:
-                        raise ValueError("jpeg: AC run past band end")
-                    coefs[b][k] = _extend(r.bits(s), s) << al
-                    k += 1
+            else:
+                _first_ac_band(r, ac_t, coefs, nb, ss, se, al)
     if not seen_dc:
         raise ValueError("jpeg: progressive stream has no DC scan")
     pixels = bytearray(width * height)
@@ -1070,3 +1076,254 @@ def _find_scan_end(data: bytes, start: int) -> int:
             return i
         i += 1
     raise ValueError("jpeg: unterminated scan")
+
+
+def _mcu_block_idx(nbx: int, hh: int, vv: int, mx: int, my: int,
+                   j: int) -> int:
+    """Raster index of MCU (mx, my)'s j-th block in a component whose
+    grid is nbx blocks wide (T.81 A.2.3 left-to-right, top-to-bottom
+    within the MCU)."""
+    return (my * vv + j // hh) * nbx + mx * hh + j % hh
+
+
+def _decode_progressive_color(width: int, height: int, comps: list,
+                              qtabs: dict, huff: dict,
+                              scans: list) -> tuple:
+    """Progressive (SOF2) YCbCr 4:2:0 decode (r6 — the last
+    non-arithmetic JPEG shape): DC scans are MCU-interleaved across
+    components (per-component DPCM predictors) or single-component
+    raster; AC scans are single-component over that component's own
+    block grid (T.81 requires non-interleaved AC in progressive),
+    reusing the grayscale first-pass/refinement band machinery
+    per component. Reconstruction (dequant + IDCT + 2x2 chroma
+    replication + frozen integer YCbCr->RGB) matches the baseline
+    color path exactly."""
+    samp = [(h, v) for _, h, v, _ in comps]
+    if samp != [(2, 2), (1, 1), (1, 1)]:
+        raise ValueError(
+            f"jpeg: unsupported sampling {samp} (subset is 4:2:0)")
+    if width % 16 or height % 16:
+        raise ValueError("jpeg: color dims must be multiples of 16")
+    qts, grid, coefs = {}, {}, {}
+    for cid, hh, vv, tq in comps:
+        qt = qtabs.get(tq)
+        if qt is None:
+            raise ValueError("jpeg: missing quant table")
+        qts[cid] = qt
+        nbx = width // 8 if hh == 2 else width // 16
+        nby = height // 8 if vv == 2 else height // 16
+        grid[cid] = (nbx, nby)
+        coefs[cid] = [[0] * 64 for _ in range(nbx * nby)]
+    mcux, mcuy = width // 16, height // 16
+    seen_dc: set = set()
+    for sel, ss, se, ah, al, ent in scans:
+        if ah and al != ah - 1:
+            raise ValueError(
+                "jpeg: refinement scan must have Al = Ah - 1")
+        for cid in sel:
+            if cid not in coefs:
+                raise ValueError("jpeg: scan references unknown component")
+        r = _BitReader(ent)
+        if ss == 0:
+            if se != 0:
+                raise ValueError("jpeg: progressive DC scan must be band 0")
+            comps_in = [c for c in comps if c[0] in sel]
+            walk = []                      # (cid, block raster idx)
+            if len(sel) > 1:               # MCU-interleaved
+                for my in range(mcuy):
+                    for mx in range(mcux):
+                        for cid, hh, vv, _ in comps_in:
+                            for j in range(hh * vv):
+                                walk.append((cid, _mcu_block_idx(
+                                    grid[cid][0], hh, vv, mx, my, j)))
+            else:                          # single component: raster
+                cid, hh, vv, _ = comps_in[0]
+                nbx, nby = grid[cid]
+                walk = [(cid, i) for i in range(nbx * nby)]
+            if ah:                         # DC refinement: raw bits
+                for cid, idx in walk:
+                    if r.bit():
+                        coefs[cid][idx][0] |= 1 << al
+                continue
+            dc_tabs, preds = {}, {}
+            for cid in sel:
+                t = huff.get((0, sel[cid][0]))
+                if t is None:
+                    raise ValueError(
+                        "jpeg: scan references missing huffman table")
+                dc_tabs[cid], preds[cid] = t, 0
+            for cid, idx in walk:
+                size = r.huff(dc_tabs[cid])
+                diff = _extend(r.bits(size), size) if size else 0
+                preds[cid] += diff
+                coefs[cid][idx][0] = preds[cid] << al
+            seen_dc.update(sel)
+        else:
+            if len(sel) != 1:
+                raise ValueError(
+                    "jpeg: progressive AC scan must be single-component")
+            if not 1 <= ss <= se <= 63:
+                raise ValueError("jpeg: bad progressive AC band")
+            (cid, (td, ta)), = sel.items()
+            ac_t = huff.get((1, ta))
+            if ac_t is None:
+                raise ValueError(
+                    "jpeg: scan references missing huffman table")
+            nbx, nby = grid[cid]
+            band = _refine_ac_band if ah else _first_ac_band
+            band(r, ac_t, coefs[cid], nbx * nby, ss, se, al)
+    if {c[0] for c in comps} - seen_dc:
+        raise ValueError("jpeg: progressive stream has no DC scan")
+    planes = {}
+    for cid, hh, vv, _ in comps:
+        nbx, nby = grid[cid]
+        pw = nbx * 8
+        plane = bytearray(pw * nby * 8)
+        for by in range(nby):
+            for bx in range(nbx):
+                block = _dequant_idct(coefs[cid][by * nbx + bx],
+                                      qts[cid])
+                for y in range(8):
+                    row = (by * 8 + y) * pw + bx * 8
+                    plane[row:row + 8] = bytes(block[y * 8:(y + 1) * 8])
+        planes[cid] = plane
+    y_id, cb_id, cr_id = comps[0][0], comps[1][0], comps[2][0]
+    yp, cbp, crp = planes[y_id], planes[cb_id], planes[cr_id]
+    cw = width // 2
+    rgb = bytearray(width * height * 3)
+    for y in range(height):
+        for x in range(width):
+            ci = (y // 2) * cw + (x // 2)              # 2x2 replication
+            r8, g8, b8 = rgb_from_ycbcr(yp[y * width + x],
+                                        cbp[ci], crp[ci])
+            o = (y * width + x) * 3
+            rgb[o], rgb[o + 1], rgb[o + 2] = r8, g8, b8
+    return width, height, 3, bytes(rgb)
+
+
+def _write_first_ac_scan(zzs: list) -> bytes:
+    """Entropy body of a first-pass AC band-1..63 scan (Ah=Al=0) over
+    blocks in raster order, EOB runs batched across blocks — shared by
+    the progressive color encoder (uses the stream-defined 255-symbol
+    table, ``_AC_PROG_CODES``)."""
+    w = _BitWriter()
+    eobrun = 0
+
+    def _flush_eob() -> None:
+        nonlocal eobrun
+        while eobrun:
+            chunk = min(eobrun, 32767)
+            rr = chunk.bit_length() - 1
+            code, ln = _AC_PROG_CODES[rr << 4]
+            w.put(code, ln)
+            if rr:
+                w.put(chunk - (1 << rr), rr)
+            eobrun -= chunk
+
+    for zz in zzs:
+        last = 0
+        for k in range(63, 0, -1):
+            if zz[k]:
+                last = k
+                break
+        if last == 0:
+            eobrun += 1
+            continue
+        _flush_eob()
+        run = 0
+        for k in range(1, last + 1):
+            if zz[k] == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, ln = _AC_PROG_CODES[0xF0]        # ZRL
+                w.put(code, ln)
+                run -= 16
+            size, mag = _magnitude(zz[k])
+            code, ln = _AC_PROG_CODES[(run << 4) | size]
+            w.put(code, ln)
+            w.put(mag, size)
+            run = 0
+        if last < 63:
+            eobrun += 1
+    _flush_eob()
+    return w.flush()
+
+
+def render_jpeg_color_progressive(width: int, height: int,
+                                  rgb: bytes) -> bytes:
+    """Encode row-major RGB bytes as a PROGRESSIVE (SOF2) YCbCr 4:2:0
+    JFIF: one MCU-interleaved DC scan (per-component DPCM, Annex K DC
+    tables), then one non-interleaved AC band-1..63 scan per
+    component (T.81 G.1; spectral selection, Ah=Al=0). Same frozen
+    color conversion / subsample / coefficient math as the baseline
+    color encoder, so any image decodes to the identical RGB bytes."""
+    if width % 16 or height % 16 or width <= 0 or height <= 0:
+        raise ValueError("jpeg: color dims must be positive multiples of 16")
+    if len(rgb) != width * height * 3:
+        raise ValueError("jpeg: rgb length != width*height*3")
+    n = width * height
+    ys, cbs, crs = [0] * n, [0] * n, [0] * n
+    for i in range(n):
+        ys[i], cbs[i], crs[i] = ycbcr_from_rgb(
+            rgb[3 * i], rgb[3 * i + 1], rgb[3 * i + 2])
+    cw, ch = width // 2, height // 2
+    cb_s, cr_s = [0] * (cw * ch), [0] * (cw * ch)
+    for y in range(ch):
+        for x in range(cw):
+            idx = [(2 * y + dy) * width + 2 * x + dx
+                   for dy in (0, 1) for dx in (0, 1)]
+            cb_s[y * cw + x] = (sum(cbs[i] for i in idx) + 2) // 4
+            cr_s[y * cw + x] = (sum(crs[i] for i in idx) + 2) // 4
+
+    def _zz_grid(plane: list, pw: int, phh: int) -> list:
+        return [_fdct_quant([plane[(by * 8 + y) * pw + bx * 8 + x]
+                             for y in range(8) for x in range(8)])
+                for by in range(phh // 8) for bx in range(pw // 8)]
+
+    zz_y = _zz_grid(ys, width, height)
+    zz_cb = _zz_grid(cb_s, cw, ch)
+    zz_cr = _zz_grid(cr_s, cw, ch)
+    out = bytearray(b"\xff\xd8")                       # SOI
+    out += _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    zz_q = bytes(QTABLE[_ZIGZAG[k]] for k in range(64))
+    out += _seg(0xDB, b"\x00" + zz_q)                  # DQT id 0 (shared)
+    out += _seg(0xC2, struct.pack(">BHHB", 8, height, width, 3)
+                + b"\x01\x22\x00"                      # Y  2x2, qtab 0
+                + b"\x02\x11\x00"                      # Cb 1x1, qtab 0
+                + b"\x03\x11\x00")                     # Cr 1x1, qtab 0
+    out += _seg(0xC4, b"\x00" + bytes(_DC_BITS) + bytes(_DC_VALS))
+    out += _seg(0xC4, b"\x01" + bytes(_DC_BITS_C) + bytes(_DC_VALS_C))
+    out += _seg(0xC4, b"\x10" + bytes(_AC_PROG_BITS)
+                + bytes(_AC_PROG_VALS))
+    # ---- scan 1: interleaved DC (Ss=0, Se=0, Ah=Al=0) ----
+    out += _seg(0xDA, b"\x03\x01\x00\x02\x10\x03\x10"
+                + bytes([0, 0, 0]))
+    w = _BitWriter()
+    nbx_y = width // 8
+    preds = {"y": 0, "cb": 0, "cr": 0}
+    for my in range(height // 16):
+        for mx in range(width // 16):
+            for j in range(4):
+                zz = zz_y[_mcu_block_idx(nbx_y, 2, 2, mx, my, j)]
+                size, mag = _magnitude(zz[0] - preds["y"])
+                preds["y"] = zz[0]
+                code, ln = _DC_CODES[size]
+                w.put(code, ln)
+                if size:
+                    w.put(mag, size)
+            for key, zzg in (("cb", zz_cb), ("cr", zz_cr)):
+                zz = zzg[my * (cw // 8) + mx]
+                size, mag = _magnitude(zz[0] - preds[key])
+                preds[key] = zz[0]
+                code, ln = _DC_CODES_C[size]
+                w.put(code, ln)
+                if size:
+                    w.put(mag, size)
+    out += w.flush()
+    # ---- scans 2-4: per-component AC band 1..63 (Ah=Al=0) ----
+    for cid, zzg in ((1, zz_y), (2, zz_cb), (3, zz_cr)):
+        out += _seg(0xDA, bytes([1, cid, 0x00]) + bytes([1, 63, 0]))
+        out += _write_first_ac_scan(zzg)
+    out += b"\xff\xd9"                                 # EOI
+    return bytes(out)

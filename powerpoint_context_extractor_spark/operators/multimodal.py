@@ -26,6 +26,7 @@ from pyspark.sql import types as T
 from ..avi import decode_avi, render_avi, render_avi_rle8
 from ..jpeg import (QTABLE, decode_jpeg, decode_jpeg_gray,
                     render_jpeg_color, render_jpeg_gray,
+                    render_jpeg_color_progressive,
                     render_jpeg_gray_progressive,
                     render_jpeg_gray_progressive_sa, rgb_from_ycbcr,
                     ycbcr_from_rgb)
@@ -385,6 +386,45 @@ JPEG_COLOR_FEATURE_SCHEMA = T.StructType([
     T.StructField("px_min", T.LongType()),
     T.StructField("px_max", T.LongType()),
 ])
+
+
+def jpeg_color_prog_payload_for_doc(doc_id: int) -> bytes:
+    """Progressive (SOF2) twin of the color fixture (r6): the SAME
+    MCU-constant RGB rendered as interleaved-DC + per-component AC
+    band scans; decode must land on the identical reconstructed RGB,
+    so the query shares the baseline color oracle verbatim."""
+    px = bytearray(JPEG_C_W * JPEG_C_H * 3)
+    for m in range(2):
+        r, g, b = jpeg_color_mcu_rgb(doc_id, m)
+        for y in range(JPEG_C_H):
+            for x in range(16):
+                o = (y * JPEG_C_W + m * 16 + x) * 3
+                px[o], px[o + 1], px[o + 2] = r, g, b
+    return render_jpeg_color_progressive(JPEG_C_W, JPEG_C_H, bytes(px))
+
+
+def extract_jpeg_color_prog_features(docs: DataFrame) -> DataFrame:
+    """Render + decode a progressive color JPEG per documents row —
+    same shape and oracle as the baseline color path."""
+
+    def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("doc_id", "width", "height", "ncomp",
+                                   "px_sum", "px_min", "px_max")}
+            for doc_id in pdf["doc_id"].tolist():
+                w, h, nc, px = decode_jpeg(
+                    jpeg_color_prog_payload_for_doc(doc_id))
+                out["doc_id"].append(doc_id)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["ncomp"].append(nc)
+                out["px_sum"].append(sum(px))
+                out["px_min"].append(min(px))
+                out["px_max"].append(max(px))
+            yield pd.DataFrame(out)
+
+    return docs.select("doc_id").mapInPandas(
+        _batches, schema=JPEG_COLOR_FEATURE_SCHEMA)
 
 
 def extract_jpeg_color_features(docs: DataFrame) -> DataFrame:

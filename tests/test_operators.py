@@ -763,12 +763,13 @@ def test_jpeg_color_roundtrip_and_exactness():
     assert max(errs) < 64 and sum(errs) / len(errs) < 12
     with _pytest.raises(ValueError, match="multiples of 16"):
         render_jpeg_color(8, 8, bytes(8 * 8 * 3))
-    # progressive COLOR still an honest error (r6: the progressive
-    # subset is grayscale spectral selection only)
+    # a BASELINE-shaped scan relabeled SOF2 is structurally invalid
+    # progressive (full-band interleaved scan) and stays an honest
+    # error now that real progressive color decodes (r6)
     data = bytearray(render_jpeg_color(16, 16, bytes(16 * 16 * 3)))
     sof = data.find(b"\xff\xc0")
     data[sof + 1] = 0xC2
-    with _pytest.raises(ValueError, match="progressive color"):
+    with _pytest.raises(ValueError, match="DC scan must be band 0"):
         decode_jpeg(bytes(data))
     # non-4:2:0 sampling (e.g. 4:2:2) is outside the subset
     data2 = bytearray(render_jpeg_color(16, 16, bytes(16 * 16 * 3)))
@@ -1634,3 +1635,45 @@ def test_pagerank_star_and_cycle(spark):
     assert s == again
     with _pytest.raises(ValueError, match="pagerank"):
         graph.pagerank(star, iterations=-1)
+
+
+def test_jpeg_progressive_color_equals_baseline_color():
+    """r6: the SOF2 color path (MCU-interleaved DC scan with
+    per-component predictors + one non-interleaved AC band scan per
+    component) decodes any 4:2:0 image to the SAME RGB bytes as the
+    baseline color path; progressive AC scans with multiple
+    components stay an honest error (T.81 forbids them)."""
+    import random
+
+    import pytest as _pytest
+
+    from powerpoint_context_extractor_spark.jpeg import (
+        decode_jpeg, render_jpeg_color, render_jpeg_color_progressive,
+    )
+    random.seed(23)
+    for (w, h) in ((16, 16), (32, 16)):
+        for _ in range(4):
+            rgb = bytes(random.randrange(256) for _ in range(w * h * 3))
+            assert decode_jpeg(render_jpeg_color_progressive(w, h, rgb)) \
+                == decode_jpeg(render_jpeg_color(w, h, rgb))
+    # MCU-constant (the fixture shape) and gradient
+    for rgb in (bytes(((x // 16) * 31 + c * 29) % 256
+                      for _ in range(16) for x in range(32)
+                      for c in range(3)),
+                bytes((x * 2 + y * 3 + c * 5) % 256
+                      for y in range(16) for x in range(32)
+                      for c in range(3))):
+        assert decode_jpeg(render_jpeg_color_progressive(32, 16, rgb)) \
+            == decode_jpeg(render_jpeg_color(32, 16, rgb))
+    # multi-component AC scan -> honest error: rewrite the Y AC scan's
+    # SOS header to claim 3 components (structurally invalid)
+    raw = bytearray(render_jpeg_color_progressive(
+        16, 16, bytes(128 for _ in range(16 * 16 * 3))))
+    # find the second SOS (first AC scan): 1-component header
+    first = raw.find(b"\xff\xda")
+    second = raw.find(b"\xff\xda", first + 2)
+    # splice a fake 3-comp SOS header over the 1-comp one
+    hdr = b"\xff\xda\x00\x0c\x03\x01\x00\x02\x10\x03\x10" + bytes([1, 63, 0])
+    raw2 = bytes(raw[:second]) + hdr + bytes(raw[second + 10:])
+    with _pytest.raises(ValueError, match="single-component"):
+        decode_jpeg(raw2)
