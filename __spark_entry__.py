@@ -1356,6 +1356,48 @@ def _table_time_travel(spark, sf_dir):
         spark, snapshot_id=s2["snapshot_id"]).select("doc_id")
 
 
+def _agg_hll_registers(spark, sf_dir):
+    """HyperLogLog register table (r6, Flajolet 2007 public method) on
+    the md5 hash seam, so the WHOLE sketch state is oracle-checkable:
+    32-bit hash, top-8-bit register, rho = leading zeros of the low 24
+    bits + 1, max per register. Keys are a deterministic many-to-one
+    projection of doc_id (true distinct <= 257) so the pytest can pin
+    the float estimate against the exact answer; at 100 TB the sketch
+    stays 256 longs and merges by element-wise max."""
+    from powerpoint_context_extractor_spark.operators.sketches import (
+        hll_registers,
+    )
+    d = _t(spark, sf_dir, "documents").select(
+        F.format_string("u%d", (F.col("doc_id") * 13) % 257).alias("k"))
+    return hll_registers(d, "k")
+
+
+def _join_bloom_prefilter(spark, sf_dir):
+    """Bloom-filter join prefilter (r6): a deterministic 3-hash bitmap
+    (2^16 bits, 32-bit words, md5-seam hashes) over the build side's
+    keys flags each probe row before the real join — the 100 TB
+    shuffle-volume cut for big-big joins whose bitmap (but not build
+    side) fits in a broadcast. The oracle recomputes every bit with
+    the same integer math (bit_or over word-packed masks) and pins the
+    one-sided guarantee row by row: matched=1 implies bloom_pass=1."""
+    from powerpoint_context_extractor_spark.operators.joins import (
+        bloom_prefilter,
+    )
+    d = _t(spark, sf_dir, "documents")
+    probe = d.select("doc_id", F.format_string(
+        "key%d", F.col("doc_id") % 331).alias("k"))
+    build = (d.filter(F.col("doc_id") % 9 == 0)
+             .select(F.format_string(
+                 "key%d", (F.col("doc_id") * 7) % 331).alias("k"))
+             .distinct())
+    flagged = bloom_prefilter(probe, build, "k")
+    return (flagged.join(build.withColumn("_m", F.lit(1)),
+                         "k", "left")
+            .select("doc_id", "k", "bloom_pass",
+                    F.coalesce(F.col("_m"), F.lit(0))
+                    .cast("long").alias("matched")))
+
+
 def _table_schema_evolution(spark, sf_dir):
     """Schema evolution on the snapshot table (r6 — the Iceberg
     add-column analog): a v1 append carries (doc_id, lang), a later
@@ -1863,6 +1905,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_schema_evolution": _table_schema_evolution,
         "mm_features_jpeg_prog_sa": _mm_features_jpeg_prog_sa,
         "mm_features_jpeg_prog_color": _mm_features_jpeg_prog_color,
+        "join_bloom_prefilter": _join_bloom_prefilter,
+        "agg_hll_registers": _agg_hll_registers,
     }
 
 
@@ -3954,6 +3998,66 @@ def oracle_sql() -> dict[str, str]:
         FROM sel WHERE h < rate_bp
     """
     d["graph_pagerank_hosts"] = _pagerank_oracle(iterations=5)
+    d["agg_hll_registers"] = """
+        -- HLL registers mirrored from sketches.hll_registers: 32-bit
+        -- md5 hash, register = top 8 bits, rho = 25 - bitlen(low 24)
+        WITH src AS (
+          SELECT printf('u%d', (doc_id * 13) % 257) AS k FROM documents
+        ),
+        h AS (
+          SELECT ('0x' || substr(md5(k), 1, 8))::BIGINT AS hh FROM src
+        ),
+        rho AS (
+          SELECT hh // 16777216 AS register,
+                 CASE WHEN hh % 16777216 = 0 THEN 25
+                      ELSE 25 - length(bin(hh % 16777216)) END AS r
+          FROM h
+        )
+        SELECT register, CAST(max(r) AS BIGINT) AS max_rho
+        FROM rho GROUP BY register
+    """
+    d["join_bloom_prefilter"] = """
+        -- bloom bitmap mirrored from joins.bloom_prefilter: 3 hashes
+        -- H(bloomJ||k) % 2^16, 32-bit words, bit_or aggregate
+        WITH probe AS (
+          SELECT doc_id, printf('key%d', doc_id % 331) AS k
+          FROM documents
+        ),
+        build AS (
+          SELECT DISTINCT printf('key%d', (doc_id * 7) % 331) AS k
+          FROM documents WHERE doc_id % 9 = 0
+        ),
+        pos AS (
+          SELECT (('0x' || substr(md5('bloom' || j || k), 1, 8))
+                  ::BIGINT % 1000000007) % 65536 AS p
+          FROM build, (VALUES (0), (1), (2)) AS t(j)
+        ),
+        bm AS (
+          SELECT p // 32 AS word,
+                 bit_or(1::BIGINT << CAST(p % 32 AS INT)) AS bits
+          FROM pos GROUP BY 1
+        ),
+        pp AS (
+          SELECT probe.doc_id, probe.k, t.j,
+                 (('0x' || substr(md5('bloom' || t.j || probe.k), 1, 8))
+                  ::BIGINT % 1000000007) % 65536 AS p
+          FROM probe, (VALUES (0), (1), (2)) AS t(j)
+        ),
+        hits AS (
+          SELECT doc_id, k,
+                 CASE WHEN count(*) FILTER (
+                        WHERE b.bits IS NOT NULL
+                        AND (b.bits & (1::BIGINT << CAST(p % 32 AS INT)))
+                            = (1::BIGINT << CAST(p % 32 AS INT))) = 3
+                      THEN 1 ELSE 0 END AS bloom_pass
+          FROM pp LEFT JOIN bm b ON p // 32 = b.word
+          GROUP BY doc_id, k
+        )
+        SELECT h.doc_id, h.k, CAST(h.bloom_pass AS BIGINT) AS bloom_pass,
+               CAST(CASE WHEN b2.k IS NULL THEN 0 ELSE 1 END AS BIGINT)
+                 AS matched
+        FROM hits h LEFT JOIN build b2 USING (k)
+    """
     d["table_schema_evolution"] = """
         -- evolved read: v1 rows (even doc_id) predate the n_chars
         -- column and surface it as NULL; v2 rows carry their value

@@ -174,3 +174,66 @@ def asof_join_backward(left: DataFrame, right: DataFrame, key: str,
     hot = (hot.filter(F.col("_side") == 1)
            .select(*lcols, *value_cols))
     return cold.unionByName(hot)
+
+
+def bloom_prefilter(probe: DataFrame, build: DataFrame, key_col: str,
+                    m_bits: int = 1 << 16, k: int = 3,
+                    salt: str = "bloom") -> DataFrame:
+    """Bloom-filter join prefilter (Bloom 1970, public method): build a
+    deterministic k-hash bitmap over the build side's keys and flag
+    each probe row with whether ALL k bits are set. At 100 TB this is
+    the shuffle-volume killer for big-big joins whose build side is
+    too large to broadcast whole but whose BITMAP is not: probing is
+    k broadcast hash joins against a <= m/32-row bitmap table — the
+    probe side never shuffles, and rows that cannot match never enter
+    the real join's exchange.
+
+    Determinism contract: hashes are ``portable_hash(salt||j||key)``
+    (the md5 seam), positions ``H % m_bits``, the bitmap packs 32 bits
+    per word (no sign games with bit 63), and the aggregate is
+    ``bit_or`` — every bit, and therefore every flag, is reproducible
+    in DuckDB with the same integer math. No driver-side collect: the
+    bitmap stays a DataFrame and is broadcast by the planner.
+
+    Emits the probe DataFrame plus ``bloom_pass`` (long 0/1). The
+    guarantee is one-sided, as for any Bloom filter: every true match
+    has ``bloom_pass`` = 1; a pass is only probable membership."""
+    from .dedup import portable_hash
+    if m_bits % 32 or m_bits <= 0 or k <= 0:
+        raise ValueError("bloom_prefilter: m_bits must be a positive "
+                         "multiple of 32 and k > 0")
+
+    def _pos(j: int, col):
+        return portable_hash(
+            F.format_string(f"{salt}{j}%s", col)) % m_bits
+
+    parts = None
+    for j in range(k):
+        p = (build.select(_pos(j, F.col(key_col)).alias("_pos"))
+             .select(F.expr("_pos div 32").alias("word"),
+                     F.expr("shiftleft(cast(1 as bigint), "
+                            "cast(_pos % 32 as int))").alias("mask")))
+        parts = p if parts is None else parts.unionByName(p)
+    bitmap = parts.groupBy("word").agg(
+        F.bit_or("mask").alias("bits"))
+    out = probe
+    pass_cols = []
+    for j in range(k):
+        bm = (bitmap.withColumnRenamed("word", f"_w{j}")
+              .withColumnRenamed("bits", f"_b{j}"))
+        out = (out.withColumn(f"_pos{j}", _pos(j, F.col(key_col)))
+               .withColumn(f"_pw{j}", F.expr(f"_pos{j} div 32"))
+               .withColumn(f"_pm{j}", F.expr(
+                   f"shiftleft(cast(1 as bigint), "
+                   f"cast(_pos{j} % 32 as int))"))
+               .join(F.broadcast(bm),
+                     F.col(f"_pw{j}") == F.col(f"_w{j}"), "left"))
+        pass_cols.append(
+            (F.col(f"_b{j}").bitwiseAND(F.col(f"_pm{j}"))
+             == F.col(f"_pm{j}")).alias(f"_hit{j}"))
+    hit = pass_cols[0]
+    for c in pass_cols[1:]:
+        hit = hit & c
+    keep = [c for c in probe.columns]
+    return out.select(*keep, F.coalesce(hit.cast("long"),
+                                        F.lit(0)).alias("bloom_pass"))

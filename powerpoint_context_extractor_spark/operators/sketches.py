@@ -1,0 +1,65 @@
+"""Deterministic cardinality sketches (HyperLogLog registers).
+
+Spark's own ``approx_count_distinct`` is HLL++ under the hood, but its
+hash is engine-private — the result can't be checked against another
+engine bit-for-bit. This module implements the classic HyperLogLog
+register construction (Flajolet et al. 2007, public method) on the
+repo's md5 hash seam, so the ENTIRE sketch state is reproducible in
+DuckDB: 32-bit hash H = first 8 md5 hex digits, register = top p bits,
+rho = leading-zero count of the remaining (32-p) bits + 1, register
+value = max rho. The query-layer contract checks the registers
+themselves (integer-exact); the float estimate is derived OUTSIDE the
+oracle path (pytest pins it within HLL's standard error).
+
+Scale shape: one ``groupBy(register).agg(max(rho))`` — 2^p groups
+(256 at p=8), perfectly map-side combinable; the sketch for a 100 TB
+table is 2^p longs regardless of cardinality, and sketches of
+partitions merge by element-wise max (the HLL union), which is what
+makes it the standard distributed distinct-counter.
+
+Reference analog: the run-totals the reference keeps while walking
+presentations (`pptx_extractor/pptx_extract.py:157-182`) — lifted to
+the sublinear-state regime the reference never needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def hll_registers(df: DataFrame, key_col: str, p: int = 8) -> DataFrame:
+    """HyperLogLog register table for the values of ``key_col``:
+    (register, max_rho), only registers that were hit. Deterministic
+    across engines (md5 seam, integer math only)."""
+    if not 4 <= p <= 16:
+        raise ValueError("hll_registers: p must be in [4, 16]")
+    low_bits = 32 - p
+    h = F.conv(F.substring(F.md5(F.col(key_col)), 1, 8), 16, 10) \
+        .cast("long")
+    return (df.select(h.alias("_h"))
+            .select(F.expr(f"_h div {1 << low_bits}").alias("register"),
+                    F.expr(f"_h % {1 << low_bits}").alias("_v"))
+            .select("register", F.expr(
+                f"case when _v = 0 then {low_bits + 1} "
+                f"else {low_bits + 1} - length(conv(_v, 10, 2)) end")
+                .cast("long").alias("_rho"))
+            .groupBy("register")
+            .agg(F.max("_rho").alias("max_rho")))
+
+
+def hll_estimate(registers: dict, p: int = 8) -> float:
+    """Classic HLL estimate from a {register: max_rho} dict (small-
+    range linear-counting correction included). Driver-side float
+    math by design — the cross-engine contract stops at the integer
+    registers."""
+    import math
+    m = 1 << p
+    alpha = 0.7213 / (1 + 1.079 / m)
+    s = sum(2.0 ** -registers.get(r, 0) for r in range(m))
+    est = alpha * m * m / s
+    if est <= 2.5 * m:
+        zeros = m - len([r for r in registers if registers[r] > 0])
+        if zeros:
+            est = m * math.log(m / zeros)
+    return est

@@ -139,3 +139,32 @@ def test_embedding_near_dup_finds_scaled_copies(spark):
     for i in range(3):
         assert (i, i + 100) in pairs          # same direction -> cos 1
         assert pairs[(i, i + 100)] == 1_000_000
+
+
+def test_bloom_prefilter_one_sided_and_deterministic(spark):
+    """r6: every build-side member passes the bloom prefilter (no
+    false negatives — the one-sided guarantee), non-members are
+    overwhelmingly rejected at 2^16 bits, a deliberately tiny bitmap
+    still never drops a member, and reruns are bit-identical."""
+    from powerpoint_context_extractor_spark.operators import joins
+    probe = spark.createDataFrame(
+        [(i, f"p{i % 50}") for i in range(300)], "id long, k string")
+    build = spark.createDataFrame(
+        [(f"p{j}",) for j in range(0, 50, 5)], "k string")
+    members = {f"p{j}" for j in range(0, 50, 5)}
+    out = joins.bloom_prefilter(probe, build, "k").collect()
+    assert len(out) == 300
+    assert all(r["bloom_pass"] == 1 for r in out if r["k"] in members)
+    fp_keys = {r["k"] for r in out
+               if r["k"] not in members and r["bloom_pass"] == 1}
+    assert len(fp_keys) <= 2          # 10 keys x 3 hashes in 65536 bits
+    again = joins.bloom_prefilter(probe, build, "k").collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+    # a 32-bit bitmap saturates (many false positives) but the
+    # one-sided guarantee still holds
+    tiny = joins.bloom_prefilter(probe, build, "k",
+                                 m_bits=32, k=2).collect()
+    assert all(r["bloom_pass"] == 1 for r in tiny if r["k"] in members)
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="bloom_prefilter"):
+        joins.bloom_prefilter(probe, build, "k", m_bits=33)

@@ -1677,3 +1677,32 @@ def test_jpeg_progressive_color_equals_baseline_color():
     raw2 = bytes(raw[:second]) + hdr + bytes(raw[second + 10:])
     with _pytest.raises(ValueError, match="single-component"):
         decode_jpeg(raw2)
+
+
+def test_hll_registers_estimate_and_merge(spark):
+    """r6: the HLL register sketch estimates distinct counts within
+    the standard error envelope at p=8 (~6.5% sigma; assert 3 sigma),
+    partition sketches merge by element-wise max to exactly the
+    whole-data sketch (the distributed union property), and bad p
+    raises."""
+    import pytest as _pytest
+
+    from powerpoint_context_extractor_spark.operators import sketches
+    docs = spark.range(40000).select(
+        F.format_string("key%d", F.col("id") % 5000).alias("k"),
+        (F.col("id") % 2).alias("half"))
+    whole = {r["register"]: r["max_rho"]
+             for r in sketches.hll_registers(docs, "k").collect()}
+    est = sketches.hll_estimate(whole)
+    assert abs(est - 5000) / 5000 < 0.20          # 3 sigma at p=8
+    # merge = element-wise max of the two halves' registers
+    merged: dict = {}
+    for hv in (0, 1):
+        part = sketches.hll_registers(
+            docs.filter(F.col("half") == hv), "k").collect()
+        for r in part:
+            merged[r["register"]] = max(
+                merged.get(r["register"], 0), r["max_rho"])
+    assert merged == whole
+    with _pytest.raises(ValueError, match="hll"):
+        sketches.hll_registers(docs, "k", p=2)
