@@ -1356,6 +1356,22 @@ def _table_time_travel(spark, sf_dir):
         spark, snapshot_id=s2["snapshot_id"]).select("doc_id")
 
 
+def _layout_zorder_key(spark, sf_dir):
+    """Z-order (Morton) layout key (r6): interleave the low 8 bits of
+    two rank dimensions so range-partitioning the key bounds BOTH
+    dimensions' per-file min/max — the Delta/Iceberg OPTIMIZE ZORDER
+    layout move, here as pure bit math inside one codegen'd
+    projection. The oracle rebuilds the same 16 shift/mask terms."""
+    from powerpoint_context_extractor_spark.operators.layout import (
+        zorder_key,
+    )
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.col("doc_id") % 251).alias("x"),
+        ((F.col("doc_id") * 17) % 241).alias("y"))
+    return d.withColumn("zkey", zorder_key(["x", "y"], bits=8))
+
+
 def _agg_hll_registers(spark, sf_dir):
     """HyperLogLog register table (r6, Flajolet 2007 public method) on
     the md5 hash seam, so the WHOLE sketch state is oracle-checkable:
@@ -1907,6 +1923,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_features_jpeg_prog_color": _mm_features_jpeg_prog_color,
         "join_bloom_prefilter": _join_bloom_prefilter,
         "agg_hll_registers": _agg_hll_registers,
+        "layout_zorder_key": _layout_zorder_key,
     }
 
 
@@ -3998,6 +4015,7 @@ def oracle_sql() -> dict[str, str]:
         FROM sel WHERE h < rate_bp
     """
     d["graph_pagerank_hosts"] = _pagerank_oracle(iterations=5)
+    d["layout_zorder_key"] = _zorder_oracle(bits=8)
     d["agg_hll_registers"] = """
         -- HLL registers mirrored from sketches.hll_registers: 32-bit
         -- md5 hash, register = top 8 bits, rho = 25 - bitlen(low 24)
@@ -4066,6 +4084,22 @@ def oracle_sql() -> dict[str, str]:
         FROM documents
     """
     return d
+
+
+def _zorder_oracle(bits: int) -> str:
+    """Morton interleave mirrored term-for-term from layout.zorder_key
+    (two dims: x bit b -> position 2b, y bit b -> position 2b+1)."""
+    terms = [f"(((CAST({c} AS BIGINT) >> {b}) & 1) << {b * 2 + i})"
+             for i, c in enumerate(("x", "y")) for b in range(bits)]
+    return f"""
+        WITH src AS (
+          SELECT doc_id, doc_id % 251 AS x, (doc_id * 17) % 241 AS y
+          FROM documents
+        )
+        SELECT doc_id, CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y,
+               CAST({" + ".join(terms)} AS BIGINT) AS zkey
+        FROM src
+    """
 
 
 def _pagerank_oracle(iterations: int) -> str:

@@ -482,3 +482,57 @@ def test_schema_evolution_add_widen_reject_and_legacy(spark, tmp_path):
             for r in table.read_evolved(spark).collect()}
     assert got3 == got
     assert [s.get("run_id") for s in table.snapshots()] == ["c"]
+
+
+def test_zorder_layout_bounds_both_dimensions(spark, tmp_path):
+    """r6: range-partitioning on the Morton key gives every output
+    file a bounded min/max window on BOTH interleaved columns (the
+    footer-stats pruning a single-column sort only provides for its
+    own column), and the key matches the pure-Python interleave."""
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from powerpoint_context_extractor_spark.operators import layout
+    n = 1 << 12
+    df = spark.range(n).select(
+        (F.col("id") % 64).alias("x"),
+        (F.col("id") / 64).cast("long").alias("y"))   # 64x64 grid
+    # key correctness vs pure-Python Morton interleave
+    got = df.withColumn("z", layout.zorder_key(["x", "y"], bits=6)) \
+        .collect()
+    for r in got:
+        want = sum((((r["x"] >> b) & 1) << (2 * b))
+                   + (((r["y"] >> b) & 1) << (2 * b + 1))
+                   for b in range(6))
+        assert r["z"] == want
+    # layout: z-order vs linear x-sort, 8 files each
+    zdir, ldir = str(tmp_path / "z"), str(tmp_path / "l")
+    layout.zorder_write(df, zdir, ["x", "y"], bits=6, n_files=8)
+    (df.repartitionByRange(8, "x").sortWithinPartitions("x")
+     .write.mode("overwrite").parquet(ldir))
+
+    def _ranges(d, col):
+        out = []
+        import os
+        for f in sorted(os.listdir(d)):
+            if not f.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(os.path.join(d, f)).metadata
+            idx = md.schema.names.index(col)
+            lo = min(md.row_group(g).column(idx).statistics.min
+                     for g in range(md.num_row_groups))
+            hi = max(md.row_group(g).column(idx).statistics.max
+                     for g in range(md.num_row_groups))
+            out.append(hi - lo)
+        return out
+
+    zx, zy = _ranges(zdir, "x"), _ranges(zdir, "y")
+    lx, ly = _ranges(ldir, "x"), _ranges(ldir, "y")
+    # linear layout: x tightly bounded, y spans ~the full domain
+    assert sum(lx) / len(lx) < 16 and sum(ly) / len(ly) > 55
+
+    # z-order: BOTH dimensions bounded well below the full domain
+    assert sum(zx) / len(zx) <= 32 and sum(zy) / len(zy) <= 32
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="zorder_key"):
+        layout.zorder_key(["x"])
