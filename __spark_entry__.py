@@ -1356,6 +1356,46 @@ def _table_time_travel(spark, sf_dir):
         spark, snapshot_id=s2["snapshot_id"]).select("doc_id")
 
 
+def _sample_reservoir_weighted(spark, sf_dir):
+    """Weight-biased fixed-k sample (r6, the integer A-ES analog):
+    priority = H('wres'||doc_id) div weight, k=20 smallest win per
+    stratum doc_id%3 with weights 1 + doc_id%10 — heavier rows draw
+    systematically smaller priorities. Two-level exact top-k in
+    Spark; one-level row_number formulation in the oracle."""
+    from powerpoint_context_extractor_spark.operators.sampling import (
+        weighted_reservoir_sample,
+    )
+    d = (_t(spark, sf_dir, "documents")
+         .select("doc_id",
+                 F.format_string("s%d", F.col("doc_id") % 3)
+                 .alias("stratum"),
+                 (F.lit(1) + F.col("doc_id") % 10).alias("wt")))
+    return weighted_reservoir_sample(d, "stratum", "wt", k=20)
+
+
+def _agg_exact_quantiles(spark, sf_dir):
+    """Exact per-group quantiles by rank selection (r6): p50/p90/p99
+    of n_chars per domain as the value at row_number
+    ceil(q*cnt/100) — integer-exact and engine-agnostic, unlike
+    percentile_approx/percentile_disc whose interpolation rules
+    differ across engines. One shuffle on domain; the rank window
+    and the count window share the partitioning."""
+    from pyspark.sql import Window as W
+    d = _t(spark, sf_dir, "documents").select(
+        (F.col("doc_id") % 5).alias("domain"),
+        F.col("n_chars").alias("v"), "doc_id")
+    w = W.partitionBy("domain").orderBy("v", "doc_id")
+    ranked = (d.withColumn("rn", F.row_number().over(w))
+              .withColumn("cnt", F.count(F.lit(1)).over(
+                  W.partitionBy("domain"))))
+    return (ranked.select(
+        "domain", "v", "rn", "cnt",
+        F.explode(F.array(F.lit(50), F.lit(90), F.lit(99))).alias("q"))
+        .filter(F.expr("rn = (q * cnt + 99) div 100"))
+        .select("domain", F.col("q").cast("long").alias("q"),
+                F.col("v").alias("value")))
+
+
 def _layout_zorder_key(spark, sf_dir):
     """Z-order (Morton) layout key (r6): interleave the low 8 bits of
     two rank dimensions so range-partitioning the key bounds BOTH
@@ -1924,6 +1964,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_bloom_prefilter": _join_bloom_prefilter,
         "agg_hll_registers": _agg_hll_registers,
         "layout_zorder_key": _layout_zorder_key,
+        "sample_reservoir_weighted": _sample_reservoir_weighted,
+        "agg_exact_quantiles": _agg_exact_quantiles,
     }
 
 
@@ -4016,6 +4058,42 @@ def oracle_sql() -> dict[str, str]:
     """
     d["graph_pagerank_hosts"] = _pagerank_oracle(iterations=5)
     d["layout_zorder_key"] = _zorder_oracle(bits=8)
+    d["sample_reservoir_weighted"] = """
+        -- integer A-ES: priority = H div w, one-level top-k oracle
+        WITH src AS (
+          SELECT doc_id, printf('s%d', doc_id % 3) AS stratum,
+                 1 + doc_id % 10 AS wt,
+                 (('0x' || substr(md5(printf('wres%d', doc_id)), 1, 8))
+                  ::BIGINT % 1000000007) // (1 + doc_id % 10) AS pri
+          FROM documents
+        ),
+        r AS (
+          SELECT doc_id, stratum, wt,
+                 row_number() OVER (PARTITION BY stratum
+                                    ORDER BY pri, doc_id) AS rk
+          FROM src
+        )
+        SELECT doc_id, stratum, CAST(wt AS BIGINT) AS w,
+               CAST(rk AS BIGINT) AS rk
+        FROM r WHERE rk <= 20
+    """
+    d["agg_exact_quantiles"] = """
+        -- rank-selected exact quantiles: value at ceil(q*cnt/100)
+        WITH src AS (
+          SELECT doc_id, doc_id % 5 AS domain, n_chars AS v
+          FROM documents
+        ),
+        r AS (
+          SELECT domain, v,
+                 row_number() OVER (PARTITION BY domain
+                                    ORDER BY v, doc_id) AS rn,
+                 count(*) OVER (PARTITION BY domain) AS cnt
+          FROM src
+        )
+        SELECT domain, CAST(q AS BIGINT) AS q, CAST(v AS BIGINT) AS value
+        FROM r, (VALUES (50), (90), (99)) AS t(q)
+        WHERE rn = (q * cnt + 99) // 100
+    """
     d["agg_hll_registers"] = """
         -- HLL registers mirrored from sketches.hll_registers: 32-bit
         -- md5 hash, register = top 8 bits, rho = 25 - bitlen(low 24)

@@ -223,3 +223,38 @@ def temperature_sample(docs: DataFrame, domain_col: str,
             .filter(F.col("_h") < F.col("rate_bp"))
             .select(id_col, "domain",
                     F.col("rate_bp").cast("long").alias("rate_bp")))
+
+
+def weighted_reservoir_sample(docs: DataFrame, stratum_col: str,
+                              weight_col: str, k: int,
+                              id_col: str = "doc_id",
+                              salt: str = "wres",
+                              buckets: int = 32) -> DataFrame:
+    """Deterministic weight-biased fixed-k sample per stratum — the
+    integer analog of the Efraimidis–Spirakis A-ES weighted reservoir
+    (public method): each row draws priority ``H(salt||id) div w``
+    (uniform hash scaled down by weight, so a weight-2w row is twice
+    as likely to land among the k smallest as a weight-w row), and the
+    k smallest (priority, id) win. Same two-level exact top-k shape as
+    :func:`reservoir_sample` — no hot-stratum single-task sort — and
+    the one-level formulation is the oracle. Weights must be positive
+    integers. Emits (id, stratum, w, rk)."""
+    if k <= 0 or buckets <= 0:
+        raise ValueError(
+            "weighted_reservoir_sample: k and buckets must be > 0")
+    from pyspark.sql import Window as W
+    h = portable_hash(F.format_string(f"{salt}%d", F.col(id_col)))
+    base = (docs.select(
+        F.col(id_col), F.col(stratum_col).alias("stratum"),
+        F.col(weight_col).cast("long").alias("w"),
+        h.alias("_h"),
+        (F.col(id_col) % buckets).alias("_b"))
+        .withColumn("_pri", F.expr("_h div w")))
+    w1 = W.partitionBy("stratum", "_b").orderBy("_pri", id_col)
+    stage1 = (base.withColumn("_r1", F.row_number().over(w1))
+              .filter(F.col("_r1") <= k))
+    w2 = W.partitionBy("stratum").orderBy("_pri", id_col)
+    return (stage1.withColumn("rk", F.row_number().over(w2))
+            .filter(F.col("rk") <= k)
+            .select(id_col, "stratum", "w",
+                    F.col("rk").cast("long").alias("rk")))

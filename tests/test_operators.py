@@ -1706,3 +1706,34 @@ def test_hll_registers_estimate_and_merge(spark):
     assert merged == whole
     with _pytest.raises(ValueError, match="hll"):
         sketches.hll_registers(docs, "k", p=2)
+
+
+def test_weighted_reservoir_bias_and_equivalence(spark):
+    """r6: the weighted reservoir's two-level top-k equals the
+    one-level formulation, and heavy rows win far more often — with
+    weights 100 vs 1 at 10% selectivity, nearly every winner is a
+    heavy row."""
+    from pyspark.sql import Window as W
+
+    from powerpoint_context_extractor_spark.operators import sampling
+    from powerpoint_context_extractor_spark.operators.dedup import (
+        portable_hash,
+    )
+    rows = [(i, "s", 100 if i < 100 else 1) for i in range(1000)]
+    docs = spark.createDataFrame(rows, "doc_id long, stratum string, wt long")
+    out = sampling.weighted_reservoir_sample(
+        docs, "stratum", "wt", k=50).collect()
+    h = portable_hash(F.format_string("wres%d", F.col("doc_id")))
+    w = W.partitionBy("stratum").orderBy("_pri", "doc_id")
+    want = (docs.withColumn("_h", h)
+            .withColumn("_pri", F.expr("_h div wt"))
+            .withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= 50)
+            .select("doc_id", "stratum", F.col("wt").alias("w"),
+                    F.col("rk").cast("long"))
+            .collect())
+    assert sorted(map(tuple, out)) == sorted(map(tuple, want))
+    heavy = sum(1 for r in out if r["w"] == 100)
+    assert heavy >= 40          # 100 heavy rows dominate the 50 slots
+    with pytest.raises(ValueError, match="weighted_reservoir"):
+        sampling.weighted_reservoir_sample(docs, "stratum", "wt", k=0)
