@@ -1506,6 +1506,18 @@ def _mm_features_jpeg_prog_sa(spark, sf_dir):
     return extract_jpeg_prog_sa_features(_t(spark, sf_dir, "documents"))
 
 
+def _mm_features_jpeg_dri(spark, sf_dir):
+    """Restart-interval baseline JPEG under the correctness gate (r6 —
+    DRI/RSTm is the dominant real-web encoder setting): the SAME
+    block-constant pixels with DRI=1, so the decoder must byte-align
+    at the marker and reset the DC predictor between MCUs; shares the
+    baseline JPEG oracle verbatim."""
+    from powerpoint_context_extractor_spark.operators.multimodal import (
+        extract_jpeg_dri_features,
+    )
+    return extract_jpeg_dri_features(_t(spark, sf_dir, "documents"))
+
+
 def _mm_features_jpeg_prog_color(spark, sf_dir):
     """Progressive COLOR JPEG under the correctness gate (r6 — the
     honest-error surface shrinks to arithmetic coding only): the SAME
@@ -1964,6 +1976,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_bloom_prefilter": _join_bloom_prefilter,
         "agg_hll_registers": _agg_hll_registers,
         "layout_zorder_key": _layout_zorder_key,
+        "mm_features_jpeg_dri": _mm_features_jpeg_dri,
         "sample_reservoir_weighted": _sample_reservoir_weighted,
         "agg_exact_quantiles": _agg_exact_quantiles,
     }
@@ -2828,6 +2841,8 @@ def oracle_sql() -> dict[str, str]:
     d["mm_features_jpeg_prog"] = d["mm_features_jpeg"]
     # successive-approximation twin: same pixels, same oracle (r6)
     d["mm_features_jpeg_prog_sa"] = d["mm_features_jpeg"]
+    # restart-interval twin: same pixels, same oracle (r6)
+    d["mm_features_jpeg_dri"] = d["mm_features_jpeg"]
     # time travel (r6): as-of the second snapshot = first two thirds
     d["table_time_travel"] = """
         SELECT doc_id FROM documents WHERE doc_id % 3 IN (0, 1)

@@ -260,6 +260,16 @@ class _BitReader:
                 return table[(ln, code)]
         raise ValueError("jpeg: bad huffman code")
 
+    def restart(self, m: int) -> None:
+        """Byte-align (discarding pad bits) and consume the expected
+        RSTm marker (T.81 E.2.4). The caller resets DC predictors."""
+        self.acc = 0
+        self.n = 0
+        if self.i + 1 >= len(self.data) or self.data[self.i] != 0xFF \
+                or self.data[self.i + 1] != 0xD0 + (m & 7):
+            raise ValueError("jpeg: missing restart marker")
+        self.i += 2
+
 
 def _fdct_quant(block: list) -> list:
     """Forward DCT (T.81 A.3.3 reference formula) + quantization,
@@ -348,9 +358,13 @@ def _encode_block(w: "_BitWriter", block: list, prev_dc: int,
     return zz[0]
 
 
-def render_jpeg_gray(width: int, height: int, pixels: bytes) -> bytes:
+def render_jpeg_gray(width: int, height: int, pixels: bytes,
+                     restart_interval: int = 0) -> bytes:
     """Encode row-major grayscale bytes as baseline JFIF. Dimensions
-    must be multiples of 8 (no partial-MCU padding in the subset)."""
+    must be multiples of 8 (no partial-MCU padding in the subset).
+    ``restart_interval`` > 0 emits a DRI segment and RSTm markers
+    every that many MCUs (byte-aligned, DC predictor reset) — the
+    common web shape that enables parallel/resilient decode."""
     if width % 8 or height % 8 or width <= 0 or height <= 0:
         raise ValueError("jpeg: dimensions must be positive multiples of 8")
     if len(pixels) != width * height:
@@ -363,21 +377,33 @@ def render_jpeg_gray(width: int, height: int, pixels: bytes) -> bytes:
                 + b"\x01\x11\x00")                     # SOF0, 1 comp
     out += _seg(0xC4, b"\x00" + bytes(_DC_BITS) + bytes(_DC_VALS))
     out += _seg(0xC4, b"\x10" + bytes(_AC_BITS) + bytes(_AC_VALS))
+    if restart_interval:
+        out += _seg(0xDD, struct.pack(">H", restart_interval))
     out += _seg(0xDA, b"\x01\x01\x00\x00\x3f\x00")     # SOS
     w = _BitWriter()
     prev_dc = 0
+    nb = (width // 8) * (height // 8)
+    mcu = rst = 0
     for by in range(height // 8):
         for bx in range(width // 8):
             block = [pixels[(by * 8 + y) * width + bx * 8 + x]
                      for y in range(8) for x in range(8)]
             prev_dc = _encode_block(w, block, prev_dc,
                                     _DC_CODES, _AC_CODES)
+            mcu += 1
+            if restart_interval and mcu % restart_interval == 0 \
+                    and mcu < nb:
+                out += w.flush() + bytes([0xFF, 0xD0 + rst])
+                rst = (rst + 1) % 8
+                w = _BitWriter()
+                prev_dc = 0
     out += w.flush()
     out += b"\xff\xd9"                                 # EOI
     return bytes(out)
 
 
-def render_jpeg_color(width: int, height: int, rgb: bytes) -> bytes:
+def render_jpeg_color(width: int, height: int, rgb: bytes,
+                      restart_interval: int = 0) -> bytes:
     """Encode row-major RGB bytes as baseline YCbCr 4:2:0 JFIF (r6).
     Dimensions must be multiples of 16 (full 4:2:0 MCUs only in the
     subset). Color conversion and the 2x2 chroma average use the
@@ -412,9 +438,13 @@ def render_jpeg_color(width: int, height: int, rgb: bytes) -> bytes:
     out += _seg(0xC4, b"\x10" + bytes(_AC_BITS) + bytes(_AC_VALS))
     out += _seg(0xC4, b"\x01" + bytes(_DC_BITS_C) + bytes(_DC_VALS_C))
     out += _seg(0xC4, b"\x11" + bytes(_AC_BITS_C) + bytes(_AC_VALS_C))
+    if restart_interval:
+        out += _seg(0xDD, struct.pack(">H", restart_interval))
     out += _seg(0xDA, b"\x03\x01\x00\x02\x11\x03\x11\x00\x3f\x00")
     w = _BitWriter()
     pred = {"y": 0, "cb": 0, "cr": 0}
+    n_mcu = (height // 16) * (width // 16)
+    mcu = rst = 0
     for my in range(height // 16):
         for mx in range(width // 16):
             for j in range(4):                         # Y blocks TL,TR,BL,BR
@@ -429,6 +459,13 @@ def render_jpeg_color(width: int, height: int, rgb: bytes) -> bytes:
                          for y in range(8) for x in range(8)]
                 pred[key] = _encode_block(w, block, pred[key],
                                           _DC_CODES_C, _AC_CODES_C)
+            mcu += 1
+            if restart_interval and mcu % restart_interval == 0 \
+                    and mcu < n_mcu:
+                out += w.flush() + bytes([0xFF, 0xD0 + rst])
+                rst = (rst + 1) % 8
+                w = _BitWriter()
+                pred = {"y": 0, "cb": 0, "cr": 0}
     out += w.flush()
     out += b"\xff\xd9"                                 # EOI
     return bytes(out)
@@ -475,6 +512,7 @@ def decode_jpeg(data: bytes) -> tuple:
     qtabs: dict = {}
     huff: dict = {}
     comps: list = []          # (id, h, v, tq)
+    restart_int = 0           # DRI: MCUs between RST markers (0 = off)
     scan_sel: dict = {}       # comp id -> (td, ta)
     scan = None
     progressive = False
@@ -525,7 +563,7 @@ def decode_jpeg(data: bytes) -> tuple:
                         0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError("jpeg: only SOF0/SOF2 are supported")
         elif marker == 0xDD:
-            raise ValueError("jpeg: restart intervals unsupported")
+            (restart_int,) = struct.unpack(">H", body[:2])
         elif marker == 0xDA:
             ns = body[0]
             sel = {}
@@ -546,6 +584,10 @@ def decode_jpeg(data: bytes) -> tuple:
             continue
         i += 2 + ln
     if progressive:
+        if restart_int:
+            raise ValueError(
+                "jpeg: restart intervals unsupported in the "
+                "progressive subset")
         if width is None or not qtabs or not scans or not comps:
             raise ValueError("jpeg: missing SOF/DQT/SOS")
         if len(comps) == 1:
@@ -577,6 +619,8 @@ def decode_jpeg(data: bytes) -> tuple:
             raise ValueError("jpeg: missing quant table")
         pixels = bytearray(width * height)
         pred = 0
+        nb = (width // 8) * (height // 8)
+        mcu = rst = 0
         for by in range(height // 8):
             for bx in range(width // 8):
                 zz, pred = _decode_block(r, dc_t, ac_t, pred)
@@ -584,6 +628,11 @@ def decode_jpeg(data: bytes) -> tuple:
                 for y in range(8):
                     row = (by * 8 + y) * width + bx * 8
                     pixels[row:row + 8] = bytes(block[y * 8:(y + 1) * 8])
+                mcu += 1
+                if restart_int and mcu % restart_int == 0 and mcu < nb:
+                    r.restart(rst)            # aligns + resets DC pred
+                    rst = (rst + 1) % 8
+                    pred = 0
         return width, height, 1, bytes(pixels)
 
     samp = [(h, v) for _, h, v, _ in comps]
@@ -603,6 +652,8 @@ def decode_jpeg(data: bytes) -> tuple:
         if qts[cid] is None:
             raise ValueError("jpeg: missing quant table")
     y_id, cb_id, cr_id = comps[0][0], comps[1][0], comps[2][0]
+    n_mcu = (height // 16) * (width // 16)
+    mcu = rst = 0
     for my in range(height // 16):
         for mx in range(width // 16):
             for j in range(4):
@@ -621,6 +672,12 @@ def decode_jpeg(data: bytes) -> tuple:
                     row = (my * 8 + y) * cw + mx * 8
                     planes[cid][row:row + 8] = bytes(
                         block[y * 8:(y + 1) * 8])
+            mcu += 1
+            if restart_int and mcu % restart_int == 0 and mcu < n_mcu:
+                r.restart(rst)
+                rst = (rst + 1) % 8
+                for cid in preds:
+                    preds[cid] = 0
     rgb = bytearray(width * height * 3)
     yp, cbp, crp = planes[y_id], planes[cb_id], planes[cr_id]
     for y in range(height):

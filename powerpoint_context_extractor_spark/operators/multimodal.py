@@ -902,6 +902,44 @@ def jpeg_prog_payload_for_doc(doc_id: int) -> bytes:
     return render_jpeg_gray_progressive(JPEG_W, JPEG_H, bytes(px))
 
 
+def jpeg_dri_payload_for_doc(doc_id: int) -> bytes:
+    """Restart-marker twin (r6): the SAME block-constant pixels with
+    DRI=1 — an RST marker (byte-aligned, DC predictor reset) between
+    the two MCUs. Decode must land on the identical pixel function,
+    so the query shares the baseline oracle."""
+    px = bytearray(JPEG_W * JPEG_H)
+    for b in range(2):
+        v = jpeg_block_value(doc_id, b)
+        for y in range(JPEG_H):
+            for x in range(8):
+                px[y * JPEG_W + b * 8 + x] = v
+    return render_jpeg_gray(JPEG_W, JPEG_H, bytes(px),
+                            restart_interval=1)
+
+
+def extract_jpeg_dri_features(docs: DataFrame) -> DataFrame:
+    """Render + decode a restart-interval baseline JPEG per documents
+    row — same shape and oracle as the baseline path."""
+
+    def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("doc_id", "width", "height",
+                                   "px_sum", "px_min", "px_max")}
+            for doc_id in pdf["doc_id"].tolist():
+                w, h, nc, px = decode_jpeg(jpeg_dri_payload_for_doc(doc_id))
+                assert nc == 1
+                out["doc_id"].append(doc_id)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["px_sum"].append(sum(px))
+                out["px_min"].append(min(px))
+                out["px_max"].append(max(px))
+            yield pd.DataFrame(out)
+
+    return docs.select("doc_id").mapInPandas(
+        _batches, schema=JPEG_FEATURE_SCHEMA)
+
+
 def jpeg_prog_sa_payload_for_doc(doc_id: int) -> bytes:
     """Deterministic successive-approximation twin (r6): the SAME
     block-constant pixels rendered as a 4-scan SOF2 stream — DC and

@@ -1737,3 +1737,37 @@ def test_weighted_reservoir_bias_and_equivalence(spark):
     assert heavy >= 40          # 100 heavy rows dominate the 50 slots
     with pytest.raises(ValueError, match="weighted_reservoir"):
         sampling.weighted_reservoir_sample(docs, "stratum", "wt", k=0)
+
+
+def test_jpeg_restart_intervals_decode_identical():
+    """r6: DRI/RSTm streams (any interval, gray and color) decode to
+    the SAME pixels as their non-restart twins — byte alignment,
+    marker-sequence check, and DC predictor reset all exercised — and
+    a wrong/missing restart marker raises honestly."""
+    import random
+
+    import pytest as _pytest
+
+    from powerpoint_context_extractor_spark.jpeg import (
+        decode_jpeg, render_jpeg_color, render_jpeg_gray,
+    )
+    random.seed(37)
+    for ri in (1, 2, 3, 7):
+        px = bytes(random.randrange(256) for _ in range(32 * 16))
+        assert decode_jpeg(render_jpeg_gray(32, 16, px, ri)) \
+            == decode_jpeg(render_jpeg_gray(32, 16, px))
+        rgb = bytes(random.randrange(256) for _ in range(32 * 16 * 3))
+        assert decode_jpeg(render_jpeg_color(32, 16, rgb, ri)) \
+            == decode_jpeg(render_jpeg_color(32, 16, rgb))
+    # corrupting the first RST marker id (D0 -> D5) breaks the
+    # expected modulo-8 sequence -> honest error
+    raw = bytearray(render_jpeg_gray(
+        32, 16, bytes(random.randrange(256) for _ in range(32 * 16)), 1))
+    i = raw.find(b"\xff\xd0")
+    assert i > 0
+    raw[i + 1] = 0xD5
+    with _pytest.raises(ValueError, match="restart"):
+        decode_jpeg(bytes(raw))
+    # ri=0 keeps the historical byte-identical output
+    px = bytes(range(64)) * 2
+    assert render_jpeg_gray(16, 8, px) == render_jpeg_gray(16, 8, px, 0)
