@@ -964,6 +964,20 @@ def _docs_with_near_dups(spark, sf_dir):
     return d.unionByName(mut)
 
 
+def _dedup_prefix_jaccard(spark, sf_dir):
+    """EXACT all-pairs Jaccard join via prefix filtering (r6, PPJoin
+    family): candidates share a rarest-tokens prefix under the global
+    (df, token) order, then integer-exact verification — the
+    non-approximate sibling of MinHash/LSH. The oracle is BRUTE FORCE
+    all-pairs in SQL, so a green row proves the prefix filter loses
+    no qualifying pair."""
+    from powerpoint_context_extractor_spark.operators.dedup import (
+        prefix_jaccard_join,
+    )
+    return prefix_jaccard_join(_docs_with_near_dups(spark, sf_dir),
+                               threshold_bp=9000)
+
+
 def _dedup_minhash_lsh(spark, sf_dir):
     from powerpoint_context_extractor_spark.operators.dedup import (
         minhash_lsh_dedup,
@@ -1977,6 +1991,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_hll_registers": _agg_hll_registers,
         "layout_zorder_key": _layout_zorder_key,
         "mm_features_jpeg_dri": _mm_features_jpeg_dri,
+        "dedup_prefix_jaccard": _dedup_prefix_jaccard,
         "sample_reservoir_weighted": _sample_reservoir_weighted,
         "agg_exact_quantiles": _agg_exact_quantiles,
     }
@@ -4108,6 +4123,25 @@ def oracle_sql() -> dict[str, str]:
         SELECT domain, CAST(q AS BIGINT) AS q, CAST(v AS BIGINT) AS value
         FROM r, (VALUES (50), (90), (99)) AS t(q)
         WHERE rn = (q * cnt + 99) // 100
+    """
+    d["dedup_prefix_jaccard"] = f"""
+        -- BRUTE-FORCE all-pairs ground truth (the Spark side is the
+        -- prefix-filtered join; equality proves zero missed pairs).
+        -- gate is integer (inter*1e4 >= t*union): no division edge
+        WITH {_DOCS_UNION},
+        t AS (
+          SELECT doc_id, list_distinct(string_split(text, ' ')) AS ts
+          FROM u
+        ),
+        pr AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 len(list_intersect(a.ts, b.ts)) AS i,
+                 len(a.ts) + len(b.ts)
+                   - len(list_intersect(a.ts, b.ts)) AS un
+          FROM t a JOIN t b ON a.doc_id < b.doc_id
+        )
+        SELECT doc_a, doc_b, CAST(i * 10000 // un AS BIGINT) AS jac_bp
+        FROM pr WHERE i * 10000 >= 9000 * un
     """
     d["agg_hll_registers"] = """
         -- HLL registers mirrored from sketches.hll_registers: 32-bit

@@ -452,3 +452,59 @@ def paragraph_dedup(docs: DataFrame, id_col: str = "doc_id",
                                  lambda s: s["para"]),
                      "\n\n").cast("binary")).alias("clean_md5"))
             .select(F.col(id_col), "total_paras", "kept_paras", "clean_md5"))
+
+
+def prefix_jaccard_join(docs: DataFrame, threshold_bp: int = 5000,
+                        id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """EXACT all-pairs Jaccard similarity self-join via prefix
+    filtering (Chaudhuri/Xiao PPJoin family, public method) — the
+    non-approximate sibling of MinHash/LSH: every pair with distinct-
+    token Jaccard >= threshold is returned, none missed.
+
+    Prefix-filter theorem: order each doc's distinct tokens by a
+    global total order (here: document frequency asc, then token —
+    rarest first); two sets with J >= t MUST share a token within
+    each one's first ``|T| - ceil(t*|T|) + 1`` tokens. So candidates
+    = pairs sharing a PREFIX token, then exact verification. Emits
+    (doc_a, doc_b, jac_bp) with doc_a < doc_b.
+
+    Scale shape: one combiner df-count per token; one window over the
+    doc's own tokens (shuffle on doc id — each group is one doc's
+    token list, inherently bounded); candidate generation is an
+    equi-join on prefix tokens only — by construction each doc
+    exposes its RAREST tokens, so the join buckets are the small df
+    tails, not the stopword heads (the degenerate-bucket shape LSH
+    needs a cap for cannot arise here); verification compares the
+    two token arrays directly, integer math only (inter*10000 >=
+    t*union — no division in the gate, so no rounding edge)."""
+    from pyspark.sql import Window as W
+    if not 1 <= threshold_bp <= 10000:
+        raise ValueError("prefix_jaccard_join: threshold_bp in [1,10000]")
+    arrs = docs.select(F.col(id_col).alias("id"),
+                       F.array_distinct(tokens_col(text_col)).alias("ts"))
+    toks = arrs.select("id", F.explode("ts").alias("tok"))
+    dfc = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("_df"))
+    w = W.partitionBy("id").orderBy("_df", "tok")
+    ranked = (toks.join(dfc, "tok")
+              .withColumn("_rn", F.row_number().over(w))
+              .withColumn("_n", F.count(F.lit(1)).over(W.partitionBy("id"))))
+    prefix = ranked.filter(F.expr(
+        f"_rn <= _n - ((({threshold_bp} * _n) + 9999) div 10000) + 1"))
+    cand = (prefix.select(F.col("id").alias("ida"), "tok")
+            .join(prefix.select(F.col("id").alias("idb"), "tok"), "tok")
+            .filter(F.col("ida") < F.col("idb"))
+            .select("ida", "idb").distinct())
+    out = (cand
+           .join(arrs.select(F.col("id").alias("ida"),
+                             F.col("ts").alias("tsa")), "ida")
+           .join(arrs.select(F.col("id").alias("idb"),
+                             F.col("ts").alias("tsb")), "idb")
+           .withColumn("_i", F.size(F.array_intersect("tsa", "tsb")))
+           .withColumn("_u", F.size("tsa") + F.size("tsb") - F.col("_i"))
+           .filter(F.col("_i") * 10000 >= F.lit(threshold_bp) * F.col("_u"))
+           .select(F.col("ida").alias("doc_a"),
+                   F.col("idb").alias("doc_b"),
+                   F.expr("cast(_i * 10000 div _u as bigint)")
+                   .alias("jac_bp")))
+    return out

@@ -1771,3 +1771,38 @@ def test_jpeg_restart_intervals_decode_identical():
     # ri=0 keeps the historical byte-identical output
     px = bytes(range(64)) * 2
     assert render_jpeg_gray(16, 8, px) == render_jpeg_gray(16, 8, px, 0)
+
+
+def test_prefix_jaccard_join_equals_brute_force(spark):
+    """r6: the prefix-filtered exact Jaccard self-join returns EXACTLY
+    the brute-force all-pairs answer (the prefix-filter theorem's
+    completeness claim) on a corpus with planted near-dups, disjoint
+    docs, and identical twins; threshold gate is integer-exact."""
+    from itertools import combinations
+
+    from powerpoint_context_extractor_spark.operators import dedup
+    texts = {
+        1: "a b c d e f g h",
+        2: "a b c d e f g zz",          # near-dup of 1
+        3: "a b c d e f g h",           # identical to 1
+        4: "p q r s t u v w",           # disjoint
+        5: "p q r s t u x y",           # partial overlap with 4
+        6: "m n",                       # tiny doc
+    }
+    docs = spark.createDataFrame(list(texts.items()),
+                                 "doc_id long, text string")
+    out = {(r["doc_a"], r["doc_b"]): r["jac_bp"]
+           for r in dedup.prefix_jaccard_join(
+               docs, threshold_bp=7000).collect()}
+    want = {}
+    for a, b in combinations(sorted(texts), 2):
+        ta, tb = set(texts[a].split()), set(texts[b].split())
+        i, u = len(ta & tb), len(ta | tb)
+        if i * 10000 >= 7000 * u:
+            want[(a, b)] = i * 10000 // u
+    assert out == want
+    assert (1, 3) in out and out[(1, 3)] == 10000    # identical pair
+    assert (1, 2) in out and (4, 5) not in out       # 6/10 < 0.7
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="prefix_jaccard"):
+        dedup.prefix_jaccard_join(docs, threshold_bp=0)
