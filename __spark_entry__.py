@@ -1809,6 +1809,21 @@ def _w_stream_window_counts(spark, sf_dir):
         spark, os.path.join(sf_dir, "events.parquet"), out)
 
 
+def _w_stream_interval_join(spark, sf_dir):
+    """Watermarked STREAM-STREAM interval join (r6 — the last major
+    Structured Streaming surface: two unbounded sides with
+    watermark-bounded state): clicks attributed to same-user
+    purchases within 30 minutes, replayed as a time-ordered bounded
+    backlog. Inner-join emission is watermark-independent (watermarks
+    bound state, not results), so the output equals the batch
+    interval join the oracle computes."""
+    from powerpoint_context_extractor_spark.streaming.ingest import (
+        stream_interval_join,
+    )
+    return stream_interval_join(
+        spark, os.path.join(sf_dir, "events.parquet"))
+
+
 def _pipeline_corpus_filter(spark, sf_dir):
     """Capstone composition — the actual training-data use case in one
     plan: quality gate ∧ near-dup removal (MinHash+LSH survivors keep
@@ -1992,6 +2007,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "layout_zorder_key": _layout_zorder_key,
         "mm_features_jpeg_dri": _mm_features_jpeg_dri,
         "dedup_prefix_jaccard": _dedup_prefix_jaccard,
+        "w_stream_interval_join": _w_stream_interval_join,
         "sample_reservoir_weighted": _sample_reservoir_weighted,
         "agg_exact_quantiles": _agg_exact_quantiles,
     }
@@ -4123,6 +4139,19 @@ def oracle_sql() -> dict[str, str]:
         SELECT domain, CAST(q AS BIGINT) AS q, CAST(v AS BIGINT) AS value
         FROM r, (VALUES (50), (90), (99)) AS t(q)
         WHERE rn = (q * cnt + 99) // 100
+    """
+    d["w_stream_interval_join"] = """
+        -- batch twin of the watermarked stream-stream interval join
+        WITH c AS (SELECT event_id, user_id, ts FROM events
+                   WHERE event_type = 'click'),
+        p AS (SELECT event_id, user_id, ts FROM events
+              WHERE event_type = 'purchase')
+        SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+               CAST(c.user_id AS BIGINT) AS user_id
+        FROM c JOIN p
+          ON c.user_id = p.user_id
+         AND p.ts >= c.ts
+         AND p.ts < c.ts + INTERVAL 30 MINUTE
     """
     d["dedup_prefix_jaccard"] = f"""
         -- BRUTE-FORCE all-pairs ground truth (the Spark side is the

@@ -394,3 +394,57 @@ def stream_extract_warc(spark: SparkSession, warc_dir: str, out_root: str,
          .start())
     q.awaitTermination()
     return table.read(spark)
+
+
+def stream_interval_join(spark: SparkSession, events_parquet: str,
+                         interval_min: int = 30,
+                         watermark: str = "2 hours") -> DataFrame:
+    """Watermarked STREAM-STREAM interval join (the attribution query
+    every event pipeline runs): clicks joined to same-user purchases
+    that land within ``interval_min`` minutes after the click, both
+    sides unbounded streams with state bounded by the watermark.
+
+    Determinism over a bounded backlog: the backlog replays as
+    time-contiguous micro-batches (``_write_time_ordered_files``), so
+    each batch's events are at most one batch-span ahead of the
+    watermark; with a watermark delay comfortably larger than the
+    join interval, no click is evicted before its last possible
+    purchase arrives — the INNER join therefore emits exactly the
+    batch join's pairs (watermarks bound STATE, not inner-join
+    results), which is what the SQL oracle computes.
+
+    At scale this is the canonical Spark shape for click attribution:
+    state is (watermark + interval) worth of clicks per user hashed
+    across the cluster, not a table-scan join per micro-batch."""
+    import tempfile
+    src_dir = tempfile.mkdtemp(prefix="ssj_", dir=_tmp_root())
+    _write_time_ordered_files(spark, events_parquet, src_dir)
+    schema = spark.read.parquet(src_dir).schema
+
+    def _typed(kind: str, alias: str) -> DataFrame:
+        return (spark.readStream.schema(schema).parquet(src_dir)
+                .withColumn("ts", F.col("ts").cast("timestamp"))
+                .filter(F.col("event_type") == kind)
+                .select(F.col("event_id").alias(f"{alias}_id"),
+                        F.col("user_id").alias(f"{alias}_user"),
+                        F.col("ts").alias(f"{alias}_ts"))
+                .withWatermark(f"{alias}_ts", watermark))
+
+    clicks = _typed("click", "c")
+    buys = _typed("purchase", "p")
+    joined = clicks.join(
+        buys,
+        F.expr(f"""
+            c_user = p_user
+            AND p_ts >= c_ts
+            AND p_ts < c_ts + interval {int(interval_min)} minutes
+        """))
+    name = f"ssj_{_stable_tag(src_dir)}"
+    q = (joined.writeStream.outputMode("append")
+         .format("memory").queryName(name)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    return spark.sql(
+        f"SELECT c_id AS click_id, p_id AS purchase_id, "
+        f"c_user AS user_id FROM {name}")

@@ -197,3 +197,36 @@ def test_sessionize_to_table_equals_memory_harness(spark, sf_dir, tmp_path):
     stable = SnapshotTable(str(tmp_path / "s" / "sessions"))
     assert len(stable.snapshots()) == 1
     assert stable.read(spark).count() == len(tab)
+
+
+def test_stream_interval_join_equals_batch(spark, sf_dir):
+    """r6: the watermarked stream-stream interval join over the
+    time-ordered bounded backlog emits exactly the batch interval
+    join's pairs (inner-join emission is watermark-independent;
+    the ordered replay keeps state alive past every possible match);
+    dual-run identical."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from powerpoint_context_extractor_spark.streaming.ingest import (
+        stream_interval_join,
+    )
+    src = os.path.join(sf_dir, "events.parquet")
+    got = sorted(map(tuple, stream_interval_join(spark, src).collect()))
+    ev = spark.read.parquet(src).withColumn(
+        "ts", F.col("ts").cast("timestamp"))
+    c = (ev.filter(F.col("event_type") == "click")
+         .select(F.col("event_id").alias("click_id"),
+                 F.col("user_id").alias("cu"), F.col("ts").alias("cts")))
+    p = (ev.filter(F.col("event_type") == "purchase")
+         .select(F.col("event_id").alias("purchase_id"),
+                 F.col("user_id").alias("pu"), F.col("ts").alias("pts")))
+    want = sorted(map(tuple, (
+        c.join(p, F.expr("cu = pu AND pts >= cts "
+                         "AND pts < cts + interval 30 minutes"))
+        .select("click_id", "purchase_id", F.col("cu").alias("user_id"))
+        .collect())))
+    assert got == want and len(got) > 0
+    again = sorted(map(tuple, stream_interval_join(spark, src).collect()))
+    assert got == again
