@@ -1520,6 +1520,20 @@ def _mm_features_jpeg_prog_sa(spark, sf_dir):
     return extract_jpeg_prog_sa_features(_t(spark, sf_dir, "documents"))
 
 
+def _mm_features_png_interlaced(spark, sf_dir):
+    """Adam7-interlaced PNG under the correctness gate (r6 — the
+    progressive-render web shape; PNG error surface now sub-8-bit
+    depths only): the SAME doc_id%4 fixture rendered as seven
+    reduced images with per-pass filter history; the deinterlacing
+    decode must land on identical pixel stats, so the query shares
+    the sequential PNG oracle verbatim."""
+    from powerpoint_context_extractor_spark.operators.multimodal import (
+        extract_png_interlaced_features,
+    )
+    return extract_png_interlaced_features(
+        _t(spark, sf_dir, "documents"))
+
+
 def _mm_features_jpeg_dri(spark, sf_dir):
     """Restart-interval baseline JPEG under the correctness gate (r6 —
     DRI/RSTm is the dominant real-web encoder setting): the SAME
@@ -2008,6 +2022,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_features_jpeg_dri": _mm_features_jpeg_dri,
         "dedup_prefix_jaccard": _dedup_prefix_jaccard,
         "w_stream_interval_join": _w_stream_interval_join,
+        "mm_features_png_interlaced": _mm_features_png_interlaced,
         "sample_reservoir_weighted": _sample_reservoir_weighted,
         "agg_exact_quantiles": _agg_exact_quantiles,
     }
@@ -2841,6 +2856,8 @@ def oracle_sql() -> dict[str, str]:
                CAST(MAX(p) AS BIGINT) AS px_max
         FROM px GROUP BY doc_id
     """
+    # Adam7-interlaced twin: same pixels, same oracle (r6)
+    d["mm_features_png_interlaced"] = d["mm_features_png"]
     d["mm_features_jpeg"] = """
         -- frozen JPEG rule (r5): 16x8, two constant 8x8 blocks,
         -- v_b = (doc_id*29 + b*97) % 256; DC = half-away(64*(v-128)

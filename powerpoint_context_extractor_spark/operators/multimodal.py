@@ -30,7 +30,7 @@ from ..jpeg import (QTABLE, decode_jpeg, decode_jpeg_gray,
                     render_jpeg_gray_progressive,
                     render_jpeg_gray_progressive_sa, rgb_from_ycbcr,
                     ycbcr_from_rgb)
-from ..png import decode_png, render_png
+from ..png import decode_png, render_png, render_png_interlaced
 from ..wav import decode_wav, render_wav
 
 MAGIC_KINDS = {
@@ -194,6 +194,24 @@ def png_payload_for_doc(doc_id: int) -> bytes:
                       channels=ch)
 
 
+def png_interlaced_payload_for_doc(doc_id: int) -> bytes:
+    """Adam7-interlaced twin of the doc_id % 4 PNG fixture (r6): the
+    SAME pixel/index formulas rendered as seven reduced images, so
+    the deinterlacing decode lands on the identical pixel stats and
+    the query shares the sequential PNG oracle verbatim."""
+    kind = doc_id % 4
+    if kind == 2:
+        idx = bytes((doc_id * 31 + i) % 16 for i in range(PNG_W * PNG_H))
+        return render_png_interlaced(PNG_W, PNG_H, idx,
+                                     row_filters=[0, 1, 2, 3, 4],
+                                     palette=PNG_PALETTE)
+    ch = 1 if kind == 0 else (4 if kind == 3 else 3)
+    pixels = bytes((doc_id * 31 + i) % 256
+                   for i in range(PNG_W * PNG_H * ch))
+    return render_png_interlaced(PNG_W, PNG_H, pixels,
+                                 row_filters=[0, 1, 2, 3, 4], channels=ch)
+
+
 PNG_FEATURE_SCHEMA = T.StructType([
     T.StructField("doc_id", T.LongType(), False),
     T.StructField("width", T.LongType()),
@@ -219,6 +237,31 @@ def _png_feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFra
             out["px_min"].append(min(px))
             out["px_max"].append(max(px))
         yield pd.DataFrame(out)
+
+
+def extract_png_interlaced_features(docs: DataFrame) -> DataFrame:
+    """Render + decode an Adam7-interlaced PNG per documents row —
+    same shape and oracle as the sequential PNG path."""
+
+    def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("doc_id", "width", "height",
+                                   "channels", "px_sum", "px_min",
+                                   "px_max")}
+            for doc_id in pdf["doc_id"].tolist():
+                w, h, ch, px = decode_png(
+                    png_interlaced_payload_for_doc(doc_id))
+                out["doc_id"].append(doc_id)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["channels"].append(ch)
+                out["px_sum"].append(sum(px))
+                out["px_min"].append(min(px))
+                out["px_max"].append(max(px))
+            yield pd.DataFrame(out)
+
+    return docs.select("doc_id").mapInPandas(
+        _batches, schema=PNG_FEATURE_SCHEMA)
 
 
 def extract_png_features(docs: DataFrame) -> DataFrame:

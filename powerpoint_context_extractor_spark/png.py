@@ -134,6 +134,61 @@ def render_png(width: int, height: int, pixels: bytes,
             + _chunk(b"IEND", b""))
 
 
+# Adam7 interlace pass layout: (x0, y0, dx, dy) per pass
+_ADAM7 = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
+
+
+def render_png_interlaced(width: int, height: int, pixels: bytes,
+                          channels: int = 1, row_filters=None,
+                          palette=None) -> bytes:
+    """Encode as an Adam7-INTERLACED PNG (r6 — the progressive-render
+    web shape): seven reduced images, each its own filtered scanline
+    group (filter history resets per pass, per the spec), same pixel
+    values as the sequential encoder so decodes are identical.
+    ``palette`` follows the same color-type-3 contract as
+    :func:`render_png`."""
+    if palette is not None:
+        if channels != 1:
+            raise ValueError("png: palette pixels are 1-byte indices")
+        if not 1 <= len(palette) <= 256:
+            raise ValueError("png: palette must have 1..256 entries")
+        if any(p >= len(palette) for p in pixels):
+            raise ValueError("png: pixel index outside palette")
+        color = 3
+    else:
+        if channels not in _COLOR_FOR_CHANNELS:
+            raise ValueError(f"png: unsupported channel count {channels}")
+        color = _COLOR_FOR_CHANNELS[channels]
+    if len(pixels) != width * height * channels:
+        raise ValueError("png: pixels length != width*height*channels")
+    filters = row_filters or [1]
+    raw = bytearray()
+    for x0, y0, dx, dy in _ADAM7:
+        pw = (width - x0 + dx - 1) // dx
+        ph = (height - y0 + dy - 1) // dy
+        if pw <= 0 or ph <= 0:
+            continue
+        pstride = pw * channels
+        prev = bytes(pstride)
+        for py in range(ph):
+            y = y0 + py * dy
+            row = bytearray()
+            for px in range(pw):
+                o = (y * width + x0 + px * dx) * channels
+                row += pixels[o:o + channels]
+            ft = filters[py % len(filters)]
+            raw.append(ft)
+            raw += _filter_row(ft, bytes(row), prev, channels)
+            prev = bytes(row)
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color, 0, 0, 1)
+    out = _SIG + _chunk(b"IHDR", ihdr)
+    if palette is not None:
+        out += _chunk(b"PLTE", bytes(b for rgb in palette for b in rgb))
+    return (out + _chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + _chunk(b"IEND", b""))
+
+
 def decode_png(data: bytes) -> tuple:
     """Decode a grayscale-8, truecolor-8, indexed-8, or RGBA-8 PNG ->
     (width, height, channels, pixel bytes). Indexed (color type 3)
@@ -145,7 +200,7 @@ def decode_png(data: bytes) -> tuple:
         raise ValueError("png: bad signature")
     i, n = len(_SIG), len(data)
     width = height = channels = None
-    indexed = False
+    indexed = interlaced = False
     palette = None
     idat = bytearray()
     while i + 8 <= n:
@@ -160,11 +215,13 @@ def decode_png(data: bytes) -> tuple:
         if typ == b"IHDR":
             width, height, depth, color, comp, filt, inter = \
                 struct.unpack(">IIBBBBB", body)
-            if depth != 8 or (comp, filt, inter) != (0, 0, 0) \
+            if depth != 8 or (comp, filt) != (0, 0) \
+                    or inter not in (0, 1) \
                     or (color not in _CHANNELS_FOR_COLOR and color != 3):
                 raise ValueError(
                     f"png: unsupported format depth={depth} color={color} "
                     f"interlace={inter}")
+            interlaced = inter == 1
             indexed = color == 3
             channels = 1 if indexed else _CHANNELS_FOR_COLOR[color]
         elif typ == b"PLTE":
@@ -182,16 +239,44 @@ def decode_png(data: bytes) -> tuple:
         raise ValueError("png: indexed image missing PLTE")
     stride = width * channels
     raw = zlib.decompress(bytes(idat))
-    if len(raw) != (stride + 1) * height:
-        raise ValueError("png: bad scanline data length")
-    pixels = bytearray()
-    prev = bytes(stride)
-    for y in range(height):
-        ft = raw[y * (stride + 1)]
-        row = bytearray(raw[y * (stride + 1) + 1:(y + 1) * (stride + 1)])
-        _unfilter_row(ft, row, prev, channels)
-        pixels += row
-        prev = bytes(row)
+    if interlaced:
+        # Adam7: seven reduced images, filter history resets per pass;
+        # pixels scatter back to (x0 + px*dx, y0 + py*dy)
+        pixels = bytearray(width * height * channels)
+        pos = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (width - x0 + dx - 1) // dx
+            ph = (height - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            pstride = pw * channels
+            prev = bytes(pstride)
+            for py in range(ph):
+                if pos + 1 + pstride > len(raw):
+                    raise ValueError("png: bad scanline data length")
+                ft = raw[pos]
+                row = bytearray(raw[pos + 1:pos + 1 + pstride])
+                pos += 1 + pstride
+                _unfilter_row(ft, row, prev, channels)
+                prev = bytes(row)
+                y = y0 + py * dy
+                for px in range(pw):
+                    o = (y * width + x0 + px * dx) * channels
+                    pixels[o:o + channels] = \
+                        row[px * channels:(px + 1) * channels]
+        if pos != len(raw):
+            raise ValueError("png: bad scanline data length")
+    else:
+        if len(raw) != (stride + 1) * height:
+            raise ValueError("png: bad scanline data length")
+        pixels = bytearray()
+        prev = bytes(stride)
+        for y in range(height):
+            ft = raw[y * (stride + 1)]
+            row = bytearray(raw[y * (stride + 1) + 1:(y + 1) * (stride + 1)])
+            _unfilter_row(ft, row, prev, channels)
+            pixels += row
+            prev = bytes(row)
     if indexed:
         n_entries = len(palette) // 3
         if any(p >= n_entries for p in pixels):

@@ -1806,3 +1806,51 @@ def test_prefix_jaccard_join_equals_brute_force(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="prefix_jaccard"):
         dedup.prefix_jaccard_join(docs, threshold_bp=0)
+
+
+def test_png_adam7_interlace_decode_identical():
+    """r6: Adam7-interlaced PNGs (all channel counts, palette, odd
+    dims with empty passes, every filter type) decode to the SAME
+    pixels as their sequential twins; truncated interlaced data
+    raises honestly."""
+    import random
+
+    import pytest as _pytest
+
+    from powerpoint_context_extractor_spark.operators.multimodal import (
+        PNG_PALETTE,
+    )
+    from powerpoint_context_extractor_spark.png import (
+        decode_png, render_png, render_png_interlaced,
+    )
+    random.seed(43)
+    for w, h in ((16, 8), (7, 5), (1, 1), (33, 17)):
+        for ch in (1, 3, 4):
+            px = bytes(random.randrange(256) for _ in range(w * h * ch))
+            assert decode_png(render_png_interlaced(
+                w, h, px, channels=ch, row_filters=[0, 1, 2, 3, 4])) \
+                == decode_png(render_png(
+                    w, h, px, channels=ch, row_filters=[0, 1, 2, 3, 4]))
+    # palette (color type 3) interlaced expands through PLTE the same
+    idx = bytes(random.randrange(16) for _ in range(16 * 8))
+    assert decode_png(render_png_interlaced(
+        16, 8, idx, palette=PNG_PALETTE)) \
+        == decode_png(render_png(16, 8, idx, palette=PNG_PALETTE))
+    # truncated pass data -> honest error (rebuild IDAT one byte short)
+    import struct
+    import zlib as _z
+    raw = render_png_interlaced(16, 8, bytes(16 * 8))
+    sig = raw[:8]
+    i, chunks = 8, []
+    while i < len(raw):
+        (ln,) = struct.unpack(">I", raw[i:i + 4])
+        chunks.append((raw[i + 4:i + 8], raw[i + 8:i + 8 + ln]))
+        i += 12 + ln
+    out = sig
+    for typ, body in chunks:
+        if typ == b"IDAT":
+            body = _z.compress(_z.decompress(body)[:-1])
+        out += struct.pack(">I", len(body)) + typ + body \
+            + struct.pack(">I", _z.crc32(typ + body) & 0xFFFFFFFF)
+    with _pytest.raises(ValueError, match="scanline"):
+        decode_png(out)
