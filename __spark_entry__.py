@@ -964,6 +964,19 @@ def _docs_with_near_dups(spark, sf_dir):
     return d.unionByName(mut)
 
 
+def _dedup_cdc_chunks(spark, sf_dir):
+    """Content-defined chunking (r6, gear/FastCDC family): chunk
+    boundaries from a 2-token rolling hash mod 16, so insertions
+    shift only adjacent chunks and every other chunk fingerprint
+    survives — the storage-dedup trick applied to corpus text. The
+    oracle mirrors the lag/cumsum/ordered-reassembly pipeline in SQL
+    window functions; every chunk md5 is under the hash."""
+    from powerpoint_context_extractor_spark.operators.dedup import (
+        cdc_chunks,
+    )
+    return cdc_chunks(_t(spark, sf_dir, "documents"))
+
+
 def _dedup_prefix_jaccard(spark, sf_dir):
     """EXACT all-pairs Jaccard join via prefix filtering (r6, PPJoin
     family): candidates share a rarest-tokens prefix under the global
@@ -2023,6 +2036,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_prefix_jaccard": _dedup_prefix_jaccard,
         "w_stream_interval_join": _w_stream_interval_join,
         "mm_features_png_interlaced": _mm_features_png_interlaced,
+        "dedup_cdc_chunks": _dedup_cdc_chunks,
         "sample_reservoir_weighted": _sample_reservoir_weighted,
         "agg_exact_quantiles": _agg_exact_quantiles,
     }
@@ -4156,6 +4170,39 @@ def oracle_sql() -> dict[str, str]:
         SELECT domain, CAST(q AS BIGINT) AS q, CAST(v AS BIGINT) AS value
         FROM r, (VALUES (50), (90), (99)) AS t(q)
         WHERE rn = (q * cnt + 99) // 100
+    """
+    d["dedup_cdc_chunks"] = """
+        -- CDC mirrored from dedup.cdc_chunks: boundary before token i
+        -- iff H(tok[i-1]||' '||tok[i]) % 16 == 0; chunk = cumsum
+        WITH t AS (
+          SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+        ),
+        p AS (
+          SELECT doc_id, unnest(ts) AS tok,
+                 generate_subscripts(ts, 1) AS pos
+          FROM t
+        ),
+        b AS (
+          SELECT doc_id, pos, tok,
+                 CASE WHEN pos = 1 THEN 0
+                      WHEN (('0x' || substr(md5(
+                               lag(tok) OVER (PARTITION BY doc_id
+                                              ORDER BY pos)
+                               || ' ' || tok), 1, 8))
+                            ::BIGINT % 1000000007) % 16 = 0
+                      THEN 1 ELSE 0 END AS bd
+          FROM p
+        ),
+        c AS (
+          SELECT doc_id, pos, tok,
+                 sum(bd) OVER (PARTITION BY doc_id ORDER BY pos)
+                   AS chunk_id
+          FROM b
+        )
+        SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+               md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_md5,
+               CAST(count(*) AS BIGINT) AS n_toks
+        FROM c GROUP BY doc_id, chunk_id
     """
     d["w_stream_interval_join"] = """
         -- batch twin of the watermarked stream-stream interval join

@@ -508,3 +508,43 @@ def prefix_jaccard_join(docs: DataFrame, threshold_bp: int = 5000,
                    F.expr("cast(_i * 10000 div _u as bigint)")
                    .alias("jac_bp")))
     return out
+
+
+def cdc_chunks(docs: DataFrame, divisor: int = 16,
+               id_col: str = "doc_id",
+               text_col: str = "text") -> DataFrame:
+    """Content-defined chunking (the gear/FastCDC family, public
+    method), simplified to a 2-token rolling window: a chunk boundary
+    falls BEFORE token i wherever H(token[i-1] || ' ' || token[i]) %
+    divisor == 0. Because the boundary decision depends only on LOCAL
+    content, inserting or deleting a sentence shifts at most the two
+    adjacent chunks — every other chunk fingerprint survives — which
+    is what makes chunk-level dedup robust where fixed windows are
+    not (the storage-dedup insight, applied to corpus text). Emits
+    (id, chunk_id, chunk_md5, n_toks).
+
+    Scale shape: one shuffle on the doc id (the lag/cumsum windows
+    and the chunk group share it — a doc's tokens are one bounded
+    group); fingerprints are md5 of re-assembled chunk text, ordered
+    by token position, so the output is deterministic and the whole
+    derivation mirrors into SQL window functions."""
+    from pyspark.sql import Window as W
+    if divisor < 2:
+        raise ValueError("cdc_chunks: divisor must be >= 2")
+    toks = docs.select(
+        F.col(id_col),
+        F.posexplode(tokens_col(text_col)).alias("pos", "tok"))
+    w = W.partitionBy(id_col).orderBy("pos")
+    pair_hash = portable_hash(
+        F.concat(F.lag("tok").over(w), F.lit(" "), F.col("tok")))
+    boundary = (F.when(F.col("pos") == 0, F.lit(0))
+                .otherwise((pair_hash % divisor == 0).cast("long")))
+    chunked = (toks.withColumn("_bd", boundary)
+               .withColumn("chunk_id", F.sum("_bd").over(w)))
+    return (chunked.groupBy(id_col, "chunk_id")
+            .agg(F.sort_array(F.collect_list(
+                F.struct("pos", "tok"))).alias("_st"))
+            .select(id_col, "chunk_id",
+                    F.md5(F.concat_ws(" ", F.transform(
+                        "_st", lambda s: s["tok"]))).alias("chunk_md5"),
+                    F.size("_st").cast("long").alias("n_toks")))

@@ -1854,3 +1854,34 @@ def test_png_adam7_interlace_decode_identical():
             + struct.pack(">I", _z.crc32(typ + body) & 0xFFFFFFFF)
     with _pytest.raises(ValueError, match="scanline"):
         decode_png(out)
+
+
+def test_cdc_chunks_insertion_robustness(spark):
+    """r6: content-defined chunk boundaries survive an insertion —
+    editing one region changes only the chunks that touch it, while
+    fixed-window fingerprints would all shift. Also pins determinism
+    and the divisor guard."""
+    import pytest as _pytest
+
+    from powerpoint_context_extractor_spark.operators import dedup
+    base = " ".join(f"w{i % 97}x{(i * 7) % 89}" for i in range(400))
+    toks = base.split()
+    edited = " ".join(toks[:200] + ["INSERTED", "TOKENS"] + toks[200:])
+    docs = spark.createDataFrame([(1, base), (2, edited)],
+                                 "doc_id long, text string")
+    out = dedup.cdc_chunks(docs, divisor=8).collect()
+    a = {r["chunk_md5"] for r in out if r["doc_id"] == 1}
+    b = {r["chunk_md5"] for r in out if r["doc_id"] == 2}
+    assert len(a) > 10                      # enough chunks to matter
+    shared = len(a & b)
+    # all chunks before/after the edit region survive: only the
+    # chunk(s) containing the insertion differ
+    assert shared >= len(a) - 3
+    assert a != b                           # the edited chunk DID change
+    # chunk token counts reassemble to the full doc
+    n1 = sum(r["n_toks"] for r in out if r["doc_id"] == 1)
+    assert n1 == 400
+    again = dedup.cdc_chunks(docs, divisor=8).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+    with _pytest.raises(ValueError, match="cdc"):
+        dedup.cdc_chunks(docs, divisor=1)
