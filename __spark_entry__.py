@@ -964,6 +964,38 @@ def _docs_with_near_dups(spark, sf_dir):
     return d.unionByName(mut)
 
 
+def _text_hash_classifier(spark, sf_dir):
+    """Hashed linear classifier inference (r6, the fastText/VW
+    architecture): token -> one of 4096 weight slots via the md5
+    seam, doc score = sum of slot weights, label = sign. Weights are
+    a frozen Knuth-hash spread (stand-in for trained values — the
+    inference plan is the contract); pure map-side HOF math, zero
+    shuffle, zero Python."""
+    from powerpoint_context_extractor_spark.operators.textstats import (
+        hash_classifier_score,
+    )
+    return hash_classifier_score(_t(spark, sf_dir, "documents"))
+
+
+def _text_contamination(spark, sf_dir):
+    """Benchmark decontamination (r6, the GPT-3/PaLM-style n-gram
+    overlap filter): docs with doc_id % 101 == 0 stand in for an eval
+    set; the corpus is everything else plus planted leaked copies
+    (benchmark text + ' zz zz zz', id + 2000000) that must flag
+    contaminated. Benchmark 8-token windows broadcast; the corpus
+    never shuffles rows."""
+    from powerpoint_context_extractor_spark.operators.dedup import (
+        contamination_check,
+    )
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    bm = d.filter(F.col("doc_id") % 101 == 0)
+    leaked = bm.select((F.col("doc_id") + 2000000).alias("doc_id"),
+                       F.concat(F.col("text"), F.lit(" zz zz zz"))
+                       .alias("text"))
+    corpus = d.filter(F.col("doc_id") % 101 != 0).unionByName(leaked)
+    return contamination_check(corpus, bm)
+
+
 def _dedup_cdc_chunks(spark, sf_dir):
     """Content-defined chunking (r6, gear/FastCDC family): chunk
     boundaries from a 2-token rolling hash mod 16, so insertions
@@ -2037,6 +2069,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w_stream_interval_join": _w_stream_interval_join,
         "mm_features_png_interlaced": _mm_features_png_interlaced,
         "dedup_cdc_chunks": _dedup_cdc_chunks,
+        "text_contamination": _text_contamination,
+        "text_hash_classifier": _text_hash_classifier,
         "sample_reservoir_weighted": _sample_reservoir_weighted,
         "agg_exact_quantiles": _agg_exact_quantiles,
     }
@@ -4170,6 +4204,68 @@ def oracle_sql() -> dict[str, str]:
         SELECT domain, CAST(q AS BIGINT) AS q, CAST(v AS BIGINT) AS value
         FROM r, (VALUES (50), (90), (99)) AS t(q)
         WHERE rn = (q * cnt + 99) // 100
+    """
+    d["text_hash_classifier"] = """
+        -- hashed-linear inference mirrored from
+        -- textstats.hash_classifier_score: slot = H(tok) % 4096,
+        -- w = slot*2654435761 % 1997 - 998, score = sum
+        WITH t AS (
+          SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+        ),
+        e AS (
+          SELECT doc_id, len(ts) AS n_toks, unnest(ts) AS tok FROM t
+        ),
+        w AS (
+          SELECT doc_id, n_toks,
+                 ((('0x' || substr(md5(tok), 1, 8))::BIGINT
+                   % 1000000007) % 4096)
+                 * 2654435761 % 1997 - 998 AS wt
+          FROM e
+        )
+        SELECT doc_id, CAST(n_toks AS BIGINT) AS n_toks,
+               CAST(sum(wt) AS BIGINT) AS score,
+               CAST(CASE WHEN sum(wt) > 0 THEN 1 ELSE 0 END AS BIGINT)
+                 AS label
+        FROM w GROUP BY doc_id, n_toks
+    """
+    d["text_contamination"] = """
+        -- n-gram collision decontamination mirrored from
+        -- dedup.contamination_check (8-token exact windows)
+        WITH bm AS (SELECT doc_id, text FROM documents
+                    WHERE doc_id % 101 = 0),
+        corp AS (
+          SELECT doc_id, text FROM documents WHERE doc_id % 101 <> 0
+          UNION ALL
+          SELECT doc_id + 2000000 AS doc_id, text || ' zz zz zz' AS text
+          FROM bm
+        ),
+        bt AS (SELECT string_split(text, ' ') AS ts FROM bm),
+        bw AS (
+          SELECT DISTINCT unnest(
+            CASE WHEN len(ts) >= 8
+                 THEN [array_to_string(ts[i:i+7], ' ')
+                       for i in range(1, len(ts) - 6)]
+                 ELSE [array_to_string(ts, ' ')] END) AS w
+          FROM bt
+        ),
+        ct AS (SELECT doc_id, string_split(text, ' ') AS ts FROM corp),
+        cw AS (
+          SELECT doc_id, unnest(
+            CASE WHEN len(ts) >= 8
+                 THEN [array_to_string(ts[i:i+7], ' ')
+                       for i in range(1, len(ts) - 6)]
+                 ELSE [array_to_string(ts, ' ')] END) AS w
+          FROM ct
+        )
+        SELECT cw.doc_id,
+               CAST(count(*) AS BIGINT) AS n_windows,
+               CAST(sum(CASE WHEN bw.w IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS hit_windows,
+               CAST(CASE WHEN sum(CASE WHEN bw.w IS NOT NULL
+                                       THEN 1 ELSE 0 END) > 0
+                         THEN 1 ELSE 0 END AS BIGINT) AS contaminated
+        FROM cw LEFT JOIN bw USING (w)
+        GROUP BY cw.doc_id
     """
     d["dedup_cdc_chunks"] = """
         -- CDC mirrored from dedup.cdc_chunks: boundary before token i

@@ -548,3 +548,41 @@ def cdc_chunks(docs: DataFrame, divisor: int = 16,
                     F.md5(F.concat_ws(" ", F.transform(
                         "_st", lambda s: s["tok"]))).alias("chunk_md5"),
                     F.size("_st").cast("long").alias("n_toks")))
+
+
+def contamination_check(corpus: DataFrame, benchmark: DataFrame,
+                        k: int = 8, id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """Benchmark decontamination (the n-gram collision check every
+    serious pretraining pipeline runs before training — public
+    method, e.g. the GPT-3/PaLM 13-gram overlap filters): a corpus
+    doc is contaminated iff it shares at least one exact k-token
+    window with any benchmark document. Emits per corpus doc
+    (id, n_windows, hit_windows, contaminated).
+
+    Scale shape: the benchmark side (eval sets are megabytes) reduces
+    to a DISTINCT window-digest set and BROADCASTS; the corpus
+    assembles its windows map-side from the token array
+    (``token_windows_col``) and never shuffles rows — only the
+    per-doc count aggregation moves combiner-ready partials."""
+    bwin = (benchmark
+            .select(F.explode(token_windows_col(text_col, k))
+                    .alias("_w"))
+            .select(F.md5("_w").alias("_bw")).distinct())
+    cwin = (corpus
+            .select(F.col(id_col),
+                    F.explode(token_windows_col(text_col, k))
+                    .alias("_w"))
+            .select(F.col(id_col), F.md5("_w").alias("_cw")))
+    return (cwin.join(F.broadcast(bwin),
+                      F.col("_cw") == F.col("_bw"), "left")
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_windows"),
+                 F.sum(F.col("_bw").isNotNull().cast("long"))
+                 .alias("hit_windows"))
+            .select(id_col,
+                    F.col("n_windows").cast("long").alias("n_windows"),
+                    F.col("hit_windows").cast("long")
+                    .alias("hit_windows"),
+                    (F.col("hit_windows") > 0).cast("long")
+                    .alias("contaminated")))

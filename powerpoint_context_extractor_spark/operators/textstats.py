@@ -549,3 +549,36 @@ def repetition_stats(docs: DataFrame, id_col: str = "doc_id",
                         (100 * F.col("dup_bigrams")
                          > dup_threshold_pct * F.col("n_bigrams"))
                         .cast("long")))
+
+
+def hash_classifier_score(docs: DataFrame, buckets: int = 4096,
+                          id_col: str = "doc_id",
+                          text_col: str = "text") -> DataFrame:
+    """Linear text-classifier INFERENCE with the hashing trick (the
+    fastText / Vowpal-Wabbit architecture, public method): each token
+    hashes into one of ``buckets`` weight slots and the doc score is
+    the plain sum of its tokens' weights — no vocabulary, no
+    embedding matrix, O(tokens) per doc. The weight table here is
+    FROZEN pseudo-weights (w[b] = ((b * 2654435761) % 1997) - 998, a
+    Knuth-hash spread over [-998, 998]) because the contract under
+    test is the inference PLAN, which is exactly what a trained
+    model would run: swap the weight expression for a broadcast
+    lookup of real weights and nothing else changes.
+
+    Scale shape: pure map-side HOF math over the token array —
+    transform + aggregate inside whole-stage codegen, zero shuffle,
+    zero Python. Emits (id, n_toks, score, label)."""
+    from .dedup import tokens_col
+    toks = tokens_col(text_col)
+    score = F.expr(
+        "aggregate(transform(split({t}, ' '), x -> "
+        "((cast(conv(substring(md5(x), 1, 8), 16, 10) as bigint)"
+        " % {p}) % {b})"
+        " * 2654435761 % 1997 - 998), "
+        "cast(0 as bigint), (acc, v) -> acc + v)".format(
+            t=text_col, p=P, b=int(buckets)))
+    return docs.select(
+        F.col(id_col),
+        F.size(toks).cast("long").alias("n_toks"),
+        score.cast("long").alias("score"),
+        (score > 0).cast("long").alias("label"))

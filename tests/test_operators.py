@@ -1885,3 +1885,53 @@ def test_cdc_chunks_insertion_robustness(spark):
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
     with _pytest.raises(ValueError, match="cdc"):
         dedup.cdc_chunks(docs, divisor=1)
+
+
+def test_contamination_check_flags_leaked_docs(spark):
+    """r6: docs sharing an 8-token window with the benchmark flag
+    contaminated (prefix/suffix edits don't hide the leak); clean
+    docs don't; tiny docs fall back to whole-text windows."""
+    from powerpoint_context_extractor_spark.operators import dedup
+    bench_text = " ".join(f"b{i}" for i in range(20))
+    corpus = spark.createDataFrame([
+        (1, "leading junk " + bench_text),            # leaked + prefix
+        (2, " ".join(f"c{i}" for i in range(20))),    # clean
+        (3, bench_text + " trailing junk"),           # leaked + suffix
+        (4, "short doc"),                             # < 8 tokens
+    ], "doc_id long, text string")
+    bench = spark.createDataFrame([(100, bench_text)],
+                                  "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           dedup.contamination_check(corpus, bench).collect()}
+    assert out[1]["contaminated"] == 1 and out[1]["hit_windows"] >= 13
+    assert out[3]["contaminated"] == 1
+    assert out[2]["contaminated"] == 0 == out[2]["hit_windows"]
+    assert out[4]["contaminated"] == 0 and out[4]["n_windows"] == 1
+
+
+def test_hash_classifier_zero_shuffle_and_values(spark):
+    """r6: the hashed-linear inference matches a pure-Python
+    re-computation of the frozen weight rule, and the physical plan
+    has NO Exchange — classification at 100 TB is scan speed."""
+    import hashlib
+
+    from powerpoint_context_extractor_spark.operators import textstats
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "delta"), (3, "alpha alpha")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           textstats.hash_classifier_score(docs).collect()}
+
+    def w(tok):
+        h = int(hashlib.md5(tok.encode()).hexdigest()[:8], 16)
+        return ((h % 1_000_000_007) % 4096) * 2654435761 % 1997 - 998
+
+    for doc_id, text in ((1, "alpha beta gamma"), (2, "delta"),
+                         (3, "alpha alpha")):
+        want = sum(w(t) for t in text.split())
+        assert out[doc_id]["score"] == want
+        assert out[doc_id]["label"] == (1 if want > 0 else 0)
+        assert out[doc_id]["n_toks"] == len(text.split())
+    plan = textstats.hash_classifier_score(docs) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
