@@ -964,6 +964,27 @@ def _docs_with_near_dups(spark, sf_dir):
     return d.unionByName(mut)
 
 
+def _sink_wds_roundtrip(spark, sf_dir):
+    """WebDataset shard round-trip (r6, the de-facto training-corpus
+    container): documents stream executor-side into 4 POSIX tar
+    shards (hash-assigned, byte-reproducible members), then read back
+    file-per-task; the oracle recomputes each row's shard assignment
+    and text hash directly, so sink + source must be jointly
+    lossless."""
+    import uuid as _uuid
+
+    from powerpoint_context_extractor_spark.sources.wds import (
+        read_wds_shards, write_wds_shards,
+    )
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = os.path.join(_session_root(),
+                       f"wds_{_uuid.uuid4().hex[:10]}")
+    write_wds_shards(d, out, n_shards=4)
+    back = read_wds_shards(spark, out)
+    return back.select("doc_id", "shard",
+                       F.md5(F.col("text")).alias("text_md5"))
+
+
 def _text_hash_classifier(spark, sf_dir):
     """Hashed linear classifier inference (r6, the fastText/VW
     architecture): token -> one of 4096 weight slots via the md5
@@ -2071,6 +2092,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cdc_chunks": _dedup_cdc_chunks,
         "text_contamination": _text_contamination,
         "text_hash_classifier": _text_hash_classifier,
+        "sink_wds_roundtrip": _sink_wds_roundtrip,
         "sample_reservoir_weighted": _sample_reservoir_weighted,
         "agg_exact_quantiles": _agg_exact_quantiles,
     }
@@ -4204,6 +4226,15 @@ def oracle_sql() -> dict[str, str]:
         SELECT domain, CAST(q AS BIGINT) AS q, CAST(v AS BIGINT) AS value
         FROM r, (VALUES (50), (90), (99)) AS t(q)
         WHERE rn = (q * cnt + 99) // 100
+    """
+    d["sink_wds_roundtrip"] = """
+        -- the tar sink/source must round-trip losslessly: shard =
+        -- H('wds'||doc_id) % 4 (the sink's assignment), text intact
+        SELECT doc_id,
+               (('0x' || substr(md5(printf('wds%d', doc_id)), 1, 8))
+                ::BIGINT % 1000000007) % 4 AS shard,
+               md5(text) AS text_md5
+        FROM documents
     """
     d["text_hash_classifier"] = """
         -- hashed-linear inference mirrored from
