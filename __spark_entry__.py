@@ -964,6 +964,29 @@ def _docs_with_near_dups(spark, sf_dir):
     return d.unionByName(mut)
 
 
+def _a_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS (r6 — completes the cube/rollup/pivot
+    family with the general form): one pass producing the (lang),
+    (source), and grand-total grains — but NOT the (lang, source)
+    cross — with grouping_id disambiguation and -1/'' sentinels for
+    the inactive keys (cross-engine NULL canonicalization differs,
+    sentinels do not)."""
+    d = _t(spark, sf_dir, "documents")
+    out = spark.sql("""
+        SELECT coalesce(lang, '~') AS lang,
+               coalesce(source, '~') AS source,
+               count(*) AS n_docs,
+               sum(n_chars) AS sum_chars,
+               grouping__id AS gid
+        FROM {d}
+        GROUP BY GROUPING SETS ((lang), (source), ())
+    """, d=d)
+    return out.select("lang", "source",
+                      F.col("n_docs").cast("long").alias("n_docs"),
+                      F.col("sum_chars").cast("long").alias("sum_chars"),
+                      F.col("gid").cast("long").alias("gid"))
+
+
 def _sink_wds_roundtrip(spark, sf_dir):
     """WebDataset shard round-trip (r6, the de-facto training-corpus
     container): documents stream executor-side into 4 POSIX tar
@@ -2093,6 +2116,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_contamination": _text_contamination,
         "text_hash_classifier": _text_hash_classifier,
         "sink_wds_roundtrip": _sink_wds_roundtrip,
+        "a_grouping_sets": _a_grouping_sets,
         "sample_reservoir_weighted": _sample_reservoir_weighted,
         "agg_exact_quantiles": _agg_exact_quantiles,
     }
@@ -4226,6 +4250,19 @@ def oracle_sql() -> dict[str, str]:
         SELECT domain, CAST(q AS BIGINT) AS q, CAST(v AS BIGINT) AS value
         FROM r, (VALUES (50), (90), (99)) AS t(q)
         WHERE rn = (q * cnt + 99) // 100
+    """
+    d["a_grouping_sets"] = """
+        -- grouping_id bit order: Spark computes it over the GROUP BY
+        -- column list (lang, source) -> lang is the HIGH bit; DuckDB's
+        -- GROUPING() args mirror that explicitly
+        SELECT coalesce(lang, '~') AS lang,
+               coalesce(source, '~') AS source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+               CAST(GROUPING(lang) * 2 + GROUPING(source) AS BIGINT)
+                 AS gid
+        FROM documents
+        GROUP BY GROUPING SETS ((lang), (source), ())
     """
     d["sink_wds_roundtrip"] = """
         -- the tar sink/source must round-trip losslessly: shard =
