@@ -964,6 +964,22 @@ def _docs_with_near_dups(spark, sf_dir):
     return d.unionByName(mut)
 
 
+def _sample_global_index(spark, sf_dir):
+    """Contiguous global sequence numbers in a total order WITHOUT a
+    single-partition sort (r6 — the curriculum/dataloader indexing
+    primitive): documents ordered by (n_chars desc, doc_id), indexed
+    via range-partition + map-side local ranks + broadcast partition
+    offsets. The oracle is the plain global row_number, which the
+    distributed rank must reproduce exactly for any partition
+    boundaries."""
+    from powerpoint_context_extractor_spark.operators.sampling import (
+        global_order_index,
+    )
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", (-F.col("n_chars")).alias("neg_chars"))
+    return global_order_index(d, ["neg_chars", "doc_id"], n_parts=8)
+
+
 def _a_grouping_sets(spark, sf_dir):
     """Explicit GROUPING SETS (r6 — completes the cube/rollup/pivot
     family with the general form): one pass producing the (lang),
@@ -2117,6 +2133,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_hash_classifier": _text_hash_classifier,
         "sink_wds_roundtrip": _sink_wds_roundtrip,
         "a_grouping_sets": _a_grouping_sets,
+        "sample_global_index": _sample_global_index,
         "sample_reservoir_weighted": _sample_reservoir_weighted,
         "agg_exact_quantiles": _agg_exact_quantiles,
     }
@@ -4250,6 +4267,13 @@ def oracle_sql() -> dict[str, str]:
         SELECT domain, CAST(q AS BIGINT) AS q, CAST(v AS BIGINT) AS value
         FROM r, (VALUES (50), (90), (99)) AS t(q)
         WHERE rn = (q * cnt + 99) // 100
+    """
+    d["sample_global_index"] = """
+        -- plain global row_number the distributed rank must equal
+        SELECT doc_id,
+               CAST(row_number() OVER (ORDER BY -n_chars, doc_id) - 1
+                    AS BIGINT) AS global_idx
+        FROM documents
     """
     d["a_grouping_sets"] = """
         -- grouping_id bit order: Spark computes it over the GROUP BY

@@ -1578,6 +1578,34 @@ def test_reservoir_two_level_equals_one_level(spark):
         sampling.reservoir_sample(docs, "stratum", k=0)
 
 
+def test_global_order_index_boundary_independent(spark):
+    """r6: global_order_index equals the single-window global
+    row_number for ANY partition count (1, 3, 8) — the range
+    boundaries the sampler picks cannot change the final index —
+    including with heavy ties on the leading order column (broken by
+    the id) and a skewed value distribution."""
+    from pyspark.sql import Window as W
+
+    from powerpoint_context_extractor_spark.operators import sampling
+    # 60% of rows tie on v=0 (hot leading key); rest spread 1..400
+    rows = ([(i, 0) for i in range(600)]
+            + [(1000 + i, 1 + (i * 7) % 400) for i in range(400)])
+    docs = spark.createDataFrame(rows, "doc_id long, v long")
+    w = W.orderBy("v", "doc_id")
+    want = sorted(
+        (r["doc_id"], r["gi"]) for r in
+        docs.select("doc_id", (F.row_number().over(w) - 1)
+                    .cast("long").alias("gi")).collect())
+    for n_parts in (1, 3, 8):
+        got = sorted(
+            (r["doc_id"], r["global_idx"]) for r in
+            sampling.global_order_index(
+                docs, ["v", "doc_id"], n_parts=n_parts).collect())
+        assert got == want, f"n_parts={n_parts}"
+    with pytest.raises(ValueError, match="order_cols"):
+        sampling.global_order_index(docs, [])
+
+
 def test_temperature_sample_flattens_shares(spark):
     """r6: T=2 temperature sampling up-weights scarce domains — the
     acceptance rate for a 64-row domain exceeds the natural-share rate,
