@@ -980,6 +980,36 @@ def _sample_global_index(spark, sf_dir):
     return global_order_index(d, ["neg_chars", "doc_id"], n_parts=8)
 
 
+def _web_anchor_agg(spark, sf_dir):
+    """Anchor-text corpus aggregation (r6 — the web-graph text signal:
+    who links to each host and with what words): pages synthesized
+    with five anchors each (absolute, root-relative, protocol-relative
+    — plus a fragment and a mailto: the resolver must drop), anchors
+    extracted with one JVM regexp_extract_all, resolved per the frozen
+    contract in operators/weblinks.py, aggregated per target host into
+    (in-link count, distinct source hosts, most-frequent anchor text).
+    The oracle reconstructs the resolvable link set analytically from
+    doc_id arithmetic and mirrors the deterministic top-anchor pick."""
+    from powerpoint_context_extractor_spark.operators.weblinks import (
+        anchor_text_agg, extract_anchors,
+    )
+    d = _t(spark, sf_dir, "documents")
+    url = F.format_string("https://host%d.example/docs/%d",
+                          F.col("doc_id") % 37, F.col("doc_id"))
+    html = F.format_string(
+        '<html><body><nav><a href="#top">Top</a></nav>'
+        '<p>See <a href="https://host%d.example/t/%d">anchor t%d</a>'
+        ' and <a href="/local/%d">local %d</a> plus'
+        ' <a href="//host%d.example/p">  proto   %d </a>.'
+        '<a href="mailto:x@example.com">mail me</a></p>'
+        "</body></html>",
+        (F.col("doc_id") * 3 + 11) % 37, F.col("doc_id") % 13,
+        F.col("doc_id") % 5, F.col("doc_id") % 7, F.col("doc_id") % 3,
+        (F.col("doc_id") + 5) % 37, F.col("doc_id") % 2)
+    pages = d.select(url.alias("url"), html.alias("html_str"))
+    return anchor_text_agg(extract_anchors(pages))
+
+
 def _a_grouping_sets(spark, sf_dir):
     """Explicit GROUPING SETS (r6 — completes the cube/rollup/pivot
     family with the general form): one pass producing the (lang),
@@ -2134,6 +2164,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sink_wds_roundtrip": _sink_wds_roundtrip,
         "a_grouping_sets": _a_grouping_sets,
         "sample_global_index": _sample_global_index,
+        "web_anchor_agg": _web_anchor_agg,
         "sample_reservoir_weighted": _sample_reservoir_weighted,
         "agg_exact_quantiles": _agg_exact_quantiles,
     }
@@ -4274,6 +4305,40 @@ def oracle_sql() -> dict[str, str]:
                CAST(row_number() OVER (ORDER BY -n_chars, doc_id) - 1
                     AS BIGINT) AS global_idx
         FROM documents
+    """
+    d["web_anchor_agg"] = """
+        -- reconstruct the three RESOLVABLE anchors per page from
+        -- doc_id arithmetic (fragment + mailto are dropped by the
+        -- resolver contract); top anchor = max count, ties lexicographic
+        WITH links AS (
+          SELECT printf('host%d.example', doc_id % 37) AS src_host,
+                 printf('host%d.example', (doc_id*3+11) % 37) AS target_host,
+                 printf('anchor t%d', doc_id % 5) AS anchor
+          FROM documents
+          UNION ALL
+          SELECT printf('host%d.example', doc_id % 37),
+                 printf('host%d.example', doc_id % 37),
+                 printf('local %d', doc_id % 3)
+          FROM documents
+          UNION ALL
+          SELECT printf('host%d.example', doc_id % 37),
+                 printf('host%d.example', (doc_id+5) % 37),
+                 printf('proto %d', doc_id % 2)
+          FROM documents
+        ),
+        pc AS (SELECT target_host, anchor, COUNT(*) AS cnt
+               FROM links GROUP BY target_host, anchor),
+        top AS (SELECT target_host, anchor AS top_anchor FROM (
+                  SELECT target_host, anchor,
+                         row_number() OVER (PARTITION BY target_host
+                           ORDER BY cnt DESC, anchor) AS rn
+                  FROM pc)
+                WHERE rn = 1),
+        tot AS (SELECT target_host, COUNT(*) AS n_links,
+                       COUNT(DISTINCT src_host) AS n_src_hosts
+                FROM links GROUP BY target_host)
+        SELECT t.target_host, t.n_links, t.n_src_hosts, top.top_anchor
+        FROM tot t JOIN top USING (target_host)
     """
     d["a_grouping_sets"] = """
         -- grouping_id bit order: Spark computes it over the GROUP BY

@@ -1,0 +1,92 @@
+"""Anchor-text extraction + link-target aggregation — the classic
+web-graph text signal (anchor corpora drive retrieval/labeling in
+every large crawl pipeline; the reference's analog is the per-member
+relationship deref it runs across a container,
+pptx_extractor/slides/extractor.py:60-118 — here the "relationships"
+are hyperlinks across the whole crawl).
+
+Scale design: anchor extraction is a single JVM-codegen
+``regexp_extract_all`` over the page scan — zero Python, zero
+shuffles, narrow (url, html) projection. The aggregation is
+deliberately two-stage: per-(target,anchor) counts are
+combiner-friendly (map-side partial agg collapses duplicate anchors
+before the shuffle), then the per-target top-anchor pick is a tiny
+``min(struct(-cnt, anchor))`` over the already-aggregated table — no
+global window, no skew amplification when one target dominates
+(aggregation state per key is O(1), not a list of anchors).
+
+Href resolution contract (frozen; the contract query pins it):
+absolute ``http(s)://`` kept as-is; root-relative ``/path`` resolved
+against the source page's scheme+host; protocol-relative ``//host/p``
+takes the source scheme; everything else (fragments, mailto:,
+javascript:, path-relative) is dropped. Anchor text is trimmed and
+internal whitespace collapsed; empty anchors are dropped.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Java-regex and RE2 compatible (no lookarounds): double-quoted href,
+# anchor body up to the first tag.
+ANCHOR_RE = r'<a\s[^>]*href="([^"]*)"[^>]*>([^<]*)</a>'
+
+_URL_PREFIX = r"^([a-z]+)://([^/?#]+)"
+
+
+def _base_parts(url: Column) -> tuple[Column, Column]:
+    return (F.regexp_extract(url, _URL_PREFIX, 1),
+            F.regexp_extract(url, _URL_PREFIX, 2))
+
+
+def extract_anchors(pages: DataFrame, url_col: str = "url",
+                    html_col: str = "html_str") -> DataFrame:
+    """(url, html) -> one row per resolvable anchor:
+    (src_url, src_host, target_url, target_host, anchor)."""
+    html = F.col(html_col)
+    pairs = F.arrays_zip(
+        F.regexp_extract_all(html, F.lit(ANCHOR_RE), 1).alias("href"),
+        F.regexp_extract_all(html, F.lit(ANCHOR_RE), 2).alias("txt"))
+    scheme, host = _base_parts(F.col(url_col))
+    ex = (pages
+          .select(F.col(url_col).alias("src_url"),
+                  scheme.alias("_scheme"), host.alias("src_host"),
+                  F.explode(pairs).alias("p"))
+          .select("src_url", "_scheme", "src_host",
+                  F.col("p.href").alias("href"),
+                  F.regexp_replace(F.trim(F.col("p.txt")), r"\s+", " ")
+                  .alias("anchor")))
+    href = F.col("href")
+    target = (F.when(href.rlike(r"^https?://"), href)
+              .when(href.startswith("//"),
+                    F.concat(F.col("_scheme"), F.lit(":"), href))
+              .when(href.startswith("/"),
+                    F.concat(F.col("_scheme"), F.lit("://"),
+                             F.col("src_host"), href)))
+    return (ex.withColumn("target_url", target)
+            .filter(F.col("target_url").isNotNull()
+                    & (F.col("anchor") != ""))
+            .withColumn("target_host",
+                        F.lower(F.regexp_extract("target_url",
+                                                 _URL_PREFIX, 2)))
+            .select("src_url", "src_host", "target_url", "target_host",
+                    "anchor"))
+
+
+def anchor_text_agg(anchors: DataFrame) -> DataFrame:
+    """Per target host: in-link count, distinct source hosts, and the
+    most frequent anchor text (ties broken lexicographically — the
+    deterministic pick the oracle can mirror). Two shuffles total,
+    both with map-side combine; the top-anchor pick runs over the
+    per-(host, anchor) counts table, never the raw anchor rows."""
+    per_anchor = (anchors.groupBy("target_host", "anchor")
+                  .agg(F.count(F.lit(1)).alias("cnt")))
+    top = (per_anchor.groupBy("target_host")
+           .agg(F.min(F.struct((-F.col("cnt")).alias("neg"),
+                               F.col("anchor").alias("a"))).alias("m"))
+           .select("target_host", F.col("m.a").alias("top_anchor")))
+    totals = (anchors.groupBy("target_host")
+              .agg(F.count(F.lit(1)).alias("n_links"),
+                   F.countDistinct("src_host").alias("n_src_hosts")))
+    return totals.join(top, "target_host")

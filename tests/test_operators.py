@@ -1578,6 +1578,56 @@ def test_reservoir_two_level_equals_one_level(spark):
         sampling.reservoir_sample(docs, "stratum", k=0)
 
 
+def test_anchor_extraction_resolution_contract(spark):
+    """r6: extract_anchors keeps absolute/root-relative/protocol-
+    relative hrefs (resolving the latter two against the source page),
+    drops fragments/mailto/javascript/path-relative/empty-text
+    anchors, and collapses anchor whitespace; anchor_text_agg picks
+    the most frequent anchor with a lexicographic tie-break."""
+    from powerpoint_context_extractor_spark.operators.weblinks import (
+        anchor_text_agg, extract_anchors,
+    )
+    html1 = ('<a href="https://t1.example/a">One</a>'
+             '<a href="/p/2">  two   words </a>'
+             '<a href="//t2.example/x">proto</a>'
+             '<a href="#frag">skip</a>'
+             '<a href="mailto:a@b">skip</a>'
+             '<a href="javascript:void(0)">skip</a>'
+             '<a href="rel/path">skip</a>'
+             '<a href="https://t1.example/b">   </a>')
+    html2 = ('<a href="https://t1.example/c">One</a>'
+             '<a href="https://t1.example/d">Alpha</a>')
+    pages = spark.createDataFrame(
+        [("https://src1.example/page", html1),
+         ("http://src2.example/other", html2)],
+        "url string, html_str string")
+    got = {(r["src_host"], r["target_url"], r["target_host"], r["anchor"])
+           for r in extract_anchors(pages).collect()}
+    assert got == {
+        ("src1.example", "https://t1.example/a", "t1.example", "One"),
+        ("src1.example", "https://src1.example/p/2", "src1.example",
+         "two words"),
+        ("src1.example", "https://t2.example/x", "t2.example", "proto"),
+        ("src2.example", "https://t1.example/c", "t1.example", "One"),
+        ("src2.example", "https://t1.example/d", "t1.example", "Alpha"),
+    }
+    agg = {r["target_host"]: (r["n_links"], r["n_src_hosts"],
+                              r["top_anchor"])
+           for r in anchor_text_agg(extract_anchors(pages)).collect()}
+    # t1.example: anchors One(x2 from 2 hosts), Alpha(x1) -> "One";
+    # if counts tied, lexicographic would pick "Alpha" — pin the
+    # count-first rule here and the tie-break below
+    assert agg["t1.example"] == (3, 2, "One")
+    assert agg["src1.example"] == (1, 1, "two words")
+    tie = spark.createDataFrame(
+        [("https://s.example/p",
+          '<a href="https://t.example/1">beta</a>'
+          '<a href="https://t.example/2">alpha</a>')],
+        "url string, html_str string")
+    top = anchor_text_agg(extract_anchors(tie)).collect()[0]
+    assert top["top_anchor"] == "alpha"          # 1-1 tie -> lexicographic
+
+
 def test_global_order_index_boundary_independent(spark):
     """r6: global_order_index equals the single-window global
     row_number for ANY partition count (1, 3, 8) — the range
