@@ -1669,6 +1669,20 @@ def _mm_features_png_interlaced(spark, sf_dir):
         _t(spark, sf_dir, "documents"))
 
 
+def _mm_features_gif(spark, sf_dir):
+    """Real GIF decode under the correctness gate (r6 — the remaining
+    classic web image format: variable-width LZW, sub-block framing,
+    palette expansion, 4-pass interlacing on odd doc_ids): pixel
+    index i = (doc_id*31+i)%16 against the frozen PNG_PALETTE, so the
+    oracle reuses the palette-PNG formula; the position-weighted
+    px_wsum pins interlace row reassembly (same sums, wrong order
+    fails the hash)."""
+    from powerpoint_context_extractor_spark.operators.multimodal import (
+        extract_gif_features,
+    )
+    return extract_gif_features(_t(spark, sf_dir, "documents"))
+
+
 def _mm_features_jpeg_dri(spark, sf_dir):
     """Restart-interval baseline JPEG under the correctness gate (r6 —
     DRI/RSTm is the dominant real-web encoder setting): the SAME
@@ -2158,6 +2172,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_prefix_jaccard": _dedup_prefix_jaccard,
         "w_stream_interval_join": _w_stream_interval_join,
         "mm_features_png_interlaced": _mm_features_png_interlaced,
+        "mm_features_gif": _mm_features_gif,
         "dedup_cdc_chunks": _dedup_cdc_chunks,
         "text_contamination": _text_contamination,
         "text_hash_classifier": _text_hash_classifier,
@@ -3000,6 +3015,26 @@ def oracle_sql() -> dict[str, str]:
     """
     # Adam7-interlaced twin: same pixels, same oracle (r6)
     d["mm_features_png_interlaced"] = d["mm_features_png"]
+    d["mm_features_gif"] = """
+        -- frozen GIF rule (r6): 16x8, index i = (doc_id*31+i)%16
+        -- against the palette-PNG PLTE formula; px_wsum (position-
+        -- weighted) pins interlace reassembly on odd doc_ids
+        WITH px AS (
+          SELECT d.doc_id, j.j*3 + c.c AS pos,
+                 (((d.doc_id*31 + j.j) % 16) *
+                  CASE c.c WHEN 0 THEN 37 WHEN 1 THEN 59 ELSE 83 END)
+                 % 256 AS p
+          FROM documents d, range(0, 128) j(j), range(0, 3) c(c)
+        )
+        SELECT doc_id,
+               CAST(16 AS BIGINT) AS width, CAST(8 AS BIGINT) AS height,
+               CAST(3 AS BIGINT) AS channels,
+               CAST(SUM(p) AS BIGINT) AS px_sum,
+               CAST(MIN(p) AS BIGINT) AS px_min,
+               CAST(MAX(p) AS BIGINT) AS px_max,
+               CAST(SUM(pos * p) AS BIGINT) AS px_wsum
+        FROM px GROUP BY doc_id
+    """
     d["mm_features_jpeg"] = """
         -- frozen JPEG rule (r5): 16x8, two constant 8x8 blocks,
         -- v_b = (doc_id*29 + b*97) % 256; DC = half-away(64*(v-128)

@@ -1,0 +1,272 @@
+"""Minimal real GIF codec (pure stdlib) — the remaining classic web
+image format next to png.py / jpeg.py (reference analog: the raster
+image handling in /root/reference/pptx_extractor/slides/extractor.py:
+165-293; here the bytes are decoded, not copied through).
+
+Subset (honest errors outside it): GIF87a/GIF89a, a single image frame,
+global or local color table, optional interlacing, variable-width LZW
+with dictionary reset at 4096 entries. Extensions (graphic control,
+comments, application) are skipped per spec framing. Transparency and
+multi-frame animation are NOT interpreted — the first frame decodes,
+later image blocks are ignored.
+
+LZW notes (the part everyone gets wrong):
+- bits pack LSB-first into bytes (opposite of PNG/JPEG), wrapped in
+  <=255-byte sub-blocks;
+- code width starts min_code+1 and the DECODER widens after the table
+  add that fills the current width (next == 1<<width, width < 12) —
+  the standard early-change-compatible rule;
+- the ENCODER assigns each emitted code the width by replaying the
+  decoder's table-growth schedule over the code stream (decoder adds
+  lag encoder adds by one code), so encoder and decoder agree by
+  construction instead of by an off-by-one folk theorem;
+- code == next (the KwKwK case) decodes as prev + prev[0].
+"""
+
+from __future__ import annotations
+
+import struct
+
+MAX_CODE_WIDTH = 12
+
+# (row offset, row step) of the four GIF interlace passes
+_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def _interlaced_row_order(h: int) -> list:
+    order = []
+    for off, step in _INTERLACE_PASSES:
+        order.extend(range(off, h, step))
+    return order
+
+
+# ---------------------------------------------------------------------------
+# LZW
+# ---------------------------------------------------------------------------
+
+def _lzw_codes(data: bytes, min_code: int):
+    """The raw LZW code stream (clear/EOI framing, 4096-entry resets),
+    independent of bit widths."""
+    clear, eoi = 1 << min_code, (1 << min_code) + 1
+    codes = [clear]
+    table = {bytes([i]): i for i in range(clear)}
+    next_code = eoi + 1
+    buf = b""
+    for b in data:
+        nb = buf + bytes([b])
+        if nb in table:
+            buf = nb
+            continue
+        codes.append(table[buf])
+        if next_code < (1 << MAX_CODE_WIDTH):
+            table[nb] = next_code
+            next_code += 1
+        else:
+            codes.append(clear)
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = eoi + 1
+        buf = bytes([b])
+    if buf:
+        codes.append(table[buf])
+    codes.append(eoi)
+    return codes, clear, eoi
+
+
+def lzw_encode(data: bytes, min_code: int) -> bytes:
+    """LZW-compress pixel data; widths assigned by replaying the
+    decoder's growth schedule over the code stream (see module doc)."""
+    codes, clear, eoi = _lzw_codes(data, min_code)
+    acc = 0
+    nbits = 0
+    out = bytearray()
+    width = min_code + 1
+    next_dec = eoi + 1
+    prev_seen = False           # decoder has a previous code in hand
+    for code in codes:
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+        # replay the decoder's state transition for this code
+        if code == clear:
+            width, next_dec, prev_seen = min_code + 1, eoi + 1, False
+        elif code == eoi:
+            break
+        elif not prev_seen:
+            prev_seen = True
+        else:
+            if next_dec < (1 << MAX_CODE_WIDTH):
+                next_dec += 1
+                if next_dec == (1 << width) and width < MAX_CODE_WIDTH:
+                    width += 1
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def lzw_decode(data: bytes, min_code: int, n_expected: int) -> bytes:
+    clear, eoi = 1 << min_code, (1 << min_code) + 1
+    out = bytearray()
+    table: list = [bytes([i]) for i in range(clear)] + [b"", b""]
+    width = min_code + 1
+    prev: bytes | None = None
+    acc = 0
+    nbits = 0
+    pos = 0
+    while True:
+        while nbits < width:
+            if pos >= len(data):
+                raise ValueError("gif: truncated LZW stream")
+            acc |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            table = [bytes([i]) for i in range(clear)] + [b"", b""]
+            width = min_code + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            if code >= len(table):
+                raise ValueError("gif: bad first code after clear")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+        elif code == len(table):
+            entry = prev + prev[:1]          # KwKwK
+        else:
+            raise ValueError("gif: code beyond table")
+        out.extend(entry)
+        if prev is not None and len(table) < (1 << MAX_CODE_WIDTH):
+            table.append(prev + entry[:1])
+            if len(table) == (1 << width) and width < MAX_CODE_WIDTH:
+                width += 1
+        prev = entry
+        if len(out) >= n_expected:
+            break
+    if len(out) < n_expected:
+        raise ValueError("gif: LZW stream ended short of pixel count")
+    return bytes(out[:n_expected])
+
+
+# ---------------------------------------------------------------------------
+# container
+# ---------------------------------------------------------------------------
+
+def _pad_palette(palette: list) -> tuple:
+    n = max(2, len(palette))
+    bits = max(1, (n - 1).bit_length())
+    full = list(palette) + [(0, 0, 0)] * ((1 << bits) - len(palette))
+    return full, bits
+
+
+def render_gif(w: int, h: int, indices: bytes, palette: list,
+               interlaced: bool = False) -> bytes:
+    """Single-frame GIF89a with a global color table."""
+    if len(indices) != w * h:
+        raise ValueError("render_gif: need w*h palette indices")
+    if any(i >= len(palette) for i in indices):
+        raise ValueError("render_gif: index beyond palette")
+    full, bits = _pad_palette(palette)
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | ((bits - 1) << 4)
+                       | (bits - 1), 0, 0)
+    for r, g, b in full:
+        out += bytes((r, g, b))
+    out += struct.pack("<BHHHHB", 0x2C, 0, 0, w, h,
+                       0x40 if interlaced else 0)
+    if interlaced:
+        rows = [indices[y * w:(y + 1) * w]
+                for y in _interlaced_row_order(h)]
+        data = b"".join(rows)
+    else:
+        data = indices
+    min_code = max(2, bits)
+    out.append(min_code)
+    comp = lzw_encode(data, min_code)
+    for i in range(0, len(comp), 255):
+        chunk = comp[i:i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+def _read_subblocks(data: bytes, pos: int) -> tuple:
+    parts = []
+    while True:
+        if pos >= len(data):
+            raise ValueError("gif: truncated sub-blocks")
+        n = data[pos]
+        pos += 1
+        if n == 0:
+            return b"".join(parts), pos
+        parts.append(data[pos:pos + n])
+        if len(parts[-1]) != n:
+            raise ValueError("gif: truncated sub-block body")
+        pos += n
+
+
+def decode_gif(data: bytes) -> tuple:
+    """-> (width, height, 3, rgb_bytes) for the first image frame."""
+    if len(data) < 13 or data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("gif: bad signature")
+    sw, sh, packed, _bg, _aspect = struct.unpack("<HHBBB", data[6:13])
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = [tuple(data[pos + 3 * j:pos + 3 * j + 3]) for j in range(n)]
+        pos += 3 * n
+    while pos < len(data):
+        block = data[pos]
+        pos += 1
+        if block == 0x3B:                      # trailer
+            break
+        if block == 0x21:                      # extension: label + subs
+            if pos >= len(data):
+                raise ValueError("gif: truncated extension")
+            _, pos = _read_subblocks(data, pos + 1)
+            continue
+        if block != 0x2C:
+            raise ValueError(f"gif: unknown block 0x{block:02x}")
+        if len(data) < pos + 9:
+            raise ValueError("gif: truncated image descriptor")
+        left, top, w, h, ipacked = struct.unpack("<HHHHB",
+                                                 data[pos:pos + 9])
+        pos += 9
+        pal = gct
+        if ipacked & 0x80:
+            n = 2 << (ipacked & 0x07)
+            pal = [tuple(data[pos + 3 * j:pos + 3 * j + 3])
+                   for j in range(n)]
+            pos += 3 * n
+        if pal is None:
+            raise ValueError("gif: image without any color table")
+        if pos >= len(data):
+            raise ValueError("gif: truncated image data")
+        min_code = data[pos]
+        if not 2 <= min_code <= 11:
+            raise ValueError("gif: bad LZW min code size")
+        comp, pos = _read_subblocks(data, pos + 1)
+        idx = lzw_decode(comp, min_code, w * h)
+        if ipacked & 0x40:
+            rows = [idx[r * w:(r + 1) * w] for r in range(h)]
+            ordered: list = [b""] * h
+            for stored, y in enumerate(_interlaced_row_order(h)):
+                ordered[y] = rows[stored]
+            idx = b"".join(ordered)
+        rgb = bytearray(w * h * 3)
+        npal = len(pal)
+        for i, v in enumerate(idx):
+            if v >= npal:
+                raise ValueError("gif: pixel index beyond color table")
+            rgb[3 * i:3 * i + 3] = bytes(pal[v])
+        return w, h, 3, bytes(rgb)
+    raise ValueError("gif: no image block")

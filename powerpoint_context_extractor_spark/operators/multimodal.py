@@ -30,6 +30,7 @@ from ..jpeg import (QTABLE, decode_jpeg, decode_jpeg_gray,
                     render_jpeg_gray_progressive,
                     render_jpeg_gray_progressive_sa, rgb_from_ycbcr,
                     ycbcr_from_rgb)
+from ..gif import decode_gif, render_gif
 from ..png import decode_png, render_png, render_png_interlaced
 from ..wav import decode_wav, render_wav
 
@@ -37,6 +38,7 @@ MAGIC_KINDS = {
     "89504e47": "png", "25504446": "pdf",
     "ffd8ffe0": "jpeg", "ffd8ffe1": "jpeg", "ffd8ffdb": "jpeg",
     "2557444f": "wdoc",  # "%WDO" — our layout container prefix
+    "47494638": "gif",   # "GIF8" (87a/89a)
     "52494646": "riff",  # RIFF container: WAVE -> wav (see _kind_of)
 }
 
@@ -100,6 +102,13 @@ def _decode_payload(kind: str, payload: bytes) -> list:
     honest error row); byte-stats stub for the remaining kinds."""
     if kind == "png":
         w, h, ch, px = decode_png(payload)
+        return [float(w), float(h), float(ch), float(sum(px) % 997),
+                float(min(px)), float(max(px))]
+    if kind == "gif":
+        # r6: REAL single-frame decode (variable-width LZW + palette
+        # expansion, pure stdlib); animation/transparency subsets
+        # raise the honest subset ValueError
+        w, h, ch, px = decode_gif(payload)
         return [float(w), float(h), float(ch), float(sum(px) % 997),
                 float(min(px)), float(max(px))]
     if kind == "wav":
@@ -1046,3 +1055,60 @@ def extract_jpeg_prog_features(docs: DataFrame) -> DataFrame:
 
     return docs.select("doc_id").mapInPandas(
         _batches, schema=JPEG_FEATURE_SCHEMA)
+
+
+# --- real-GIF contract path (r6) -------------------------------------------
+
+GIF_W, GIF_H = 16, 8
+
+
+def gif_payload_for_doc(doc_id: int) -> bytes:
+    """Deterministic 16x8 single-frame GIF: palette index i =
+    (doc_id*31 + i) % 16 against the frozen PNG_PALETTE (entry j =
+    ((j*37)%256, (j*59)%256, (j*83)%256) — shared with the palette-PNG
+    contract so the oracles reuse one formula); odd doc_ids store the
+    SAME pixels interlaced (the 4-pass row shuffle), which the
+    position-weighted checksum in the feature row pins — a decoder
+    that skips deinterlacing gets identical sums but a wrong wsum."""
+    idx = bytes((doc_id * 31 + i) % 16 for i in range(GIF_W * GIF_H))
+    return render_gif(GIF_W, GIF_H, idx, PNG_PALETTE,
+                      interlaced=bool(doc_id % 2))
+
+
+GIF_FEATURE_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType(), False),
+    T.StructField("width", T.LongType()),
+    T.StructField("height", T.LongType()),
+    T.StructField("channels", T.LongType()),
+    T.StructField("px_sum", T.LongType()),
+    T.StructField("px_min", T.LongType()),
+    T.StructField("px_max", T.LongType()),
+    T.StructField("px_wsum", T.LongType()),
+])
+
+
+def extract_gif_features(docs: DataFrame) -> DataFrame:
+    """Render + LZW-decode a real GIF per documents row and emit exact
+    pixel statistics incl. the position-weighted sum that pins
+    interlace reassembly (see ``gif_payload_for_doc``)."""
+
+    def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("doc_id", "width", "height",
+                                   "channels", "px_sum", "px_min",
+                                   "px_max", "px_wsum")}
+            for doc_id in pdf["doc_id"].tolist():
+                w, h, ch, px = decode_gif(gif_payload_for_doc(doc_id))
+                out["doc_id"].append(doc_id)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["channels"].append(ch)
+                out["px_sum"].append(sum(px))
+                out["px_min"].append(min(px))
+                out["px_max"].append(max(px))
+                out["px_wsum"].append(
+                    sum(i * v for i, v in enumerate(px)))
+            yield pd.DataFrame(out)
+
+    return docs.select("doc_id").mapInPandas(
+        _batches, schema=GIF_FEATURE_SCHEMA)

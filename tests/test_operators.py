@@ -180,7 +180,8 @@ def test_document_text_never_magic(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     from pyspark.sql import functions as F
     hits = docs.filter(
-        F.substring("text", 1, 4).isin("RIFF", "%PDF", "%WDO")).count()
+        F.substring("text", 1, 4).isin("RIFF", "%PDF", "%WDO",
+                                       "GIF8")).count()
     assert hits == 0, f"{hits} document texts start with a magic prefix"
 
 
@@ -480,6 +481,73 @@ def test_mm_wav_adpcm_matches_python_state_machine(spark):
         r = got[doc_id]
         assert (r["n_samples"], r["abs_sum"], r["s_min"], r["s_max"]) == (
             64, sum(abs(v) for v in samples), min(samples), max(samples))
+
+
+def test_gif_roundtrip_lzw_and_interlace():
+    """r6: GIF codec contract — LZW roundtrip across code-width growth
+    and the 4096-entry dictionary reset, the KwKwK self-reference
+    case, interlaced row reassembly on odd heights, local color
+    tables, extension-block skipping, and honest subset errors."""
+    import random
+    import struct
+
+    from powerpoint_context_extractor_spark.gif import (
+        decode_gif, lzw_decode, lzw_encode, render_gif,
+    )
+    rng = random.Random(11)
+    # long random stream: width grows 5..12 and the table resets
+    data = bytes(rng.randrange(16) for _ in range(60000))
+    assert lzw_decode(lzw_encode(data, 4), 4, len(data)) == data
+    # KwKwK: constant runs force code == next-table-entry decodes
+    run = bytes([3]) * 5000
+    assert lzw_decode(lzw_encode(run, 2), 2, 5000) == run
+    pal = [(j, 255 - j, 2 * j) for j in range(16)]
+    for h in (1, 5, 8, 9):
+        idx = bytes((7 * i) % 16 for i in range(16 * h))
+        want = b"".join(bytes(pal[v]) for v in idx)
+        for il in (False, True):
+            w_, h_, ch, rgb = decode_gif(
+                render_gif(16, h, idx, pal, interlaced=il))
+            assert (w_, h_, ch, rgb) == (16, h, 3, want), (h, il)
+    # a graphic-control extension before the image must be skipped
+    g = bytearray(render_gif(4, 2, bytes(8), pal))
+    body_at = 13 + 3 * 16                  # after header + GCT
+    ext = b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+    g2 = bytes(g[:body_at]) + ext + bytes(g[body_at:])
+    assert decode_gif(g2) == decode_gif(bytes(g))
+    # local color table overrides the global one
+    img = struct.pack("<BHHHHB", 0x2C, 0, 0, 2, 1, 0x80)  # LCT, 2 entries
+    img += bytes((9, 9, 9, 1, 2, 3))
+    comp = lzw_encode(bytes([0, 1]), 2)
+    img += bytes([2]) + bytes([len(comp)]) + comp + b"\x00"
+    hdr = struct.pack("<HHBBB", 2, 1, 0, 0, 0)   # no GCT
+    lg = b"GIF89a" + hdr + img + b"\x3b"
+    assert decode_gif(lg)[3] == bytes((9, 9, 9, 1, 2, 3))
+    for bad in (b"NOTAGIF!", bytes(g)[:-12],
+                b"GIF89a" + hdr + b"\x3b"):       # no image block
+        with pytest.raises(ValueError):
+            decode_gif(bad)
+
+
+def test_gif_kind_routed_through_real_decoder(spark):
+    """r6: the generic mm_features path classifies GIF payloads by
+    magic and decodes them for real (exact feature vector), and a
+    corrupt GIF becomes an honest error row."""
+    from powerpoint_context_extractor_spark.operators.multimodal import (
+        extract_features, gif_payload_for_doc,
+    )
+    good = gif_payload_for_doc(6)
+    rows = extract_features(spark.createDataFrame(
+        [(6, bytearray(good)), (7, bytearray(good[:20]))],
+        "doc_id long, payload binary")).collect()
+    by_id = {r["doc_id"]: r for r in rows}
+    assert by_id[6]["kind"] == "gif" and by_id[6]["error"] is None
+    px = [(((6 * 31 + j) % 16) * m) % 256
+          for j in range(128) for m in (37, 59, 83)]
+    assert by_id[6]["features"] == [16.0, 8.0, 3.0,
+                                    float(sum(px) % 997),
+                                    float(min(px)), float(max(px))]
+    assert by_id[7]["kind"] == "gif" and by_id[7]["error"] is not None
 
 
 def test_avi_rle8_roundtrip_delta_and_subset_errors():
