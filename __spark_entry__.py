@@ -1683,6 +1683,19 @@ def _mm_features_gif(spark, sf_dir):
     return extract_gif_features(_t(spark, sf_dir, "documents"))
 
 
+def _mm_video_mjpeg(spark, sf_dir):
+    """MJPEG AVI under the correctness gate (r6 — the classic
+    compressed-AVI shape: every '00dc' chunk a complete baseline
+    color JPEG): 2 frames of 32x16 MCU-constant color, frame f seeded
+    s = doc_id*2 + f, so the oracle replays the color-JPEG integer
+    math per frame; container walk + per-frame JPEG decode + frame
+    order are all under the hash."""
+    from powerpoint_context_extractor_spark.operators.multimodal import (
+        extract_video_mjpeg_frames,
+    )
+    return extract_video_mjpeg_frames(_t(spark, sf_dir, "documents"))
+
+
 def _mm_features_jpeg_dri(spark, sf_dir):
     """Restart-interval baseline JPEG under the correctness gate (r6 —
     DRI/RSTm is the dominant real-web encoder setting): the SAME
@@ -2173,6 +2186,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w_stream_interval_join": _w_stream_interval_join,
         "mm_features_png_interlaced": _mm_features_png_interlaced,
         "mm_features_gif": _mm_features_gif,
+        "mm_video_mjpeg": _mm_video_mjpeg,
         "dedup_cdc_chunks": _dedup_cdc_chunks,
         "text_contamination": _text_contamination,
         "text_hash_classifier": _text_hash_classifier,
@@ -3137,6 +3151,70 @@ def oracle_sql() -> dict[str, str]:
     """
     # progressive color twin: same RGB, same oracle (r6)
     d["mm_features_jpeg_prog_color"] = d["mm_features_jpeg_color"]
+    d["mm_video_mjpeg"] = """
+        -- MJPEG AVI (r6): frame f = the color-JPEG rule seeded
+        -- s = doc_id*2 + f (same frozen YCbCr/DC/inverse math as
+        -- mm_features_jpeg_color, replayed per frame)
+        WITH fr AS (
+          SELECT d.doc_id, f.f, d.doc_id*2 + f.f AS s
+          FROM documents d, range(0, 2) f(f)
+        ), mcu AS (
+          SELECT fr.doc_id, fr.f, t.m,
+                 (fr.s*29 + t.m*97) % 256 AS r,
+                 (fr.s*53 + t.m*31) % 256 AS g,
+                 (fr.s*71 + t.m*13) % 256 AS b
+          FROM fr, range(0, 2) t(m)
+        ), ycc AS (
+          SELECT doc_id, f, m,
+                 (2990*r + 5870*g + 1140*b + 5000) // 10000 AS y,
+                 least(255, greatest(0, 128 +
+                   ((2*abs(5000*b - 1687*r - 3313*g) + 10000) // 20000)
+                   * (CASE WHEN 5000*b - 1687*r - 3313*g >= 0
+                           THEN 1 ELSE -1 END))) AS cb,
+                 least(255, greatest(0, 128 +
+                   ((2*abs(5000*r - 4187*g - 813*b) + 10000) // 20000)
+                   * (CASE WHEN 5000*r - 4187*g - 813*b >= 0
+                           THEN 1 ELSE -1 END))) AS cr
+          FROM mcu
+        ), dec AS (
+          SELECT doc_id, f, m,
+                 least(255, greatest(0, 2 *
+                   (((2*abs(64*(y - 128)) + 128) // 256)
+                    * (CASE WHEN y >= 128 THEN 1 ELSE -1 END)) + 128))
+                   AS yd,
+                 least(255, greatest(0, 2 *
+                   (((2*abs(64*(cb - 128)) + 128) // 256)
+                    * (CASE WHEN cb >= 128 THEN 1 ELSE -1 END)) + 128))
+                   AS cbd,
+                 least(255, greatest(0, 2 *
+                   (((2*abs(64*(cr - 128)) + 128) // 256)
+                    * (CASE WHEN cr >= 128 THEN 1 ELSE -1 END)) + 128))
+                   AS crd
+          FROM ycc
+        ), rgb AS (
+          SELECT doc_id, f,
+                 least(255, greatest(0, yd +
+                   ((2*abs(14020*(crd - 128)) + 10000) // 20000)
+                   * (CASE WHEN crd >= 128 THEN 1 ELSE -1 END))) AS rr,
+                 least(255, greatest(0, yd -
+                   ((2*abs(3441*(cbd - 128) + 7141*(crd - 128)) + 10000)
+                     // 20000)
+                   * (CASE WHEN 3441*(cbd - 128) + 7141*(crd - 128) >= 0
+                           THEN 1 ELSE -1 END))) AS gg,
+                 least(255, greatest(0, yd +
+                   ((2*abs(17720*(cbd - 128)) + 10000) // 20000)
+                   * (CASE WHEN cbd >= 128 THEN 1 ELSE -1 END))) AS bb
+          FROM dec
+        )
+        SELECT doc_id,
+               CAST(f AS BIGINT) AS frame_id,
+               CAST(32 AS BIGINT) AS width,
+               CAST(16 AS BIGINT) AS height,
+               CAST(256 * sum(rr + gg + bb) AS BIGINT) AS px_sum,
+               CAST(min(least(rr, gg, bb)) AS BIGINT) AS px_min,
+               CAST(max(greatest(rr, gg, bb)) AS BIGINT) AS px_max
+        FROM rgb GROUP BY doc_id, f
+    """
     d["mm_video_frame_sample"] = """
         -- frozen AVI rule (r5): 8x4 RGB, 4 frames, every 2nd sampled
         -- (f in {0, 2}); frame f byte i = (doc_id*13 + f*31 + i) % 256

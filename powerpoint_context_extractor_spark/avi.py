@@ -16,7 +16,9 @@ multiples. ``decode_avi`` returns frames as top-down RGB bytes.
 Subset (documented, raises ValueError outside it): uncompressed
 24-bit DIB frames ('00db') or — since r6 — BI_RLE8 compressed 8-bit
 palettized frames ('00dc': runs, absolute mode, EOL/EOB/delta
-escapes, word-aligned absolute segments), single video stream.
+escapes, word-aligned absolute segments) or MJPG frames ('00dc',
+each a complete baseline JPEG decoded by the in-repo jpeg.py),
+single video stream.
 Reference analog: the media enrichment batch at
 `pptx_extractor/recommendations/generator.py:306-343`.
 """
@@ -25,8 +27,10 @@ from __future__ import annotations
 
 import struct
 
-__all__ = ["render_avi", "render_avi_rle8", "decode_avi",
-           "rle8_encode_frame", "rle8_decode_frame"]
+__all__ = ["render_avi", "render_avi_rle8", "render_avi_mjpeg",
+           "decode_avi", "rle8_encode_frame", "rle8_decode_frame"]
+
+MJPG_FOURCC = 0x47504A4D                     # "MJPG" little-endian
 
 
 def _row_stride(width: int) -> int:
@@ -253,6 +257,61 @@ def render_avi_rle8(width: int, height: int, frames: list, palette: list,
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
+def render_avi_mjpeg(width: int, height: int, frames: list,
+                     fps: int = 10) -> bytes:
+    """Encode ``frames`` (each top-down RGB bytes, len w*h*3) as an
+    MJPEG AVI — every '00dc' chunk is a complete baseline YCbCr 4:2:0
+    JPEG (tables included) produced by the in-repo encoder, the
+    legacy-camera/compressed-AVI shape decoders actually meet. Dims
+    must satisfy the color-JPEG subset (multiples of 16)."""
+    from .jpeg import render_jpeg_color
+    if width <= 0 or height <= 0 or fps <= 0 or not frames:
+        raise ValueError("avi: need positive dims/fps and >= 1 frame")
+    comp = []
+    for f in frames:
+        if len(f) != width * height * 3:
+            raise ValueError("avi: frame length != width*height*3")
+        comp.append(render_jpeg_color(width, height, bytes(f)))
+    bufsz = max(len(c) for c in comp)
+    avih = struct.pack(
+        "<IIIIIIIIIIIIII",
+        1_000_000 // fps, bufsz * fps, 0, 0x10,      # AVIF_HASINDEX
+        len(frames), 0, 1, bufsz,
+        width, height, 0, 0, 0, 0)
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIIIhhhh",
+        b"vids", b"MJPG", 0, 0, 0, 0,
+        1, fps, 0, len(frames), bufsz, 0, 0,
+        0, 0, width, height)
+    strf = struct.pack(
+        "<IiiHHIIiiII",
+        40, width, height, 1, 24,
+        MJPG_FOURCC,                                 # biCompression
+        0, 0, 0, 0, 0)
+    strl_body = (b"strl"
+                 + b"strh" + struct.pack("<I", len(strh)) + strh
+                 + b"strf" + struct.pack("<I", len(strf)) + strf)
+    strl = b"LIST" + struct.pack("<I", len(strl_body)) + strl_body
+    hdrl_body = (b"hdrl"
+                 + b"avih" + struct.pack("<I", len(avih)) + avih
+                 + strl)
+    hdrl = b"LIST" + struct.pack("<I", len(hdrl_body)) + hdrl_body
+    movi_body = bytearray(b"movi")
+    idx_entries = []
+    for c in comp:
+        idx_entries.append((len(movi_body), len(c)))
+        movi_body += b"00dc" + struct.pack("<I", len(c)) + c
+        if len(c) % 2:
+            movi_body += b"\x00"
+    movi = b"LIST" + struct.pack("<I", len(movi_body)) + bytes(movi_body)
+    idx_body = b"".join(
+        struct.pack("<4sIII", b"00dc", 0x10, off, ln)
+        for off, ln in idx_entries)
+    idx1 = b"idx1" + struct.pack("<I", len(idx_body)) + idx_body
+    body = b"AVI " + hdrl + movi + idx1
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
 def decode_avi(data: bytes) -> tuple:
     """Decode an uncompressed-DIB or BI_RLE8 AVI -> (width, height,
     fps, frames) where each frame is top-down RGB bytes (RLE8 indices
@@ -313,16 +372,27 @@ def decode_avi(data: bytes) -> tuple:
     if width is None or not frames:
         raise ValueError("avi: missing avih header or frames")
     has_dc = any(k == "dc" for k, _s, _l in frames)
-    if has_dc and compression != 1:
+    if has_dc and compression not in (1, MJPG_FOURCC):
         raise ValueError(
             "avi: compressed frames unsupported (subset is uncompressed "
-            f"24-bit DIB '00db' or BI_RLE8; strf compression={compression})")
-    if has_dc and (bitcount != 8 or not palette):
+            "24-bit DIB '00db', BI_RLE8, or MJPG; strf "
+            f"compression={compression})")
+    if has_dc and compression == 1 and (bitcount != 8 or not palette):
         raise ValueError("avi: BI_RLE8 needs an 8bpp strf with a palette")
     stride = _row_stride(width)
     out = []
     for kind, body_start, ln in frames:
         rgb = bytearray(width * height * 3)
+        if kind == "dc" and compression == MJPG_FOURCC:
+            from .jpeg import decode_jpeg
+            fw, fh, nc, px = decode_jpeg(data[body_start:body_start + ln])
+            if (fw, fh) != (width, height):
+                raise ValueError("avi: MJPG frame dims != container dims")
+            if nc == 3:
+                out.append(bytes(px))
+            else:                                    # grayscale MJPEG
+                out.append(bytes(v for p in px for v in (p, p, p)))
+            continue
         if kind == "dc":
             idx = rle8_decode_frame(width, height,
                                     data[body_start:body_start + ln])

@@ -23,7 +23,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..avi import decode_avi, render_avi, render_avi_rle8
+from ..avi import (decode_avi, render_avi, render_avi_mjpeg,
+                   render_avi_rle8)
 from ..jpeg import (QTABLE, decode_jpeg, decode_jpeg_gray,
                     render_jpeg_color, render_jpeg_gray,
                     render_jpeg_color_progressive,
@@ -1112,3 +1113,66 @@ def extract_gif_features(docs: DataFrame) -> DataFrame:
 
     return docs.select("doc_id").mapInPandas(
         _batches, schema=GIF_FEATURE_SCHEMA)
+
+
+# --- MJPEG AVI contract path (r6) ------------------------------------------
+
+MJPEG_FRAMES = 2
+
+
+def mjpeg_payload_for_doc(doc_id: int) -> bytes:
+    """Deterministic 2-frame 32x16 MJPEG AVI: frame f reuses the
+    color-JPEG MCU-constant rule seeded s = doc_id*2 + f, so each
+    decoded frame is the SAME integer function of the seed the
+    mm_features_jpeg_color oracle computes — the container walk, the
+    per-frame JPEG decode, and the frame ordering are all under the
+    hash."""
+    frames = []
+    for f in range(MJPEG_FRAMES):
+        s = doc_id * 2 + f
+        px = bytearray(JPEG_C_W * JPEG_C_H * 3)
+        for m in range(2):
+            r, g, b = jpeg_color_mcu_rgb(s, m)
+            for y in range(JPEG_C_H):
+                for x in range(16):
+                    o = (y * JPEG_C_W + m * 16 + x) * 3
+                    px[o], px[o + 1], px[o + 2] = r, g, b
+        frames.append(bytes(px))
+    return render_avi_mjpeg(JPEG_C_W, JPEG_C_H, frames, fps=5)
+
+
+MJPEG_FRAME_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType(), False),
+    T.StructField("frame_id", T.LongType()),
+    T.StructField("width", T.LongType()),
+    T.StructField("height", T.LongType()),
+    T.StructField("px_sum", T.LongType()),
+    T.StructField("px_min", T.LongType()),
+    T.StructField("px_max", T.LongType()),
+])
+
+
+def extract_video_mjpeg_frames(docs: DataFrame) -> DataFrame:
+    """Render + decode a real MJPEG AVI per documents row and emit
+    exact per-frame RGB statistics (see ``mjpeg_payload_for_doc``)."""
+
+    def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("doc_id", "frame_id", "width",
+                                   "height", "px_sum", "px_min",
+                                   "px_max")}
+            for doc_id in pdf["doc_id"].tolist():
+                w, h, _fps, frames = decode_avi(
+                    mjpeg_payload_for_doc(doc_id))
+                for f, fr in enumerate(frames):
+                    out["doc_id"].append(doc_id)
+                    out["frame_id"].append(f)
+                    out["width"].append(w)
+                    out["height"].append(h)
+                    out["px_sum"].append(sum(fr))
+                    out["px_min"].append(min(fr))
+                    out["px_max"].append(max(fr))
+            yield pd.DataFrame(out)
+
+    return docs.select("doc_id").mapInPandas(
+        _batches, schema=MJPEG_FRAME_SCHEMA)

@@ -550,6 +550,80 @@ def test_gif_kind_routed_through_real_decoder(spark):
     assert by_id[7]["kind"] == "gif" and by_id[7]["error"] is not None
 
 
+def test_avi_mjpeg_roundtrip_exact_and_errors():
+    """r6: MJPEG AVI — every '00dc' chunk a complete baseline color
+    JPEG; decode must land frame-exactly on the analytic color-JPEG
+    reconstruction, grayscale frames expand to RGB, and a frame whose
+    JPEG dims disagree with the container raises."""
+    import struct
+
+    from powerpoint_context_extractor_spark.avi import (
+        MJPG_FOURCC, decode_avi, render_avi_mjpeg,
+    )
+    from powerpoint_context_extractor_spark.jpeg import render_jpeg_gray
+    from powerpoint_context_extractor_spark.operators.multimodal import (
+        JPEG_C_H, JPEG_C_W, jpeg_color_mcu_rgb,
+        jpeg_color_reconstructed_rgb,
+    )
+
+    def frame_for(seed):
+        px = bytearray(JPEG_C_W * JPEG_C_H * 3)
+        for m in range(2):
+            r, g, b = jpeg_color_mcu_rgb(seed, m)
+            for y in range(JPEG_C_H):
+                for x in range(16):
+                    o = (y * JPEG_C_W + m * 16 + x) * 3
+                    px[o], px[o + 1], px[o + 2] = r, g, b
+        return bytes(px)
+
+    data = render_avi_mjpeg(JPEG_C_W, JPEG_C_H,
+                            [frame_for(14), frame_for(15)], fps=5)
+    w, h, fps, frames = decode_avi(data)
+    assert (w, h, fps, len(frames)) == (JPEG_C_W, JPEG_C_H, 5, 2)
+    for f, fr in enumerate(frames):
+        exp = bytearray(JPEG_C_W * JPEG_C_H * 3)
+        for m in range(2):
+            r, g, b = jpeg_color_reconstructed_rgb(14 + f, m)
+            for y in range(JPEG_C_H):
+                for x in range(16):
+                    o = (y * JPEG_C_W + m * 16 + x) * 3
+                    exp[o], exp[o + 1], exp[o + 2] = r, g, b
+        assert fr == bytes(exp), f
+    # grayscale JPEG frames expand to RGB triplets
+    gray = render_jpeg_gray(16, 8, bytes([128] * 128))
+    body = bytearray(data)
+    # hand-splice: replace first 00dc payload with the gray JPEG in a
+    # minimal container — easier to just build one
+    avih = struct.pack("<IIIIIIIIIIIIII", 100000, 0, 0, 0x10, 1, 0, 1,
+                       len(gray), 16, 8, 0, 0, 0, 0)
+    strf = struct.pack("<IiiHHIIiiII", 40, 16, 8, 1, 24, MJPG_FOURCC,
+                       0, 0, 0, 0, 0)
+    strh = struct.pack("<4s4sIHHIIIIIIIIhhhh", b"vids", b"MJPG", 0, 0,
+                       0, 0, 1, 10, 0, 1, len(gray), 0, 0, 0, 0, 16, 8)
+    strl_body = (b"strl" + b"strh" + struct.pack("<I", len(strh)) + strh
+                 + b"strf" + struct.pack("<I", len(strf)) + strf)
+    hdrl_body = (b"hdrl" + b"avih" + struct.pack("<I", len(avih)) + avih
+                 + b"LIST" + struct.pack("<I", len(strl_body))
+                 + strl_body)
+    movi_body = (b"movi" + b"00dc" + struct.pack("<I", len(gray)) + gray
+                 + (b"\x00" if len(gray) % 2 else b""))
+    body2 = (b"AVI " + b"LIST" + struct.pack("<I", len(hdrl_body))
+             + hdrl_body + b"LIST" + struct.pack("<I", len(movi_body))
+             + movi_body)
+    gavi = b"RIFF" + struct.pack("<I", len(body2)) + body2
+    gw, gh, _f, gframes = decode_avi(gavi)
+    assert (gw, gh) == (16, 8) and len(gframes) == 1
+    assert len(gframes[0]) == 16 * 8 * 3
+    assert gframes[0][0] == gframes[0][1] == gframes[0][2]
+    # container/frame dimension mismatch is an honest error (the avih
+    # dims drive the check)
+    bad = bytearray(gavi)
+    aoff = bad.find(b"avih") + 8
+    bad[aoff + 32:aoff + 36] = struct.pack("<I", 32)  # dwWidth=32
+    with pytest.raises(ValueError, match="dims"):
+        decode_avi(bytes(bad))
+
+
 def test_avi_rle8_roundtrip_delta_and_subset_errors():
     """r6 BI_RLE8 codec: palettized frames round-trip through the real
     wire format (runs, absolute mode with word pad, EOL/EOB); the
