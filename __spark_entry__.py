@@ -980,6 +980,18 @@ def _sample_global_index(spark, sf_dir):
     return global_order_index(d, ["neg_chars", "doc_id"], n_parts=8)
 
 
+def _text_tfidf_topk(spark, sf_dir):
+    """TF-IDF salient terms per document (r6 — the keyword signal for
+    curation/retrieval labeling): integer idf surrogate n_docs div df
+    (cross-engine exact, no float log), score = tf * idf, top-3 with
+    lexicographic tie-break. See operators/textstats.py::tfidf_topk
+    for the two-shuffle scale shape."""
+    from powerpoint_context_extractor_spark.operators.textstats import (
+        tfidf_topk,
+    )
+    return tfidf_topk(_t(spark, sf_dir, "documents"), k=3)
+
+
 def _web_anchor_agg(spark, sf_dir):
     """Anchor-text corpus aggregation (r6 — the web-graph text signal:
     who links to each host and with what words): pages synthesized
@@ -2194,6 +2206,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a_grouping_sets": _a_grouping_sets,
         "sample_global_index": _sample_global_index,
         "web_anchor_agg": _web_anchor_agg,
+        "text_tfidf_topk": _text_tfidf_topk,
         "sample_reservoir_weighted": _sample_reservoir_weighted,
         "agg_exact_quantiles": _agg_exact_quantiles,
     }
@@ -4418,6 +4431,32 @@ def oracle_sql() -> dict[str, str]:
                CAST(row_number() OVER (ORDER BY -n_chars, doc_id) - 1
                     AS BIGINT) AS global_idx
         FROM documents
+    """
+    d["text_tfidf_topk"] = """
+        -- whitespace tokens >= 3 chars, lowercased; idf = n_docs // df
+        WITH toks AS (
+          SELECT d.doc_id, t.tok AS term
+          FROM documents d,
+               unnest(string_split(lower(d.text), ' ')) AS t(tok)
+          WHERE length(t.tok) >= 3
+        ),
+        tf AS (SELECT doc_id, term, COUNT(*) AS tf
+               FROM toks GROUP BY doc_id, term),
+        dft AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+        n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        scored AS (
+          SELECT tf.doc_id, tf.term, tf.tf, dft.df,
+                 tf.tf * (n.n_docs // dft.df) AS score
+          FROM tf JOIN dft USING (term) CROSS JOIN n
+        ),
+        r AS (SELECT doc_id, term, tf, df, score,
+                     row_number() OVER (PARTITION BY doc_id
+                       ORDER BY score DESC, term) AS rank
+              FROM scored)
+        SELECT doc_id, term, CAST(tf AS BIGINT) AS tf,
+               CAST(df AS BIGINT) AS df, CAST(score AS BIGINT) AS score,
+               CAST(rank AS BIGINT) AS rank
+        FROM r WHERE rank <= 3
     """
     d["web_anchor_agg"] = """
         -- reconstruct the three RESOLVABLE anchors per page from

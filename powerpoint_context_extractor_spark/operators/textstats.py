@@ -9,7 +9,7 @@ linguistic truth (SURVEY.md §5: the generator/spec is the oracle).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 P = 1_000_000_007
@@ -582,3 +582,40 @@ def hash_classifier_score(docs: DataFrame, buckets: int = 4096,
         F.size(toks).cast("long").alias("n_toks"),
         score.cast("long").alias("score"),
         (score > 0).cast("long").alias("label"))
+
+
+def tfidf_topk(docs: DataFrame, id_col: str = "doc_id",
+               text_col: str = "text", k: int = 3) -> DataFrame:
+    """Per-document salient-term extraction (TF-IDF top-k) — the
+    keyword signal corpus curation and retrieval labeling both lean
+    on. IDF uses the integer surrogate ``n_docs div df`` (monotone in
+    the real idf, cross-engine exact — no float log drift), score =
+    tf * idf, rank ties broken lexicographically.
+
+    Scale shape: two combiner-friendly shuffles (per-(doc, token) tf,
+    then token df over the already-collapsed tf table) + one join on
+    token (AQE-splittable if a stopword-like token is hot); the
+    corpus row count rides in as a broadcast 1-row aggregate, never a
+    driver collect; the top-k window partitions by doc_id — per-doc
+    state only, no global window. Emits
+    (doc_id, term, tf, df, score, rank)."""
+    if k < 1:
+        raise ValueError("tfidf_topk: k must be >= 1")
+    toks = (docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("term"))
+        .filter(F.length("term") >= 3))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.select(F.count(F.lit(1)).alias("n_docs"))
+    scored = (tf.join(df_t, "term")
+              .join(F.broadcast(n))
+              .withColumn("score",
+                          F.expr("tf * (n_docs DIV df)").cast("long")))
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(),
+                                             F.col("term"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("doc_id", "term", F.col("tf").cast("long"),
+                    F.col("df").cast("long"), "score",
+                    F.col("rank").cast("long")))

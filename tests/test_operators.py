@@ -1720,6 +1720,36 @@ def test_reservoir_two_level_equals_one_level(spark):
         sampling.reservoir_sample(docs, "stratum", k=0)
 
 
+def test_tfidf_topk_ranks_rare_terms_first(spark):
+    """r6: a term unique to one doc must outrank corpus-wide filler
+    with higher tf (idf = n_docs div df dominates), ties break
+    lexicographically, short tokens are dropped, and k < 1 raises."""
+    from powerpoint_context_extractor_spark.operators.textstats import (
+        tfidf_topk,
+    )
+    filler = "common words appear here " * 4          # df = 4 each
+    docs = spark.createDataFrame(
+        [(0, filler + "zebra"), (1, filler), (2, filler), (3, filler)],
+        "doc_id long, text string")
+    rows = {(r["doc_id"], r["rank"]): (r["term"], r["score"])
+            for r in tfidf_topk(docs, k=2).collect()}
+    # doc 0: zebra tf=1 df=1 -> score 4; filler terms tf=4 df=4 -> 4;
+    # tie at 4 -> lexicographic: "appear" first, then "common"... so
+    # plant a higher-idf margin instead: zebra twice
+    docs2 = spark.createDataFrame(
+        [(0, filler + "zebra zebra"), (1, filler), (2, filler),
+         (3, filler)], "doc_id long, text string")
+    rows2 = {(r["doc_id"], r["rank"]): (r["term"], r["score"])
+             for r in tfidf_topk(docs2, k=2).collect()}
+    assert rows2[(0, 1)] == ("zebra", 8)              # 2 * (4 div 1)
+    assert rows2[(0, 2)][0] == "appear"               # tie -> lexicographic
+    assert rows[(1, 1)] == ("appear", 4)
+    # "here" (4 chars) kept, nothing shorter than 3 appears
+    assert all(len(t) >= 3 for t, _ in rows.values())
+    with pytest.raises(ValueError, match="tfidf"):
+        tfidf_topk(docs, k=0)
+
+
 def test_anchor_extraction_resolution_contract(spark):
     """r6: extract_anchors keeps absolute/root-relative/protocol-
     relative hrefs (resolving the latter two against the source page),
