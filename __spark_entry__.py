@@ -980,6 +980,29 @@ def _sample_global_index(spark, sf_dir):
     return global_order_index(d, ["neg_chars", "doc_id"], n_parts=8)
 
 
+def _j_interval_banded(spark, sf_dir):
+    """Batch interval join via bucket banding (r6): points = all
+    events, intervals = every 10th event opened for (event_id % 97)+1
+    seconds; match start <= t < end per user WITHOUT the
+    broadcast-nested-loop plan a raw inequality join gets — see
+    operators/joins.py::interval_join. The oracle is the plain
+    non-equi join, so a green row proves the banded equi-join loses
+    and duplicates nothing."""
+    from powerpoint_context_extractor_spark.operators.joins import (
+        interval_join,
+    )
+    ev = _t(spark, sf_dir, "events")
+    pts = ev.select("user_id", "event_id",
+                    F.unix_timestamp("ts").cast("long").alias("t"))
+    ivs = (ev.filter(F.col("event_id") % 10 == 0)
+           .select("user_id", F.col("event_id").alias("iv_id"),
+                   F.unix_timestamp("ts").cast("long").alias("s"))
+           .withColumn("e", (F.col("s") + F.col("iv_id") % 97 + 1)
+                       .cast("long")))
+    return interval_join(pts, ivs, "t", "s", "e", keys=["user_id"],
+                         band=64)
+
+
 def _text_tfidf_topk(spark, sf_dir):
     """TF-IDF salient terms per document (r6 — the keyword signal for
     curation/retrieval labeling): integer idf surrogate n_docs div df
@@ -2207,6 +2230,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_global_index": _sample_global_index,
         "web_anchor_agg": _web_anchor_agg,
         "text_tfidf_topk": _text_tfidf_topk,
+        "j_interval_banded": _j_interval_banded,
         "sample_reservoir_weighted": _sample_reservoir_weighted,
         "agg_exact_quantiles": _agg_exact_quantiles,
     }
@@ -4431,6 +4455,20 @@ def oracle_sql() -> dict[str, str]:
                CAST(row_number() OVER (ORDER BY -n_chars, doc_id) - 1
                     AS BIGINT) AS global_idx
         FROM documents
+    """
+    d["j_interval_banded"] = """
+        -- the plain non-equi join the banded equi-join must equal
+        WITH p AS (SELECT user_id, event_id,
+                          CAST(floor(epoch(ts)) AS BIGINT) AS t
+                   FROM events),
+        iv AS (SELECT user_id, event_id AS iv_id,
+                      CAST(floor(epoch(ts)) AS BIGINT) AS s,
+                      CAST(floor(epoch(ts)) AS BIGINT) + (event_id % 97)
+                        + 1 AS e
+               FROM events WHERE event_id % 10 = 0)
+        SELECT p.user_id, p.event_id, p.t, iv.iv_id, iv.s, iv.e
+        FROM p JOIN iv ON p.user_id = iv.user_id
+                      AND p.t >= iv.s AND p.t < iv.e
     """
     d["text_tfidf_topk"] = """
         -- whitespace tokens >= 3 chars, lowercased; idf = n_docs // df

@@ -237,3 +237,49 @@ def bloom_prefilter(probe: DataFrame, build: DataFrame, key_col: str,
     keep = [c for c in probe.columns]
     return out.select(*keep, F.coalesce(hit.cast("long"),
                                         F.lit(0)).alias("bloom_pass"))
+
+
+def interval_join(points: DataFrame, intervals: DataFrame, t_col: str,
+                  start_col: str, end_col: str, keys: list | None = None,
+                  band: int = 3600, max_spans: int = 10000) -> DataFrame:
+    """Banded batch interval join: match each point row to every
+    interval row (same ``keys``) with start <= t < end, WITHOUT the
+    broadcast-nested-loop plan Spark picks for a raw inequality join
+    (a scale killer: O(|points| x |intervals|) comparisons).
+
+    Times must be integers (epoch seconds); ``end`` is exclusive.
+    Buckets of ``band`` seconds turn the inequality into an equi-join:
+    each interval explodes to one copy per overlapped bucket, each
+    point lives in exactly ONE bucket, so every matching pair meets
+    exactly once — no post-dedup pass. The join shuffles on
+    (keys..., bucket) — a real hash join, AQE-splittable on skew.
+    Pick ``band`` near the typical interval length: longer intervals
+    cost ceil(span/band) copies (bounded by ``max_spans``; an interval
+    beyond it raises rather than silently exploding an executor).
+    Empty intervals (end <= start) match nothing.
+    """
+    keys = list(keys or [])
+    p = points.withColumn(
+        "_bkt",
+        F.expr(f"CAST(FLOOR({t_col} / {band}) AS BIGINT)")).alias("p")
+    seq = (
+        f"CASE WHEN {end_col} <= {start_col} "
+        f"  THEN CAST(array() AS array<bigint>) "
+        f"WHEN FLOOR(({end_col} - 1) / {band})"
+        f"     - FLOOR({start_col} / {band}) > {int(max_spans)} "
+        f"  THEN CAST(raise_error('interval_join: interval spans more "
+        f"than max_spans buckets — raise band or max_spans') "
+        f"       AS array<bigint>) "
+        f"ELSE sequence(CAST(FLOOR({start_col} / {band}) AS BIGINT), "
+        f"              CAST(FLOOR(({end_col} - 1) / {band}) AS BIGINT)) "
+        f"END")
+    iv = intervals.withColumn("_bkt", F.explode(F.expr(seq))).alias("i")
+    cond = F.col("p._bkt") == F.col("i._bkt")
+    for k in keys:
+        cond = cond & (F.col(f"p.{k}") == F.col(f"i.{k}"))
+    cond = (cond & (F.col(f"p.{t_col}") >= F.col(f"i.{start_col}"))
+            & (F.col(f"p.{t_col}") < F.col(f"i.{end_col}")))
+    dup = set(keys) | {"_bkt"}
+    keep = ([F.col(f"p.{c}") for c in p.columns if c != "_bkt"]
+            + [F.col(f"i.{c}") for c in iv.columns if c not in dup])
+    return p.join(iv, cond, "inner").select(*keep)

@@ -1720,6 +1720,48 @@ def test_reservoir_two_level_equals_one_level(spark):
         sampling.reservoir_sample(docs, "stratum", k=0)
 
 
+def test_interval_join_banded_equals_nested_loop(spark):
+    """r6: the banded interval join equals the raw inequality join
+    for several band widths (boundary points land in one bucket,
+    intervals crossing bucket edges still match, empty intervals
+    match nothing, pairs never duplicate), the physical plan is a
+    real hash/merge join — NOT BroadcastNestedLoop — and an interval
+    wider than max_spans buckets raises instead of exploding."""
+    from powerpoint_context_extractor_spark.operators.joins import (
+        interval_join,
+    )
+    pts = spark.createDataFrame(
+        [(u, i, 10 * i + u) for u in (1, 2) for i in range(40)],
+        "user_id long, pid long, t long")
+    ivs = spark.createDataFrame(
+        [(1, 100, 0, 64),        # ends exactly on a band=64 edge
+         (1, 101, 64, 65),       # one-second interval at the edge
+         (1, 102, 63, 63),       # empty: matches nothing
+         (2, 200, 30, 300),      # spans several buckets
+         (2, 201, 130, 131)],
+        "user_id long, iv_id long, s long, e long")
+    want = sorted(
+        (r["user_id"], r["pid"], r["iv_id"]) for r in
+        pts.alias("p").join(
+            ivs.alias("i"),
+            (F.col("p.user_id") == F.col("i.user_id"))
+            & (F.col("p.t") >= F.col("i.s"))
+            & (F.col("p.t") < F.col("i.e"))).select(
+                "p.user_id", "p.pid", "i.iv_id").collect())
+    assert want, "fixture must produce matches"
+    for band in (1, 7, 64, 1000):
+        got = interval_join(pts, ivs, "t", "s", "e", keys=["user_id"],
+                            band=band)
+        rows = sorted((r["user_id"], r["pid"], r["iv_id"])
+                      for r in got.collect())
+        assert rows == want, f"band={band}"
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoop" not in plan and "Cartesian" not in plan
+    with pytest.raises(Exception, match="max_spans"):
+        interval_join(pts, ivs, "t", "s", "e", keys=["user_id"],
+                      band=1, max_spans=10).collect()
+
+
 def test_tfidf_topk_ranks_rare_terms_first(spark):
     """r6: a term unique to one doc must outrank corpus-wide filler
     with higher tf (idf = n_docs div df dominates), ties break
