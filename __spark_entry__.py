@@ -1718,6 +1718,19 @@ def _mm_features_gif(spark, sf_dir):
     return extract_gif_features(_t(spark, sf_dir, "documents"))
 
 
+def _mm_features_flac(spark, sf_dir):
+    """Real FLAC decode under the correctness gate (r6 — the lossless
+    web/archive audio format): mono 16-bit, block_size=16 -> 4 frames
+    (frame numbering + per-frame CRC-8/16 + STREAMINFO MD5 all
+    exercised); lossless means decoded samples equal the fixture
+    formula bit-exactly, so the oracle is the same integer expression
+    the WAV contract uses."""
+    from powerpoint_context_extractor_spark.operators.multimodal import (
+        extract_flac_features,
+    )
+    return extract_flac_features(_t(spark, sf_dir, "documents"))
+
+
 def _mm_video_mjpeg(spark, sf_dir):
     """MJPEG AVI under the correctness gate (r6 — the classic
     compressed-AVI shape: every '00dc' chunk a complete baseline
@@ -2222,6 +2235,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_features_png_interlaced": _mm_features_png_interlaced,
         "mm_features_gif": _mm_features_gif,
         "mm_video_mjpeg": _mm_video_mjpeg,
+        "mm_features_flac": _mm_features_flac,
         "dedup_cdc_chunks": _dedup_cdc_chunks,
         "text_contamination": _text_contamination,
         "text_hash_classifier": _text_hash_classifier,
@@ -3293,6 +3307,23 @@ def oracle_sql() -> dict[str, str]:
         -- sample i = ((doc_id*73 + i*29) % 4001) - 2000
         WITH s AS (
           SELECT d.doc_id, ((d.doc_id*73 + t.i*29) % 4001) - 2000 AS v
+          FROM documents d, range(0, 64) t(i)
+        )
+        SELECT doc_id,
+               CAST(8000 AS BIGINT) AS sample_rate,
+               CAST(64 AS BIGINT) AS n_samples,
+               CAST(8 AS BIGINT) AS duration_ms,
+               CAST(sum(abs(v)) AS BIGINT) AS abs_sum,
+               CAST(min(v) AS BIGINT) AS s_min,
+               CAST(max(v) AS BIGINT) AS s_max
+        FROM s GROUP BY doc_id
+    """
+    d["mm_features_flac"] = """
+        -- frozen FLAC rule (r6): mono 16-bit, 64 samples, sample i =
+        -- ((doc_id*89 + i*31) % 4001) - 2000; lossless decode ==
+        -- formula bit-exactly
+        WITH s AS (
+          SELECT d.doc_id, ((d.doc_id*89 + t.i*31) % 4001) - 2000 AS v
           FROM documents d, range(0, 64) t(i)
         )
         SELECT doc_id,

@@ -31,6 +31,7 @@ from ..jpeg import (QTABLE, decode_jpeg, decode_jpeg_gray,
                     render_jpeg_gray_progressive,
                     render_jpeg_gray_progressive_sa, rgb_from_ycbcr,
                     ycbcr_from_rgb)
+from ..flac import decode_flac, render_flac
 from ..gif import decode_gif, render_gif
 from ..png import decode_png, render_png, render_png_interlaced
 from ..wav import decode_wav, render_wav
@@ -40,6 +41,7 @@ MAGIC_KINDS = {
     "ffd8ffe0": "jpeg", "ffd8ffe1": "jpeg", "ffd8ffdb": "jpeg",
     "2557444f": "wdoc",  # "%WDO" — our layout container prefix
     "47494638": "gif",   # "GIF8" (87a/89a)
+    "664c6143": "flac",  # "fLaC"
     "52494646": "riff",  # RIFF container: WAVE -> wav (see _kind_of)
 }
 
@@ -112,6 +114,15 @@ def _decode_payload(kind: str, payload: bytes) -> list:
         w, h, ch, px = decode_gif(payload)
         return [float(w), float(h), float(ch), float(sum(px) % 997),
                 float(min(px)), float(max(px))]
+    if kind == "flac":
+        # r6: REAL lossless decode (rice + fixed predictors + CRCs);
+        # LPC/decorrelated subsets raise the honest ValueError
+        rate, n_ch, samples = decode_flac(payload)
+        n = len(samples) // n_ch
+        return [float(n), float(rate), float(n * 1000 // rate),
+                float(sum(abs(s) for s in samples) % 997),
+                float(min(samples) if samples else 0),
+                float(max(samples) if samples else 0)]
     if kind == "wav":
         rate, n_ch, samples = decode_wav(payload)
         n = len(samples) // n_ch           # frames, channel-agnostic
@@ -1176,3 +1187,48 @@ def extract_video_mjpeg_frames(docs: DataFrame) -> DataFrame:
 
     return docs.select("doc_id").mapInPandas(
         _batches, schema=MJPEG_FRAME_SCHEMA)
+
+
+# --- real-FLAC contract path (r6) ------------------------------------------
+
+FLAC_N = 64
+
+
+def flac_samples_for_doc(doc_id: int) -> list:
+    """Frozen rule mirrored by the DuckDB oracle: sample i =
+    ((doc_id*89 + i*31) % 4001) - 2000. FLAC is lossless, so the
+    DECODED samples equal this formula bit-exactly — the whole
+    rice/fixed-predictor/CRC pipeline sits under the integer hash."""
+    return [((doc_id * 89 + i * 31) % 4001) - 2000 for i in range(FLAC_N)]
+
+
+def flac_payload_for_doc(doc_id: int) -> bytes:
+    """Deterministic mono 16-bit FLAC per doc; block_size=16 makes 4
+    frames, exercising frame numbering and per-frame CRCs."""
+    return render_flac(flac_samples_for_doc(doc_id), sample_rate=8000,
+                       channels=1, bps=16, block_size=16)
+
+
+def extract_flac_features(docs: DataFrame) -> DataFrame:
+    """Render + decode a real FLAC stream per documents row and emit
+    exact sample statistics (see ``flac_samples_for_doc``)."""
+
+    def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("doc_id", "sample_rate", "n_samples",
+                                   "duration_ms", "abs_sum", "s_min",
+                                   "s_max")}
+            for doc_id in pdf["doc_id"].tolist():
+                rate, _ch, samples = decode_flac(
+                    flac_payload_for_doc(doc_id))
+                out["doc_id"].append(doc_id)
+                out["sample_rate"].append(rate)
+                out["n_samples"].append(len(samples))
+                out["duration_ms"].append(len(samples) * 1000 // rate)
+                out["abs_sum"].append(sum(abs(s) for s in samples))
+                out["s_min"].append(min(samples))
+                out["s_max"].append(max(samples))
+            yield pd.DataFrame(out)
+
+    return docs.select("doc_id").mapInPandas(
+        _batches, schema=WAV_FEATURE_SCHEMA)

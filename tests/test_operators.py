@@ -181,7 +181,7 @@ def test_document_text_never_magic(spark, sf_dir):
     from pyspark.sql import functions as F
     hits = docs.filter(
         F.substring("text", 1, 4).isin("RIFF", "%PDF", "%WDO",
-                                       "GIF8")).count()
+                                       "GIF8", "fLaC")).count()
     assert hits == 0, f"{hits} document texts start with a magic prefix"
 
 
@@ -481,6 +481,76 @@ def test_mm_wav_adpcm_matches_python_state_machine(spark):
         r = got[doc_id]
         assert (r["n_samples"], r["abs_sum"], r["s_min"], r["s_max"]) == (
             64, sum(abs(v) for v in samples), min(samples), max(samples))
+
+
+def test_flac_roundtrip_and_integrity():
+    """r6: FLAC codec contract — bit-exact roundtrip across channel/
+    bps/blocksize/signal shapes (constant, random = verbatim-ish
+    residuals, smooth = small rice residuals), multi-byte UTF-8 frame
+    numbers, CRC / MD5 integrity rejection, and honest subset errors
+    (LPC-free encoder, range checks)."""
+    import random
+
+    from powerpoint_context_extractor_spark.flac import (
+        decode_flac, render_flac,
+    )
+    rng = random.Random(5)
+    for ch in (1, 2):
+        for bps in (8, 16, 24):
+            lim = 1 << (bps - 1)
+            for shape in ("const", "rand", "smooth"):
+                if shape == "const":
+                    samples = [5 % lim] * (40 * ch)
+                elif shape == "rand":
+                    samples = [rng.randrange(-lim, lim)
+                               for _ in range(40 * ch)]
+                else:
+                    samples, v = [], 0
+                    for _ in range(40 * ch):
+                        v = max(-lim, min(lim - 1,
+                                          v + rng.randrange(-30, 31)))
+                        samples.append(v)
+                data = render_flac(samples, sample_rate=44100,
+                                   channels=ch, bps=bps, block_size=16)
+                rate, oc, out = decode_flac(data)
+                assert (rate, oc) == (44100, ch)
+                assert out == samples, (ch, bps, shape)
+    # >128 frames forces a 2-byte UTF-8 frame number
+    long = [(i * 7) % 2000 - 1000 for i in range(140 * 16)]
+    assert decode_flac(render_flac(long, block_size=16))[2] == long
+    # integrity: corrupt a mid-stream byte -> CRC or MD5 must reject
+    data = bytearray(render_flac([(i * 3) % 500 - 250
+                                  for i in range(200)]))
+    data[len(data) // 2] ^= 0x40
+    with pytest.raises(ValueError):
+        decode_flac(bytes(data))
+    with pytest.raises(ValueError, match="signature"):
+        decode_flac(b"fLaX" + bytes(30))
+    with pytest.raises(ValueError, match="range"):
+        render_flac([1 << 20], bps=16)
+    with pytest.raises(ValueError, match="channels"):
+        render_flac([0, 0, 0], channels=3)
+
+
+def test_flac_kind_routed_through_real_decoder(spark):
+    """r6: the generic mm_features path classifies FLAC by magic and
+    decodes for real; a corrupt stream becomes an honest error row."""
+    from powerpoint_context_extractor_spark.operators.multimodal import (
+        extract_features, flac_payload_for_doc, flac_samples_for_doc,
+    )
+    good = flac_payload_for_doc(9)
+    bad = bytearray(good)
+    bad[len(bad) - 5] ^= 0x11
+    rows = extract_features(spark.createDataFrame(
+        [(9, bytearray(good)), (10, bad)],
+        "doc_id long, payload binary")).collect()
+    by_id = {r["doc_id"]: r for r in rows}
+    s = flac_samples_for_doc(9)
+    assert by_id[9]["kind"] == "flac" and by_id[9]["error"] is None
+    assert by_id[9]["features"] == [64.0, 8000.0, 8.0,
+                                    float(sum(abs(v) for v in s) % 997),
+                                    float(min(s)), float(max(s))]
+    assert by_id[10]["kind"] == "flac" and by_id[10]["error"] is not None
 
 
 def test_gif_roundtrip_lzw_and_interlace():
