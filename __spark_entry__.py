@@ -189,6 +189,31 @@ def _wet_roundtrip(spark, sf_dir):
     return read_wet(spark, out_dir).select("url", "text")
 
 
+def _web_cdx_index(spark, sf_dir):
+    """CDX index round-trip (r6 — completes the WARC/WET/CDX container
+    trio): synthesize (url, text) rows, write them as per-record-gzip
+    WET, index every record with its REAL gzip-member byte span
+    (index_warc_files), write the sorted CDX sidecar, read it back,
+    and return (urlkey, url, rec_type). The oracle recomputes the
+    frozen SURT transform in SQL over the same synthesized URLs; the
+    span realness (ranged fetch at recorded offset/length re-yields
+    the exact record) is pinned by pytest."""
+    from powerpoint_context_extractor_spark.sources.warc import (
+        index_warc_files, read_cdx, write_cdx, write_extracted_as_wet,
+    )
+    d = _t(spark, sf_dir, "documents")
+    url = F.format_string("https://host%d.example/docs/%d",
+                          F.col("doc_id") % 37, F.col("doc_id"))
+    rows = d.select(url.alias("url"), F.col("text"))
+    import hashlib
+    tag = hashlib.md5(f"cdx|{sf_dir}".encode()).hexdigest()[:12]
+    wet_dir = os.path.join(_session_root(), f"cdxwet_{tag}")
+    cdx_dir = os.path.join(_session_root(), f"cdx_{tag}")
+    write_extracted_as_wet(rows, wet_dir, n_files=4)
+    write_cdx(index_warc_files(spark, wet_dir, "*.wet.warc*"), cdx_dir)
+    return read_cdx(spark, cdx_dir).select("urlkey", "url", "rec_type")
+
+
 def _mm_png_resize(spark, sf_dir):
     """Multimodal preprocess contract: real PNG decode (zlib + all five
     scanline filters) followed by integer nearest-neighbor resize
@@ -2236,6 +2261,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_features_gif": _mm_features_gif,
         "mm_video_mjpeg": _mm_video_mjpeg,
         "mm_features_flac": _mm_features_flac,
+        "web_cdx_index": _web_cdx_index,
         "dedup_cdc_chunks": _dedup_cdc_chunks,
         "text_contamination": _text_contamination,
         "text_hash_classifier": _text_hash_classifier,
@@ -4500,6 +4526,26 @@ def oracle_sql() -> dict[str, str]:
         SELECT p.user_id, p.event_id, p.t, iv.iv_id, iv.s, iv.e
         FROM p JOIN iv ON p.user_id = iv.user_id
                       AND p.t >= iv.s AND p.t < iv.e
+    """
+    d["web_cdx_index"] = """
+        -- frozen SURT: drop scheme, lowercase host, strip one leading
+        -- www., reverse labels joined by ',', ')' + path remainder
+        WITH u AS (
+          SELECT printf('https://host%d.example/docs/%d',
+                        doc_id % 37, doc_id) AS url
+          FROM documents
+        )
+        SELECT array_to_string(
+                 list_reverse(string_split(
+                   regexp_replace(lower(regexp_extract(url,
+                     '^[A-Za-z][A-Za-z0-9+.\\-]*://([^/?#]*)', 1)),
+                     '^www\\.', ''), '.')), ',')
+               || ')' ||
+               regexp_replace(url,
+                 '^[A-Za-z][A-Za-z0-9+.\\-]*://[^/?#]*', '') AS urlkey,
+               url,
+               'conversion' AS rec_type
+        FROM u
     """
     d["text_tfidf_topk"] = """
         -- whitespace tokens >= 3 chars, lowercased; idf = n_docs // df

@@ -87,3 +87,35 @@ def registrable_domain(col: F.Column) -> F.Column:
 def registrable_domains(df: DataFrame, host_col: str = "host",
                         out_col: str = "etld1") -> DataFrame:
     return df.withColumn(out_col, registrable_domain(F.col(host_col)))
+
+
+# --- SURT (Sort-friendly URI Reordering Transform) — the CDX urlkey --------
+#
+# Frozen contract (pinned by the web_cdx_index oracle + the
+# Spark-vs-Python equality pytest): drop the scheme, lowercase the
+# host, strip one leading "www." label, reverse the remaining labels
+# joined by ",", append ")" + the path/query remainder verbatim.
+# `https://www.News.example/Docs/5?q=1` -> `example,news)/Docs/5?q=1`.
+
+def surt_key(col: F.Column) -> F.Column:
+    """Column expression: SURT urlkey of a URL (pure codegen)."""
+    host = F.regexp_replace(
+        F.lower(F.regexp_extract(col, r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)", 1)),
+        r"^www\.", "")
+    rest = F.regexp_replace(col, r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*", "")
+    rev = F.array_join(F.reverse(F.split(host, r"\.")), ",")
+    return F.concat(rev, F.lit(")"), rest)
+
+
+def surt_key_py(url: str) -> str:
+    """Python twin of ``surt_key`` for file-side indexers (CDX lines
+    are built inside mapInPandas); equality with the Spark expression
+    is pytest-pinned."""
+    import re
+    m = re.match(r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)", url)
+    if not m:
+        return ")" + url
+    host = m.group(1).lower()
+    host = re.sub(r"^www\.", "", host)
+    rest = url[m.end():]
+    return ",".join(reversed(host.split("."))) + ")" + rest
