@@ -1028,6 +1028,63 @@ def _j_interval_banded(spark, sf_dir):
                          band=64)
 
 
+def _web_frontier_schedule(spark, sf_dir):
+    """Politeness-aware crawl-frontier ordering (r6): round-robin
+    rank within host, then a contiguous global fetch sequence by
+    (rank, host, url) via the distributed global_order_index — pass 1
+    fetches one URL from every host before pass 2 begins. Oracle =
+    the two plain windows."""
+    from powerpoint_context_extractor_spark.operators.weblinks import (
+        frontier_schedule,
+    )
+    d = _t(spark, sf_dir, "documents")
+    urls = d.select(
+        F.format_string("https://host%d.example/docs/%d",
+                        F.col("doc_id") % 37, F.col("doc_id"))
+        .alias("url"),
+        F.format_string("host%d.example", F.col("doc_id") % 37)
+        .alias("host"))
+    return frontier_schedule(urls, n_parts=8)
+
+
+def _web_sitemap_urls(spark, sf_dir):
+    """Sitemap/sitemapindex parsing (r6 — crawl seeding next to
+    robots.txt): every 5th doc serves a <sitemapindex> (2 child
+    sitemaps, no lastmod), the rest a <urlset> (3 pages, lastmod on
+    the first two only — the optional-field path); one
+    regexp_extract_all pulls (loc, lastmod) per entry. Oracle
+    reconstructs the entry set analytically from doc_id."""
+    from powerpoint_context_extractor_spark.operators.weblinks import (
+        parse_sitemaps,
+    )
+    d = _t(spark, sf_dir, "documents")
+    h = F.col("doc_id") % 37
+    day = F.col("doc_id") % 28 + 1
+    urlset = F.format_string(
+        '<?xml version="1.0"?><urlset>'
+        "<url><loc>https://host%d.example/page/%d</loc>"
+        "<lastmod>2024-01-%02d</lastmod></url>"
+        "<url><loc>https://host%d.example/page/%d</loc>"
+        "<lastmod>2024-01-%02d</lastmod></url>"
+        "<url><loc>https://host%d.example/page/%d</loc></url>"
+        "</urlset>",
+        h, F.col("doc_id") * 3, day,
+        h, F.col("doc_id") * 3 + 1, day,
+        h, F.col("doc_id") * 3 + 2)
+    idx = F.format_string(
+        '<?xml version="1.0"?><sitemapindex>'
+        "<sitemap><loc>https://host%d.example/sitemap-0.xml</loc>"
+        "</sitemap>"
+        "<sitemap><loc>https://host%d.example/sitemap-1.xml</loc>"
+        "</sitemap></sitemapindex>", h, h)
+    pages = d.select(
+        F.format_string("https://host%d.example/sitemap.xml", h)
+        .alias("url"),
+        F.when(F.col("doc_id") % 5 == 0, idx).otherwise(urlset)
+        .alias("xml"))
+    return parse_sitemaps(pages)
+
+
 def _text_tfidf_topk(spark, sf_dir):
     """TF-IDF salient terms per document (r6 — the keyword signal for
     curation/retrieval labeling): integer idf surrogate n_docs div df
@@ -2262,6 +2319,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_video_mjpeg": _mm_video_mjpeg,
         "mm_features_flac": _mm_features_flac,
         "web_cdx_index": _web_cdx_index,
+        "web_sitemap_urls": _web_sitemap_urls,
+        "web_frontier_schedule": _web_frontier_schedule,
         "dedup_cdc_chunks": _dedup_cdc_chunks,
         "text_contamination": _text_contamination,
         "text_hash_classifier": _text_hash_classifier,
@@ -4526,6 +4585,43 @@ def oracle_sql() -> dict[str, str]:
         SELECT p.user_id, p.event_id, p.t, iv.iv_id, iv.s, iv.e
         FROM p JOIN iv ON p.user_id = iv.user_id
                       AND p.t >= iv.s AND p.t < iv.e
+    """
+    d["web_frontier_schedule"] = """
+        -- the two plain windows the distributed schedule must equal
+        WITH u AS (
+          SELECT printf('https://host%d.example/docs/%d',
+                        doc_id % 37, doc_id) AS url,
+                 printf('host%d.example', doc_id % 37) AS host
+          FROM documents
+        ),
+        r AS (SELECT url, host,
+                     CAST(row_number() OVER (PARTITION BY host
+                       ORDER BY url) AS BIGINT) AS rank
+              FROM u)
+        SELECT url, host, rank,
+               CAST(row_number() OVER (ORDER BY rank, host, url) - 1
+                    AS BIGINT) AS fetch_seq
+        FROM r
+    """
+    d["web_sitemap_urls"] = """
+        -- analytic reconstruction of the synthesized sitemap entries
+        SELECT printf('https://host%d.example/sitemap.xml',
+                      doc_id % 37) AS sitemap_url,
+               'index' AS kind,
+               printf('https://host%d.example/sitemap-%d.xml',
+                      doc_id % 37, j.j) AS loc,
+               '' AS lastmod
+        FROM documents, range(0, 2) j(j) WHERE doc_id % 5 = 0
+        UNION ALL
+        SELECT printf('https://host%d.example/sitemap.xml',
+                      doc_id % 37),
+               'urlset',
+               printf('https://host%d.example/page/%d',
+                      doc_id % 37, doc_id*3 + j.j),
+               CASE WHEN j.j < 2
+                    THEN printf('2024-01-%02d', doc_id % 28 + 1)
+                    ELSE '' END
+        FROM documents, range(0, 3) j(j) WHERE doc_id % 5 <> 0
     """
     d["web_cdx_index"] = """
         -- frozen SURT: drop scheme, lowercase host, strip one leading

@@ -296,8 +296,9 @@ def global_order_index(docs: DataFrame, order_cols: list,
             rank += n
 
     keyed = ranged.withColumn("__id", F.col(id_col))
-    local = keyed.mapInPandas(_local_rank,
-                              schema="_pid int, id long, _lr long")
+    id_type = docs.schema[id_col].dataType.simpleString()
+    local = keyed.mapInPandas(
+        _local_rank, schema=f"_pid int, id {id_type}, _lr long")
     from pyspark.sql import Window as W
     counts = local.groupBy("_pid").agg(F.count(F.lit(1)).alias("_c"))
     offsets = (counts

@@ -90,3 +90,67 @@ def anchor_text_agg(anchors: DataFrame) -> DataFrame:
               .agg(F.count(F.lit(1)).alias("n_links"),
                    F.countDistinct("src_host").alias("n_src_hosts")))
     return totals.join(top, "target_host")
+
+
+# --- sitemap parsing (r6) --------------------------------------------------
+
+# one pattern for both <urlset> entries (<url>) and <sitemapindex>
+# entries (<sitemap>); <lastmod> is optional and comes back "" when
+# absent (same-pattern extraction keeps the two arrays aligned)
+SITEMAP_RE = (r"<(?:url|sitemap)>\s*<loc>([^<]*)</loc>"
+              r"(?:\s*<lastmod>([^<]*)</lastmod>)?")
+
+
+def parse_sitemaps(pages: DataFrame, url_col: str = "url",
+                   xml_col: str = "xml") -> DataFrame:
+    """Sitemap/sitemapindex parsing (sitemaps.org protocol) — the
+    crawl-seeding step next to robots.txt: one row per <loc> entry
+    with its optional <lastmod>, tagged 'index' when the document is
+    a <sitemapindex> (its locs are child sitemaps to fetch, not
+    pages). Single JVM regexp_extract_all over the XML — zero Python,
+    zero shuffle, scan speed at any scale."""
+    xml = F.col(xml_col)
+    pairs = F.arrays_zip(
+        F.regexp_extract_all(xml, F.lit(SITEMAP_RE), 1).alias("loc"),
+        F.regexp_extract_all(xml, F.lit(SITEMAP_RE), 2).alias("lastmod"))
+    kind = F.when(xml.contains("<sitemapindex"),
+                  F.lit("index")).otherwise(F.lit("urlset"))
+    return (pages
+            .select(F.col(url_col).alias("sitemap_url"),
+                    kind.alias("kind"), F.explode(pairs).alias("p"))
+            .select("sitemap_url", "kind",
+                    F.col("p.loc").alias("loc"),
+                    F.col("p.lastmod").alias("lastmod"))
+            .filter(F.col("loc") != ""))
+
+
+# --- politeness-aware frontier scheduling (r6) -----------------------------
+
+def frontier_schedule(urls: DataFrame, host_col: str = "host",
+                      url_col: str = "url",
+                      n_parts: int = 32) -> DataFrame:
+    """Crawl-frontier fetch ordering with per-host politeness: each
+    URL gets its round-robin position within its host (rank), then a
+    contiguous global fetch sequence ordered by (rank, host, url) —
+    so pass 1 takes one URL from EVERY host before pass 2 starts,
+    which is exactly the per-host spacing a polite fetcher wants.
+
+    Scale shape: the rank window partitions by host (per-host state
+    only; a hot host makes a big partition but never a global one),
+    and the global sequence comes from
+    sampling.global_order_index — range-partition + map-side local
+    ranks + broadcast offsets, NO single-partition sort. Emits
+    (url, host, rank, fetch_seq)."""
+    from pyspark.sql import Window as W
+
+    from .sampling import global_order_index
+    ranked = urls.select(
+        F.col(url_col).alias("url"), F.col(host_col).alias("host"),
+        F.row_number().over(
+            W.partitionBy(host_col).orderBy(url_col))
+        .cast("long").alias("rank"))
+    idx = global_order_index(ranked, ["rank", "host", "url"],
+                             id_col="url", n_parts=n_parts)
+    return (ranked.join(idx, "url")
+            .select("url", "host", "rank",
+                    F.col("global_idx").alias("fetch_seq")))

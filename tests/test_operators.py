@@ -1963,6 +1963,49 @@ def test_anchor_extraction_resolution_contract(spark):
     assert top["top_anchor"] == "alpha"          # 1-1 tie -> lexicographic
 
 
+def test_sitemap_parse_and_frontier_round_robin(spark):
+    """r6: (a) parse_sitemaps handles urlset vs sitemapindex, optional
+    lastmod, and drops empty locs; (b) frontier_schedule interleaves
+    hosts — the first |hosts| fetch_seq slots hit every host exactly
+    once (rank-1 pass before any rank-2), exercising the string-id
+    path of global_order_index."""
+    from powerpoint_context_extractor_spark.operators.weblinks import (
+        frontier_schedule, parse_sitemaps,
+    )
+    xml1 = ("<urlset><url><loc>https://a.example/1</loc>"
+            "<lastmod>2024-02-03</lastmod></url>"
+            "<url><loc>https://a.example/2</loc></url>"
+            "<url><loc></loc></url></urlset>")
+    xml2 = ("<sitemapindex><sitemap><loc>https://b.example/s0.xml"
+            "</loc></sitemap></sitemapindex>")
+    pages = spark.createDataFrame(
+        [("https://a.example/sitemap.xml", xml1),
+         ("https://b.example/sitemap.xml", xml2)],
+        "url string, xml string")
+    got = {(r["sitemap_url"], r["kind"], r["loc"], r["lastmod"])
+           for r in parse_sitemaps(pages).collect()}
+    assert got == {
+        ("https://a.example/sitemap.xml", "urlset",
+         "https://a.example/1", "2024-02-03"),
+        ("https://a.example/sitemap.xml", "urlset",
+         "https://a.example/2", ""),
+        ("https://b.example/sitemap.xml", "index",
+         "https://b.example/s0.xml", ""),
+    }
+    # frontier: 3 hosts with 5/3/1 urls
+    rows = ([(f"https://h0.x/{i}", "h0.x") for i in range(5)]
+            + [(f"https://h1.x/{i}", "h1.x") for i in range(3)]
+            + [("https://h2.x/0", "h2.x")])
+    urls = spark.createDataFrame(rows, "url string, host string")
+    sched = sorted(
+        ((r["fetch_seq"], r["host"], r["rank"]) for r in
+         frontier_schedule(urls, n_parts=3).collect()))
+    assert [s[0] for s in sched] == list(range(9))   # contiguous
+    assert {s[1] for s in sched[:3]} == {"h0.x", "h1.x", "h2.x"}
+    assert all(s[2] == 1 for s in sched[:3])         # pass 1 first
+    assert {s[1] for s in sched[3:5]} == {"h0.x", "h1.x"}  # pass 2
+
+
 def test_global_order_index_boundary_independent(spark):
     """r6: global_order_index equals the single-window global
     row_number for ANY partition count (1, 3, 8) — the range
