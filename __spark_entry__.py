@@ -1800,6 +1800,18 @@ def _mm_features_gif(spark, sf_dir):
     return extract_gif_features(_t(spark, sf_dir, "documents"))
 
 
+def _mm_features_png_lowdepth(spark, sf_dir):
+    """Sub-8-bit PNG under the correctness gate (r6 — depth 1/2/4
+    gray + palette: filters over PACKED bytes, MSB-first unpack,
+    bit-replication scaling): the PNG error surface shrinks to
+    16-bit depth and sub-8-bit interlace. Oracle recomputes the
+    depth/palette CASE analytically."""
+    from powerpoint_context_extractor_spark.operators.multimodal import (
+        extract_png_lowdepth_features,
+    )
+    return extract_png_lowdepth_features(_t(spark, sf_dir, "documents"))
+
+
 def _mm_features_flac(spark, sf_dir):
     """Real FLAC decode under the correctness gate (r6 — the lossless
     web/archive audio format): mono 16-bit, block_size=16 -> 4 frames
@@ -2321,6 +2333,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_cdx_index": _web_cdx_index,
         "web_sitemap_urls": _web_sitemap_urls,
         "web_frontier_schedule": _web_frontier_schedule,
+        "mm_features_png_lowdepth": _mm_features_png_lowdepth,
         "dedup_cdc_chunks": _dedup_cdc_chunks,
         "text_contamination": _text_contamination,
         "text_hash_classifier": _text_hash_classifier,
@@ -3165,6 +3178,36 @@ def oracle_sql() -> dict[str, str]:
     """
     # Adam7-interlaced twin: same pixels, same oracle (r6)
     d["mm_features_png_interlaced"] = d["mm_features_png"]
+    d["mm_features_png_lowdepth"] = """
+        -- frozen sub-8-bit rule (r6): d = (1,2,4)[doc_id%3]; even
+        -- doc_ids gray (sample * 255//(2^d-1), bit replication), odd
+        -- PLTE-indexed against the PNG palette formula
+        WITH par AS (
+          SELECT doc_id,
+                 CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 2
+                      ELSE 4 END AS d
+          FROM documents
+        ), px AS (
+          SELECT p.doc_id, 1 AS ch,
+                 ((p.doc_id*31 + t.i) % (1 << d))
+                   * (255 // ((1 << d) - 1)) AS v
+          FROM par p, range(0, 128) t(i) WHERE p.doc_id % 2 = 0
+          UNION ALL
+          SELECT p.doc_id, 3 AS ch,
+                 (((p.doc_id*31 + j.j) % (1 << d)) *
+                  CASE c.c WHEN 0 THEN 37 WHEN 1 THEN 59 ELSE 83 END)
+                 % 256 AS v
+          FROM par p, range(0, 128) j(j), range(0, 3) c(c)
+          WHERE p.doc_id % 2 = 1
+        )
+        SELECT doc_id,
+               CAST(16 AS BIGINT) AS width, CAST(8 AS BIGINT) AS height,
+               CAST(MAX(ch) AS BIGINT) AS channels,
+               CAST(SUM(v) AS BIGINT) AS px_sum,
+               CAST(MIN(v) AS BIGINT) AS px_min,
+               CAST(MAX(v) AS BIGINT) AS px_max
+        FROM px GROUP BY doc_id
+    """
     d["mm_features_gif"] = """
         -- frozen GIF rule (r6): 16x8, index i = (doc_id*31+i)%16
         -- against the palette-PNG PLTE formula; px_wsum (position-

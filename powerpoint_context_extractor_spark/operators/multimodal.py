@@ -1232,3 +1232,44 @@ def extract_flac_features(docs: DataFrame) -> DataFrame:
 
     return docs.select("doc_id").mapInPandas(
         _batches, schema=WAV_FEATURE_SCHEMA)
+
+
+# --- sub-8-bit PNG contract path (r6) --------------------------------------
+
+def png_lowdepth_payload_for_doc(doc_id: int) -> bytes:
+    """Frozen sub-8-bit rule: depth d = (1,2,4)[doc_id%3]; odd doc_ids
+    are PLTE-indexed against PNG_PALETTE[:2**d], even are grayscale
+    (decoded sample = s * (255 // (2**d - 1)), exact bit-replication
+    integers); sample i = (doc_id*31 + i) % 2**d over 16x8; rows cycle
+    all five filters OVER THE PACKED BYTES (the part sub-8-bit
+    decoders get wrong)."""
+    d = (1, 2, 4)[doc_id % 3]
+    px = bytes((doc_id * 31 + i) % (1 << d) for i in range(PNG_W * PNG_H))
+    pal = PNG_PALETTE[:1 << d] if doc_id % 2 else None
+    return render_png(PNG_W, PNG_H, px, row_filters=[0, 1, 2, 3, 4],
+                      palette=pal, bit_depth=d)
+
+
+def extract_png_lowdepth_features(docs: DataFrame) -> DataFrame:
+    """Render + decode a sub-8-bit PNG per documents row — PNG error
+    surface now 16-bit depth and sub-8-bit interlace only."""
+
+    def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("doc_id", "width", "height",
+                                   "channels", "px_sum", "px_min",
+                                   "px_max")}
+            for doc_id in pdf["doc_id"].tolist():
+                w, h, ch, px = decode_png(
+                    png_lowdepth_payload_for_doc(doc_id))
+                out["doc_id"].append(doc_id)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["channels"].append(ch)
+                out["px_sum"].append(sum(px))
+                out["px_min"].append(min(px))
+                out["px_max"].append(max(px))
+            yield pd.DataFrame(out)
+
+    return docs.select("doc_id").mapInPandas(
+        _batches, schema=PNG_FEATURE_SCHEMA)

@@ -90,9 +90,35 @@ def _chunk(typ: bytes, data: bytes) -> bytes:
             + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF))
 
 
+def _pack_bits(samples: bytes, width: int, depth: int) -> bytes:
+    """Pack one row of sub-8-bit samples MSB-first (PNG bit order)."""
+    out = bytearray()
+    acc = nbits = 0
+    for s in samples:
+        acc = (acc << depth) | (s & ((1 << depth) - 1))
+        nbits += depth
+        if nbits == 8:
+            out.append(acc)
+            acc = nbits = 0
+    if nbits:
+        out.append(acc << (8 - nbits))
+    return bytes(out)
+
+
+def _unpack_bits(row: bytes, width: int, depth: int) -> bytes:
+    out = bytearray()
+    per_byte = 8 // depth
+    mask = (1 << depth) - 1
+    for x in range(width):
+        b = row[x // per_byte]
+        shift = 8 - depth * (x % per_byte + 1)
+        out.append((b >> shift) & mask)
+    return bytes(out)
+
+
 def render_png(width: int, height: int, pixels: bytes,
                row_filters=None, channels: int = 1,
-               palette=None) -> bytes:
+               palette=None, bit_depth: int = 8) -> bytes:
     """Encode ``pixels`` (row-major bytes, len == w*h*channels; channels
     1 = grayscale, 3 = RGB interleaved, 4 = RGBA interleaved) as a
     valid PNG. ``row_filters``
@@ -101,7 +127,19 @@ def render_png(width: int, height: int, pixels: bytes,
 
     With ``palette`` (a list of <=256 (r, g, b) tuples, r5): color
     type 3 — ``pixels`` are 1-byte palette indices (``channels`` must
-    be 1) and a PLTE chunk is emitted between IHDR and IDAT."""
+    be 1) and a PLTE chunk is emitted between IHDR and IDAT.
+
+    ``bit_depth`` 1/2/4 (r6, grayscale or palette only): ``pixels``
+    stay one sample per byte with values < 2**depth; rows are packed
+    MSB-first with row-end padding, and scanline filters run over the
+    PACKED bytes with bpp=1, per the spec."""
+    if bit_depth not in (1, 2, 4, 8):
+        raise ValueError("png: unsupported bit depth")
+    if bit_depth != 8:
+        if channels != 1:
+            raise ValueError("png: sub-8-bit needs grayscale or palette")
+        if any(p >= (1 << bit_depth) for p in pixels):
+            raise ValueError("png: sample out of range for bit depth")
     if palette is not None:
         if channels != 1:
             raise ValueError("png: palette pixels are 1-byte indices")
@@ -119,14 +157,20 @@ def render_png(width: int, height: int, pixels: bytes,
     filters = row_filters or [1]
     stride = width * channels
     raw = bytearray()
-    prev = bytes(stride)
+    packed_stride = ((width * bit_depth + 7) // 8 if bit_depth != 8
+                     else stride)
+    prev = bytes(packed_stride)
     for y in range(height):
         row = bytes(pixels[y * stride:(y + 1) * stride])
+        if bit_depth != 8:
+            row = _pack_bits(row, width, bit_depth)
         ft = filters[y % len(filters)]
         raw.append(ft)
-        raw += _filter_row(ft, row, prev, channels)
+        raw += _filter_row(ft, row, prev, channels if bit_depth == 8
+                           else 1)
         prev = row
-    ihdr = struct.pack(">IIBBBBB", width, height, 8, color, 0, 0, 0)
+    ihdr = struct.pack(">IIBBBBB", width, height, bit_depth, color,
+                       0, 0, 0)
     out = _SIG + _chunk(b"IHDR", ihdr)
     if palette is not None:
         out += _chunk(b"PLTE", bytes(b for rgb in palette for b in rgb))
@@ -215,12 +259,16 @@ def decode_png(data: bytes) -> tuple:
         if typ == b"IHDR":
             width, height, depth, color, comp, filt, inter = \
                 struct.unpack(">IIBBBBB", body)
-            if depth != 8 or (comp, filt) != (0, 0) \
+            if depth not in (1, 2, 4, 8) or (comp, filt) != (0, 0) \
                     or inter not in (0, 1) \
                     or (color not in _CHANNELS_FOR_COLOR and color != 3):
                 raise ValueError(
                     f"png: unsupported format depth={depth} color={color} "
                     f"interlace={inter}")
+            if depth != 8 and (color not in (0, 3) or inter):
+                raise ValueError(
+                    f"png: sub-8-bit subset is sequential gray/palette "
+                    f"(depth={depth} color={color} interlace={inter})")
             interlaced = inter == 1
             indexed = color == 3
             channels = 1 if indexed else _CHANNELS_FOR_COLOR[color]
@@ -266,6 +314,25 @@ def decode_png(data: bytes) -> tuple:
                         row[px * channels:(px + 1) * channels]
         if pos != len(raw):
             raise ValueError("png: bad scanline data length")
+    elif depth != 8:
+        # sub-8-bit gray/palette: filters run over the PACKED bytes
+        # (bpp=1), then each row unpacks MSB-first to one sample per
+        # byte; gray samples scale by 255/(2^d - 1) (bit replication,
+        # exact integers: d=1 -> x255, d=2 -> x85, d=4 -> x17)
+        rb = (width * depth + 7) // 8
+        if len(raw) != (rb + 1) * height:
+            raise ValueError("png: bad scanline data length")
+        pixels = bytearray()
+        prev = bytes(rb)
+        scale = 1 if indexed else 255 // ((1 << depth) - 1)
+        for y in range(height):
+            ft = raw[y * (rb + 1)]
+            row = bytearray(raw[y * (rb + 1) + 1:(y + 1) * (rb + 1)])
+            _unfilter_row(ft, row, prev, 1)
+            prev = bytes(row)
+            pixels += bytes(s * scale
+                            for s in _unpack_bits(bytes(row), width,
+                                                  depth))
     else:
         if len(raw) != (stride + 1) * height:
             raise ValueError("png: bad scanline data length")

@@ -553,6 +553,47 @@ def test_flac_kind_routed_through_real_decoder(spark):
     assert by_id[10]["kind"] == "flac" and by_id[10]["error"] is not None
 
 
+def test_png_sub8bit_depths_roundtrip():
+    """r6: depth-1/2/4 PNGs — filters run over the PACKED bytes,
+    samples unpack MSB-first, gray scales by bit replication
+    (255/85/17), palette indices expand unscaled; odd widths exercise
+    row-end padding; sub-8-bit interlace and out-of-range samples
+    raise."""
+    import random
+
+    from powerpoint_context_extractor_spark.png import (
+        decode_png, render_png,
+    )
+    rng = random.Random(21)
+    pal16 = [((j * 37) % 256, (j * 59) % 256, (j * 83) % 256)
+             for j in range(16)]
+    for d in (1, 2, 4):
+        scale = 255 // ((1 << d) - 1)
+        for w, h in ((1, 1), (7, 3), (16, 8), (23, 5)):
+            px = bytes(rng.randrange(1 << d) for _ in range(w * h))
+            out = decode_png(render_png(
+                w, h, px, row_filters=[0, 1, 2, 3, 4], bit_depth=d))
+            assert out == (w, h, 1, bytes(s * scale for s in px)), (d, w)
+            pout = decode_png(render_png(
+                w, h, px, row_filters=[0, 1, 2, 3, 4],
+                palette=pal16[:1 << d], bit_depth=d))
+            want = b"".join(bytes(pal16[v]) for v in px)
+            assert pout == (w, h, 3, want), (d, w, "palette")
+    with pytest.raises(ValueError, match="range"):
+        render_png(4, 4, bytes([4] * 16), bit_depth=2)
+    with pytest.raises(ValueError, match="bit depth"):
+        render_png(4, 4, bytes(16), bit_depth=3)
+    # hand-build an interlaced sub-8-bit header -> honest subset error
+    import struct
+    import zlib as _z
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 2, 0, 0, 0, 1)
+    sig = b"\x89PNG\r\n\x1a\n"
+    chunk = (struct.pack(">I", len(ihdr)) + b"IHDR" + ihdr
+             + struct.pack(">I", _z.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF))
+    with pytest.raises(ValueError, match="sub-8-bit"):
+        decode_png(sig + chunk)
+
+
 def test_gif_roundtrip_lzw_and_interlace():
     """r6: GIF codec contract — LZW roundtrip across code-width growth
     and the 4096-entry dictionary reset, the KwKwK self-reference
