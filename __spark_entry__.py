@@ -1812,6 +1812,17 @@ def _mm_features_png_lowdepth(spark, sf_dir):
     return extract_png_lowdepth_features(_t(spark, sf_dir, "documents"))
 
 
+def _mm_features_png16(spark, sf_dir):
+    """16-bit PNG under the correctness gate (r6 — big-endian sample
+    pairs, filters at bpp=2*channels, full-precision int decode):
+    PNG error surface now interlace-at-non-8-bit only. Oracle is the
+    analytic sample formula."""
+    from powerpoint_context_extractor_spark.operators.multimodal import (
+        extract_png16_features,
+    )
+    return extract_png16_features(_t(spark, sf_dir, "documents"))
+
+
 def _mm_features_flac(spark, sf_dir):
     """Real FLAC decode under the correctness gate (r6 — the lossless
     web/archive audio format): mono 16-bit, block_size=16 -> 4 frames
@@ -2334,6 +2345,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_sitemap_urls": _web_sitemap_urls,
         "web_frontier_schedule": _web_frontier_schedule,
         "mm_features_png_lowdepth": _mm_features_png_lowdepth,
+        "mm_features_png16": _mm_features_png16,
         "dedup_cdc_chunks": _dedup_cdc_chunks,
         "text_contamination": _text_contamination,
         "text_hash_classifier": _text_hash_classifier,
@@ -3199,6 +3211,28 @@ def oracle_sql() -> dict[str, str]:
                  % 256 AS v
           FROM par p, range(0, 128) j(j), range(0, 3) c(c)
           WHERE p.doc_id % 2 = 1
+        )
+        SELECT doc_id,
+               CAST(16 AS BIGINT) AS width, CAST(8 AS BIGINT) AS height,
+               CAST(MAX(ch) AS BIGINT) AS channels,
+               CAST(SUM(v) AS BIGINT) AS px_sum,
+               CAST(MIN(v) AS BIGINT) AS px_min,
+               CAST(MAX(v) AS BIGINT) AS px_max
+        FROM px GROUP BY doc_id
+    """
+    d["mm_features_png16"] = """
+        -- frozen 16-bit rule (r6): ch = (1,3,4)[doc_id%3], sample i =
+        -- (doc_id*97 + i*257) % 65536 over 16*8*ch
+        WITH par AS (
+          SELECT doc_id,
+                 CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 3
+                      ELSE 4 END AS ch
+          FROM documents
+        ), px AS (
+          SELECT p.doc_id, p.ch,
+                 (p.doc_id*97 + t.i*257) % 65536 AS v
+          FROM par p, range(0, 512) t(i)
+          WHERE t.i < 128 * p.ch
         )
         SELECT doc_id,
                CAST(16 AS BIGINT) AS width, CAST(8 AS BIGINT) AS height,

@@ -1273,3 +1273,41 @@ def extract_png_lowdepth_features(docs: DataFrame) -> DataFrame:
 
     return docs.select("doc_id").mapInPandas(
         _batches, schema=PNG_FEATURE_SCHEMA)
+
+
+# --- 16-bit PNG contract path (r6) -----------------------------------------
+
+def png16_payload_for_doc(doc_id: int) -> bytes:
+    """Frozen 16-bit rule: channels = (1,3,4)[doc_id%3]; sample i =
+    (doc_id*97 + i*257) % 65536 over 16x8xch, all five filters (bpp =
+    2*channels — the part 16-bit decoders get wrong); decode returns
+    full-precision ints, no presentation reduction."""
+    ch = (1, 3, 4)[doc_id % 3]
+    px = [(doc_id * 97 + i * 257) % 65536
+          for i in range(PNG_W * PNG_H * ch)]
+    return render_png(PNG_W, PNG_H, px, row_filters=[0, 1, 2, 3, 4],
+                      channels=ch, bit_depth=16)
+
+
+def extract_png16_features(docs: DataFrame) -> DataFrame:
+    """Render + decode a 16-bit PNG per documents row — PNG error
+    surface now sub-8-bit/16-bit interlace only."""
+
+    def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("doc_id", "width", "height",
+                                   "channels", "px_sum", "px_min",
+                                   "px_max")}
+            for doc_id in pdf["doc_id"].tolist():
+                w, h, ch, px = decode_png(png16_payload_for_doc(doc_id))
+                out["doc_id"].append(doc_id)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["channels"].append(ch)
+                out["px_sum"].append(sum(px))
+                out["px_min"].append(min(px))
+                out["px_max"].append(max(px))
+            yield pd.DataFrame(out)
+
+    return docs.select("doc_id").mapInPandas(
+        _batches, schema=PNG_FEATURE_SCHEMA)

@@ -132,13 +132,23 @@ def render_png(width: int, height: int, pixels: bytes,
     ``bit_depth`` 1/2/4 (r6, grayscale or palette only): ``pixels``
     stay one sample per byte with values < 2**depth; rows are packed
     MSB-first with row-end padding, and scanline filters run over the
-    PACKED bytes with bpp=1, per the spec."""
-    if bit_depth not in (1, 2, 4, 8):
+    PACKED bytes with bpp=1, per the spec.
+
+    ``bit_depth`` 16 (r6, gray/RGB/RGBA, no palette): ``pixels`` is a
+    SEQUENCE OF INTS < 65536, stored big-endian two bytes per sample;
+    filters run with bpp = 2*channels; ``decode_png`` returns a list
+    of ints for such images."""
+    if bit_depth not in (1, 2, 4, 8, 16):
         raise ValueError("png: unsupported bit depth")
-    if bit_depth != 8:
+    if bit_depth not in (8, 16):
         if channels != 1:
             raise ValueError("png: sub-8-bit needs grayscale or palette")
         if any(p >= (1 << bit_depth) for p in pixels):
+            raise ValueError("png: sample out of range for bit depth")
+    if bit_depth == 16:
+        if palette is not None:
+            raise ValueError("png: 16-bit palette is not a PNG format")
+        if any(not 0 <= p < 65536 for p in pixels):
             raise ValueError("png: sample out of range for bit depth")
     if palette is not None:
         if channels != 1:
@@ -157,17 +167,24 @@ def render_png(width: int, height: int, pixels: bytes,
     filters = row_filters or [1]
     stride = width * channels
     raw = bytearray()
-    packed_stride = ((width * bit_depth + 7) // 8 if bit_depth != 8
-                     else stride)
+    if bit_depth == 16:
+        packed_stride, bpp = stride * 2, channels * 2
+    elif bit_depth != 8:
+        packed_stride, bpp = (width * bit_depth + 7) // 8, 1
+    else:
+        packed_stride, bpp = stride, channels
     prev = bytes(packed_stride)
     for y in range(height):
-        row = bytes(pixels[y * stride:(y + 1) * stride])
-        if bit_depth != 8:
-            row = _pack_bits(row, width, bit_depth)
+        samples = pixels[y * stride:(y + 1) * stride]
+        if bit_depth == 16:
+            row = b"".join(int(s).to_bytes(2, "big") for s in samples)
+        elif bit_depth != 8:
+            row = _pack_bits(bytes(samples), width, bit_depth)
+        else:
+            row = bytes(samples)
         ft = filters[y % len(filters)]
         raw.append(ft)
-        raw += _filter_row(ft, row, prev, channels if bit_depth == 8
-                           else 1)
+        raw += _filter_row(ft, row, prev, bpp)
         prev = row
     ihdr = struct.pack(">IIBBBBB", width, height, bit_depth, color,
                        0, 0, 0)
@@ -259,16 +276,20 @@ def decode_png(data: bytes) -> tuple:
         if typ == b"IHDR":
             width, height, depth, color, comp, filt, inter = \
                 struct.unpack(">IIBBBBB", body)
-            if depth not in (1, 2, 4, 8) or (comp, filt) != (0, 0) \
+            if depth not in (1, 2, 4, 8, 16) or (comp, filt) != (0, 0) \
                     or inter not in (0, 1) \
                     or (color not in _CHANNELS_FOR_COLOR and color != 3):
                 raise ValueError(
                     f"png: unsupported format depth={depth} color={color} "
                     f"interlace={inter}")
-            if depth != 8 and (color not in (0, 3) or inter):
+            if depth in (1, 2, 4) and (color not in (0, 3) or inter):
                 raise ValueError(
                     f"png: sub-8-bit subset is sequential gray/palette "
                     f"(depth={depth} color={color} interlace={inter})")
+            if depth == 16 and (color == 3 or inter):
+                raise ValueError(
+                    f"png: 16-bit subset is sequential gray/RGB/RGBA "
+                    f"(color={color} interlace={inter})")
             interlaced = inter == 1
             indexed = color == 3
             channels = 1 if indexed else _CHANNELS_FOR_COLOR[color]
@@ -314,6 +335,23 @@ def decode_png(data: bytes) -> tuple:
                         row[px * channels:(px + 1) * channels]
         if pos != len(raw):
             raise ValueError("png: bad scanline data length")
+    elif depth == 16:
+        # 16-bit: big-endian sample pairs, filters with bpp=2*channels;
+        # returns a LIST OF INTS (full precision, no presentation
+        # reduction)
+        rb = stride * 2
+        if len(raw) != (rb + 1) * height:
+            raise ValueError("png: bad scanline data length")
+        vals: list = []
+        prev = bytes(rb)
+        for y in range(height):
+            ft = raw[y * (rb + 1)]
+            row = bytearray(raw[y * (rb + 1) + 1:(y + 1) * (rb + 1)])
+            _unfilter_row(ft, row, prev, channels * 2)
+            prev = bytes(row)
+            vals.extend((row[2 * k] << 8) | row[2 * k + 1]
+                        for k in range(stride))
+        return width, height, channels, vals
     elif depth != 8:
         # sub-8-bit gray/palette: filters run over the PACKED bytes
         # (bpp=1), then each row unpacks MSB-first to one sample per

@@ -579,10 +579,20 @@ def test_png_sub8bit_depths_roundtrip():
                 palette=pal16[:1 << d], bit_depth=d))
             want = b"".join(bytes(pal16[v]) for v in px)
             assert pout == (w, h, 3, want), (d, w, "palette")
+    # 16-bit gray/RGB/RGBA: BE sample pairs, bpp=2*ch filters,
+    # full-precision int decode
+    for ch in (1, 3, 4):
+        px16 = [rng.randrange(65536) for _ in range(7 * 3 * ch)]
+        out16 = decode_png(render_png(7, 3, px16,
+                                      row_filters=[0, 1, 2, 3, 4],
+                                      channels=ch, bit_depth=16))
+        assert out16 == (7, 3, ch, px16), ch
     with pytest.raises(ValueError, match="range"):
         render_png(4, 4, bytes([4] * 16), bit_depth=2)
     with pytest.raises(ValueError, match="bit depth"):
         render_png(4, 4, bytes(16), bit_depth=3)
+    with pytest.raises(ValueError, match="palette"):
+        render_png(2, 2, [0] * 4, palette=[(0, 0, 0)], bit_depth=16)
     # hand-build an interlaced sub-8-bit header -> honest subset error
     import struct
     import zlib as _z
