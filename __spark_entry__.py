@@ -1047,6 +1047,32 @@ def _web_frontier_schedule(spark, sf_dir):
     return frontier_schedule(urls, n_parts=8)
 
 
+def _web_robots_sitemaps(spark, sf_dir):
+    """robots.txt Sitemap-directive discovery (r6 — RFC 9309 §2.3,
+    the seed step before web_sitemap_urls): bodies carry mixed-case
+    Sitemap keys inside and outside User-agent groups (directives are
+    group-independent), every 3rd host adds a news sitemap, blank and
+    unrelated lines interleave. Oracle reconstructs the URL set
+    analytically."""
+    from powerpoint_context_extractor_spark.operators.robots import (
+        parse_sitemap_directives,
+    )
+    d = _t(spark, sf_dir, "documents")
+    body = F.concat(
+        F.lit("User-agent: *\nDisallow: /private\n"),
+        F.format_string(
+            "Sitemap: https://host%d.example/sitemap.xml\n",
+            F.col("doc_id") % 37),
+        F.when(F.col("doc_id") % 3 == 0, F.format_string(
+            "sitemap: https://host%d.example/sitemap-news.xml\n",
+            F.col("doc_id") % 37)).otherwise(F.lit("")),
+        F.lit("\nCrawl-delay: 2\n"))
+    robots = d.select(
+        F.format_string("h%d", F.col("doc_id")).alias("host"),
+        body.alias("robots_txt"))
+    return parse_sitemap_directives(robots)
+
+
 def _web_sitemap_urls(spark, sf_dir):
     """Sitemap/sitemapindex parsing (r6 — crawl seeding next to
     robots.txt): every 5th doc serves a <sitemapindex> (2 child
@@ -1812,6 +1838,17 @@ def _mm_features_png_lowdepth(spark, sf_dir):
     return extract_png_lowdepth_features(_t(spark, sf_dir, "documents"))
 
 
+def _mm_video_scene_cuts(spark, sf_dir):
+    """Scene-cut detection over decoded video (r6 — the pre-caption
+    frame-sampling heuristic): per consecutive frame pair of the
+    4-frame DIB fixture, integer SAD + thresholded is_cut; the oracle
+    recomputes every SAD from the frame byte formula."""
+    from powerpoint_context_extractor_spark.operators.multimodal import (
+        extract_video_scene_cuts,
+    )
+    return extract_video_scene_cuts(_t(spark, sf_dir, "documents"))
+
+
 def _mm_features_png16(spark, sf_dir):
     """16-bit PNG under the correctness gate (r6 — big-endian sample
     pairs, filters at bpp=2*channels, full-precision int decode):
@@ -2346,6 +2383,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_frontier_schedule": _web_frontier_schedule,
         "mm_features_png_lowdepth": _mm_features_png_lowdepth,
         "mm_features_png16": _mm_features_png16,
+        "web_robots_sitemaps": _web_robots_sitemaps,
+        "mm_video_scene_cuts": _mm_video_scene_cuts,
         "dedup_cdc_chunks": _dedup_cdc_chunks,
         "text_contamination": _text_contamination,
         "text_hash_classifier": _text_hash_classifier,
@@ -3219,6 +3258,21 @@ def oracle_sql() -> dict[str, str]:
                CAST(MIN(v) AS BIGINT) AS px_min,
                CAST(MAX(v) AS BIGINT) AS px_max
         FROM px GROUP BY doc_id
+    """
+    d["mm_video_scene_cuts"] = """
+        -- SAD between consecutive fixture frames: byte i of frame f
+        -- is (doc_id*13 + f*31 + i) % 256 over 8x4 RGB (96 bytes)
+        WITH p AS (
+          SELECT d.doc_id, f.f,
+                 abs((d.doc_id*13 + f.f*31 + t.i) % 256
+                     - (d.doc_id*13 + (f.f-1)*31 + t.i) % 256) AS ad
+          FROM documents d, range(1, 4) f(f), range(0, 96) t(i)
+        )
+        SELECT doc_id, CAST(f AS BIGINT) AS frame_id,
+               CAST(SUM(ad) AS BIGINT) AS sad,
+               CAST(CASE WHEN SUM(ad) > 6000 THEN 1 ELSE 0 END
+                    AS BIGINT) AS is_cut
+        FROM p GROUP BY doc_id, f
     """
     d["mm_features_png16"] = """
         -- frozen 16-bit rule (r6): ch = (1,3,4)[doc_id%3], sample i =
@@ -4662,6 +4716,17 @@ def oracle_sql() -> dict[str, str]:
         SELECT p.user_id, p.event_id, p.t, iv.iv_id, iv.s, iv.e
         FROM p JOIN iv ON p.user_id = iv.user_id
                       AND p.t >= iv.s AND p.t < iv.e
+    """
+    d["web_robots_sitemaps"] = """
+        SELECT printf('h%d', doc_id) AS host,
+               printf('https://host%d.example/sitemap.xml',
+                      doc_id % 37) AS sitemap_url
+        FROM documents
+        UNION ALL
+        SELECT printf('h%d', doc_id),
+               printf('https://host%d.example/sitemap-news.xml',
+                      doc_id % 37)
+        FROM documents WHERE doc_id % 3 = 0
     """
     d["web_frontier_schedule"] = """
         -- the two plain windows the distributed schedule must equal

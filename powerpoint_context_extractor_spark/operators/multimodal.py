@@ -1311,3 +1311,39 @@ def extract_png16_features(docs: DataFrame) -> DataFrame:
 
     return docs.select("doc_id").mapInPandas(
         _batches, schema=PNG_FEATURE_SCHEMA)
+
+
+# --- video scene-cut detection (r6) ----------------------------------------
+
+SCENE_CUT_THRESHOLD = 6000
+
+
+def extract_video_scene_cuts(docs: DataFrame) -> DataFrame:
+    """Scene-cut detection over real decoded video (the frame-sampling
+    heuristic a multimodal curation pipeline runs before captioning):
+    per consecutive frame pair, the integer sum of absolute RGB
+    differences (SAD); is_cut = SAD > threshold. Runs on the 4-frame
+    uncompressed-DIB fixture, so the oracle computes every SAD from
+    the frame byte formula. Emits (doc_id, frame_id, sad, is_cut)
+    with frame_id the LATTER frame of each pair."""
+
+    def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("doc_id", "frame_id", "sad",
+                                   "is_cut")}
+            for doc_id in pdf["doc_id"].tolist():
+                _w, _h, _fps, frames = decode_avi(
+                    avi_payload_for_doc(doc_id))
+                for f in range(1, len(frames)):
+                    sad = sum(abs(a - b) for a, b in
+                              zip(frames[f - 1], frames[f]))
+                    out["doc_id"].append(doc_id)
+                    out["frame_id"].append(f)
+                    out["sad"].append(sad)
+                    out["is_cut"].append(
+                        1 if sad > SCENE_CUT_THRESHOLD else 0)
+            yield pd.DataFrame(out)
+
+    return docs.select("doc_id").mapInPandas(
+        _batches,
+        schema="doc_id long, frame_id long, sad long, is_cut long")

@@ -74,3 +74,22 @@ def apply_robots(pages: DataFrame, robots: DataFrame,
         lambda r: F.col(path_col).startswith(r))
     return joined.withColumn(
         "allowed", (~blocked).cast("long")).drop("rules")
+
+
+def parse_sitemap_directives(robots: DataFrame, host_col: str = "host",
+                             body_col: str = "robots_txt") -> DataFrame:
+    """(host, robots_txt) -> (host, sitemap_url) per ``Sitemap:`` line.
+    RFC 9309 §2.3: sitemap directives are GROUP-INDEPENDENT (they
+    apply regardless of any User-agent group), so this is a flat
+    line filter — key matched case-insensitively, URL kept verbatim.
+    Pure HOF filter/transform + explode, JVM codegen, zero Python;
+    feeds parse_sitemaps (weblinks.py) for crawl seeding."""
+    lines = F.split(F.col(body_col), r"\r?\n")
+    maps = F.filter(
+        lines, lambda ln: F.lower(F.trim(ln)).startswith("sitemap:"))
+    urls = F.transform(
+        maps,
+        lambda ln: F.trim(F.trim(ln).substr(F.lit(9), F.length(ln))))
+    return (robots.select(F.col(host_col),
+                          F.explode(urls).alias("sitemap_url"))
+            .filter(F.col("sitemap_url") != ""))

@@ -2014,6 +2014,28 @@ def test_anchor_extraction_resolution_contract(spark):
     assert top["top_anchor"] == "alpha"          # 1-1 tie -> lexicographic
 
 
+def test_robots_sitemap_directives_group_independent(spark):
+    """r6: Sitemap: directives parse case-insensitively and
+    independently of User-agent groups (RFC 9309 §2.3) — one inside a
+    non-* group still counts; hosts without directives emit no rows;
+    blank values are dropped."""
+    from powerpoint_context_extractor_spark.operators.robots import (
+        parse_sitemap_directives,
+    )
+    bodies = [
+        ("a", "User-agent: bot\nSitemap: https://a/s.xml\n"
+              "User-agent: *\nDisallow: /\n"
+              "SITEMAP:   https://a/s2.xml  \n"),
+        ("b", "User-agent: *\nDisallow: /x\n"),
+        ("c", "Sitemap:\nsitemap: https://c/s.xml\n"),
+    ]
+    robots = spark.createDataFrame(bodies, "host string, robots_txt string")
+    got = {(r["host"], r["sitemap_url"])
+           for r in parse_sitemap_directives(robots).collect()}
+    assert got == {("a", "https://a/s.xml"), ("a", "https://a/s2.xml"),
+                   ("c", "https://c/s.xml")}
+
+
 def test_sitemap_parse_and_frontier_round_robin(spark):
     """r6: (a) parse_sitemaps handles urlset vs sitemapindex, optional
     lastmod, and drops empty locs; (b) frontier_schedule interleaves
