@@ -1047,6 +1047,59 @@ def _web_frontier_schedule(spark, sf_dir):
     return frontier_schedule(urls, n_parts=8)
 
 
+def _capstone_crawl_schedule(spark, sf_dir):
+    """Round-6 capstone: the crawl-SEEDING DAG composed from this
+    round's web operators in one plan — robots Sitemap-directive
+    discovery -> sitemap XML parse (2 locs per sitemap; every 3rd doc
+    lists a /private page) -> robots Disallow filter (broadcast rules;
+    even hosts disallow /private) -> politeness frontier schedule
+    (per-host round-robin rank + distributed global fetch sequence).
+    Every stage mirrored first-principles in the DuckDB oracle."""
+    from powerpoint_context_extractor_spark.operators.robots import (
+        apply_robots, parse_sitemap_directives,
+    )
+    from powerpoint_context_extractor_spark.operators.weblinks import (
+        frontier_schedule, parse_sitemaps,
+    )
+    d = _t(spark, sf_dir, "documents")
+    h = F.col("doc_id") % 10
+    robots_bodies = spark.range(10).select(
+        F.format_string("h%d.example", F.col("id")).alias("host"),
+        F.concat(
+            F.format_string(
+                "Sitemap: https://h%d.example/sm.xml\n", F.col("id")),
+            F.when(F.col("id") % 2 == 0,
+                   F.lit("User-agent: *\nDisallow: /private\n"))
+            .otherwise(F.lit("User-agent: *\nDisallow:\n")))
+        .alias("robots_txt"))
+    # stage 1: the directive parse runs (its output is the seed LIST;
+    # the per-doc sitemap files below stand in for having fetched it)
+    seeds = parse_sitemap_directives(robots_bodies)
+    sm_xml = F.format_string(
+        '<urlset><url><loc>https://h%d.example/docs/%d</loc></url>'
+        "<url><loc>https://h%d.example/%s/%d</loc></url></urlset>",
+        h, F.col("doc_id") * 2, h,
+        F.when(F.col("doc_id") % 3 == 0, F.lit("private"))
+        .otherwise(F.lit("docs")),
+        F.col("doc_id") * 2 + 1)
+    sitemaps = d.select(
+        F.format_string("https://h%d.example/sm%d.xml", h,
+                        F.col("doc_id")).alias("url"),
+        sm_xml.alias("xml"))
+    locs = parse_sitemaps(sitemaps).select(F.col("loc").alias("url"))
+    pages = locs.select(
+        "url",
+        F.regexp_extract("url", r"^https://([^/]+)/", 1).alias("host"),
+        F.regexp_replace("url", r"^https://[^/]+", "").alias("path"))
+    allowed = (apply_robots(pages, robots_bodies)
+               .filter(F.col("allowed") == 1))
+    # only hosts whose robots advertised a sitemap stay in the crawl
+    # (keeps stage 1 load-bearing in the plan)
+    seeded = allowed.join(F.broadcast(seeds.select("host")),
+                          "host", "left_semi")
+    return frontier_schedule(seeded, n_parts=8)
+
+
 def _web_robots_sitemaps(spark, sf_dir):
     """robots.txt Sitemap-directive discovery (r6 — RFC 9309 §2.3,
     the seed step before web_sitemap_urls): bodies carry mixed-case
@@ -2385,6 +2438,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_features_png16": _mm_features_png16,
         "web_robots_sitemaps": _web_robots_sitemaps,
         "mm_video_scene_cuts": _mm_video_scene_cuts,
+        "capstone_crawl_schedule": _capstone_crawl_schedule,
         "dedup_cdc_chunks": _dedup_cdc_chunks,
         "text_contamination": _text_contamination,
         "text_hash_classifier": _text_hash_classifier,
@@ -4716,6 +4770,38 @@ def oracle_sql() -> dict[str, str]:
         SELECT p.user_id, p.event_id, p.t, iv.iv_id, iv.s, iv.e
         FROM p JOIN iv ON p.user_id = iv.user_id
                       AND p.t >= iv.s AND p.t < iv.e
+    """
+    d["capstone_crawl_schedule"] = """
+        -- every stage first-principles: 2 locs per doc sitemap; loc 1
+        -- is /private on doc_id%3==0; even hosts (= even doc_ids,
+        -- host = doc_id%10) disallow /private; every host has a
+        -- Sitemap directive so the seed semi-join keeps all; then the
+        -- two frontier windows
+        WITH locs AS (
+          SELECT printf('https://h%d.example/docs/%d',
+                        doc_id % 10, doc_id*2) AS url,
+                 printf('h%d.example', doc_id % 10) AS host
+          FROM documents
+          UNION ALL
+          SELECT printf('https://h%d.example/%s/%d', doc_id % 10,
+                        CASE WHEN doc_id % 3 = 0 THEN 'private'
+                             ELSE 'docs' END, doc_id*2 + 1),
+                 printf('h%d.example', doc_id % 10)
+          FROM documents
+        ),
+        allowed AS (
+          SELECT url, host FROM locs
+          WHERE NOT (url LIKE '%/private/%'
+                     AND CAST(substr(host, 2, 1) AS INTEGER) % 2 = 0)
+        ),
+        r AS (SELECT url, host,
+                     CAST(row_number() OVER (PARTITION BY host
+                       ORDER BY url) AS BIGINT) AS rank
+              FROM allowed)
+        SELECT url, host, rank,
+               CAST(row_number() OVER (ORDER BY rank, host, url) - 1
+                    AS BIGINT) AS fetch_seq
+        FROM r
     """
     d["web_robots_sitemaps"] = """
         SELECT printf('h%d', doc_id) AS host,
