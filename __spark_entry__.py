@@ -1891,6 +1891,18 @@ def _mm_features_png_lowdepth(spark, sf_dir):
     return extract_png_lowdepth_features(_t(spark, sf_dir, "documents"))
 
 
+def _mm_features_flac_ms(spark, sf_dir):
+    """Mid/side + order-2 LPC FLAC under the correctness gate (r6 —
+    the two decode paths beyond the fixed subset: quantized-coefficient
+    LPC reconstruction and the (bps+1)-bit side-channel stereo
+    inverse). Lossless, so the per-channel stats equal the stereo
+    formula exactly."""
+    from powerpoint_context_extractor_spark.operators.multimodal import (
+        extract_flac_ms_features,
+    )
+    return extract_flac_ms_features(_t(spark, sf_dir, "documents"))
+
+
 def _mm_video_scene_cuts(spark, sf_dir):
     """Scene-cut detection over decoded video (r6 — the pre-caption
     frame-sampling heuristic): per consecutive frame pair of the
@@ -2439,6 +2451,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_robots_sitemaps": _web_robots_sitemaps,
         "mm_video_scene_cuts": _mm_video_scene_cuts,
         "capstone_crawl_schedule": _capstone_crawl_schedule,
+        "mm_features_flac_ms": _mm_features_flac_ms,
         "dedup_cdc_chunks": _dedup_cdc_chunks,
         "text_contamination": _text_contamination,
         "text_hash_classifier": _text_hash_classifier,
@@ -3603,6 +3616,25 @@ def oracle_sql() -> dict[str, str]:
                CAST(sum(abs(v)) AS BIGINT) AS abs_sum,
                CAST(min(v) AS BIGINT) AS s_min,
                CAST(max(v) AS BIGINT) AS s_max
+        FROM s GROUP BY doc_id
+    """
+    d["mm_features_flac_ms"] = """
+        -- frozen stereo rule (r6): frame i, L = ((doc_id*89+i*31)
+        -- % 4001) - 2000, R = ((doc_id*53+i*17) % 4001) - 2000;
+        -- lossless through LPC + mid/side
+        WITH s AS (
+          SELECT d.doc_id,
+                 ((d.doc_id*89 + t.i*31) % 4001) - 2000 AS l,
+                 ((d.doc_id*53 + t.i*17) % 4001) - 2000 AS r
+          FROM documents d, range(0, 64) t(i)
+        )
+        SELECT doc_id,
+               CAST(8000 AS BIGINT) AS sample_rate,
+               CAST(64 AS BIGINT) AS n_frames,
+               CAST(sum(abs(l)) AS BIGINT) AS l_abs_sum,
+               CAST(sum(abs(r)) AS BIGINT) AS r_abs_sum,
+               CAST(least(min(l), min(r)) AS BIGINT) AS s_min,
+               CAST(greatest(max(l), max(r)) AS BIGINT) AS s_max
         FROM s GROUP BY doc_id
     """
     d["mm_features_wav_ulaw"] = """

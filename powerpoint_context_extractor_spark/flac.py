@@ -6,10 +6,13 @@ Lossless means the decode is bit-exact by construction, so decoded
 sample statistics sit directly under the integer oracle.
 
 Subset (honest ValueError outside it): 8/12/16/20/24-bit samples,
-mono or independent stereo channels (no left/side, right/side or
-mid/side decorrelation), CONSTANT / VERBATIM / FIXED(0-4) subframes
-(LPC raises), Rice residual method 0 with any partition order and the
-5-bit raw-bits escape, wasted-bits shifting, fixed-blocksize streams.
+mono or stereo — independent channels AND all three decorrelations
+(left/side, right/side, mid/side; the side channel carries bps+1
+bits), CONSTANT / VERBATIM / FIXED(0-4) / LPC subframes (any order
+and quantized-coefficient precision on decode; the encoder emits an
+order-2 model), Rice residual method 0 with any partition order and
+the 5-bit raw-bits escape, wasted-bits shifting, fixed-blocksize
+streams.
 STREAMINFO is required first; other metadata blocks are skipped.
 Frame header CRC-8 and whole-frame CRC-16 are verified; the
 STREAMINFO MD5 of the unencoded audio is written by the encoder and
@@ -193,9 +196,17 @@ def _read_residual(r: _BitReader, block_size: int, order: int) -> list:
     return out
 
 
-def _encode_subframe(w: _BitWriter, ch_samples: list, bps: int) -> None:
+# the encoder's one LPC model (order 2, precision 12, shift 10):
+# prediction = (1536*s[i-1] - 512*s[i-2]) >> 10, i.e. 1.5/-0.5 — a
+# deliberately NON-fixed predictor so LPC decode is distinguishable
+# from fixed(2)
+_LPC_COEFS, _LPC_PREC, _LPC_SHIFT = (1536, -512), 12, 10
+
+
+def _encode_subframe(w: _BitWriter, ch_samples: list, bps: int,
+                     use_lpc: bool = False) -> None:
     n = len(ch_samples)
-    if all(s == ch_samples[0] for s in ch_samples):
+    if n and all(s == ch_samples[0] for s in ch_samples):
         w.put(0, 1)
         w.put(0b000000, 6)            # CONSTANT
         w.put(0, 1)
@@ -208,9 +219,25 @@ def _encode_subframe(w: _BitWriter, ch_samples: list, bps: int) -> None:
         for s in ch_samples:
             w.put_signed(s, bps)
         return
-    order = 2                         # FIXED order 2
+    order = 2
+    if use_lpc:
+        w.put(0, 1)
+        w.put(0b100000 | (order - 1), 6)     # LPC, order 2
+        w.put(0, 1)
+        for s in ch_samples[:order]:
+            w.put_signed(s, bps)
+        w.put(_LPC_PREC - 1, 4)
+        w.put_signed(_LPC_SHIFT, 5)
+        for c in _LPC_COEFS:
+            w.put_signed(c, _LPC_PREC)
+        res = [ch_samples[i]
+               - ((_LPC_COEFS[0] * ch_samples[i - 1]
+                   + _LPC_COEFS[1] * ch_samples[i - 2]) >> _LPC_SHIFT)
+               for i in range(order, n)]
+        _write_residual(w, res)
+        return
     w.put(0, 1)
-    w.put(0b001000 | order, 6)
+    w.put(0b001000 | order, 6)        # FIXED order 2
     w.put(0, 1)
     for s in ch_samples[:order]:
         w.put_signed(s, bps)
@@ -219,14 +246,26 @@ def _encode_subframe(w: _BitWriter, ch_samples: list, bps: int) -> None:
     _write_residual(w, res)
 
 
+_STEREO_CODES = {"independent": None, "left_side": 8,
+                 "right_side": 9, "mid_side": 10}
+
+
 def render_flac(samples: list, sample_rate: int = 8000,
                 channels: int = 1, bps: int = 16,
-                block_size: int = 4096) -> bytes:
+                block_size: int = 4096, use_lpc: bool = False,
+                stereo_mode: str = "independent") -> bytes:
     """Encode interleaved integer ``samples`` as a FLAC stream
-    (constant / verbatim / fixed(2) subframes, rice partition order
-    0). Lossless: decode_flac returns exactly ``samples``."""
+    (constant / verbatim / fixed(2) — or order-2 LPC with
+    ``use_lpc`` — subframes, rice partition order 0). ``stereo_mode``
+    picks a decorrelation for 2-channel input: left_side / right_side
+    / mid_side store a (bps+1)-bit difference channel, per spec.
+    Lossless in every mode: decode_flac returns exactly ``samples``."""
     if channels not in (1, 2):
         raise ValueError("flac: 1 or 2 channels only")
+    if stereo_mode not in _STEREO_CODES:
+        raise ValueError(f"flac: unknown stereo mode {stereo_mode!r}")
+    if stereo_mode != "independent" and channels != 2:
+        raise ValueError("flac: stereo decorrelation needs 2 channels")
     if bps not in (8, 12, 16, 20, 24):
         raise ValueError("flac: unsupported bits per sample")
     if len(samples) % channels:
@@ -267,7 +306,8 @@ def render_flac(samples: list, sample_rate: int = 8000,
         fw.put(0, 1)                  # fixed blocksize stream
         fw.put(0b0111, 4)             # blocksize: 16-bit at header end
         fw.put(0b0000, 4)             # rate: from STREAMINFO
-        fw.put(channels - 1, 4)       # independent channels
+        chan_code = _STEREO_CODES[stereo_mode]
+        fw.put(channels - 1 if chan_code is None else chan_code, 4)
         fw.put({8: 0b001, 12: 0b010, 16: 0b100, 20: 0b101,
                 24: 0b110}[bps], 3)
         fw.put(0, 1)                  # reserved
@@ -277,8 +317,23 @@ def render_flac(samples: list, sample_rate: int = 8000,
         hdr += struct.pack(">H", bs - 1)
         hdr.append(_crc8(bytes(hdr)))
         bw = _BitWriter()
-        for c in range(channels):
-            _encode_subframe(bw, chans[c][off:off + bs], bps)
+        if chan_code is None:
+            for c in range(channels):
+                _encode_subframe(bw, chans[c][off:off + bs], bps,
+                                 use_lpc)
+        else:
+            left = chans[0][off:off + bs]
+            right = chans[1][off:off + bs]
+            side = [a - b for a, b in zip(left, right)]
+            if chan_code == 8:        # left/side
+                subs = [(left, bps), (side, bps + 1)]
+            elif chan_code == 9:      # right/side
+                subs = [(side, bps + 1), (right, bps)]
+            else:                     # mid/side
+                mid = [(a + b) >> 1 for a, b in zip(left, right)]
+                subs = [(mid, bps), (side, bps + 1)]
+            for ch_samples, sub_bps in subs:
+                _encode_subframe(bw, ch_samples, sub_bps, use_lpc)
         bw.pad_to_byte()
         frame = bytes(hdr) + bw.bytes()
         out += frame + struct.pack(">H", _crc16(frame))
@@ -306,8 +361,20 @@ def _decode_subframe(r: _BitReader, bs: int, bps: int) -> list:
             pred = sum(c * out[-1 - k] for k, c in enumerate(coef))
             out.append(v + pred)
     elif ftype >= 0b100000:
-        raise ValueError("flac: LPC subframes unsupported (subset is "
-                         "constant/verbatim/fixed)")
+        order = (ftype & 0x1F) + 1
+        out = [r.get_signed(bps) for _ in range(order)]
+        prec = r.get(4) + 1
+        if prec == 16:                # 0b1111 is invalid per spec
+            raise ValueError("flac: invalid LPC precision code")
+        shift = r.get_signed(5)
+        if shift < 0:
+            raise ValueError("flac: negative LPC shift")
+        coefs = [r.get_signed(prec) for _ in range(order)]
+        res = _read_residual(r, bs, order)
+        for v in res:
+            pred = sum(c * out[-1 - k]
+                       for k, c in enumerate(coefs)) >> shift
+            out.append(v + pred)
     else:
         raise ValueError(f"flac: reserved subframe type {ftype:06b}")
     return [s << wasted for s in out] if wasted else out
@@ -398,11 +465,13 @@ def decode_flac(data: bytes) -> tuple:
             raise ValueError("flac: invalid sample rate code")
         if frate != rate:
             raise ValueError("flac: frame rate != STREAMINFO rate")
-        if chan_code >= 8:
-            raise ValueError("flac: stereo decorrelation unsupported "
-                             "(subset is independent channels)")
-        if chan_code + 1 != channels:
+        if chan_code > 10:
+            raise ValueError("flac: reserved channel assignment")
+        if chan_code < 8 and chan_code + 1 != channels:
             raise ValueError("flac: frame channels != STREAMINFO")
+        if chan_code >= 8 and channels != 2:
+            raise ValueError("flac: decorrelated frame in non-stereo "
+                             "stream")
         fbps = bps if bps_code == 0 else _BPS_TABLE.get(bps_code)
         if fbps is None:
             raise ValueError("flac: reserved sample size code")
@@ -415,8 +484,27 @@ def decode_flac(data: bytes) -> tuple:
         if _crc8(data[start:hdr_end]) != data[hdr_end]:
             raise ValueError("flac: frame header CRC-8 mismatch")
         r.byte = hdr_end + 1          # consume the CRC-8 byte
-        for c in range(channels):
-            chans[c].extend(_decode_subframe(r, bs, bps))
+        if chan_code < 8:
+            for c in range(channels):
+                chans[c].extend(_decode_subframe(r, bs, bps))
+        else:
+            # decorrelated stereo: the SIDE subframe carries bps+1
+            b0, b1 = ((bps, bps + 1) if chan_code in (8, 10)
+                      else (bps + 1, bps))
+            s0 = _decode_subframe(r, bs, b0)
+            s1 = _decode_subframe(r, bs, b1)
+            if chan_code == 8:                    # left/side
+                left, right = s0, [a - b for a, b in zip(s0, s1)]
+            elif chan_code == 9:                  # right/side
+                left, right = [a + b for a, b in zip(s1, s0)], s1
+            else:                                 # mid/side
+                left, right = [], []
+                for m, s in zip(s0, s1):
+                    m2 = (m << 1) | (s & 1)
+                    left.append((m2 + s) >> 1)
+                    right.append((m2 - s) >> 1)
+            chans[0].extend(left)
+            chans[1].extend(right)
         r.align()
         if r.byte + 2 > len(data):
             raise ValueError("flac: truncated frame CRC")

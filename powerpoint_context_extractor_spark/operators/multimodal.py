@@ -1347,3 +1347,55 @@ def extract_video_scene_cuts(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id").mapInPandas(
         _batches,
         schema="doc_id long, frame_id long, sad long, is_cut long")
+
+
+# --- decorrelated-stereo LPC FLAC contract path (r6) -----------------------
+
+def flac_ms_samples_for_doc(doc_id: int) -> list:
+    """Frozen stereo rule: frame i has L = ((doc_id*89 + i*31) % 4001)
+    - 2000 and R = ((doc_id*53 + i*17) % 4001) - 2000, interleaved."""
+    out = []
+    for i in range(FLAC_N):
+        out.append(((doc_id * 89 + i * 31) % 4001) - 2000)
+        out.append(((doc_id * 53 + i * 17) % 4001) - 2000)
+    return out
+
+
+def flac_ms_payload_for_doc(doc_id: int) -> bytes:
+    """Mid/side + order-2 LPC FLAC (the two decode paths beyond the
+    fixed-predictor subset): block_size=16 -> 4 frames, side channel
+    at bps+1. Lossless, so the decode must reproduce the formula
+    bit-exactly through BOTH the LPC reconstruction and the mid/side
+    inverse."""
+    return render_flac(flac_ms_samples_for_doc(doc_id), sample_rate=8000,
+                       channels=2, bps=16, block_size=16,
+                       use_lpc=True, stereo_mode="mid_side")
+
+
+def extract_flac_ms_features(docs: DataFrame) -> DataFrame:
+    """Render + decode a mid/side LPC FLAC per documents row; emits
+    per-channel exact statistics."""
+
+    def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("doc_id", "sample_rate", "n_frames",
+                                   "l_abs_sum", "r_abs_sum", "s_min",
+                                   "s_max")}
+            for doc_id in pdf["doc_id"].tolist():
+                rate, ch, samples = decode_flac(
+                    flac_ms_payload_for_doc(doc_id))
+                assert ch == 2
+                left, right = samples[0::2], samples[1::2]
+                out["doc_id"].append(doc_id)
+                out["sample_rate"].append(rate)
+                out["n_frames"].append(len(left))
+                out["l_abs_sum"].append(sum(abs(s) for s in left))
+                out["r_abs_sum"].append(sum(abs(s) for s in right))
+                out["s_min"].append(min(samples))
+                out["s_max"].append(max(samples))
+            yield pd.DataFrame(out)
+
+    return docs.select("doc_id").mapInPandas(
+        _batches, schema="doc_id long, sample_rate long, n_frames long, "
+                         "l_abs_sum long, r_abs_sum long, s_min long, "
+                         "s_max long")

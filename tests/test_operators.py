@@ -518,6 +518,17 @@ def test_flac_roundtrip_and_integrity():
     # >128 frames forces a 2-byte UTF-8 frame number
     long = [(i * 7) % 2000 - 1000 for i in range(140 * 16)]
     assert decode_flac(render_flac(long, block_size=16))[2] == long
+    # LPC + all three stereo decorrelations roundtrip bit-exactly,
+    # incl. full-scale samples (side channel needs bps+1 bits)
+    ext = [-32768, 32767] * 40 + [rng.randrange(-32768, 32768)
+                                  for _ in range(80)]
+    for mode in ("left_side", "right_side", "mid_side"):
+        for lpc in (False, True):
+            data = render_flac(ext, channels=2, block_size=16,
+                               use_lpc=lpc, stereo_mode=mode)
+            assert decode_flac(data)[2] == ext, (mode, lpc)
+    with pytest.raises(ValueError, match="stereo"):
+        render_flac([0] * 4, channels=1, stereo_mode="mid_side")
     # integrity: corrupt a mid-stream byte -> CRC or MD5 must reject
     data = bytearray(render_flac([(i * 3) % 500 - 250
                                   for i in range(200)]))
