@@ -1047,6 +1047,22 @@ def _web_frontier_schedule(spark, sf_dir):
     return frontier_schedule(urls, n_parts=8)
 
 
+def _agg_theta_sketch(spark, sf_dir):
+    """KMV/theta distinct-count sketch per group (r6 — the sketch
+    whose ENTIRE state is oracle-exact: the k smallest distinct
+    hashes ARE the sketch): groups = source, plus a planted 'tiny'
+    group (< k keys) that must take the exact-count branch; the
+    integer estimate (k-1)*2^32 div kth rides under the hash too."""
+    from powerpoint_context_extractor_spark.operators.sketches import (
+        theta_sketch,
+    )
+    d = _t(spark, sf_dir, "documents").select(
+        F.when(F.col("doc_id") < 5, F.lit("tiny"))
+        .otherwise(F.col("source")).alias("src"),
+        F.format_string("k%d", F.col("doc_id")).alias("k"))
+    return theta_sketch(d, "k", "src", k=32)
+
+
 def _capstone_crawl_schedule(spark, sf_dir):
     """Round-6 capstone: the crawl-SEEDING DAG composed from this
     round's web operators in one plan — robots Sitemap-directive
@@ -2452,6 +2468,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_video_scene_cuts": _mm_video_scene_cuts,
         "capstone_crawl_schedule": _capstone_crawl_schedule,
         "mm_features_flac_ms": _mm_features_flac_ms,
+        "agg_theta_sketch": _agg_theta_sketch,
         "dedup_cdc_chunks": _dedup_cdc_chunks,
         "text_contamination": _text_contamination,
         "text_hash_classifier": _text_hash_classifier,
@@ -5129,6 +5146,37 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT register, CAST(max(r) AS BIGINT) AS max_rho
         FROM rho GROUP BY register
+    """
+    d["agg_theta_sketch"] = """
+        -- KMV mirrored from sketches.theta_sketch: k=32 smallest
+        -- distinct 32-bit md5 hashes per group; est = 31*2^32 div kth
+        -- (groups with < 32 keys: exact distinct count)
+        WITH src AS (
+          SELECT CASE WHEN doc_id < 5 THEN 'tiny' ELSE source END
+                   AS src,
+                 ('0x' || substr(md5(printf('k%d', doc_id)), 1, 8))
+                   ::BIGINT AS hval
+          FROM documents
+        ),
+        dist AS (SELECT DISTINCT src, hval FROM src),
+        ranked AS (
+          SELECT src, hval,
+                 row_number() OVER (PARTITION BY src
+                                    ORDER BY hval) AS rank,
+                 COUNT(*) OVER (PARTITION BY src) AS n_seen
+          FROM dist
+        ),
+        keep AS (SELECT * FROM ranked WHERE rank <= 32),
+        kth AS (SELECT src,
+                       max(CASE WHEN rank = 32 THEN hval END) AS kth,
+                       max(n_seen) AS n_all
+                FROM keep GROUP BY src)
+        SELECT keep.src, CAST(rank AS BIGINT) AS rank,
+               CAST(hval AS BIGINT) AS hval,
+               CAST(CASE WHEN kth IS NULL THEN n_all
+                         ELSE (31 * 4294967296) // kth END AS BIGINT)
+                 AS est
+        FROM keep JOIN kth USING (src)
     """
     d["join_bloom_prefilter"] = """
         -- bloom bitmap mirrored from joins.bloom_prefilter: 3 hashes

@@ -63,3 +63,46 @@ def hll_estimate(registers: dict, p: int = 8) -> float:
         if zeros:
             est = m * math.log(m / zeros)
     return est
+
+
+def theta_sketch(df: DataFrame, key_col: str, group_col: str,
+                 k: int = 32) -> DataFrame:
+    """KMV/theta sketch (Bar-Yossef et al. 2002 / DataSketches theta,
+    public method) per group: the k SMALLEST distinct 32-bit hashes of
+    the group's keys — the sketch whose ENTIRE state is an exact SQL
+    expression (ORDER BY hash LIMIT k), unlike register sketches.
+    Emits (group, rank, hval, est): est rides on the k-th value,
+    (k-1) * 2^32 div hval_k (integer-exact, so it sits under the
+    oracle hash too); groups with < k distinct keys get est = their
+    exact distinct count.
+
+    Scale shape: distinct-hash collapse (combiner-friendly groupBy),
+    then a per-group rank window over the collapsed table — per-group
+    state is the group's distinct-hash set, and the output is k rows
+    per group no matter how big the table. Sketches of partitions
+    union by "merge, dedup, keep k smallest" — the same query shape.
+    """
+    from pyspark.sql import Window as W
+    if k < 2:
+        raise ValueError("theta_sketch: k must be >= 2")
+    h = F.conv(F.substring(F.md5(F.col(key_col)), 1, 8), 16, 10) \
+        .cast("long")
+    hashes = (df.select(F.col(group_col).alias("grp"), h.alias("hval"))
+              .groupBy("grp", "hval").agg(F.lit(1)))
+    w = W.partitionBy("grp").orderBy("hval")
+    ranked = (hashes
+              .withColumn("rank", F.row_number().over(w))
+              .withColumn("n_seen", F.count(F.lit(1)).over(
+                  W.partitionBy("grp")))
+              .filter(F.col("rank") <= k))
+    kth = (ranked.groupBy("grp")
+           .agg(F.max(F.when(F.col("rank") == k, F.col("hval")))
+                .alias("kth"),
+                F.max("n_seen").alias("n_all")))
+    est = (F.when(F.col("kth").isNull(), F.col("n_all"))
+           .otherwise(F.expr(f"({k} - 1) * 4294967296 div kth")))
+    return (ranked.drop("n_seen").join(kth, "grp")
+            .select(F.col("grp").alias(group_col),
+                    F.col("rank").cast("long"),
+                    F.col("hval").cast("long"),
+                    est.cast("long").alias("est")))

@@ -1903,6 +1903,41 @@ def test_cdx_spans_are_real_and_surt_twins_agree(spark, tmp_path):
         assert keys == sorted(keys), part
 
 
+def test_theta_sketch_estimate_and_merge(spark):
+    """r6: the KMV estimate lands within 3/sqrt(k) relative error of
+    the true distinct count on a 4000-key group; an under-k group
+    returns its exact count; merging two halves' sketches (union,
+    dedup, keep k smallest) equals the whole-table sketch; k<2
+    raises."""
+    from powerpoint_context_extractor_spark.operators.sketches import (
+        theta_sketch,
+    )
+    rows = ([("big", f"key{i}") for i in range(4000)]
+            + [("small", f"s{i}") for i in range(7)])
+    df = spark.createDataFrame(rows, "grp string, k string")
+    sk = theta_sketch(df, "k", "grp", k=64).collect()
+    by_grp: dict = {}
+    for r in sk:
+        by_grp.setdefault(r["grp"], []).append(r)
+    assert len(by_grp["big"]) == 64
+    est = by_grp["big"][0]["est"]
+    assert abs(est - 4000) / 4000 < 3 / (64 ** 0.5), est
+    assert len(by_grp["small"]) == 7
+    assert by_grp["small"][0]["est"] == 7
+    # merge property: sketch(half1 U half2) == sketch(whole)
+    whole = sorted((r["rank"], r["hval"]) for r in by_grp["big"])
+    h1 = spark.createDataFrame(rows[:2000], "grp string, k string")
+    h2 = spark.createDataFrame(rows[2000:4000], "grp string, k string")
+    merged_hashes = sorted(set(
+        r["hval"] for r in theta_sketch(h1, "k", "grp", k=64).collect()
+    ) | set(
+        r["hval"] for r in theta_sketch(h2, "k", "grp", k=64).collect()
+    ))[:64]
+    assert [h for _rk, h in whole] == merged_hashes
+    with pytest.raises(ValueError, match="theta"):
+        theta_sketch(df, "k", "grp", k=1)
+
+
 def test_interval_join_banded_equals_nested_loop(spark):
     """r6: the banded interval join equals the raw inequality join
     for several band widths (boundary points land in one bucket,
