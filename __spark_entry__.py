@@ -1047,6 +1047,45 @@ def _web_frontier_schedule(spark, sf_dir):
     return frontier_schedule(urls, n_parts=8)
 
 
+def _pipeline_data_card(spark, sf_dir):
+    """Dataset data-card summary (r6 — the release-notes table every
+    corpus ships with): one aggregation pass over documents reshaped
+    to (metric, value) rows — doc count, total/min/max chars, distinct
+    languages/sources, distinct text digests (exact dup signal). The
+    three exact count-distincts ride Spark's expand (3x the scan rows
+    pre-combine) — the honest cost of exactness; swap in the theta
+    sketch when approximate is acceptable at 100 TB."""
+    d = _t(spark, sf_dir, "documents")
+    agg = d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.min("n_chars").cast("long").alias("min_chars"),
+        F.max("n_chars").cast("long").alias("max_chars"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.countDistinct(F.md5("text")).alias("n_distinct_texts"))
+    return agg.selectExpr(
+        "stack(7, 'n_docs', n_docs, 'total_chars', total_chars, "
+        "'min_chars', min_chars, 'max_chars', max_chars, "
+        "'n_langs', n_langs, 'n_sources', n_sources, "
+        "'n_distinct_texts', n_distinct_texts) AS (metric, value)")
+
+
+def _agg_count_min(spark, sf_dir):
+    """Count-min frequency sketch (r6 — the linear-mergeable
+    frequency matrix): a skewed key stream ('hot' on every 4th doc)
+    hashed into a 4x256 counter matrix; like the theta sketch the
+    full state is oracle-exact, cell for cell."""
+    from powerpoint_context_extractor_spark.operators.sketches import (
+        count_min_sketch,
+    )
+    d = _t(spark, sf_dir, "documents").select(
+        F.when(F.col("doc_id") % 4 == 0, F.lit("hot"))
+        .otherwise(F.format_string("k%d", F.col("doc_id") % 97))
+        .alias("k"))
+    return count_min_sketch(d, "k", w=256, d=4)
+
+
 def _agg_theta_sketch(spark, sf_dir):
     """KMV/theta distinct-count sketch per group (r6 — the sketch
     whose ENTIRE state is oracle-exact: the k smallest distinct
@@ -2469,6 +2508,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "capstone_crawl_schedule": _capstone_crawl_schedule,
         "mm_features_flac_ms": _mm_features_flac_ms,
         "agg_theta_sketch": _agg_theta_sketch,
+        "agg_count_min": _agg_count_min,
+        "pipeline_data_card": _pipeline_data_card,
         "dedup_cdc_chunks": _dedup_cdc_chunks,
         "text_contamination": _text_contamination,
         "text_hash_classifier": _text_hash_classifier,
@@ -5146,6 +5187,44 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT register, CAST(max(r) AS BIGINT) AS max_rho
         FROM rho GROUP BY register
+    """
+    d["pipeline_data_card"] = """
+        SELECT 'n_docs' AS metric, CAST(COUNT(*) AS BIGINT) AS value
+        FROM documents
+        UNION ALL SELECT 'total_chars', CAST(SUM(n_chars) AS BIGINT)
+        FROM documents
+        UNION ALL SELECT 'min_chars', CAST(MIN(n_chars) AS BIGINT)
+        FROM documents
+        UNION ALL SELECT 'max_chars', CAST(MAX(n_chars) AS BIGINT)
+        FROM documents
+        UNION ALL SELECT 'n_langs',
+                         CAST(COUNT(DISTINCT lang) AS BIGINT)
+        FROM documents
+        UNION ALL SELECT 'n_sources',
+                         CAST(COUNT(DISTINCT source) AS BIGINT)
+        FROM documents
+        UNION ALL SELECT 'n_distinct_texts',
+                         CAST(COUNT(DISTINCT md5(text)) AS BIGINT)
+        FROM documents
+    """
+    d["agg_count_min"] = """
+        -- CM matrix mirrored from sketches.count_min_sketch:
+        -- cell (j, H('cm{j}|'||key) % 256) summed
+        WITH src AS (
+          SELECT CASE WHEN doc_id % 4 = 0 THEN 'hot'
+                      ELSE printf('k%d', doc_id % 97) END AS k
+          FROM documents
+        ),
+        cells AS (
+          SELECT j.j AS row,
+                 ('0x' || substr(md5('cm' || CAST(j.j AS VARCHAR)
+                                     || '|' || k), 1, 8))::BIGINT
+                 % 256 AS col
+          FROM src, range(0, 4) j(j)
+        )
+        SELECT CAST(row AS BIGINT) AS row, CAST(col AS BIGINT) AS col,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM cells GROUP BY row, col
     """
     d["agg_theta_sketch"] = """
         -- KMV mirrored from sketches.theta_sketch: k=32 smallest

@@ -1938,6 +1938,37 @@ def test_theta_sketch_estimate_and_merge(spark):
         theta_sketch(df, "k", "grp", k=1)
 
 
+def test_count_min_overestimates_and_merges(spark):
+    """r6: CM point estimates are NEVER below the true count, the hot
+    key's estimate is exact-or-near on a skewed stream, and cell-wise
+    SUM of two halves' sketches equals the whole sketch (linearity)."""
+    from powerpoint_context_extractor_spark.operators.sketches import (
+        count_min_estimate, count_min_sketch,
+    )
+    rows = ([("hot",)] * 500
+            + [(f"k{i % 40}",) for i in range(800)])
+    df = spark.createDataFrame(rows, "k string")
+    cells = {(r["row"], r["col"]): r["cnt"]
+             for r in count_min_sketch(df, "k", w=256, d=4).collect()}
+    truth = {"hot": 500}
+    for i in range(40):
+        truth[f"k{i}"] = 20
+    for key, t in truth.items():
+        est = count_min_estimate(cells, key, w=256, d=4)
+        assert est >= t, (key, est, t)
+        assert est <= t + 800 * 4 // 256 + 1, (key, est, t)  # CM bound-ish
+    h1 = spark.createDataFrame(rows[:650], "k string")
+    h2 = spark.createDataFrame(rows[650:], "k string")
+    merged: dict = {}
+    for half in (h1, h2):
+        for r in count_min_sketch(half, "k", w=256, d=4).collect():
+            merged[(r["row"], r["col"])] = \
+                merged.get((r["row"], r["col"]), 0) + r["cnt"]
+    assert merged == cells
+    with pytest.raises(ValueError, match="count_min"):
+        count_min_sketch(df, "k", w=1)
+
+
 def test_interval_join_banded_equals_nested_loop(spark):
     """r6: the banded interval join equals the raw inequality join
     for several band widths (boundary points land in one bucket,
