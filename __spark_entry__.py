@@ -1047,6 +1047,29 @@ def _web_frontier_schedule(spark, sf_dir):
     return frontier_schedule(urls, n_parts=8)
 
 
+# Cyrillic р-а-у-р-а + ASCII l — "paypal" in lookalikes (explicit
+# escapes; never type homoglyphs into source)
+_CONF_SPOOF = "\u0440\u0430\u0443\u0440\u0430l"
+
+
+def _text_confusables(spark, sf_dir):
+    """Homoglyph-spoof detection (r6): every 3rd doc gets a Cyrillic
+    'раураl' suffix, the rest the ASCII 'paypal' — the skeleton md5
+    must COLLIDE across the two spellings while n_confusables/flagged
+    separate them. Oracle uses the same frozen translate sets."""
+    from powerpoint_context_extractor_spark.operators.textstats import (
+        confusable_skeleton,
+    )
+    d = _t(spark, sf_dir, "documents")
+    spoof = _CONF_SPOOF
+    text2 = F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit(" " + spoof))
+        .otherwise(F.lit(" paypal")))
+    return confusable_skeleton(
+        d.select("doc_id", text2.alias("text")))
+
+
 def _pipeline_data_card(spark, sf_dir):
     """Dataset data-card summary (r6 — the release-notes table every
     corpus ships with): one aggregation pass over documents reshaped
@@ -2510,6 +2533,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_theta_sketch": _agg_theta_sketch,
         "agg_count_min": _agg_count_min,
         "pipeline_data_card": _pipeline_data_card,
+        "text_confusables": _text_confusables,
         "dedup_cdc_chunks": _dedup_cdc_chunks,
         "text_contamination": _text_contamination,
         "text_hash_classifier": _text_hash_classifier,
@@ -5187,6 +5211,28 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT register, CAST(max(r) AS BIGINT) AS max_rho
         FROM rho GROUP BY register
+    """
+    from powerpoint_context_extractor_spark.operators.textstats import (
+        CONFUSABLE_DST as _CD, CONFUSABLE_SRC as _CS,
+    )
+    d["text_confusables"] = f"""
+        -- same frozen translate sets; skeletons of the Cyrillic and
+        -- ASCII 'paypal' spellings must collide
+        WITH t AS (
+          SELECT doc_id,
+                 text || CASE WHEN doc_id % 3 = 0
+                              THEN ' {_CONF_SPOOF}'
+                              ELSE ' paypal' END AS tx
+          FROM documents
+        )
+        SELECT doc_id,
+               CAST(length(tx) - length(translate(tx, '{_CS}', ''))
+                    AS BIGINT) AS n_confusables,
+               CAST(CASE WHEN length(tx)
+                              - length(translate(tx, '{_CS}', '')) > 0
+                         THEN 1 ELSE 0 END AS BIGINT) AS flagged,
+               md5(translate(tx, '{_CS}', '{_CD}')) AS skeleton_md5
+        FROM t
     """
     d["pipeline_data_card"] = """
         SELECT 'n_docs' AS metric, CAST(COUNT(*) AS BIGINT) AS value

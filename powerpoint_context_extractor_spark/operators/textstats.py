@@ -619,3 +619,35 @@ def tfidf_topk(docs: DataFrame, id_col: str = "doc_id",
             .select("doc_id", "term", F.col("tf").cast("long"),
                     F.col("df").cast("long"), "score",
                     F.col("rank").cast("long")))
+
+
+# Frozen confusable subset (Unicode TR39 skeleton idea, public method):
+# Cyrillic lowercase/uppercase and Greek lookalikes -> ASCII. A frozen
+# SUBSET like the PSL list in urltools.py — swapping in the full
+# confusables.txt is a data change, not a code change.
+CONFUSABLE_SRC = ("аеорсухі"
+                  "ѕ"
+                  "АВЕКМНОР"
+                  "СТХ"
+                  "ορυχΟ")
+CONFUSABLE_DST = "aeopcyxisABEKMHOPCTXopuxO"
+assert len(CONFUSABLE_SRC) == len(CONFUSABLE_DST)
+
+
+def confusable_skeleton(docs: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """Homoglyph-spoof detection (the IDN/phishing signal a web corpus
+    screens for): map the frozen confusable set to ASCII with one
+    ``translate`` (single codegen expression, zero shuffle), count
+    replaced chars via the delete-form of translate, and emit the
+    skeleton's md5 so two visually-identical-but-differently-encoded
+    texts collide. (id, n_confusables, flagged, skeleton_md5)."""
+    t = F.col(text_col)
+    n_conf = (F.length(t)
+              - F.length(F.translate(t, CONFUSABLE_SRC, "")))
+    return docs.select(
+        F.col(id_col),
+        n_conf.cast("long").alias("n_confusables"),
+        (n_conf > 0).cast("long").alias("flagged"),
+        F.md5(F.translate(t, CONFUSABLE_SRC, CONFUSABLE_DST))
+        .alias("skeleton_md5"))

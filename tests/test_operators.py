@@ -1938,6 +1938,27 @@ def test_theta_sketch_estimate_and_merge(spark):
         theta_sketch(df, "k", "grp", k=1)
 
 
+def test_confusable_skeleton_collides_spoofs(spark):
+    """r6: the Cyrillic 'раураl' and ASCII 'paypal' produce the SAME
+    skeleton md5 (the spoof-detection property), differ in
+    n_confusables/flagged, and clean ASCII is untouched."""
+    from powerpoint_context_extractor_spark.operators.textstats import (
+        confusable_skeleton,
+    )
+    spoof = "раураl"
+    docs = spark.createDataFrame(
+        [(0, "paypal"), (1, spoof), (2, "hello world")],
+        "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in confusable_skeleton(docs).collect()}
+    assert rows[0]["skeleton_md5"] == rows[1]["skeleton_md5"]
+    assert (rows[0]["n_confusables"], rows[0]["flagged"]) == (0, 0)
+    assert (rows[1]["n_confusables"], rows[1]["flagged"]) == (5, 1)
+    assert rows[2]["n_confusables"] == 0
+    import hashlib
+    assert rows[2]["skeleton_md5"] == hashlib.md5(
+        b"hello world").hexdigest()
+
+
 def test_count_min_overestimates_and_merges(spark):
     """r6: CM point estimates are NEVER below the true count, the hot
     key's estimate is exact-or-near on a skewed stream, and cell-wise
