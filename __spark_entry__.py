@@ -1047,6 +1047,17 @@ def _web_frontier_schedule(spark, sf_dir):
     return frontier_schedule(urls, n_parts=8)
 
 
+def _mm_image_histogram(spark, sf_dir):
+    """Integer luma histogram over the real GIF decode (r6 — the
+    brightness profile for vision curation): luma = (299r + 587g +
+    114b)//1000, 4 bins; the oracle rebuilds every bin count from the
+    palette-index formula."""
+    from powerpoint_context_extractor_spark.operators.multimodal import (
+        extract_image_histogram,
+    )
+    return extract_image_histogram(_t(spark, sf_dir, "documents"))
+
+
 # Cyrillic р-а-у-р-а + ASCII l — "paypal" in lookalikes (explicit
 # escapes; never type homoglyphs into source)
 _CONF_SPOOF = "\u0440\u0430\u0443\u0440\u0430l"
@@ -2534,6 +2545,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_count_min": _agg_count_min,
         "pipeline_data_card": _pipeline_data_card,
         "text_confusables": _text_confusables,
+        "mm_image_histogram": _mm_image_histogram,
         "dedup_cdc_chunks": _dedup_cdc_chunks,
         "text_contamination": _text_contamination,
         "text_hash_classifier": _text_hash_classifier,
@@ -3422,6 +3434,22 @@ def oracle_sql() -> dict[str, str]:
                CAST(CASE WHEN SUM(ad) > 6000 THEN 1 ELSE 0 END
                     AS BIGINT) AS is_cut
         FROM p GROUP BY doc_id, f
+    """
+    d["mm_image_histogram"] = """
+        -- luma histogram from the GIF palette formula: index j ->
+        -- rgb = (idx*37%256, idx*59%256, idx*83%256), luma integer,
+        -- bin = luma*4//256, counts per non-empty bin
+        WITH px AS (
+          SELECT d.doc_id,
+                 (299 * ((((d.doc_id*31 + j.j) % 16) * 37) % 256)
+                + 587 * ((((d.doc_id*31 + j.j) % 16) * 59) % 256)
+                + 114 * ((((d.doc_id*31 + j.j) % 16) * 83) % 256))
+                 // 1000 AS luma
+          FROM documents d, range(0, 128) j(j)
+        )
+        SELECT doc_id, CAST(luma * 4 // 256 AS BIGINT) AS bin,
+               CAST(COUNT(*) AS BIGINT) AS n_px
+        FROM px GROUP BY doc_id, bin
     """
     d["mm_features_png16"] = """
         -- frozen 16-bit rule (r6): ch = (1,3,4)[doc_id%3], sample i =

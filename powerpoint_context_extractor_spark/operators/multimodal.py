@@ -1399,3 +1399,33 @@ def extract_flac_ms_features(docs: DataFrame) -> DataFrame:
         _batches, schema="doc_id long, sample_rate long, n_frames long, "
                          "l_abs_sum long, r_abs_sum long, s_min long, "
                          "s_max long")
+
+
+# --- image luma histogram (r6) ---------------------------------------------
+
+def extract_image_histogram(docs: DataFrame, bins: int = 4) -> DataFrame:
+    """Integer luma histogram over real decoded images (the brightness
+    profile vision-curation filters key on): luma = (299r + 587g +
+    114b) // 1000 per pixel of the GIF fixture decode, bin = luma *
+    bins // 256. Emits (doc_id, bin, n_px) — one row per NON-EMPTY
+    bin, exactly reconstructible from the palette formula."""
+
+    def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "bin": [], "n_px": []}
+            for doc_id in pdf["doc_id"].tolist():
+                _w, _h, _ch, px = decode_gif(gif_payload_for_doc(doc_id))
+                counts: dict = {}
+                for i in range(0, len(px), 3):
+                    luma = (299 * px[i] + 587 * px[i + 1]
+                            + 114 * px[i + 2]) // 1000
+                    b = luma * bins // 256
+                    counts[b] = counts.get(b, 0) + 1
+                for b in sorted(counts):
+                    out["doc_id"].append(doc_id)
+                    out["bin"].append(b)
+                    out["n_px"].append(counts[b])
+            yield pd.DataFrame(out)
+
+    return docs.select("doc_id").mapInPandas(
+        _batches, schema="doc_id long, bin long, n_px long")
