@@ -375,13 +375,23 @@ def test_png_rejects_corruption_and_unsupported():
     # palette index outside the PLTE is rejected at render time
     with _pytest.raises(ValueError, match="outside palette"):
         render_png(2, 1, b"\x00\x05", palette=[(1, 2, 3), (4, 5, 6)])
-    # 16-bit depth also outside the subset
+    # 16-bit depth is IN the subset since r6 — splicing a 16-bit IHDR
+    # onto 8-bit-sized scanlines now fails the length check, not the
+    # format gate
     ihdr16 = _struct.pack(">IIBBBBB", 2, 2, 16, 0, 0, 0, 0)
     chunk16 = (_struct.pack(">I", len(ihdr16)) + b"IHDR" + ihdr16
                + _struct.pack(">I", _zlib.crc32(b"IHDR" + ihdr16) & 0xFFFFFFFF))
     bad16 = good[:8] + chunk16 + good[8 + 12 + 13:]
-    with _pytest.raises(ValueError, match="unsupported"):
+    with _pytest.raises(ValueError, match="scanline"):
         decode_png(bad16)
+    # ... while INTERLACED 16-bit stays an honest subset error
+    ihdr16i = _struct.pack(">IIBBBBB", 2, 2, 16, 0, 0, 0, 1)
+    chunk16i = (_struct.pack(">I", len(ihdr16i)) + b"IHDR" + ihdr16i
+                + _struct.pack(">I",
+                               _zlib.crc32(b"IHDR" + ihdr16i)
+                               & 0xFFFFFFFF))
+    with _pytest.raises(ValueError, match="16-bit subset"):
+        decode_png(good[:8] + chunk16i + good[8 + 12 + 13:])
 
 
 def test_png_feature_kind_routed_through_real_decoder(spark):
