@@ -1790,6 +1790,39 @@ def _table_time_travel(spark, sf_dir):
         spark, snapshot_id=s2["snapshot_id"]).select("doc_id")
 
 
+def _table_merge_upsert(spark, sf_dir):
+    """Keyed MERGE INTO analog (r6): base = every doc with value
+    md5('v1|id'); the source UPDATES doc_id%3==0 to md5('v2|id'),
+    DELETES doc_id%3==1 & doc_id%5==1 via the delete marker, and
+    INSERTS doc_id+100000 for doc_id%3==2 — one copy-on-write
+    replace-commit through the compaction lock. Oracle rebuilds the
+    post-merge table set-algebraically."""
+    import uuid as _uuid
+
+    from powerpoint_context_extractor_spark.sources.table_io import (
+        SnapshotTable,
+    )
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    v1 = F.md5(F.format_string("v1|%d", F.col("doc_id")))
+    tbl = SnapshotTable(os.path.join(
+        _session_root(), f"mrg_{_uuid.uuid4().hex[:10]}"))
+    tbl.append(docs.select("doc_id", v1.alias("val")), "base")
+    upd = docs.filter(F.col("doc_id") % 3 == 0).select(
+        "doc_id", F.md5(F.format_string("v2|%d", F.col("doc_id")))
+        .alias("val"), F.lit(False).alias("is_delete"))
+    dele = docs.filter((F.col("doc_id") % 3 == 1)
+                       & (F.col("doc_id") % 5 == 1)).select(
+        "doc_id", F.lit(None).cast("string").alias("val"),
+        F.lit(True).alias("is_delete"))
+    ins = docs.filter(F.col("doc_id") % 3 == 2).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.md5(F.format_string("v2|%d", F.col("doc_id") + 100000))
+        .alias("val"), F.lit(False).alias("is_delete"))
+    tbl.merge(spark, upd.unionByName(dele).unionByName(ins),
+              "doc_id", delete_col="is_delete")
+    return tbl.read(spark).select("doc_id", "val")
+
+
 def _sample_reservoir_weighted(spark, sf_dir):
     """Weight-biased fixed-k sample (r6, the integer A-ES analog):
     priority = H('wres'||doc_id) div weight, k=20 smallest win per
@@ -2546,6 +2579,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_data_card": _pipeline_data_card,
         "text_confusables": _text_confusables,
         "mm_image_histogram": _mm_image_histogram,
+        "table_merge_upsert": _table_merge_upsert,
         "dedup_cdc_chunks": _dedup_cdc_chunks,
         "text_contamination": _text_contamination,
         "text_hash_classifier": _text_hash_classifier,
@@ -3434,6 +3468,32 @@ def oracle_sql() -> dict[str, str]:
                CAST(CASE WHEN SUM(ad) > 6000 THEN 1 ELSE 0 END
                     AS BIGINT) AS is_cut
         FROM p GROUP BY doc_id, f
+    """
+    d["table_merge_upsert"] = """
+        -- post-merge table: base minus updated minus deleted,
+        -- plus updates, plus inserts
+        WITH base AS (
+          SELECT doc_id,
+                 md5('v1|' || CAST(doc_id AS VARCHAR)) AS val
+          FROM documents
+        ),
+        upd AS (
+          SELECT doc_id,
+                 md5('v2|' || CAST(doc_id AS VARCHAR)) AS val
+          FROM documents WHERE doc_id % 3 = 0
+        ),
+        del AS (SELECT doc_id FROM documents
+                WHERE doc_id % 3 = 1 AND doc_id % 5 = 1),
+        ins AS (
+          SELECT doc_id + 100000 AS doc_id,
+                 md5('v2|' || CAST(doc_id + 100000 AS VARCHAR)) AS val
+          FROM documents WHERE doc_id % 3 = 2
+        )
+        SELECT doc_id, val FROM base
+        WHERE doc_id NOT IN (SELECT doc_id FROM upd)
+          AND doc_id NOT IN (SELECT doc_id FROM del)
+        UNION ALL SELECT doc_id, val FROM upd
+        UNION ALL SELECT doc_id, val FROM ins
     """
     d["mm_image_histogram"] = """
         -- luma histogram from the GIF palette formula: index j ->

@@ -378,6 +378,78 @@ class SnapshotTable:
         self._commit(entry)
         return entry
 
+    def merge(self, spark: SparkSession, source: DataFrame,
+              key_col: str, run_id: str = "merge",
+              delete_col: str | None = None,
+              stale_lock_s: float = 600.0) -> dict | None:
+        """Keyed upsert — the Iceberg/Delta ``MERGE INTO`` analog:
+        matched target rows are replaced by their source row,
+        unmatched source rows insert, and source rows with
+        ``delete_col`` true delete their key. Copy-on-write via ONE
+        replace-commit: surviving target rows (left_anti on the
+        source keys) union the non-delete source rows and replace all
+        prior snapshots atomically — time travel still reads the
+        pre-merge snapshots, and the commit serializes with
+        compactions through the same owner-token lock.
+
+        The source must be unique per key (a key that both updates
+        and deletes is ambiguous) — enforced with one small
+        aggregation over the source before any write.
+
+        Scale note: copy-on-write rewrites the table; a partitioned
+        deployment rewrites only touched partitions — the anti-join +
+        union plan is identical per partition."""
+        from pyspark.sql import functions as F
+        dupes = (source.groupBy(key_col).count()
+                 .filter(F.col("count") > 1).limit(1).count())
+        if dupes:
+            raise ValueError(
+                f"merge: source has duplicate {key_col} keys")
+        lock, token = self._acquire_compact_lock(stale_lock_s)
+        try:
+            cur = self.read_evolved(spark)
+            if delete_col is not None:
+                inserts = (source.filter(
+                    ~F.coalesce(F.col(delete_col), F.lit(False)))
+                    .drop(delete_col))
+            else:
+                inserts = source
+            if cur is None:
+                out = inserts
+                replaced: list = []
+            else:
+                out = (cur.join(source.select(key_col), key_col,
+                                "left_anti")
+                       .unionByName(inserts))
+                replaced = [s["snapshot_id"] for s in self.snapshots()]
+            new_schema = [(f.name, f.dataType.simpleString())
+                          for f in out.schema.fields]
+            self._check_evolution(self.table_schema(spark), new_schema)
+            snap_id = uuid.uuid4().hex
+            out_dir = os.path.join(self.root, f"snap-{snap_id}")
+            out.write.mode("error").parquet(out_dir)
+            files = sorted(
+                os.path.join(out_dir, f) for f in os.listdir(out_dir)
+                if f.endswith(".parquet"))
+            entry = {
+                "snapshot_id": snap_id,
+                "run_id": run_id,
+                "files": files,
+                "row_count": _footer_row_count(files),
+                "schema": [list(c) for c in new_schema],
+                "replaces": replaced,
+                "committed_at":
+                    datetime.now(timezone.utc).isoformat(),
+            }
+            if not self._owns_compact_lock(lock, token):
+                raise RuntimeError(
+                    "merge lost lock ownership before commit; aborting")
+            self._commit(entry)
+            return entry
+        finally:
+            if self._owns_compact_lock(lock, token):
+                os.unlink(lock)
+
     def vacuum(self) -> list:
         """Delete snap dirs no longer referenced by any live snapshot
         (replaced by a compaction). Explicit and separate from

@@ -248,3 +248,52 @@ def test_snapshot_time_travel_and_vacuum_guard(spark, tmp_path):
     assert ids(tbl.read(spark)) == list(range(30))
     assert ids(tbl.read_at(spark, snapshot_id=s3["snapshot_id"])) \
         == list(range(30))
+
+
+def test_merge_upsert_semantics_and_history(spark, tmp_path):
+    """r6: SnapshotTable.merge — matched keys take the source value,
+    delete-marked keys vanish, new keys insert; the pre-merge snapshot
+    stays time-travel readable; duplicate source keys are rejected
+    BEFORE any write; the compaction lock is released afterwards."""
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from powerpoint_context_extractor_spark.sources.table_io import (
+        SnapshotTable,
+    )
+    tbl = SnapshotTable(str(tmp_path / "t"))
+    base = spark.createDataFrame(
+        [(i, f"old{i}") for i in range(10)], "k long, v string")
+    s1 = tbl.append(base, "base")
+    src = spark.createDataFrame(
+        [(2, "new2", False), (4, "new4", False),   # updates
+         (7, None, True),                          # delete
+         (100, "new100", False)],                  # insert
+        "k long, v string, is_delete boolean")
+    tbl.merge(spark, src, "k", delete_col="is_delete")
+    got = {r["k"]: r["v"] for r in tbl.read(spark).collect()}
+    want = {i: f"old{i}" for i in range(10) if i != 7}
+    want.update({2: "new2", 4: "new4", 100: "new100"})
+    assert got == want
+    # pre-merge history intact
+    old = {r["k"]: r["v"]
+           for r in tbl.read_at(spark,
+                                snapshot_id=s1["snapshot_id"]).collect()}
+    assert old == {i: f"old{i}" for i in range(10)}
+    # duplicate source keys rejected before any commit
+    n_snaps = len(tbl.snapshots())
+    dup = spark.createDataFrame(
+        [(1, "a", False), (1, "b", True)],
+        "k long, v string, is_delete boolean")
+    with pytest.raises(ValueError, match="duplicate"):
+        tbl.merge(spark, dup, "k", delete_col="is_delete")
+    assert len(tbl.snapshots()) == n_snaps
+    # lock released: a follow-up merge works immediately
+    tbl.merge(spark, spark.createDataFrame(
+        [(101, "x", False)], "k long, v string, is_delete boolean"),
+        "k", delete_col="is_delete")
+    assert tbl.read(spark).filter(F.col("k") == 101).count() == 1
+    assert not [f for f in os.listdir(str(tmp_path / "t"))
+                if f.endswith(".lock")]
