@@ -1105,6 +1105,20 @@ def _pipeline_data_card(spark, sf_dir):
         "'n_distinct_texts', n_distinct_texts) AS (metric, value)")
 
 
+def _agg_theta_intersect(spark, sf_dir):
+    """Theta-sketch set algebra (r6): intersection cardinality of two
+    groups' key sets from their KMV sketches alone — theta = min of
+    the k-th hashes, estimate = common-below-theta * 2^32 div theta,
+    all integers, the whole derivation under the oracle hash."""
+    from powerpoint_context_extractor_spark.operators.sketches import (
+        theta_intersect,
+    )
+    d = _t(spark, sf_dir, "documents").select(
+        F.format_string("g%d", F.col("doc_id") % 3).alias("src"),
+        F.format_string("k%d", F.col("doc_id") % 200).alias("k"))
+    return theta_intersect(d, "k", "src", "g0", "g1", k=32)
+
+
 def _agg_count_min(spark, sf_dir):
     """Count-min frequency sketch (r6 — the linear-mergeable
     frequency matrix): a skewed key stream ('hot' on every 4th doc)
@@ -2580,6 +2594,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_confusables": _text_confusables,
         "mm_image_histogram": _mm_image_histogram,
         "table_merge_upsert": _table_merge_upsert,
+        "agg_theta_intersect": _agg_theta_intersect,
         "dedup_cdc_chunks": _dedup_cdc_chunks,
         "text_contamination": _text_contamination,
         "text_hash_classifier": _text_hash_classifier,
@@ -5340,6 +5355,40 @@ def oracle_sql() -> dict[str, str]:
         UNION ALL SELECT 'n_distinct_texts',
                          CAST(COUNT(DISTINCT md5(text)) AS BIGINT)
         FROM documents
+    """
+    d["agg_theta_intersect"] = """
+        -- theta intersection mirrored from sketches.theta_intersect
+        WITH src AS (
+          SELECT printf('g%d', doc_id % 3) AS src,
+                 ('0x' || substr(md5(printf('k%d', doc_id % 200)),
+                                 1, 8))::BIGINT AS hval
+          FROM documents WHERE doc_id % 3 IN (0, 1)
+        ),
+        dist AS (SELECT DISTINCT src, hval FROM src),
+        ranked AS (
+          SELECT src, hval,
+                 row_number() OVER (PARTITION BY src
+                                    ORDER BY hval) AS rank
+          FROM dist
+        ),
+        keep AS (SELECT * FROM ranked WHERE rank <= 32),
+        th AS (SELECT MIN(g_theta) AS theta FROM (
+                 SELECT src,
+                        coalesce(max(CASE WHEN rank = 32
+                                          THEN hval END),
+                                 4294967296) AS g_theta
+                 FROM keep GROUP BY src)),
+        common AS (
+          SELECT a.hval FROM keep a JOIN keep b ON a.hval = b.hval
+          WHERE a.src = 'g0' AND b.src = 'g1'
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_common,
+               CAST(th.theta AS BIGINT) AS theta,
+               CAST(COUNT(*) * 4294967296 // th.theta AS BIGINT)
+                 AS est_intersection
+        FROM common, th
+        WHERE common.hval < th.theta
+        GROUP BY th.theta
     """
     d["agg_count_min"] = """
         -- CM matrix mirrored from sketches.count_min_sketch:

@@ -148,3 +148,36 @@ def count_min_estimate(cells: dict, key: str, w: int = 256,
         c = cells.get((j, h), 0)
         est = c if est is None else min(est, c)
     return est or 0
+
+
+def theta_intersect(df: DataFrame, key_col: str, group_col: str,
+                    group_a: str, group_b: str, k: int = 32) -> DataFrame:
+    """Set-intersection cardinality from two groups' KMV sketches
+    (the theta-sketch set algebra): theta = min of the groups' k-th
+    smallest hashes (2^32 when a group holds < k distinct keys, i.e.
+    its sketch is exact), estimate = |common hashes below theta| *
+    2^32 div theta — integer-exact end to end, so the whole
+    derivation sits under the oracle hash. Emits one row
+    (n_common, theta, est_intersection).
+
+    Scale shape: everything downstream of theta_sketch touches at
+    most 2k rows — the sketches ARE the data exchanged; this is why
+    sketch set-algebra replaces distinct-joins at 100 TB."""
+    sk = theta_sketch(
+        df.filter(F.col(group_col).isin(group_a, group_b)),
+        key_col, group_col, k=k)
+    thetas = (sk.groupBy(group_col)
+              .agg(F.coalesce(
+                  F.max(F.when(F.col("rank") == k, F.col("hval"))),
+                  F.lit(1 << 32)).alias("g_theta")))
+    theta = thetas.agg(F.min("g_theta").alias("theta"))
+    a = sk.filter(F.col(group_col) == group_a).select("hval")
+    b = sk.filter(F.col(group_col) == group_b).select("hval")
+    common = a.join(b, "hval").join(F.broadcast(theta))
+    return (common.filter(F.col("hval") < F.col("theta"))
+            .groupBy("theta")
+            .agg(F.count(F.lit(1)).alias("n_common"))
+            .select(F.col("n_common").cast("long"),
+                    F.col("theta").cast("long"),
+                    F.expr("n_common * 4294967296 div theta")
+                    .cast("long").alias("est_intersection")))

@@ -1969,6 +1969,30 @@ def test_confusable_skeleton_collides_spoofs(spark):
         b"hello world").hexdigest()
 
 
+def test_theta_intersect_estimates_overlap(spark):
+    """r6: the KMV intersection estimate lands near a planted
+    1000-key overlap between two 3000-key groups, and fully disjoint
+    groups yield no common-below-theta rows (empty result — the
+    'estimate 0' outcome)."""
+    from powerpoint_context_extractor_spark.operators.sketches import (
+        theta_intersect,
+    )
+    rows = ([("ga", f"shared{i}") for i in range(1000)]
+            + [("gb", f"shared{i}") for i in range(1000)]
+            + [("ga", f"a{i}") for i in range(2000)]
+            + [("gb", f"b{i}") for i in range(2000)])
+    df = spark.createDataFrame(rows, "grp string, k string")
+    out = theta_intersect(df, "k", "grp", "ga", "gb", k=256).collect()
+    assert len(out) == 1
+    est = out[0]["est_intersection"]
+    assert 400 <= est <= 1800, est          # ~1000 within KMV noise
+    dis = spark.createDataFrame(
+        [("ga", f"a{i}") for i in range(500)]
+        + [("gb", f"b{i}") for i in range(500)], "grp string, k string")
+    assert theta_intersect(dis, "k", "grp", "ga", "gb",
+                           k=64).collect() == []
+
+
 def test_count_min_overestimates_and_merges(spark):
     """r6: CM point estimates are NEVER below the true count, the hot
     key's estimate is exact-or-near on a skewed stream, and cell-wise
