@@ -1804,6 +1804,21 @@ def _table_time_travel(spark, sf_dir):
         spark, snapshot_id=s2["snapshot_id"]).select("doc_id")
 
 
+def _sink_orc_pushdown(spark, sf_dir):
+    """Second columnar container (r6): documents written to ORC and
+    read back through a lang + n_chars predicate — the filter must
+    reach the ORC reader (PushedFilters pinned by pytest), proving
+    format choice doesn't cost the pushdown/pruning contract."""
+    import uuid as _uuid
+    out = os.path.join(_session_root(), f"orc_{_uuid.uuid4().hex[:10]}")
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang",
+                                              "n_chars")
+    d.write.mode("overwrite").orc(out)
+    return (spark.read.orc(out)
+            .filter((F.col("lang") == "en") & (F.col("n_chars") > 400))
+            .select("doc_id", "n_chars"))
+
+
 def _table_merge_upsert(spark, sf_dir):
     """Keyed MERGE INTO analog (r6): base = every doc with value
     md5('v1|id'); the source UPDATES doc_id%3==0 to md5('v2|id'),
@@ -2595,6 +2610,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_image_histogram": _mm_image_histogram,
         "table_merge_upsert": _table_merge_upsert,
         "agg_theta_intersect": _agg_theta_intersect,
+        "sink_orc_pushdown": _sink_orc_pushdown,
         "dedup_cdc_chunks": _dedup_cdc_chunks,
         "text_contamination": _text_contamination,
         "text_hash_classifier": _text_hash_classifier,
@@ -3483,6 +3499,10 @@ def oracle_sql() -> dict[str, str]:
                CAST(CASE WHEN SUM(ad) > 6000 THEN 1 ELSE 0 END
                     AS BIGINT) AS is_cut
         FROM p GROUP BY doc_id, f
+    """
+    d["sink_orc_pushdown"] = """
+        SELECT doc_id, n_chars FROM documents
+        WHERE lang = 'en' AND n_chars > 400
     """
     d["table_merge_upsert"] = """
         -- post-merge table: base minus updated minus deleted,

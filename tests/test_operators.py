@@ -1969,6 +1969,24 @@ def test_confusable_skeleton_collides_spoofs(spark):
         b"hello world").hexdigest()
 
 
+def test_orc_roundtrip_pushes_filters(spark, sf_dir, tmp_path):
+    """r6: the ORC read path pushes both predicates into the scan
+    (PushedFilters in the physical plan) and round-trips values
+    exactly."""
+    out = str(tmp_path / "orc")
+    d = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+         .select("doc_id", "lang", "n_chars"))
+    d.write.mode("overwrite").orc(out)
+    q = (spark.read.orc(out)
+         .filter((F.col("lang") == "en") & (F.col("n_chars") > 400)))
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "n_chars" in plan.split(
+        "PushedFilters")[1][:200]
+    want = sorted(r["doc_id"] for r in d.filter(
+        (F.col("lang") == "en") & (F.col("n_chars") > 400)).collect())
+    assert sorted(r["doc_id"] for r in q.collect()) == want
+
+
 def test_theta_intersect_estimates_overlap(spark):
     """r6: the KMV intersection estimate lands near a planted
     1000-key overlap between two 3000-key groups, and fully disjoint
