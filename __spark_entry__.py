@@ -1804,6 +1804,25 @@ def _table_time_travel(spark, sf_dir):
         spark, snapshot_id=s2["snapshot_id"]).select("doc_id")
 
 
+def _f_dpp_partition_prune(spark, sf_dir):
+    """Dynamic partition pruning (r6 — the 100 TB star-join lever):
+    documents written lang-partitioned, joined to a tiny filtered dim
+    on the partition column; Catalyst injects the dim's keys as a
+    runtime PartitionFilter so only the surviving lang directories
+    are scanned (plan-pinned by pytest). Per-lang counts out."""
+    import uuid as _uuid
+    out = os.path.join(_session_root(), f"dpp_{_uuid.uuid4().hex[:10]}")
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    d.write.mode("overwrite").partitionBy("lang").parquet(out)
+    fact = spark.read.parquet(out)
+    dim = spark.createDataFrame(
+        [("en", 1), ("de", 1), ("fr", 0), ("ja", 0), ("zh", 0)],
+        "lang string, keep int")
+    return (fact.join(dim.filter(F.col("keep") == 1), "lang")
+            .groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_docs")))
+
+
 def _sink_orc_pushdown(spark, sf_dir):
     """Second columnar container (r6): documents written to ORC and
     read back through a lang + n_chars predicate — the filter must
@@ -2611,6 +2630,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_merge_upsert": _table_merge_upsert,
         "agg_theta_intersect": _agg_theta_intersect,
         "sink_orc_pushdown": _sink_orc_pushdown,
+        "f_dpp_partition_prune": _f_dpp_partition_prune,
         "dedup_cdc_chunks": _dedup_cdc_chunks,
         "text_contamination": _text_contamination,
         "text_hash_classifier": _text_hash_classifier,
@@ -3499,6 +3519,10 @@ def oracle_sql() -> dict[str, str]:
                CAST(CASE WHEN SUM(ad) > 6000 THEN 1 ELSE 0 END
                     AS BIGINT) AS is_cut
         FROM p GROUP BY doc_id, f
+    """
+    d["f_dpp_partition_prune"] = """
+        SELECT lang, COUNT(*) AS n_docs FROM documents
+        WHERE lang IN ('en', 'de') GROUP BY lang
     """
     d["sink_orc_pushdown"] = """
         SELECT doc_id, n_chars FROM documents

@@ -1969,6 +1969,29 @@ def test_confusable_skeleton_collides_spoofs(spark):
         b"hello world").hexdigest()
 
 
+def test_dpp_prunes_partitions_at_runtime(spark, sf_dir, tmp_path):
+    """r6: joining a lang-partitioned fact to a filtered dim on the
+    partition column injects a dynamicpruning PartitionFilter into
+    the fact scan — only surviving lang directories are read."""
+    out = str(tmp_path / "fact")
+    d = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+         .select("doc_id", "lang"))
+    d.write.mode("overwrite").partitionBy("lang").parquet(out)
+    fact = spark.read.parquet(out)
+    dim = spark.createDataFrame(
+        [("en", 1), ("de", 1), ("fr", 0)], "lang string, keep int")
+    q = (fact.join(dim.filter(F.col("keep") == 1), "lang")
+         .groupBy("lang").agg(F.count(F.lit(1)).alias("n")))
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+    got = {r["lang"]: r["n"] for r in q.collect()}
+    want = {r["lang"]: r["n"] for r in
+            d.filter(F.col("lang").isin("en", "de"))
+            .groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+            .collect()}
+    assert got == want and set(got) == {"en", "de"}
+
+
 def test_orc_roundtrip_pushes_filters(spark, sf_dir, tmp_path):
     """r6: the ORC read path pushes both predicates into the scan
     (PushedFilters in the physical plan) and round-trips values
