@@ -2410,6 +2410,22 @@ def _w_stream_window_counts(spark, sf_dir):
         spark, os.path.join(sf_dir, "events.parquet"), out)
 
 
+def _w_stream_sketch_counts(spark, sf_dir):
+    """Streaming count-min maintenance (r6): events stream in bounded
+    micro-batches, each batch's sketch folds into the accumulated
+    d x w matrix by cell-wise SUM, committed per epoch into a
+    snapshot table (sketch history). CM linearity makes the streamed
+    matrix equal the one-shot batch sketch EXACTLY — the oracle is
+    the same matrix SQL the batch agg_count_min query uses, over
+    event_type."""
+    from powerpoint_context_extractor_spark.streaming.ingest import (
+        stream_sketch_counts,
+    )
+    out = _session_tmpdir("pcx_cmstream_")
+    return stream_sketch_counts(
+        spark, os.path.join(sf_dir, "events.parquet"), out)
+
+
 def _w_stream_interval_join(spark, sf_dir):
     """Watermarked STREAM-STREAM interval join (r6 — the last major
     Structured Streaming surface: two unbounded sides with
@@ -2631,6 +2647,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_theta_intersect": _agg_theta_intersect,
         "sink_orc_pushdown": _sink_orc_pushdown,
         "f_dpp_partition_prune": _f_dpp_partition_prune,
+        "w_stream_sketch_counts": _w_stream_sketch_counts,
         "dedup_cdc_chunks": _dedup_cdc_chunks,
         "text_contamination": _text_contamination,
         "text_hash_classifier": _text_hash_classifier,
@@ -3519,6 +3536,19 @@ def oracle_sql() -> dict[str, str]:
                CAST(CASE WHEN SUM(ad) > 6000 THEN 1 ELSE 0 END
                     AS BIGINT) AS is_cut
         FROM p GROUP BY doc_id, f
+    """
+    d["w_stream_sketch_counts"] = """
+        -- CM linearity: streamed per-epoch folds == one-shot matrix
+        WITH cells AS (
+          SELECT j.j AS row,
+                 ('0x' || substr(md5('cm' || CAST(j.j AS VARCHAR)
+                                     || '|' || event_type), 1, 8))
+                 ::BIGINT % 256 AS col
+          FROM events, range(0, 4) j(j)
+        )
+        SELECT CAST(row AS BIGINT) AS row, CAST(col AS BIGINT) AS col,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM cells GROUP BY row, col
     """
     d["f_dpp_partition_prune"] = """
         SELECT lang, COUNT(*) AS n_docs FROM documents

@@ -448,3 +448,46 @@ def stream_interval_join(spark: SparkSession, events_parquet: str,
     return spark.sql(
         f"SELECT c_id AS click_id, p_id AS purchase_id, "
         f"c_user AS user_id FROM {name}")
+
+
+def stream_sketch_counts(spark: SparkSession, events_parquet: str,
+                         out_root: str, w: int = 256,
+                         d: int = 4) -> DataFrame:
+    """Streaming count-min maintenance (the live frequency monitor a
+    crawl dashboard runs): each micro-batch's event_type keys sketch
+    into a d x w matrix and fold into the accumulated sketch by
+    cell-wise SUM — CM's linearity means the streamed result must
+    equal the one-shot batch sketch exactly, which is the oracle.
+    State is d*w cells regardless of stream length. Every epoch
+    commits the accumulated matrix as a NEW snapshot, so the table
+    holds the sketch's full history (sketch-as-of any epoch via
+    read_at) and the latest snapshot is the current sketch."""
+    from ..operators.sketches import count_min_sketch
+    events_dir = _as_stream_dir(events_parquet)
+    table = SnapshotTable(os.path.join(out_root, "sketch"))
+    schema = spark.read.parquet(events_dir).schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(events_dir)
+              .select("event_type"))
+
+    def merge_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        s = batch_df.sparkSession
+        sk = count_min_sketch(batch_df, "event_type", w=w, d=d)
+        snaps = table.snapshots()
+        if snaps:
+            prev = s.read.parquet(*snaps[-1]["files"])
+            sk = (prev.unionByName(sk)
+                  .groupBy("row", "col")
+                  .agg(F.sum("cnt").alias("cnt")))
+        table.append(sk, run_id=f"sketch-epoch{epoch_id}")
+
+    q = (stream.writeStream.foreachBatch(merge_batch)
+         .option("checkpointLocation", os.path.join(out_root, "ck"))
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    snaps = table.snapshots()
+    if not snaps:
+        return spark.createDataFrame(
+            [], "row long, col long, cnt long")
+    return spark.read.parquet(*snaps[-1]["files"])

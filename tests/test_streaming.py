@@ -230,3 +230,36 @@ def test_stream_interval_join_equals_batch(spark, sf_dir):
     assert got == want and len(got) > 0
     again = sorted(map(tuple, stream_interval_join(spark, src).collect()))
     assert got == again
+
+
+def test_stream_sketch_counts_equals_batch(spark, tmp_path):
+    """r6: the per-epoch cell-wise-SUM folds of the streamed count-min
+    sketch equal the one-shot batch sketch (CM linearity), with one
+    snapshot per epoch recording the sketch history."""
+    from pyspark.sql import functions as F
+
+    from powerpoint_context_extractor_spark.operators.sketches import (
+        count_min_sketch,
+    )
+    from powerpoint_context_extractor_spark.sources.table_io import (
+        SnapshotTable,
+    )
+    from powerpoint_context_extractor_spark.streaming.ingest import (
+        stream_sketch_counts,
+    )
+    src = str(tmp_path / "events")
+    rows = [(i, f"type{i % 7}") for i in range(300)]
+    (spark.createDataFrame(rows, "event_id long, event_type string")
+     .repartition(3).write.mode("overwrite").parquet(src))
+    out = str(tmp_path / "out")
+    got = {(r["row"], r["col"]): r["cnt"]
+           for r in stream_sketch_counts(spark, src, out).collect()}
+    batch = spark.createDataFrame(rows, "event_id long, event_type string")
+    want = {(r["row"], r["col"]): r["cnt"]
+            for r in count_min_sketch(batch, "event_type").collect()}
+    assert got == want
+    n_epochs = len(SnapshotTable(
+        f"{out}/sketch").snapshots())
+    assert n_epochs >= 2          # history: one snapshot per epoch
+    total = sum(v for (r, _c), v in got.items() if r == 0)
+    assert total == 300           # row 0 cells sum to the event count
