@@ -2084,6 +2084,17 @@ def _mm_video_scene_cuts(spark, sf_dir):
     return extract_video_scene_cuts(_t(spark, sf_dir, "documents"))
 
 
+def _mm_features_tiff(spark, sf_dir):
+    """Real TIFF decode under the correctness gate (r6 — the pointer-
+    machine container: endianness-switched IFD walk, out-of-line
+    offset/count arrays, uneven strip reassembly): doc_id%4 sweeps
+    gray/RGB x LE/BE; the oracle is the analytic sample formula."""
+    from powerpoint_context_extractor_spark.operators.multimodal import (
+        extract_tiff_features,
+    )
+    return extract_tiff_features(_t(spark, sf_dir, "documents"))
+
+
 def _mm_features_png16(spark, sf_dir):
     """16-bit PNG under the correctness gate (r6 — big-endian sample
     pairs, filters at bpp=2*channels, full-precision int decode):
@@ -2648,6 +2659,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sink_orc_pushdown": _sink_orc_pushdown,
         "f_dpp_partition_prune": _f_dpp_partition_prune,
         "w_stream_sketch_counts": _w_stream_sketch_counts,
+        "mm_features_tiff": _mm_features_tiff,
         "dedup_cdc_chunks": _dedup_cdc_chunks,
         "text_contamination": _text_contamination,
         "text_hash_classifier": _text_hash_classifier,
@@ -3599,6 +3611,27 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, CAST(luma * 4 // 256 AS BIGINT) AS bin,
                CAST(COUNT(*) AS BIGINT) AS n_px
         FROM px GROUP BY doc_id, bin
+    """
+    d["mm_features_tiff"] = """
+        -- frozen TIFF rule (r6): ch = 3 if (doc_id%4)%2 else 1,
+        -- sample i = (doc_id*37 + i) % 256 over 16*8*ch
+        WITH par AS (
+          SELECT doc_id,
+                 CASE WHEN (doc_id % 4) % 2 = 1 THEN 3 ELSE 1 END AS ch
+          FROM documents
+        ), px AS (
+          SELECT p.doc_id, p.ch,
+                 (p.doc_id*37 + t.i) % 256 AS v
+          FROM par p, range(0, 384) t(i)
+          WHERE t.i < 128 * p.ch
+        )
+        SELECT doc_id,
+               CAST(16 AS BIGINT) AS width, CAST(8 AS BIGINT) AS height,
+               CAST(MAX(ch) AS BIGINT) AS channels,
+               CAST(SUM(v) AS BIGINT) AS px_sum,
+               CAST(MIN(v) AS BIGINT) AS px_min,
+               CAST(MAX(v) AS BIGINT) AS px_max
+        FROM px GROUP BY doc_id
     """
     d["mm_features_png16"] = """
         -- frozen 16-bit rule (r6): ch = (1,3,4)[doc_id%3], sample i =

@@ -33,6 +33,7 @@ from ..jpeg import (QTABLE, decode_jpeg, decode_jpeg_gray,
                     ycbcr_from_rgb)
 from ..flac import decode_flac, render_flac
 from ..gif import decode_gif, render_gif
+from ..tiff import decode_tiff, render_tiff
 from ..png import decode_png, render_png, render_png_interlaced
 from ..wav import decode_wav, render_wav
 
@@ -42,6 +43,8 @@ MAGIC_KINDS = {
     "2557444f": "wdoc",  # "%WDO" — our layout container prefix
     "47494638": "gif",   # "GIF8" (87a/89a)
     "664c6143": "flac",  # "fLaC"
+    "49492a00": "tiff",  # II*\0 (little-endian)
+    "4d4d002a": "tiff",  # MM\0* (big-endian)
     "52494646": "riff",  # RIFF container: WAVE -> wav (see _kind_of)
 }
 
@@ -112,6 +115,12 @@ def _decode_payload(kind: str, payload: bytes) -> list:
         # expansion, pure stdlib); animation/transparency subsets
         # raise the honest subset ValueError
         w, h, ch, px = decode_gif(payload)
+        return [float(w), float(h), float(ch), float(sum(px) % 997),
+                float(min(px)), float(max(px))]
+    if kind == "tiff":
+        # r6: REAL decode (IFD walk + strip reassembly, both byte
+        # orders); compressed/tiled subsets raise the honest error
+        w, h, ch, px = decode_tiff(payload)
         return [float(w), float(h), float(ch), float(sum(px) % 997),
                 float(min(px)), float(max(px))]
     if kind == "flac":
@@ -1429,3 +1438,43 @@ def extract_image_histogram(docs: DataFrame, bins: int = 4) -> DataFrame:
 
     return docs.select("doc_id").mapInPandas(
         _batches, schema="doc_id long, bin long, n_px long")
+
+
+# --- real-TIFF contract path (r6) ------------------------------------------
+
+def tiff_payload_for_doc(doc_id: int) -> bytes:
+    """Frozen TIFF rule: doc_id%4 -> (gray LE, RGB LE, gray BE,
+    RGB BE); sample i = (doc_id*37 + i) % 256 over 16x8xch;
+    rows_per_strip=3 makes uneven strips (3+3+2 rows), so the strip
+    offset/count arrays go out-of-line — the pointer-machine part of
+    the format — in BOTH byte orders."""
+    k = doc_id % 4
+    ch = 3 if k % 2 else 1
+    px = bytes((doc_id * 37 + i) % 256
+               for i in range(PNG_W * PNG_H * ch))
+    return render_tiff(PNG_W, PNG_H, px, channels=ch,
+                       big_endian=k >= 2, rows_per_strip=3)
+
+
+def extract_tiff_features(docs: DataFrame) -> DataFrame:
+    """Render + decode a real TIFF per documents row (IFD walk,
+    out-of-line arrays, strip reassembly, both endiannesses)."""
+
+    def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("doc_id", "width", "height",
+                                   "channels", "px_sum", "px_min",
+                                   "px_max")}
+            for doc_id in pdf["doc_id"].tolist():
+                w, h, ch, px = decode_tiff(tiff_payload_for_doc(doc_id))
+                out["doc_id"].append(doc_id)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["channels"].append(ch)
+                out["px_sum"].append(sum(px))
+                out["px_min"].append(min(px))
+                out["px_max"].append(max(px))
+            yield pd.DataFrame(out)
+
+    return docs.select("doc_id").mapInPandas(
+        _batches, schema=PNG_FEATURE_SCHEMA)

@@ -625,6 +625,47 @@ def test_png_sub8bit_depths_roundtrip():
         decode_png(sig + chunk)
 
 
+def test_tiff_roundtrip_both_endiannesses():
+    """r6: TIFF codec contract — gray/RGB x II/MM roundtrip with
+    uneven strips and out-of-line offset arrays; magic routing
+    through the generic mm path; honest subset errors (compression,
+    multi-page, truncation)."""
+    import random
+    import struct
+
+    from powerpoint_context_extractor_spark.operators.multimodal import (
+        _kind_of,
+    )
+    from powerpoint_context_extractor_spark.tiff import (
+        decode_tiff, render_tiff,
+    )
+    rng = random.Random(33)
+    for ch in (1, 3):
+        for be in (False, True):
+            for w, h, rps in ((1, 1, 1), (16, 8, 3), (23, 7, 100)):
+                px = bytes(rng.randrange(256)
+                           for _ in range(w * h * ch))
+                data = render_tiff(w, h, px, channels=ch,
+                                   big_endian=be, rows_per_strip=rps)
+                assert _kind_of(data) == "tiff"
+                assert decode_tiff(data) == (w, h, ch, px), (ch, be, w)
+    good = render_tiff(4, 4, bytes(16))
+    with pytest.raises(ValueError, match="byte-order"):
+        decode_tiff(b"XX" + good[2:])
+    with pytest.raises(ValueError):
+        decode_tiff(good[:-8])
+    # compression != 1 is an honest subset error: patch the IFD entry
+    bad = bytearray(good)
+    ifd = struct.unpack("<I", bad[4:8])[0]
+    n = struct.unpack("<H", bad[ifd:ifd + 2])[0]
+    for i in range(n):
+        o = ifd + 2 + 12 * i
+        if struct.unpack("<H", bad[o:o + 2])[0] == 259:
+            bad[o + 8:o + 10] = struct.pack("<H", 5)   # LZW
+    with pytest.raises(ValueError, match="compression 5"):
+        decode_tiff(bytes(bad))
+
+
 def test_gif_roundtrip_lzw_and_interlace():
     """r6: GIF codec contract — LZW roundtrip across code-width growth
     and the 4096-entry dictionary reset, the KwKwK self-reference
