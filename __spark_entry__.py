@@ -1203,6 +1203,33 @@ def _capstone_crawl_schedule(spark, sf_dir):
     return frontier_schedule(seeded, n_parts=8)
 
 
+def _web_crawl_delay(spark, sf_dir):
+    """Crawl-delay extraction (r6 — the per-host pacing input to the
+    frontier scheduler): bodies sweep group scoping (a bot-only group
+    whose delay must NOT leak, doc_id%4==1), last-wins overrides
+    (%4==2 has two in-scope delays), non-numeric junk (%4==3), and a
+    missing directive (%4==0). Oracle is the CASE ladder."""
+    from powerpoint_context_extractor_spark.operators.robots import (
+        parse_crawl_delay,
+    )
+    d = _t(spark, sf_dir, "documents")
+    body = (
+        F.when(F.col("doc_id") % 4 == 0,
+               F.lit("User-agent: *\nDisallow: /x\n"))
+        .when(F.col("doc_id") % 4 == 1, F.format_string(
+            "User-agent: bot\nCrawl-delay: 99\n"
+            "User-agent: *\nCrawl-delay: %d\n", F.col("doc_id") % 30))
+        .when(F.col("doc_id") % 4 == 2, F.format_string(
+            "User-agent: *\ncrawl-delay: 7\nDisallow: /y\n"
+            "Crawl-Delay: %d\n", F.col("doc_id") % 20 + 1))
+        .otherwise(F.lit(
+            "User-agent: *\nCrawl-delay: soon\nDisallow: /z\n")))
+    robots = d.select(
+        F.format_string("h%d", F.col("doc_id")).alias("host"),
+        body.alias("robots_txt"))
+    return parse_crawl_delay(robots)
+
+
 def _web_robots_sitemaps(spark, sf_dir):
     """robots.txt Sitemap-directive discovery (r6 — RFC 9309 §2.3,
     the seed step before web_sitemap_urls): bodies carry mixed-case
@@ -2660,6 +2687,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f_dpp_partition_prune": _f_dpp_partition_prune,
         "w_stream_sketch_counts": _w_stream_sketch_counts,
         "mm_features_tiff": _mm_features_tiff,
+        "web_crawl_delay": _web_crawl_delay,
         "dedup_cdc_chunks": _dedup_cdc_chunks,
         "text_contamination": _text_contamination,
         "text_hash_classifier": _text_hash_classifier,
@@ -5126,6 +5154,18 @@ def oracle_sql() -> dict[str, str]:
                CAST(row_number() OVER (ORDER BY rank, host, url) - 1
                     AS BIGINT) AS fetch_seq
         FROM r
+    """
+    d["web_crawl_delay"] = """
+        -- %4==0 none; %4==1 star-group delay (bot group must not
+        -- leak); %4==2 last-wins override; %4==3 non-numeric ignored
+        SELECT printf('h%d', doc_id) AS host,
+               CAST(CASE doc_id % 4
+                    WHEN 1 THEN doc_id % 30
+                    WHEN 2 THEN doc_id % 20 + 1
+                    ELSE 0 END AS BIGINT) AS crawl_delay,
+               CAST(CASE WHEN doc_id % 4 IN (1, 2) THEN 1 ELSE 0 END
+                    AS BIGINT) AS has_delay
+        FROM documents
     """
     d["web_robots_sitemaps"] = """
         SELECT printf('h%d', doc_id) AS host,

@@ -93,3 +93,42 @@ def parse_sitemap_directives(robots: DataFrame, host_col: str = "host",
     return (robots.select(F.col(host_col),
                           F.explode(urls).alias("sitemap_url"))
             .filter(F.col("sitemap_url") != ""))
+
+
+def parse_crawl_delay(robots: DataFrame, host_col: str = "host",
+                      body_col: str = "robots_txt") -> DataFrame:
+    """(host, robots_txt) -> (host, crawl_delay, has_delay): the
+    ``Crawl-delay:`` seconds from ``User-agent: *`` groups — the same
+    group-scoping state machine as parse_disallow_rules (the
+    directive is de-facto, not RFC 9309, but the grouping rules it
+    obeys in the wild are); the LAST in-scope value wins; non-numeric
+    values are ignored; hosts without one get crawl_delay 0 /
+    has_delay 0. Pure HOF aggregate, JVM codegen."""
+    lines = F.split(F.col(body_col), r"\r?\n")
+    init = F.struct(
+        F.lit(False).alias("in_ua"),
+        F.lit(False).alias("star"),
+        F.lit(-1).cast("long").alias("delay"))
+
+    def step(acc, ln):
+        t = F.trim(ln)
+        tl = F.lower(t)
+        is_ua = tl.startswith("user-agent:")
+        ua_star = F.trim(t.substr(F.lit(12), F.length(t))) == "*"
+        is_cd = tl.startswith("crawl-delay:")
+        target = F.trim(t.substr(F.lit(13), F.length(t)))
+        num = target.rlike(r"^[0-9]+$")
+        star = (F.when(is_ua & acc["in_ua"], acc["star"] | ua_star)
+                .when(is_ua, ua_star)
+                .otherwise(acc["star"]))
+        delay = (F.when(is_cd & acc["star"] & num,
+                        target.cast("long"))
+                 .otherwise(acc["delay"]))
+        return F.struct(is_ua.alias("in_ua"), star.alias("star"),
+                        delay.alias("delay"))
+
+    agg = F.aggregate(lines, init, step, lambda acc: acc["delay"])
+    return robots.select(
+        F.col(host_col),
+        F.greatest(agg, F.lit(0)).cast("long").alias("crawl_delay"),
+        (agg >= 0).cast("long").alias("has_delay"))

@@ -2228,6 +2228,26 @@ def test_anchor_extraction_resolution_contract(spark):
     assert top["top_anchor"] == "alpha"          # 1-1 tie -> lexicographic
 
 
+def test_crawl_delay_group_scoping(spark):
+    """r6: crawl-delay honors consecutive-UA group OR-ing ('bot' then
+    '*' in ONE group counts), CRLF bodies, last-wins, and numeric-only
+    values; a bot-only group's delay never leaks."""
+    from powerpoint_context_extractor_spark.operators.robots import (
+        parse_crawl_delay,
+    )
+    bodies = [
+        ("a", "User-agent: bot\r\nUser-agent: *\r\nCrawl-delay: 4\r\n"),
+        ("b", "User-agent: bot\nCrawl-delay: 9\n"),
+        ("c", "User-agent: *\nCrawl-delay: 2\nCrawl-delay: 6\n"),
+        ("d", "User-agent: *\nCrawl-delay: 2.5\n"),   # non-integer
+    ]
+    robots = spark.createDataFrame(
+        bodies, "host string, robots_txt string")
+    got = {r["host"]: (r["crawl_delay"], r["has_delay"])
+           for r in parse_crawl_delay(robots).collect()}
+    assert got == {"a": (4, 1), "b": (0, 0), "c": (6, 1), "d": (0, 0)}
+
+
 def test_robots_sitemap_directives_group_independent(spark):
     """r6: Sitemap: directives parse case-insensitively and
     independently of User-agent groups (RFC 9309 §2.3) — one inside a
