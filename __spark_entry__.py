@@ -1203,6 +1203,34 @@ def _capstone_crawl_schedule(spark, sf_dir):
     return frontier_schedule(seeded, n_parts=8)
 
 
+def _web_table_extract(spark, sf_dir):
+    """Structured HTML-table extraction (r6 — tabular mining for
+    fact/QA data): each page carries a 3-row x 2-col table (header
+    row of <th>, cell r,c = 'v{doc*6 + r*2 + c}') plus a noise cell
+    with markup that must stop at the first tag; two nested
+    posexplodes emit document-order (row_idx, col_idx, cell). Oracle
+    reconstructs the grid from doc_id arithmetic."""
+    from powerpoint_context_extractor_spark.operators.weblinks import (
+        extract_html_tables,
+    )
+    d = _t(spark, sf_dir, "documents")
+    html = F.format_string(
+        "<html><body><p>pre</p><table>"
+        "<tr><th>h%d</th><th> h%d </th></tr>"
+        "<tr><td>v%d</td><td>v%d</td></tr>"
+        "<tr><td>v%d</td><td><b>bold</b>skipped</td></tr>"
+        "</table></body></html>",
+        F.col("doc_id") % 10, (F.col("doc_id") + 1) % 10,
+        F.col("doc_id") * 6 + 2, F.col("doc_id") * 6 + 3,
+        F.col("doc_id") * 6 + 4)
+    pages = d.select(
+        F.format_string("https://host%d.example/docs/%d",
+                        F.col("doc_id") % 37, F.col("doc_id"))
+        .alias("url"),
+        html.alias("html_str"))
+    return extract_html_tables(pages)
+
+
 def _web_crawl_delay(spark, sf_dir):
     """Crawl-delay extraction (r6 — the per-host pacing input to the
     frontier scheduler): bodies sweep group scoping (a bot-only group
@@ -2688,6 +2716,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w_stream_sketch_counts": _w_stream_sketch_counts,
         "mm_features_tiff": _mm_features_tiff,
         "web_crawl_delay": _web_crawl_delay,
+        "web_table_extract": _web_table_extract,
         "dedup_cdc_chunks": _dedup_cdc_chunks,
         "text_contamination": _text_contamination,
         "text_hash_classifier": _text_hash_classifier,
@@ -5154,6 +5183,23 @@ def oracle_sql() -> dict[str, str]:
                CAST(row_number() OVER (ORDER BY rank, host, url) - 1
                     AS BIGINT) AS fetch_seq
         FROM r
+    """
+    d["web_table_extract"] = """
+        -- document-order grid from doc_id arithmetic; the markup
+        -- cell (2,1) yields NO row (plain-text-cell contract)
+        WITH u AS (
+          SELECT doc_id, printf('https://host%d.example/docs/%d',
+                                doc_id % 37, doc_id) AS url
+          FROM documents
+        )
+        SELECT url, CAST(0 AS BIGINT) AS row_idx,
+               CAST(0 AS BIGINT) AS col_idx,
+               printf('h%d', doc_id % 10) AS cell FROM u
+        UNION ALL SELECT url, 0, 1, printf('h%d', (doc_id + 1) % 10)
+        FROM u
+        UNION ALL SELECT url, 1, 0, printf('v%d', doc_id*6 + 2) FROM u
+        UNION ALL SELECT url, 1, 1, printf('v%d', doc_id*6 + 3) FROM u
+        UNION ALL SELECT url, 2, 0, printf('v%d', doc_id*6 + 4) FROM u
     """
     d["web_crawl_delay"] = """
         -- %4==0 none; %4==1 star-group delay (bot group must not

@@ -154,3 +154,34 @@ def frontier_schedule(urls: DataFrame, host_col: str = "host",
     return (ranked.join(idx, "url")
             .select("url", "host", "rank",
                     F.col("global_idx").alias("fetch_seq")))
+
+
+# --- HTML table extraction (r6) --------------------------------------------
+
+TABLE_ROW_RE = r"(?s)<tr[^>]*>(.*?)</tr>"   # (?s): rows span newlines
+TABLE_CELL_RE = r"<t[dh][^>]*>([^<]*)</t[dh]>"
+
+
+def extract_html_tables(pages: DataFrame, url_col: str = "url",
+                        html_col: str = "html_str") -> DataFrame:
+    """Structured table extraction (the tabular-data mining step a
+    web corpus runs for fact/QA datasets): every <tr> of every page
+    explodes to (url, row_idx, col_idx, cell) with document-order
+    indices — two nested posexplodes over JVM regexp_extract_all,
+    zero Python, zero shuffle. Subset contract: cells are plain text
+    (nested markup inside a cell stops at the first tag, like the
+    anchor extractor); <th> and <td> are both cells."""
+    html = F.col(html_col)
+    rows = F.regexp_extract_all(html, F.lit(TABLE_ROW_RE), 1)
+    ex = (pages.select(F.col(url_col).alias("url"),
+                       F.posexplode(rows).alias("row_idx", "row_html"))
+          .select("url", "row_idx",
+                  F.posexplode(
+                      F.regexp_extract_all(F.col("row_html"),
+                                           F.lit(TABLE_CELL_RE), 1))
+                  .alias("col_idx", "cell")))
+    return (ex.withColumn("cell",
+                          F.regexp_replace(F.trim("cell"), r"\s+", " "))
+            .filter(F.col("cell") != "")
+            .select("url", F.col("row_idx").cast("long"),
+                    F.col("col_idx").cast("long"), "cell"))

@@ -2270,6 +2270,25 @@ def test_robots_sitemap_directives_group_independent(spark):
                    ("c", "https://c/s.xml")}
 
 
+def test_html_table_extraction_contract(spark):
+    """r6: extract_html_tables — attributes on tr/td survive, <th>
+    and <td> both count, rows spanning newlines parse ((?s)),
+    whitespace collapses, markup-bearing cells are skipped, and
+    multiple tables on one page keep global document-order row
+    indices."""
+    from powerpoint_context_extractor_spark.operators.weblinks import (
+        extract_html_tables,
+    )
+    html = ('<table><tr class="x">\n<th>A</th><td a="1"> b  c </td>'
+            "\n</tr></table>"
+            "<table><tr><td>second</td><td><i>no</i></td></tr></table>")
+    pages = spark.createDataFrame(
+        [("u1", html)], "url string, html_str string")
+    got = sorted((r["row_idx"], r["col_idx"], r["cell"])
+                 for r in extract_html_tables(pages).collect())
+    assert got == [(0, 0, "A"), (0, 1, "b c"), (1, 0, "second")]
+
+
 def test_sitemap_parse_and_frontier_round_robin(spark):
     """r6: (a) parse_sitemaps handles urlset vs sitemapindex, optional
     lastmod, and drops empty locs; (b) frontier_schedule interleaves
