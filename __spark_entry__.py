@@ -1081,6 +1081,26 @@ def _text_confusables(spark, sf_dir):
         d.select("doc_id", text2.alias("text")))
 
 
+def _pipeline_expectations(spark, sf_dir):
+    """Data-quality expectation gate (r6 — the pre-publish release
+    check): four holding rules, one deliberately violated rule
+    (n_chars >= 200 fails on short docs), and a doc_id uniqueness
+    check — all in ONE aggregation pass. Oracle = scalar UNION of
+    the same counts."""
+    from powerpoint_context_extractor_spark.operators.expectations import (
+        check_expectations,
+    )
+    d = _t(spark, sf_dir, "documents")
+    return check_expectations(
+        d,
+        rules=[("n_chars_nonneg", "n_chars >= 0"),
+               ("lang_iso2", "lang RLIKE '^[a-z]{2}$'"),
+               ("text_present", "text IS NOT NULL AND length(text) > 0"),
+               ("chars_match_text", "n_chars = length(text)"),
+               ("min_length_200", "n_chars >= 200")],
+        unique_cols=["doc_id"])
+
+
 def _pipeline_data_card(spark, sf_dir):
     """Dataset data-card summary (r6 — the release-notes table every
     corpus ships with): one aggregation pass over documents reshaped
@@ -2717,6 +2737,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_features_tiff": _mm_features_tiff,
         "web_crawl_delay": _web_crawl_delay,
         "web_table_extract": _web_table_extract,
+        "pipeline_expectations": _pipeline_expectations,
         "dedup_cdc_chunks": _dedup_cdc_chunks,
         "text_contamination": _text_contamination,
         "text_hash_classifier": _text_hash_classifier,
@@ -5529,6 +5550,34 @@ def oracle_sql() -> dict[str, str]:
                          THEN 1 ELSE 0 END AS BIGINT) AS flagged,
                md5(translate(tx, '{_CS}', '{_CD}')) AS skeleton_md5
         FROM t
+    """
+    d["pipeline_expectations"] = """
+        WITH counts AS (
+          SELECT 'n_chars_nonneg' AS rule,
+                 SUM(CASE WHEN NOT coalesce(n_chars >= 0, FALSE)
+                          THEN 1 ELSE 0 END) AS v FROM documents
+          UNION ALL SELECT 'lang_iso2',
+                 SUM(CASE WHEN NOT coalesce(
+                       regexp_matches(lang, '^[a-z]{2}$'), FALSE)
+                          THEN 1 ELSE 0 END) FROM documents
+          UNION ALL SELECT 'text_present',
+                 SUM(CASE WHEN NOT coalesce(
+                       text IS NOT NULL AND length(text) > 0, FALSE)
+                          THEN 1 ELSE 0 END) FROM documents
+          UNION ALL SELECT 'chars_match_text',
+                 SUM(CASE WHEN NOT coalesce(n_chars = length(text),
+                                            FALSE)
+                          THEN 1 ELSE 0 END) FROM documents
+          UNION ALL SELECT 'min_length_200',
+                 SUM(CASE WHEN NOT coalesce(n_chars >= 200, FALSE)
+                          THEN 1 ELSE 0 END) FROM documents
+          UNION ALL SELECT 'unique:doc_id',
+                 COUNT(doc_id) - COUNT(DISTINCT doc_id) FROM documents
+        )
+        SELECT rule, CAST(v AS BIGINT) AS n_violations,
+               CAST(CASE WHEN v = 0 THEN 1 ELSE 0 END AS BIGINT)
+                 AS passed
+        FROM counts
     """
     d["pipeline_data_card"] = """
         SELECT 'n_docs' AS metric, CAST(COUNT(*) AS BIGINT) AS value

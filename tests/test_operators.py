@@ -2270,6 +2270,33 @@ def test_robots_sitemap_directives_group_independent(spark):
                    ("c", "https://c/s.xml")}
 
 
+def test_expectations_single_pass_and_null_semantics(spark):
+    """r6: check_expectations — NULL predicate results count as
+    violations, uniqueness counts rows beyond the first per value
+    (NULLs ignored), passing and failing rules coexist, the whole
+    gate is ONE aggregation (a single scan in the plan), and no
+    rules raises."""
+    from powerpoint_context_extractor_spark.operators.expectations import (
+        check_expectations,
+    )
+    df = spark.createDataFrame(
+        [(1, "a", 5), (2, "b", None), (2, "c", -1), (None, "d", 7)],
+        "k long, s string, v int")
+    out = check_expectations(
+        df, rules=[("v_pos", "v > 0"), ("s_nonempty", "length(s) > 0")],
+        unique_cols=["k"])
+    got = {r["rule"]: (r["n_violations"], r["passed"])
+           for r in out.collect()}
+    # v > 0: -1 violates, NULL v violates -> 2
+    assert got == {"v_pos": (2, 0), "s_nonempty": (0, 1),
+                   "unique:k": (1, 0)}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]   # AQE prints both
+    assert final.count("Scan ExistingRDD") == 1
+    with pytest.raises(ValueError, match="no rules"):
+        check_expectations(df, rules=[])
+
+
 def test_html_table_extraction_contract(spark):
     """r6: extract_html_tables — attributes on tr/td survive, <th>
     and <td> both count, rows spanning newlines parse ((?s)),
