@@ -2159,6 +2159,17 @@ def _mm_video_scene_cuts(spark, sf_dir):
     return extract_video_scene_cuts(_t(spark, sf_dir, "documents"))
 
 
+def _mm_features_bmp(spark, sf_dir):
+    """Real standalone-BMP decode under the correctness gate (r6):
+    the bare DIB file — BGR order, bottom-up rows, stride padding —
+    with the strict 2-byte-magic guard (reserved zeros) so text
+    payloads can't flip kind. Oracle is the analytic byte formula."""
+    from powerpoint_context_extractor_spark.operators.multimodal import (
+        extract_bmp_features,
+    )
+    return extract_bmp_features(_t(spark, sf_dir, "documents"))
+
+
 def _mm_features_tiff(spark, sf_dir):
     """Real TIFF decode under the correctness gate (r6 — the pointer-
     machine container: endianness-switched IFD walk, out-of-line
@@ -2738,6 +2749,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_crawl_delay": _web_crawl_delay,
         "web_table_extract": _web_table_extract,
         "pipeline_expectations": _pipeline_expectations,
+        "mm_features_bmp": _mm_features_bmp,
         "dedup_cdc_chunks": _dedup_cdc_chunks,
         "text_contamination": _text_contamination,
         "text_hash_classifier": _text_hash_classifier,
@@ -3689,6 +3701,20 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, CAST(luma * 4 // 256 AS BIGINT) AS bin,
                CAST(COUNT(*) AS BIGINT) AS n_px
         FROM px GROUP BY doc_id, bin
+    """
+    d["mm_features_bmp"] = """
+        -- frozen BMP rule (r6): 16x8 RGB, byte i = (doc_id*41+i)%256
+        WITH px AS (
+          SELECT d.doc_id, (d.doc_id*41 + t.i) % 256 AS v
+          FROM documents d, range(0, 384) t(i)
+        )
+        SELECT doc_id,
+               CAST(16 AS BIGINT) AS width, CAST(8 AS BIGINT) AS height,
+               CAST(3 AS BIGINT) AS channels,
+               CAST(SUM(v) AS BIGINT) AS px_sum,
+               CAST(MIN(v) AS BIGINT) AS px_min,
+               CAST(MAX(v) AS BIGINT) AS px_max
+        FROM px GROUP BY doc_id
     """
     d["mm_features_tiff"] = """
         -- frozen TIFF rule (r6): ch = 3 if (doc_id%4)%2 else 1,

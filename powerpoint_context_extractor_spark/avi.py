@@ -28,7 +28,8 @@ from __future__ import annotations
 import struct
 
 __all__ = ["render_avi", "render_avi_rle8", "render_avi_mjpeg",
-           "decode_avi", "rle8_encode_frame", "rle8_decode_frame"]
+           "decode_avi", "rle8_encode_frame", "rle8_decode_frame",
+           "render_bmp", "decode_bmp"]
 
 MJPG_FOURCC = 0x47504A4D                     # "MJPG" little-endian
 
@@ -413,3 +414,57 @@ def decode_avi(data: bytes) -> tuple:
                 rgb[dst:dst + 3] = bytes((r, g, b))  # BGR -> RGB
         out.append(bytes(rgb))
     return width, height, fps, out
+
+
+def render_bmp(width: int, height: int, pixels: bytes) -> bytes:
+    """Standalone .bmp writer: BITMAPFILEHEADER + the same 24-bit
+    BI_RGB DIB conventions the AVI frames use (BGR, bottom-up,
+    4-byte row padding)."""
+    if width <= 0 or height <= 0:
+        raise ValueError("bmp: bad dimensions")
+    if len(pixels) != width * height * 3:
+        raise ValueError("bmp: pixels length != width*height*3")
+    stride = _row_stride(width)
+    dib = bytearray()
+    for y in range(height - 1, -1, -1):
+        row = bytearray()
+        for x in range(width):
+            r, g, b = pixels[(y * width + x) * 3:(y * width + x) * 3 + 3]
+            row += bytes((b, g, r))
+        row += b"\x00" * (stride - width * 3)
+        dib += row
+    info = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0,
+                       stride * height, 0, 0, 0, 0)
+    off = 14 + len(info)
+    hdr = struct.pack("<2sIHHI", b"BM", off + len(dib), 0, 0, off)
+    return hdr + info + bytes(dib)
+
+
+def decode_bmp(data: bytes) -> tuple:
+    """-> (width, height, 3, top-down RGB bytes). Subset: 24-bit
+    BI_RGB with a 40-byte BITMAPINFOHEADER (honest errors outside)."""
+    if len(data) < 54 or data[:2] != b"BM":
+        raise ValueError("bmp: bad signature")
+    (_sig, _size, _r1, _r2, off) = struct.unpack("<2sIHHI", data[:14])
+    (hsz, width, height, _planes, bc, comp, _si, _xp, _yp, _used,
+     _imp) = struct.unpack("<IiiHHIIiiII", data[14:54])
+    if hsz != 40 or bc != 24 or comp != 0:
+        raise ValueError(
+            f"bmp: subset is 24-bit BI_RGB (hsz={hsz} bpp={bc} "
+            f"comp={comp})")
+    if width <= 0 or height == 0:
+        raise ValueError("bmp: bad dimensions")
+    top_down = height < 0
+    height = abs(height)
+    stride = _row_stride(width)
+    if off + stride * height > len(data):
+        raise ValueError("bmp: truncated pixel data")
+    rgb = bytearray(width * height * 3)
+    for y in range(height):
+        src_y = y if top_down else height - 1 - y
+        row = off + src_y * stride
+        for x in range(width):
+            b, g, r = data[row + x * 3:row + x * 3 + 3]
+            dst = (y * width + x) * 3
+            rgb[dst:dst + 3] = bytes((r, g, b))
+    return width, height, 3, bytes(rgb)

@@ -23,8 +23,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..avi import (decode_avi, render_avi, render_avi_mjpeg,
-                   render_avi_rle8)
+from ..avi import (decode_avi, decode_bmp, render_avi,
+                   render_avi_mjpeg, render_avi_rle8, render_bmp)
 from ..jpeg import (QTABLE, decode_jpeg, decode_jpeg_gray,
                     render_jpeg_color, render_jpeg_gray,
                     render_jpeg_color_progressive,
@@ -54,6 +54,12 @@ def _kind_of(raw: bytes) -> str:
     their form type at offset 8 (WAVE -> wav, 'AVI ' -> avi, anything
     else stays 'riff' and hits the stub)."""
     kind = MAGIC_KINDS.get(raw[:4].hex(), "unknown")
+    if (kind == "unknown" and raw[:2] == b"BM" and len(raw) >= 54
+            and raw[6:10] == b"\x00\x00\x00\x00"):
+        # 2-byte magic needs the stricter reserved-zeros check so a
+        # text that merely starts "BM" can't flip kind (the r5
+        # ADVICE #3 hazard class)
+        return "bmp"
     if kind == "riff":
         form = raw[8:12]
         if form == b"WAVE":
@@ -115,6 +121,11 @@ def _decode_payload(kind: str, payload: bytes) -> list:
         # expansion, pure stdlib); animation/transparency subsets
         # raise the honest subset ValueError
         w, h, ch, px = decode_gif(payload)
+        return [float(w), float(h), float(ch), float(sum(px) % 997),
+                float(min(px)), float(max(px))]
+    if kind == "bmp":
+        # r6: REAL standalone-DIB decode (BGR, bottom-up, stride pad)
+        w, h, ch, px = decode_bmp(payload)
         return [float(w), float(h), float(ch), float(sum(px) % 997),
                 float(min(px)), float(max(px))]
     if kind == "tiff":
@@ -1467,6 +1478,40 @@ def extract_tiff_features(docs: DataFrame) -> DataFrame:
                                    "px_max")}
             for doc_id in pdf["doc_id"].tolist():
                 w, h, ch, px = decode_tiff(tiff_payload_for_doc(doc_id))
+                out["doc_id"].append(doc_id)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["channels"].append(ch)
+                out["px_sum"].append(sum(px))
+                out["px_min"].append(min(px))
+                out["px_max"].append(max(px))
+            yield pd.DataFrame(out)
+
+    return docs.select("doc_id").mapInPandas(
+        _batches, schema=PNG_FEATURE_SCHEMA)
+
+
+# --- real-BMP contract path (r6) -------------------------------------------
+
+def bmp_payload_for_doc(doc_id: int) -> bytes:
+    """Frozen BMP rule: 16x8 RGB, byte i = (doc_id*41 + i) % 256 —
+    the standalone-DIB file (BGR + bottom-up + stride pad under the
+    hash, same conventions the AVI frames exercise in-container)."""
+    px = bytes((doc_id * 41 + i) % 256
+               for i in range(PNG_W * PNG_H * 3))
+    return render_bmp(PNG_W, PNG_H, px)
+
+
+def extract_bmp_features(docs: DataFrame) -> DataFrame:
+    """Render + decode a real BMP per documents row."""
+
+    def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("doc_id", "width", "height",
+                                   "channels", "px_sum", "px_min",
+                                   "px_max")}
+            for doc_id in pdf["doc_id"].tolist():
+                w, h, ch, px = decode_bmp(bmp_payload_for_doc(doc_id))
                 out["doc_id"].append(doc_id)
                 out["width"].append(w)
                 out["height"].append(h)

@@ -625,6 +625,38 @@ def test_png_sub8bit_depths_roundtrip():
         decode_png(sig + chunk)
 
 
+def test_bmp_roundtrip_and_magic_guard():
+    """r6: BMP roundtrip (BGR/bottom-up/stride), top-down negative-
+    height variant decodes, subset errors, and the strict 2-byte
+    magic guard: a text starting 'BM' does NOT classify as bmp."""
+    import random
+    import struct
+
+    from powerpoint_context_extractor_spark.avi import (
+        decode_bmp, render_bmp,
+    )
+    from powerpoint_context_extractor_spark.operators.multimodal import (
+        _kind_of,
+    )
+    rng = random.Random(43)
+    for w, h in ((1, 1), (5, 3), (16, 8)):
+        px = bytes(rng.randrange(256) for _ in range(w * h * 3))
+        data = render_bmp(w, h, px)
+        assert _kind_of(data) == "bmp"
+        assert decode_bmp(data) == (w, h, 3, px)
+    # negative height = top-down storage: flip the height field on a
+    # 1-row image (row order is then identical)
+    one = render_bmp(4, 1, bytes(range(12)))
+    td = bytearray(one)
+    td[22:26] = struct.pack("<i", -1)
+    assert decode_bmp(bytes(td)) == (4, 1, 3, bytes(range(12)))
+    assert _kind_of(b"BMw tied the ribbon " + bytes(40)) == "unknown"
+    with pytest.raises(ValueError, match="subset"):
+        bad = bytearray(render_bmp(2, 2, bytes(12)))
+        bad[28] = 8                           # bpp 8
+        decode_bmp(bytes(bad))
+
+
 def test_tiff_roundtrip_both_endiannesses():
     """r6: TIFF codec contract — gray/RGB x II/MM roundtrip with
     uneven strips and out-of-line offset arrays; magic routing
