@@ -2159,6 +2159,18 @@ def _mm_video_scene_cuts(spark, sf_dir):
     return extract_video_scene_cuts(_t(spark, sf_dir, "documents"))
 
 
+def _mm_audio_probe_mp3(spark, sf_dir):
+    """MP3 header probe under the correctness gate (r6 — the ffprobe
+    pass audio curation runs; deliberately NOT a Layer III decoder):
+    ID3v2 skip, frame-header walk with the MPEG-1 Layer III tables,
+    padding bit, VBR min/max, integer duration. Oracle recomputes
+    every field from the frozen doc_id rule."""
+    from powerpoint_context_extractor_spark.operators.multimodal import (
+        probe_mp3_features,
+    )
+    return probe_mp3_features(_t(spark, sf_dir, "documents"))
+
+
 def _mm_features_bmp(spark, sf_dir):
     """Real standalone-BMP decode under the correctness gate (r6):
     the bare DIB file — BGR order, bottom-up rows, stride padding —
@@ -2750,6 +2762,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_table_extract": _web_table_extract,
         "pipeline_expectations": _pipeline_expectations,
         "mm_features_bmp": _mm_features_bmp,
+        "mm_audio_probe_mp3": _mm_audio_probe_mp3,
         "dedup_cdc_chunks": _dedup_cdc_chunks,
         "text_contamination": _text_contamination,
         "text_hash_classifier": _text_hash_classifier,
@@ -3701,6 +3714,31 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, CAST(luma * 4 // 256 AS BIGINT) AS bin,
                CAST(COUNT(*) AS BIGINT) AS n_px
         FROM px GROUP BY doc_id, bin
+    """
+    d["mm_audio_probe_mp3"] = """
+        -- frozen MP3 rule (r6): n = doc_id%5 + 2 frames, frame j at
+        -- kbps = (32,64,128,192,320)[(doc_id+j)%5], rate =
+        -- (44100,48000,32000)[doc_id%3], duration = n*1152*1000//rate
+        WITH par AS (
+          SELECT doc_id, doc_id % 5 + 2 AS n,
+                 CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+                      ELSE 32000 END AS rate
+          FROM documents
+        ), kb AS (
+          SELECT p.doc_id, p.n, p.rate,
+                 CASE (p.doc_id + j.j) % 5
+                      WHEN 0 THEN 32 WHEN 1 THEN 64 WHEN 2 THEN 128
+                      WHEN 3 THEN 192 ELSE 320 END AS kbps
+          FROM par p, range(0, 7) j(j) WHERE j.j < p.n
+        )
+        SELECT doc_id,
+               CAST(MAX(n) AS BIGINT) AS n_frames,
+               CAST(MAX(rate) AS BIGINT) AS sample_rate,
+               CAST(MIN(kbps) AS BIGINT) AS min_kbps,
+               CAST(MAX(kbps) AS BIGINT) AS max_kbps,
+               CAST(MAX(n) * 1152 * 1000 // MAX(rate) AS BIGINT)
+                 AS duration_ms
+        FROM kb GROUP BY doc_id
     """
     d["mm_features_bmp"] = """
         -- frozen BMP rule (r6): 16x8 RGB, byte i = (doc_id*41+i)%256

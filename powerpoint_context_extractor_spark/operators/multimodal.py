@@ -33,6 +33,7 @@ from ..jpeg import (QTABLE, decode_jpeg, decode_jpeg_gray,
                     ycbcr_from_rgb)
 from ..flac import decode_flac, render_flac
 from ..gif import decode_gif, render_gif
+from ..mp3probe import build_mp3
 from ..tiff import decode_tiff, render_tiff
 from ..png import decode_png, render_png, render_png_interlaced
 from ..wav import decode_wav, render_wav
@@ -1523,3 +1524,48 @@ def extract_bmp_features(docs: DataFrame) -> DataFrame:
 
     return docs.select("doc_id").mapInPandas(
         _batches, schema=PNG_FEATURE_SCHEMA)
+
+
+# --- MP3 header-probe contract path (r6) -----------------------------------
+
+MP3_KBPS_CHOICES = (32, 64, 128, 192, 320)
+MP3_RATES = (44100, 48000, 32000)
+
+
+def mp3_payload_for_doc(doc_id: int) -> bytes:
+    """Frozen MP3 rule: doc_id%5 + 2 frames, frame j at kbps =
+    MP3_KBPS_CHOICES[(doc_id + j) % 5] (VBR), sample rate =
+    MP3_RATES[doc_id % 3], an ID3v2 tag of 37 bytes on odd doc_ids —
+    the probe walks headers only (this module never claims to decode
+    Layer III audio)."""
+    n = doc_id % 5 + 2
+    frames = [MP3_KBPS_CHOICES[(doc_id + j) % 5] for j in range(n)]
+    return build_mp3(frames, sample_rate=MP3_RATES[doc_id % 3],
+                     id3_size=37 if doc_id % 2 else 0)
+
+
+def probe_mp3_features(docs: DataFrame) -> DataFrame:
+    """Header-probe a real MP3 stream per documents row (ID3 skip,
+    frame walk, padding bit, VBR min/max)."""
+    from ..mp3probe import probe_mp3
+
+    def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("doc_id", "n_frames", "sample_rate",
+                                   "min_kbps", "max_kbps",
+                                   "duration_ms")}
+            for doc_id in pdf["doc_id"].tolist():
+                n, rate, kmin, kmax, dur = probe_mp3(
+                    mp3_payload_for_doc(doc_id))
+                out["doc_id"].append(doc_id)
+                out["n_frames"].append(n)
+                out["sample_rate"].append(rate)
+                out["min_kbps"].append(kmin)
+                out["max_kbps"].append(kmax)
+                out["duration_ms"].append(dur)
+            yield pd.DataFrame(out)
+
+    return docs.select("doc_id").mapInPandas(
+        _batches, schema="doc_id long, n_frames long, sample_rate long,"
+                         " min_kbps long, max_kbps long,"
+                         " duration_ms long")

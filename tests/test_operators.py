@@ -625,6 +625,27 @@ def test_png_sub8bit_depths_roundtrip():
         decode_png(sig + chunk)
 
 
+def test_mp3_probe_headers_and_honest_errors():
+    """r6: the MP3 probe walks ID3v2 + VBR frame headers exactly
+    (padding bit, bitrate/rate tables) and raises honestly on free
+    bitrate, non-MPEG1-LayerIII, lost sync, and truncation — it never
+    pretends to decode audio."""
+    from powerpoint_context_extractor_spark.mp3probe import (
+        build_mp3, probe_mp3,
+    )
+    data = build_mp3([64, 320, 32], sample_rate=48000, id3_size=37)
+    assert probe_mp3(data) == (3, 48000, 32, 320, 3 * 1152 * 1000
+                               // 48000)
+    with pytest.raises(ValueError, match="free/invalid"):
+        probe_mp3(b"\xff\xfb\x00\x00")
+    with pytest.raises(ValueError, match="subset"):
+        probe_mp3(b"\xff\xf3\x90\x00" + bytes(400))   # MPEG-2
+    with pytest.raises(ValueError, match="sync"):
+        probe_mp3(build_mp3([64]) + b"junk")
+    with pytest.raises(ValueError, match="truncated"):
+        probe_mp3(build_mp3([128])[:-5])
+
+
 def test_bmp_roundtrip_and_magic_guard():
     """r6: BMP roundtrip (BGR/bottom-up/stride), top-down negative-
     height variant decodes, subset errors, and the strict 2-byte
