@@ -1125,6 +1125,17 @@ def _pipeline_data_card(spark, sf_dir):
         "'n_distinct_texts', n_distinct_texts) AS (metric, value)")
 
 
+def _a_funnel_steps(spark, sf_dir):
+    """Ordered funnel over events (r6): view -> click -> purchase,
+    step k = first step-k event STRICTLY AFTER the step-(k-1) reach
+    time; per-step user counts. Oracle chains the same min-ts CTEs."""
+    from powerpoint_context_extractor_spark.operators.analytics import (
+        funnel_counts,
+    )
+    return funnel_counts(_t(spark, sf_dir, "events"),
+                         ["view", "click", "purchase"])
+
+
 def _agg_theta_intersect(spark, sf_dir):
     """Theta-sketch set algebra (r6): intersection cardinality of two
     groups' key sets from their KMV sketches alone — theta = min of
@@ -2159,6 +2170,17 @@ def _mm_video_scene_cuts(spark, sf_dir):
     return extract_video_scene_cuts(_t(spark, sf_dir, "documents"))
 
 
+def _mm_audio_energy(spark, sf_dir):
+    """Windowed audio energy over the real WAV decode (r6 — the
+    VAD-style pre-filter): 4 windows of 16 samples, integer sum of
+    squares + a silence flag vs 1/100th of the clip mean; the oracle
+    replays the exact window math on the sample formula."""
+    from powerpoint_context_extractor_spark.operators.multimodal import (
+        extract_audio_energy,
+    )
+    return extract_audio_energy(_t(spark, sf_dir, "documents"))
+
+
 def _mm_audio_probe_mp3(spark, sf_dir):
     """MP3 header probe under the correctness gate (r6 — the ffprobe
     pass audio curation runs; deliberately NOT a Layer III decoder):
@@ -2763,6 +2785,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_expectations": _pipeline_expectations,
         "mm_features_bmp": _mm_features_bmp,
         "mm_audio_probe_mp3": _mm_audio_probe_mp3,
+        "mm_audio_energy": _mm_audio_energy,
+        "a_funnel_steps": _a_funnel_steps,
         "dedup_cdc_chunks": _dedup_cdc_chunks,
         "text_contamination": _text_contamination,
         "text_hash_classifier": _text_hash_classifier,
@@ -3714,6 +3738,38 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, CAST(luma * 4 // 256 AS BIGINT) AS bin,
                CAST(COUNT(*) AS BIGINT) AS n_px
         FROM px GROUP BY doc_id, bin
+    """
+    d["a_funnel_steps"] = """
+        WITH t0 AS (SELECT user_id, MIN(ts) AS t FROM events
+                    WHERE event_type = 'view' GROUP BY user_id),
+        t1 AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e
+               JOIN t0 ON e.user_id = t0.user_id AND e.ts > t0.t
+               WHERE e.event_type = 'click' GROUP BY e.user_id),
+        t2 AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e
+               JOIN t1 ON e.user_id = t1.user_id AND e.ts > t1.t
+               WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+        SELECT CAST(0 AS BIGINT) AS step_idx, 'view' AS step,
+               CAST(COUNT(*) AS BIGINT) AS n_users FROM t0
+        UNION ALL SELECT 1, 'click', COUNT(*) FROM t1
+        UNION ALL SELECT 2, 'purchase', COUNT(*) FROM t2
+    """
+    d["mm_audio_energy"] = """
+        -- windowed sum of squares over the WAV sample rule
+        -- (((doc_id*73 + i*29) % 4001) - 2000), 4 windows of 16
+        WITH s AS (
+          SELECT d.doc_id, t.i // 16 AS win_id,
+                 ((d.doc_id*73 + t.i*29) % 4001) - 2000 AS v
+          FROM documents d, range(0, 64) t(i)
+        ),
+        w AS (SELECT doc_id, win_id, SUM(v*v) AS energy
+              FROM s GROUP BY doc_id, win_id),
+        m AS (SELECT doc_id, SUM(energy) // COUNT(*) AS mean
+              FROM w GROUP BY doc_id)
+        SELECT w.doc_id, CAST(win_id AS BIGINT) AS win_id,
+               CAST(energy AS BIGINT) AS energy,
+               CAST(CASE WHEN energy * 100 < m.mean THEN 1 ELSE 0 END
+                    AS BIGINT) AS is_silent
+        FROM w JOIN m ON w.doc_id = m.doc_id
     """
     d["mm_audio_probe_mp3"] = """
         -- frozen MP3 rule (r6): n = doc_id%5 + 2 frames, frame j at

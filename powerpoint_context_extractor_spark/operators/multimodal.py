@@ -1569,3 +1569,39 @@ def probe_mp3_features(docs: DataFrame) -> DataFrame:
         _batches, schema="doc_id long, n_frames long, sample_rate long,"
                          " min_kbps long, max_kbps long,"
                          " duration_ms long")
+
+
+# --- audio energy windows (r6) ---------------------------------------------
+
+AUDIO_WIN = 16
+
+
+def extract_audio_energy(docs: DataFrame) -> DataFrame:
+    """Windowed audio energy over REAL decoded WAV samples (the
+    VAD-ish pre-filter audio curation runs): per 16-sample window,
+    the integer sum of squares and a silence flag (energy below
+    1/100th of the clip mean). Emits (doc_id, win_id, energy,
+    is_silent) — every value a pure integer function of the WAV
+    fixture formula."""
+
+    def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("doc_id", "win_id", "energy",
+                                   "is_silent")}
+            for doc_id in pdf["doc_id"].tolist():
+                _rate, _ch, samples = decode_wav(
+                    wav_payload_for_doc(doc_id))
+                wins = [sum(s * s for s in samples[o:o + AUDIO_WIN])
+                        for o in range(0, len(samples), AUDIO_WIN)]
+                mean = sum(wins) // len(wins)
+                for w_id, en in enumerate(wins):
+                    out["doc_id"].append(doc_id)
+                    out["win_id"].append(w_id)
+                    out["energy"].append(en)
+                    out["is_silent"].append(
+                        1 if en * 100 < mean else 0)
+            yield pd.DataFrame(out)
+
+    return docs.select("doc_id").mapInPandas(
+        _batches, schema="doc_id long, win_id long, energy long, "
+                         "is_silent long")

@@ -2104,6 +2104,40 @@ def test_orc_roundtrip_pushes_filters(spark, sf_dir, tmp_path):
     assert sorted(r["doc_id"] for r in q.collect()) == want
 
 
+def test_funnel_strict_ordering(spark):
+    """r6: funnel_counts — a user whose click PRECEDES their first
+    view doesn't reach step 2 (strict after), equal timestamps don't
+    count, and the reach time is the EARLIEST qualifying event (a
+    later click must not unlock an earlier purchase)."""
+    from datetime import datetime
+
+    from powerpoint_context_extractor_spark.operators.analytics import (
+        funnel_counts,
+    )
+
+    def ts(s):
+        return datetime(2024, 1, 1, 0, 0, s)
+
+    rows = [
+        # u1: full ordered funnel
+        (1, ts(1), "view"), (1, ts(2), "click"), (1, ts(3), "purchase"),
+        # u2: click before view -> stops at step 1
+        (2, ts(5), "click"), (2, ts(6), "view"),
+        # u3: click at the SAME second as view -> strict > fails
+        (3, ts(7), "view"), (3, ts(7), "click"),
+        # u4: purchase between view and click -> not after reach(click)
+        (4, ts(1), "view"), (4, ts(2), "purchase"), (4, ts(3), "click"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string")
+    got = {r["step"]: r["n_users"]
+           for r in funnel_counts(ev, ["view", "click",
+                                       "purchase"]).collect()}
+    assert got == {"view": 4, "click": 2, "purchase": 1}
+    with pytest.raises(ValueError, match="funnel"):
+        funnel_counts(ev, ["view"])
+
+
 def test_theta_intersect_estimates_overlap(spark):
     """r6: the KMV intersection estimate lands near a planted
     1000-key overlap between two 3000-key groups, and fully disjoint
