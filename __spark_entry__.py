@@ -1125,6 +1125,17 @@ def _pipeline_data_card(spark, sf_dir):
         "'n_distinct_texts', n_distinct_texts) AS (metric, value)")
 
 
+def _a_retention_cohorts(spark, sf_dir):
+    """Weekly retention cohorts (r6): cohort on the week (epoch div
+    604800 — calendar-dialect-proof) of the first signup; distinct
+    active users per (cohort_week, week_offset). Oracle mirrors the
+    same integer week math with floor(epoch(ts))."""
+    from powerpoint_context_extractor_spark.operators.analytics import (
+        retention_cohorts,
+    )
+    return retention_cohorts(_t(spark, sf_dir, "events"), "signup")
+
+
 def _a_funnel_steps(spark, sf_dir):
     """Ordered funnel over events (r6): view -> click -> purchase,
     step k = first step-k event STRICTLY AFTER the step-(k-1) reach
@@ -2787,6 +2798,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_audio_probe_mp3": _mm_audio_probe_mp3,
         "mm_audio_energy": _mm_audio_energy,
         "a_funnel_steps": _a_funnel_steps,
+        "a_retention_cohorts": _a_retention_cohorts,
         "dedup_cdc_chunks": _dedup_cdc_chunks,
         "text_contamination": _text_contamination,
         "text_hash_classifier": _text_hash_classifier,
@@ -3738,6 +3750,24 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, CAST(luma * 4 // 256 AS BIGINT) AS bin,
                CAST(COUNT(*) AS BIGINT) AS n_px
         FROM px GROUP BY doc_id, bin
+    """
+    d["a_retention_cohorts"] = """
+        -- week = floor(epoch(ts)) // 604800 (Spark unix_timestamp
+        -- truncates; DuckDB epoch rounds — floor() first)
+        WITH ev AS (
+          SELECT user_id AS u,
+                 CAST(floor(epoch(ts)) AS BIGINT) // 604800 AS wk,
+                 event_type AS et
+          FROM events
+        ),
+        a AS (SELECT u, MIN(wk) AS cohort_week FROM ev
+              WHERE et = 'signup' GROUP BY u)
+        SELECT a.cohort_week,
+               CAST(ev.wk - a.cohort_week AS BIGINT) AS week_offset,
+               CAST(COUNT(DISTINCT ev.u) AS BIGINT) AS n_users
+        FROM ev JOIN a ON ev.u = a.u
+        WHERE ev.wk - a.cohort_week >= 0
+        GROUP BY a.cohort_week, week_offset
     """
     d["a_funnel_steps"] = """
         WITH t0 AS (SELECT user_id, MIN(ts) AS t FROM events

@@ -48,3 +48,31 @@ def funnel_counts(events: DataFrame, steps: list,
     for o in outs[1:]:
         res = res.unionByName(o)
     return res
+
+
+def retention_cohorts(events: DataFrame, anchor_type: str,
+                      user_col: str = "user_id", ts_col: str = "ts",
+                      type_col: str = "event_type") -> DataFrame:
+    """Weekly retention-cohort matrix: users cohort on the WEEK of
+    their first ``anchor_type`` event (week = epoch-seconds div
+    604800 — integer-exact in any engine, no calendar-week dialect
+    drift); cell (cohort_week, week_offset) counts distinct cohort
+    users active (ANY event) that many weeks later. Offsets < 0
+    (activity before signup) are excluded.
+
+    Scale shape: one grouped min for the anchors, one join back
+    (anchor table is users-sized, broadcastable), one distinct count
+    over (cohort, offset) — no per-user event lists."""
+    wk = F.floor(F.unix_timestamp(F.col(ts_col)) / 604800) \
+        .cast("long")
+    ev = events.select(F.col(user_col).alias("u"), wk.alias("wk"),
+                       F.col(type_col).alias("et"))
+    anchors = (ev.filter(F.col("et") == anchor_type)
+               .groupBy("u").agg(F.min("wk").alias("cohort_week")))
+    return (ev.join(anchors, "u")
+            .withColumn("week_offset",
+                        (F.col("wk") - F.col("cohort_week"))
+                        .cast("long"))
+            .filter(F.col("week_offset") >= 0)
+            .groupBy("cohort_week", "week_offset")
+            .agg(F.countDistinct("u").alias("n_users")))

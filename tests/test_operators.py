@@ -2138,6 +2138,36 @@ def test_funnel_strict_ordering(spark):
         funnel_counts(ev, ["view"])
 
 
+def test_retention_cohorts_matrix(spark):
+    """r6: retention_cohorts — users cohort on their first signup
+    week, later-week activity fills offsets, pre-signup activity is
+    excluded, and users without the anchor event never appear."""
+    from datetime import datetime, timedelta
+
+    from powerpoint_context_extractor_spark.operators.analytics import (
+        retention_cohorts,
+    )
+    base = datetime(2024, 1, 4)            # mid-week anchor
+
+    def at(days):
+        return base + timedelta(days=days)
+
+    rows = [
+        (1, at(0), "signup"), (1, at(1), "view"), (1, at(8), "click"),
+        (2, at(0), "signup"), (2, at(15), "view"),
+        (3, at(-3), "view"), (3, at(0), "signup"),   # pre-signup view
+        (4, at(2), "view"),                           # never signs up
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string")
+    got = {(r["cohort_week"] is not None, r["week_offset"]): r["n_users"]
+           for r in retention_cohorts(ev, "signup").collect()}
+    # all three signups share one cohort week; offsets: week 0 has
+    # u1,u2,u3 (signup itself counts as activity), week 1 has u1,
+    # week 2 has u2; u3's pre-signup view and u4 never appear
+    assert got == {(True, 0): 3, (True, 1): 1, (True, 2): 1}
+
+
 def test_theta_intersect_estimates_overlap(spark):
     """r6: the KMV intersection estimate lands near a planted
     1000-key overlap between two 3000-key groups, and fully disjoint
