@@ -2181,6 +2181,17 @@ def _mm_video_scene_cuts(spark, sf_dir):
     return extract_video_scene_cuts(_t(spark, sf_dir, "documents"))
 
 
+def _mm_gif_anim_probe(spark, sf_dir):
+    """GIF animation probe (r6 — splitting stills from animations
+    without pixel decode): frame walk over image blocks, GCE delay
+    accumulation, NETSCAPE loop count. Oracle recomputes every field
+    from the frozen doc_id rule."""
+    from powerpoint_context_extractor_spark.operators.multimodal import (
+        probe_gif_anim_features,
+    )
+    return probe_gif_anim_features(_t(spark, sf_dir, "documents"))
+
+
 def _mm_audio_energy(spark, sf_dir):
     """Windowed audio energy over the real WAV decode (r6 — the
     VAD-style pre-filter): 4 windows of 16 samples, integer sum of
@@ -2799,6 +2810,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_audio_energy": _mm_audio_energy,
         "a_funnel_steps": _a_funnel_steps,
         "a_retention_cohorts": _a_retention_cohorts,
+        "mm_gif_anim_probe": _mm_gif_anim_probe,
         "dedup_cdc_chunks": _dedup_cdc_chunks,
         "text_contamination": _text_contamination,
         "text_hash_classifier": _text_hash_classifier,
@@ -3782,6 +3794,19 @@ def oracle_sql() -> dict[str, str]:
                CAST(COUNT(*) AS BIGINT) AS n_users FROM t0
         UNION ALL SELECT 1, 'click', COUNT(*) FROM t1
         UNION ALL SELECT 2, 'purchase', COUNT(*) FROM t2
+    """
+    d["mm_gif_anim_probe"] = """
+        -- frozen animation rule (r6): n = doc_id%4 + 1; per-frame
+        -- delay (doc_id%7 + 1)*5 unless doc_id%5==0 (then 0);
+        -- loops = doc_id%3 on odd docs, -1 (absent) on even
+        SELECT doc_id,
+               CAST(doc_id % 4 + 1 AS BIGINT) AS n_frames,
+               CAST(CASE WHEN doc_id % 5 = 0 THEN 0
+                         ELSE (doc_id % 4 + 1) * (doc_id % 7 + 1) * 5
+                    END AS BIGINT) AS total_delay_cs,
+               CAST(CASE WHEN doc_id % 2 = 1 THEN doc_id % 3
+                         ELSE -1 END AS BIGINT) AS loops
+        FROM documents
     """
     d["mm_audio_energy"] = """
         -- windowed sum of squares over the WAV sample rule

@@ -270,3 +270,57 @@ def decode_gif(data: bytes) -> tuple:
             rgb[3 * i:3 * i + 3] = bytes(pal[v])
         return w, h, 3, bytes(rgb)
     raise ValueError("gif: no image block")
+
+
+def probe_gif_animation(data: bytes) -> tuple:
+    """Animation PROBE -> (n_frames, total_delay_cs, loops): walks
+    every image block and graphic-control extension (delay in
+    centiseconds) plus the NETSCAPE2.0 loop-count extension, without
+    decoding pixel data (LZW sub-blocks are skipped by their length
+    prefixes). The pixel decoder above stays single-frame by
+    contract; this is the bookkeeping pass an asset pipeline runs to
+    split stills from animations. ``loops`` is -1 when no NETSCAPE
+    extension is present (play once), 0 meaning loop forever."""
+    if len(data) < 13 or data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("gif: bad signature")
+    packed = data[10]
+    pos = 13
+    if packed & 0x80:
+        pos += 3 * (2 << (packed & 0x07))
+    n_frames = 0
+    total_delay = 0
+    pending_delay = 0
+    loops = -1
+    while pos < len(data):
+        block = data[pos]
+        pos += 1
+        if block == 0x3B:
+            break
+        if block == 0x21:
+            if pos >= len(data):
+                raise ValueError("gif: truncated extension")
+            label = data[pos]
+            body, pos = _read_subblocks(data, pos + 1)
+            if label == 0xF9 and len(body) >= 4:
+                pending_delay = body[1] | (body[2] << 8)
+            elif label == 0xFF and body[:11] == b"NETSCAPE2.0" \
+                    and len(body) >= 14:
+                loops = body[12] | (body[13] << 8)
+            continue
+        if block != 0x2C:
+            raise ValueError(f"gif: unknown block 0x{block:02x}")
+        if len(data) < pos + 9:
+            raise ValueError("gif: truncated image descriptor")
+        ipacked = data[pos + 8]
+        pos += 9
+        if ipacked & 0x80:
+            pos += 3 * (2 << (ipacked & 0x07))
+        if pos >= len(data):
+            raise ValueError("gif: truncated image data")
+        _, pos = _read_subblocks(data, pos + 1)    # skip LZW body
+        n_frames += 1
+        total_delay += pending_delay
+        pending_delay = 0
+    if n_frames == 0:
+        raise ValueError("gif: no image blocks")
+    return n_frames, total_delay, loops

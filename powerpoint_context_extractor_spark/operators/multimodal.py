@@ -1605,3 +1605,57 @@ def extract_audio_energy(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id").mapInPandas(
         _batches, schema="doc_id long, win_id long, energy long, "
                          "is_silent long")
+
+
+# --- GIF animation-probe contract path (r6) --------------------------------
+
+def gif_anim_payload_for_doc(doc_id: int) -> bytes:
+    """Frozen animation rule: n = doc_id%4 + 1 frames of a 2x2 image;
+    every frame carries a graphic-control delay of (doc_id%7 + 1)*5
+    centiseconds EXCEPT doc_id%5==0 docs (no GCEs at all -> total 0);
+    odd doc_ids add a NETSCAPE2.0 loop extension with loops =
+    doc_id%3, even docs have none (probe reports -1)."""
+    import struct as _struct
+
+    from ..gif import lzw_encode
+    pal = [(j, j, j) for j in range(4)]
+    hdr = b"GIF89a" + _struct.pack("<HHBBB", 2, 2, 0x81, 0, 0)
+    hdr += bytes(b for rgb in pal for b in rgb)
+    out = bytearray(hdr)
+    if doc_id % 2:
+        out += (b"\x21\xff\x0bNETSCAPE2.0\x03\x01"
+                + _struct.pack("<H", doc_id % 3) + b"\x00")
+    comp = lzw_encode(bytes(4), 2)
+    frame = (_struct.pack("<BHHHHB", 0x2C, 0, 0, 2, 2, 0)
+             + bytes([2, len(comp)]) + comp + b"\x00")
+    delay = (doc_id % 7 + 1) * 5
+    for _f in range(doc_id % 4 + 1):
+        if doc_id % 5:
+            out += (b"\x21\xf9\x04\x00"
+                    + _struct.pack("<H", delay) + b"\x00\x00")
+        out += frame
+    out += b"\x3b"
+    return bytes(out)
+
+
+def probe_gif_anim_features(docs: DataFrame) -> DataFrame:
+    """Probe a real (hand-framed) animated GIF per documents row —
+    frame walk + GCE delays + NETSCAPE loop count, no pixel decode."""
+    from ..gif import probe_gif_animation
+
+    def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("doc_id", "n_frames",
+                                   "total_delay_cs", "loops")}
+            for doc_id in pdf["doc_id"].tolist():
+                n, delay, loops = probe_gif_animation(
+                    gif_anim_payload_for_doc(doc_id))
+                out["doc_id"].append(doc_id)
+                out["n_frames"].append(n)
+                out["total_delay_cs"].append(delay)
+                out["loops"].append(loops)
+            yield pd.DataFrame(out)
+
+    return docs.select("doc_id").mapInPandas(
+        _batches, schema="doc_id long, n_frames long, "
+                         "total_delay_cs long, loops long")

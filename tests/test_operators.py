@@ -765,6 +765,37 @@ def test_gif_roundtrip_lzw_and_interlace():
             decode_gif(bad)
 
 
+def test_gif_animation_probe():
+    """r6: the animation probe counts frames/delays/loops without
+    decoding pixels, reports -1 loops when no NETSCAPE extension is
+    present, agrees with the single-frame renderer, and raises on
+    frameless files."""
+    import struct
+
+    from powerpoint_context_extractor_spark.gif import (
+        lzw_encode, probe_gif_animation, render_gif,
+    )
+    pal = [(j, j, j) for j in range(4)]
+    assert probe_gif_animation(
+        render_gif(4, 2, bytes(8), pal)) == (1, 0, -1)
+
+    def frame():
+        comp = lzw_encode(bytes(4), 2)
+        return (struct.pack("<BHHHHB", 0x2C, 0, 0, 2, 2, 0)
+                + bytes([2, len(comp)]) + comp + b"\x00")
+
+    hdr = (b"GIF89a" + struct.pack("<HHBBB", 2, 2, 0x81, 0, 0)
+           + bytes(b for rgb in pal for b in rgb))
+    ns = b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x05\x00\x00"
+    gce10 = b"\x21\xf9\x04\x00" + struct.pack("<H", 10) + b"\x00\x00"
+    gce20 = b"\x21\xf9\x04\x00" + struct.pack("<H", 20) + b"\x00\x00"
+    anim = (hdr + ns + gce10 + frame() + gce20 + frame() + frame()
+            + b"\x3b")
+    assert probe_gif_animation(anim) == (3, 30, 5)
+    with pytest.raises(ValueError, match="no image"):
+        probe_gif_animation(hdr + b"\x3b")
+
+
 def test_gif_kind_routed_through_real_decoder(spark):
     """r6: the generic mm_features path classifies GIF payloads by
     magic and decodes them for real (exact feature vector), and a
