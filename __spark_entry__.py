@@ -5799,13 +5799,17 @@ def oracle_sql() -> dict[str, str]:
           SELECT a.hval FROM keep a JOIN keep b ON a.hval = b.hval
           WHERE a.src = 'g0' AND b.src = 'g1'
         )
-        SELECT CAST(COUNT(*) AS BIGINT) AS n_common,
+        , n AS (
+          SELECT COUNT(*) AS cnt FROM common, th
+          WHERE common.hval < th.theta
+        )
+        -- always one row, even when the groups are disjoint
+        -- (mirrors sketches.theta_intersect's r7 contract)
+        SELECT CAST(n.cnt AS BIGINT) AS n_common,
                CAST(th.theta AS BIGINT) AS theta,
-               CAST(COUNT(*) * 4294967296 // th.theta AS BIGINT)
+               CAST(n.cnt * 4294967296 // th.theta AS BIGINT)
                  AS est_intersection
-        FROM common, th
-        WHERE common.hval < th.theta
-        GROUP BY th.theta
+        FROM n, th
     """
     d["agg_count_min"] = """
         -- CM matrix mirrored from sketches.count_min_sketch:

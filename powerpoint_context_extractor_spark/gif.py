@@ -3,12 +3,14 @@ image format next to png.py / jpeg.py (reference analog: the raster
 image handling in /root/reference/pptx_extractor/slides/extractor.py:
 165-293; here the bytes are decoded, not copied through).
 
-Subset (honest errors outside it): GIF87a/GIF89a, a single image frame,
-global or local color table, optional interlacing, variable-width LZW
-with dictionary reset at 4096 entries. Extensions (graphic control,
-comments, application) are skipped per spec framing. Transparency and
-multi-frame animation are NOT interpreted — the first frame decodes,
-later image blocks are ignored.
+Subset (honest errors outside it): GIF87a/GIF89a, global or local
+color table, optional interlacing, variable-width LZW with dictionary
+reset at 4096 entries. ``decode_gif`` returns the FIRST frame
+(extensions skipped per spec framing); ``decode_gif_frames`` (r7)
+composites the full animation — sub-rectangle placement, GCE
+transparency, disposal none/background/previous — and
+``render_gif_animation`` is its encoder twin. ``probe_gif_animation``
+stays as the cheap no-decode metadata pass.
 
 LZW notes (the part everyone gets wrong):
 - bits pack LSB-first into bytes (opposite of PNG/JPEG), wrapped in
@@ -270,6 +272,165 @@ def decode_gif(data: bytes) -> tuple:
             rgb[3 * i:3 * i + 3] = bytes(pal[v])
         return w, h, 3, bytes(rgb)
     raise ValueError("gif: no image block")
+
+
+def render_gif_animation(sw: int, sh: int, frames: list, palette: list,
+                         delays: list, disposals: list,
+                         rects: list | None = None,
+                         transparent: int | None = None,
+                         loops: int | None = 0) -> bytes:
+    """Multi-frame GIF89a encoder twin for the animation decoder:
+    ``frames[i]`` is the palette-index bytes of a wi*hi sub-rectangle
+    placed at ``rects[i] = (left, top, wi, hi)`` (full screen when
+    rects is None), each preceded by a graphic-control extension
+    carrying ``delays[i]`` (centiseconds), ``disposals[i]`` (0..3)
+    and the shared ``transparent`` index; a NETSCAPE2.0 loop block is
+    written unless ``loops`` is None. One global color table."""
+    full, bits = _pad_palette(palette)
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", sw, sh,
+                       0x80 | ((bits - 1) << 4) | (bits - 1), 0, 0)
+    for r, g, b in full:
+        out += bytes((r, g, b))
+    if loops is not None:
+        out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01"
+        out += struct.pack("<H", loops) + b"\x00"
+    min_code = max(2, bits)
+    for i, idx in enumerate(frames):
+        left, top, w, h = (rects[i] if rects is not None
+                           else (0, 0, sw, sh))
+        if len(idx) != w * h:
+            raise ValueError("render_gif_animation: frame size mismatch")
+        gce_packed = (disposals[i] & 0x07) << 2
+        if transparent is not None:
+            gce_packed |= 0x01
+        out += struct.pack("<BBBBHBB", 0x21, 0xF9, 4, gce_packed,
+                           delays[i], transparent or 0, 0)
+        out += struct.pack("<BHHHHB", 0x2C, left, top, w, h, 0)
+        out.append(min_code)
+        comp = lzw_encode(idx, min_code)
+        for j in range(0, len(comp), 255):
+            chunk = comp[j:j + 255]
+            out.append(len(chunk))
+            out += chunk
+        out.append(0)
+    out += b"\x3b"
+    return bytes(out)
+
+
+def decode_gif_frames(data: bytes) -> tuple:
+    """Full animation decode -> (sw, sh, frames, delays_cs, loops)
+    where ``frames`` is a list of composed sw*sh*3 RGB canvases, one
+    per image block, honoring the GIF89a graphic-control contract
+    (r6 VERDICT #3; reference analog: the multi-frame raster path,
+    /root/reference/pptx_extractor/slides/extractor.py:165-293):
+
+    - frames composite onto a persistent canvas at their (left, top)
+      rect; a GCE transparent index leaves covered canvas pixels
+      unchanged;
+    - disposal 0/1 keep the composed canvas; disposal 2 restores the
+      frame's RECT to the background color; disposal 3 restores the
+      whole canvas to its pre-frame state;
+    - the initial canvas (and disposal-2 fill) is the logical-screen
+      background color — GCT[bg_index] when a global table exists,
+      else black. (RGB output has no alpha channel, so 'background'
+      means the palette color, the deterministic choice an analytic
+      oracle can mirror; browsers render it transparent.)
+
+    Single-frame stills decode identically to ``decode_gif`` (same
+    LZW + interlace machinery)."""
+    if len(data) < 13 or data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("gif: bad signature")
+    sw, sh, packed, bg, _aspect = struct.unpack("<HHBBB", data[6:13])
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = [tuple(data[pos + 3 * j:pos + 3 * j + 3]) for j in range(n)]
+        pos += 3 * n
+    bg_rgb = bytes(gct[bg]) if gct is not None and bg < len(gct) \
+        else b"\x00\x00\x00"
+    canvas = bytearray(bg_rgb * (sw * sh))
+    frames: list = []
+    delays: list = []
+    loops = -1
+    pend_delay = 0
+    pend_disposal = 0
+    pend_transparent: int | None = None
+    while pos < len(data):
+        block = data[pos]
+        pos += 1
+        if block == 0x3B:
+            break
+        if block == 0x21:
+            if pos >= len(data):
+                raise ValueError("gif: truncated extension")
+            label = data[pos]
+            body, pos = _read_subblocks(data, pos + 1)
+            if label == 0xF9 and len(body) >= 4:
+                pend_disposal = (body[0] >> 2) & 0x07
+                pend_delay = body[1] | (body[2] << 8)
+                pend_transparent = body[3] if body[0] & 0x01 else None
+            elif label == 0xFF and body[:11] == b"NETSCAPE2.0" \
+                    and len(body) >= 14:
+                loops = body[12] | (body[13] << 8)
+            continue
+        if block != 0x2C:
+            raise ValueError(f"gif: unknown block 0x{block:02x}")
+        if len(data) < pos + 9:
+            raise ValueError("gif: truncated image descriptor")
+        left, top, w, h, ipacked = struct.unpack("<HHHHB",
+                                                 data[pos:pos + 9])
+        pos += 9
+        if left + w > sw or top + h > sh:
+            raise ValueError("gif: frame rect outside logical screen")
+        pal = gct
+        if ipacked & 0x80:
+            n = 2 << (ipacked & 0x07)
+            pal = [tuple(data[pos + 3 * j:pos + 3 * j + 3])
+                   for j in range(n)]
+            pos += 3 * n
+        if pal is None:
+            raise ValueError("gif: image without any color table")
+        if pos >= len(data):
+            raise ValueError("gif: truncated image data")
+        min_code = data[pos]
+        if not 2 <= min_code <= 11:
+            raise ValueError("gif: bad LZW min code size")
+        comp, pos = _read_subblocks(data, pos + 1)
+        idx = lzw_decode(comp, min_code, w * h)
+        if ipacked & 0x40:
+            rows = [idx[r * w:(r + 1) * w] for r in range(h)]
+            ordered: list = [b""] * h
+            for stored, y in enumerate(_interlaced_row_order(h)):
+                ordered[y] = rows[stored]
+            idx = b"".join(ordered)
+        saved = bytes(canvas) if pend_disposal == 3 else None
+        npal = len(pal)
+        for r in range(h):
+            base = ((top + r) * sw + left) * 3
+            row = idx[r * w:(r + 1) * w]
+            for c, v in enumerate(row):
+                if v == pend_transparent:
+                    continue
+                if v >= npal:
+                    raise ValueError("gif: pixel index beyond color table")
+                o = base + 3 * c
+                canvas[o:o + 3] = bytes(pal[v])
+        frames.append(bytes(canvas))
+        delays.append(pend_delay)
+        if pend_disposal == 2:                  # restore rect to bg
+            for r in range(h):
+                base = ((top + r) * sw + left) * 3
+                canvas[base:base + 3 * w] = bg_rgb * w
+        elif pend_disposal == 3 and saved is not None:
+            canvas[:] = saved
+        pend_delay = 0
+        pend_disposal = 0
+        pend_transparent = None
+    if not frames:
+        raise ValueError("gif: no image blocks")
+    return sw, sh, frames, delays, loops
 
 
 def probe_gif_animation(data: bytes) -> tuple:

@@ -238,7 +238,11 @@ def weighted_reservoir_sample(docs: DataFrame, stratum_col: str,
     k smallest (priority, id) win. Same two-level exact top-k shape as
     :func:`reservoir_sample` — no hot-stratum single-task sort — and
     the one-level formulation is the oracle. Weights must be positive
-    integers. Emits (id, stratum, w, rk)."""
+    integers; rows with NULL or non-positive weight are EXCLUDED up
+    front (r6 ADVICE: ``x div 0`` is NULL in Spark and NULLs sort
+    first ascending, so a w=0 row would otherwise deterministically
+    win a slot, and a negative w would outrank every positive one).
+    Emits (id, stratum, w, rk)."""
     if k <= 0 or buckets <= 0:
         raise ValueError(
             "weighted_reservoir_sample: k and buckets must be > 0")
@@ -249,6 +253,7 @@ def weighted_reservoir_sample(docs: DataFrame, stratum_col: str,
         F.col(weight_col).cast("long").alias("w"),
         h.alias("_h"),
         (F.col(id_col) % buckets).alias("_b"))
+        .filter(F.col("w") > 0)
         .withColumn("_pri", F.expr("_h div w")))
     w1 = W.partitionBy("stratum", "_b").orderBy("_pri", id_col)
     stage1 = (base.withColumn("_r1", F.row_number().over(w1))

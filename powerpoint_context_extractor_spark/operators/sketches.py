@@ -157,8 +157,11 @@ def theta_intersect(df: DataFrame, key_col: str, group_col: str,
     smallest hashes (2^32 when a group holds < k distinct keys, i.e.
     its sketch is exact), estimate = |common hashes below theta| *
     2^32 div theta — integer-exact end to end, so the whole
-    derivation sits under the oracle hash. Emits one row
-    (n_common, theta, est_intersection).
+    derivation sits under the oracle hash. ALWAYS emits exactly one
+    row (n_common, theta, est_intersection) — a disjoint pair yields
+    (0, theta, 0), not an empty frame (r6 ADVICE: the old
+    groupBy-on-theta returned zero rows when no common hash sat
+    below theta, breaking single-row readers).
 
     Scale shape: everything downstream of theta_sketch touches at
     most 2k rows — the sketches ARE the data exchanged; this is why
@@ -174,9 +177,12 @@ def theta_intersect(df: DataFrame, key_col: str, group_col: str,
     a = sk.filter(F.col(group_col) == group_a).select("hval")
     b = sk.filter(F.col(group_col) == group_b).select("hval")
     common = a.join(b, "hval").join(F.broadcast(theta))
-    return (common.filter(F.col("hval") < F.col("theta"))
-            .groupBy("theta")
-            .agg(F.count(F.lit(1)).alias("n_common"))
+    # global agg (no groupBy) returns its one row even when the
+    # filtered frame is empty; the 1-row theta re-joins after, so the
+    # (0, theta, 0) disjoint case survives to the caller
+    n = (common.filter(F.col("hval") < F.col("theta"))
+         .agg(F.count(F.lit(1)).alias("n_common")))
+    return (n.join(F.broadcast(theta))
             .select(F.col("n_common").cast("long"),
                     F.col("theta").cast("long"),
                     F.expr("n_common * 4294967296 div theta")

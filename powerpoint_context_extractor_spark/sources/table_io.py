@@ -378,6 +378,23 @@ class SnapshotTable:
         self._commit(entry)
         return entry
 
+    def _validate_optimistic(self, expected_ids: set) -> None:
+        """Optimistic-concurrency validation before a replace-commit
+        (the Iceberg validate-added-snapshots analog, r6 ADVICE):
+        re-read the manifest and abort if live snapshots exist that
+        the pending commit's ``replaces`` list does not cover — e.g.
+        an ``append()`` that committed mid-merge. Aborting leaves the
+        rewrite dir unreferenced (vacuum-ignorable garbage); the
+        caller reruns against the new table state."""
+        live = {s["snapshot_id"] for s in self.snapshots()}
+        extra = live - expected_ids
+        if extra:
+            raise RuntimeError(
+                f"optimistic-concurrency conflict: {len(extra)} "
+                "snapshot(s) committed concurrently (append takes no "
+                "lock); aborting replace-commit — rerun against the "
+                "new table state")
+
     def merge(self, spark: SparkSession, source: DataFrame,
               key_col: str, run_id: str = "merge",
               delete_col: str | None = None,
@@ -391,6 +408,16 @@ class SnapshotTable:
         prior snapshots atomically — time travel still reads the
         pre-merge snapshots, and the commit serializes with
         compactions through the same owner-token lock.
+
+        Concurrent ``append()`` (which by design never takes the
+        compaction lock) is handled with Iceberg-style OPTIMISTIC
+        CONCURRENCY (r6 ADVICE): the manifest is re-read immediately
+        before the replace-commit, and if any snapshot appeared that
+        the merge's ``replaces`` list does not cover, the merge
+        ABORTS (its rewrite dir is unreferenced garbage vacuum
+        ignores) — callers rerun the merge against the new state.
+        Without this check the late append's rows would survive
+        beside the merged snapshot and could duplicate merged keys.
 
         The source must be unique per key (a key that both updates
         and deletes is ambiguous) — enforced with one small
@@ -444,6 +471,7 @@ class SnapshotTable:
             if not self._owns_compact_lock(lock, token):
                 raise RuntimeError(
                     "merge lost lock ownership before commit; aborting")
+            self._validate_optimistic(set(replaced))
             self._commit(entry)
             return entry
         finally:

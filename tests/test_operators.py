@@ -2201,9 +2201,9 @@ def test_retention_cohorts_matrix(spark):
 
 def test_theta_intersect_estimates_overlap(spark):
     """r6: the KMV intersection estimate lands near a planted
-    1000-key overlap between two 3000-key groups, and fully disjoint
-    groups yield no common-below-theta rows (empty result — the
-    'estimate 0' outcome)."""
+    1000-key overlap between two 3000-key groups; fully disjoint
+    groups still emit exactly ONE row with n_common=0 and estimate 0
+    (r7 / r6-ADVICE contract — never an empty frame)."""
     from powerpoint_context_extractor_spark.operators.sketches import (
         theta_intersect,
     )
@@ -2219,8 +2219,11 @@ def test_theta_intersect_estimates_overlap(spark):
     dis = spark.createDataFrame(
         [("ga", f"a{i}") for i in range(500)]
         + [("gb", f"b{i}") for i in range(500)], "grp string, k string")
-    assert theta_intersect(dis, "k", "grp", "ga", "gb",
-                           k=64).collect() == []
+    empty = theta_intersect(dis, "k", "grp", "ga", "gb", k=64).collect()
+    assert len(empty) == 1
+    assert empty[0]["n_common"] == 0
+    assert empty[0]["est_intersection"] == 0
+    assert empty[0]["theta"] is not None and empty[0]["theta"] > 0
 
 
 def test_count_min_overestimates_and_merges(spark):
@@ -2694,6 +2697,26 @@ def test_weighted_reservoir_bias_and_equivalence(spark):
     assert heavy >= 40          # 100 heavy rows dominate the 50 slots
     with pytest.raises(ValueError, match="weighted_reservoir"):
         sampling.weighted_reservoir_sample(docs, "stratum", "wt", k=0)
+
+
+def test_weighted_reservoir_excludes_nonpositive_weights(spark):
+    """r7 (r6 ADVICE): w=0 rows (whose `_h div 0` priority is NULL and
+    would sort first) and negative-w rows are EXCLUDED, and the
+    positive-weight winners are identical to running on the clean
+    subset alone."""
+    from powerpoint_context_extractor_spark.operators import sampling
+    rows = ([(i, "s", 1 + i % 5) for i in range(200)]
+            + [(1000 + i, "s", 0) for i in range(10)]      # zero w
+            + [(2000 + i, "s", -3) for i in range(10)])    # negative w
+    docs = spark.createDataFrame(
+        rows, "doc_id long, stratum string, wt long")
+    out = sampling.weighted_reservoir_sample(
+        docs, "stratum", "wt", k=25).collect()
+    assert all(r["w"] > 0 and r["doc_id"] < 1000 for r in out)
+    clean = docs.filter("wt > 0")
+    want = sampling.weighted_reservoir_sample(
+        clean, "stratum", "wt", k=25).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, want))
 
 
 def test_jpeg_restart_intervals_decode_identical():

@@ -297,3 +297,54 @@ def test_merge_upsert_semantics_and_history(spark, tmp_path):
     assert tbl.read(spark).filter(F.col("k") == 101).count() == 1
     assert not [f for f in os.listdir(str(tmp_path / "t"))
                 if f.endswith(".lock")]
+
+
+def test_merge_aborts_on_concurrent_append(spark, tmp_path):
+    """r7 (r6 ADVICE): an append() that commits while a merge is
+    writing (append never takes the compaction lock) trips the
+    optimistic-concurrency validation — the merge ABORTS instead of
+    committing a replace that would leave the append's rows
+    duplicating merged keys; a rerun then succeeds and sees BOTH the
+    late append and the merge."""
+    import pytest
+
+    from powerpoint_context_extractor_spark.sources.table_io import (
+        SnapshotTable,
+    )
+    root = str(tmp_path / "t")
+    tbl = SnapshotTable(root)
+    tbl.append(spark.createDataFrame(
+        [(i, f"old{i}") for i in range(5)], "k long, v string"), "base")
+
+    # inject the race at the validation seam: a REAL append through a
+    # second handle lands after the merge captured its `replaces` list
+    # but before its commit — exactly the window the ADVICE describes
+    real_validate = tbl._validate_optimistic
+    fired = {"n": 0}
+
+    def racy_validate(expected_ids):
+        if fired["n"] == 0:
+            fired["n"] += 1
+            SnapshotTable(root).append(spark.createDataFrame(
+                [(2, "late2")], "k long, v string"), "late")
+        real_validate(expected_ids)
+
+    tbl._validate_optimistic = racy_validate
+    src = spark.createDataFrame([(2, "merged2")], "k long, v string")
+    with pytest.raises(RuntimeError, match="optimistic-concurrency"):
+        tbl.merge(spark, src, "k")
+    tbl._validate_optimistic = real_validate
+    # nothing replaced: base + late append both live, no merge commit
+    live = {s["run_id"] for s in tbl.snapshots()}
+    assert live == {"base", "late"}
+    # lock was released on abort; rerun succeeds against the new state
+    tbl.merge(spark, src, "k")
+    got = sorted((r["k"], r["v"]) for r in tbl.read(spark).collect())
+    # k=2 resolved by the rerun merge: exactly ONE row, the source's
+    assert got == [(0, "old0"), (1, "old1"), (2, "merged2"),
+                   (3, "old3"), (4, "old4")]
+    # the unit seam directly: stale expected-ids raise, current pass
+    cur_ids = {s["snapshot_id"] for s in tbl.snapshots()}
+    tbl._validate_optimistic(cur_ids)
+    with pytest.raises(RuntimeError, match="optimistic-concurrency"):
+        tbl._validate_optimistic(set())    # pretends no snapshot seen
