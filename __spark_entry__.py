@@ -2192,6 +2192,19 @@ def _mm_gif_anim_probe(spark, sf_dir):
     return probe_gif_anim_features(_t(spark, sf_dir, "documents"))
 
 
+def _mm_gif_anim_frames(spark, sf_dir):
+    """Full animated-GIF decode under the correctness gate (r7,
+    r6 VERDICT #3 — per-frame LZW + GCE transparency + disposal
+    none/restore-background/restore-previous, composited onto the
+    logical screen): 4 frames whose composed canvases are closed-form
+    in (doc_id, pixel, frame); px_wsum pins overlay PLACEMENT, the
+    f>=2 transparent-pixel value pins the disposal state machine."""
+    from powerpoint_context_extractor_spark.operators.multimodal import (
+        extract_gif_anim_frames,
+    )
+    return extract_gif_anim_frames(_t(spark, sf_dir, "documents"))
+
+
 def _mm_audio_energy(spark, sf_dir):
     """Windowed audio energy over the real WAV decode (r6 — the
     VAD-style pre-filter): 4 windows of 16 samples, integer sum of
@@ -2822,6 +2835,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j_interval_banded": _j_interval_banded,
         "sample_reservoir_weighted": _sample_reservoir_weighted,
         "agg_exact_quantiles": _agg_exact_quantiles,
+        # -- round-7 additions (tail; earn their driver row when they
+        # head a future round — COVERAGE.md rotation ledger) ---------------
+        "mm_gif_anim_frames": _mm_gif_anim_frames,
     }
 
 
@@ -3807,6 +3823,41 @@ def oracle_sql() -> dict[str, str]:
                CAST(CASE WHEN doc_id % 2 = 1 THEN doc_id % 3
                          ELSE -1 END AS BIGINT) AS loops
         FROM documents
+    """
+    d["mm_gif_anim_frames"] = """
+        -- composed-canvas formula mirrored from multimodal.
+        -- gif_anim_frames_payload_for_doc (r7): 8x4 screen, frame 0
+        -- full (idx (doc_id*31+p)%15, never transparent), frames 1-3
+        -- a 4x2 overlay at (2,1) with idx (doc_id*17+f*7+q*3)%16
+        -- where 15 = transparent; disposals 1,2,3,1 mean the
+        -- underlying pixel inside the rect is frame 0's for f=1 and
+        -- BACKGROUND (palette 0) for f=2,3
+        WITH cell AS (
+          SELECT doc_id, f.f AS f, p.p AS p,
+                 (doc_id*31 + p.p) % 15 AS base,
+                 CASE WHEN (p.p // 8) BETWEEN 1 AND 2
+                       AND (p.p % 8) BETWEEN 2 AND 5
+                      THEN ((p.p // 8) - 1) * 4 + (p.p % 8) - 2
+                 END AS q
+          FROM documents, range(0, 4) f(f), range(0, 32) p(p)
+        ),
+        idx AS (
+          SELECT doc_id, f, p,
+                 CASE
+                   WHEN q IS NULL OR f = 0 THEN base
+                   WHEN (doc_id*17 + f*7 + q*3) % 16 = 15
+                     THEN CASE WHEN f = 1 THEN base ELSE 0 END
+                   ELSE (doc_id*17 + f*7 + q*3) % 16
+                 END AS j
+          FROM cell
+        )
+        SELECT doc_id, CAST(f AS BIGINT) AS frame_id,
+               CAST(SUM((j*37)%256 + (j*59)%256 + (j*83)%256)
+                    AS BIGINT) AS px_sum,
+               CAST(SUM((3*p)*((j*37)%256) + (3*p+1)*((j*59)%256)
+                        + (3*p+2)*((j*83)%256)) AS BIGINT) AS px_wsum,
+               CAST((doc_id % 6 + 1) * 4 AS BIGINT) AS delay_cs
+        FROM idx GROUP BY doc_id, f
     """
     d["mm_audio_energy"] = """
         -- windowed sum of squares over the WAV sample rule

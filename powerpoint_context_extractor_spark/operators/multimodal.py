@@ -1638,6 +1638,79 @@ def gif_anim_payload_for_doc(doc_id: int) -> bytes:
     return bytes(out)
 
 
+# --- GIF full animation decode contract path (r7) ---------------------------
+
+GIF_ANIM_W, GIF_ANIM_H = 8, 4
+GIF_ANIM_FRAMES = 4
+GIF_ANIM_TRANSPARENT = 15
+# overlay rect for frames 1..3: 4x2 at (left=2, top=1)
+GIF_ANIM_RECT = (2, 1, 4, 2)
+
+
+def gif_anim_frames_payload_for_doc(doc_id: int) -> bytes:
+    """Frozen full-animation rule (r7 — every composed canvas is a
+    closed-form function of (doc_id, pixel, frame) the DuckDB oracle
+    mirrors): an 8x4 screen over the shared PNG_PALETTE, 4 frames —
+
+    - frame 0: full-screen, index p -> (doc_id*31 + p) % 15 (never
+      the transparent index), disposal 1 (keep);
+    - frames 1..3: a 4x2 overlay at (2,1), index q ->
+      (doc_id*17 + f*7 + q*3) % 16 where 15 is TRANSPARENT (underlying
+      canvas shows through), disposals [2, 3, 1] — so frame 1
+      composites over frame 0's canvas, then its rect restores to
+      background (palette 0); frame 2 composites over that bg-holed
+      canvas and restores-to-previous; frame 3 composites over the
+      same bg-holed canvas and keeps.
+
+    Every GCE carries delay (doc_id%6 + 1)*4 cs; NETSCAPE loops=0."""
+    from ..gif import render_gif_animation
+    d = doc_id
+    f0 = bytes((d * 31 + p) % 15
+               for p in range(GIF_ANIM_W * GIF_ANIM_H))
+    _l, _t, rw, rh = GIF_ANIM_RECT
+    overlays = [bytes((d * 17 + f * 7 + q * 3) % 16
+                      for q in range(rw * rh)) for f in (1, 2, 3)]
+    delay = (d % 6 + 1) * 4
+    return render_gif_animation(
+        GIF_ANIM_W, GIF_ANIM_H, [f0] + overlays, PNG_PALETTE,
+        delays=[delay] * GIF_ANIM_FRAMES,
+        disposals=[1, 2, 3, 1],
+        rects=[(0, 0, GIF_ANIM_W, GIF_ANIM_H)] + [GIF_ANIM_RECT] * 3,
+        transparent=GIF_ANIM_TRANSPARENT, loops=0)
+
+
+def extract_gif_anim_frames(docs: DataFrame) -> DataFrame:
+    """Decode + composite a real 4-frame animated GIF per documents
+    row (r6 VERDICT #3 — per-frame LZW decode with GCE transparency
+    and disposal none/background/previous feeding per-frame stats)
+    and emit exact per-composed-frame statistics: px_sum pins the
+    palette + disposal state machine, px_wsum pins sub-rectangle
+    PLACEMENT (right sums in the wrong position fail the hash), and
+    delay_cs rides along from the GCE walk."""
+    from ..gif import decode_gif_frames
+
+    def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("doc_id", "frame_id", "px_sum",
+                                   "px_wsum", "delay_cs")}
+            for doc_id in pdf["doc_id"].tolist():
+                w, h, frames, delays, loops = decode_gif_frames(
+                    gif_anim_frames_payload_for_doc(doc_id))
+                assert (w, h, loops) == (GIF_ANIM_W, GIF_ANIM_H, 0)
+                for f, (rgb, delay) in enumerate(zip(frames, delays)):
+                    out["doc_id"].append(doc_id)
+                    out["frame_id"].append(f)
+                    out["px_sum"].append(sum(rgb))
+                    out["px_wsum"].append(
+                        sum(i * v for i, v in enumerate(rgb)))
+                    out["delay_cs"].append(delay)
+            yield pd.DataFrame(out)
+
+    return docs.select("doc_id").mapInPandas(
+        _batches, schema="doc_id long, frame_id long, px_sum long, "
+                         "px_wsum long, delay_cs long")
+
+
 def probe_gif_anim_features(docs: DataFrame) -> DataFrame:
     """Probe a real (hand-framed) animated GIF per documents row —
     frame walk + GCE delays + NETSCAPE loop count, no pixel decode."""

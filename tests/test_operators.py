@@ -796,6 +796,72 @@ def test_gif_animation_probe():
         probe_gif_animation(hdr + b"\x3b")
 
 
+def test_gif_animation_frames_compose_with_disposal():
+    """r7 (r6 VERDICT #3): decode_gif_frames composites sub-rect
+    frames with GCE transparency and all three disposal modes onto
+    the logical screen, byte-for-byte equal to an independent plain-
+    python compositor; single-frame stills (incl. interlaced) decode
+    identically to decode_gif; the probe agrees on frames/delays."""
+    from powerpoint_context_extractor_spark.gif import (
+        decode_gif, decode_gif_frames, probe_gif_animation, render_gif,
+        render_gif_animation,
+    )
+    pal = [(0, 0, 0), (255, 0, 0), (0, 255, 0), (0, 0, 255),
+           (255, 255, 0), (9, 9, 9)]
+    sw, sh = 8, 6
+    f0 = bytes((x + y) % 5 for y in range(sh) for x in range(sw))
+    f1 = bytes([1, 5, 2, 5, 3, 5])         # 3x2 at (2,1), 5=transparent
+    f2 = bytes([2] * 12)                   # 4x3 at (4,3), disposal 2
+    f3 = bytes([4] * (sw * sh))            # full, disposal 3 (previous)
+    f4 = bytes([3, 3, 3, 3])               # 2x2 at (3,3) over restored
+    rects = [(0, 0, sw, sh), (2, 1, 3, 2), (4, 3, 4, 3),
+             (0, 0, sw, sh), (3, 3, 2, 2)]
+    data = render_gif_animation(
+        sw, sh, [f0, f1, f2, f3, f4], pal,
+        delays=[10, 20, 30, 5, 7], disposals=[1, 1, 2, 3, 0],
+        rects=rects, transparent=5, loops=2)
+    assert probe_gif_animation(data) == (5, 72, 2)
+    W, H, frames, delays, loops = decode_gif_frames(data)
+    assert (W, H, loops) == (sw, sh, 2)
+    assert delays == [10, 20, 30, 5, 7]
+
+    def blit(canvas, rect, idx):
+        left, top, w, h = rect
+        for r in range(h):
+            for c in range(w):
+                v = idx[r * w + c]
+                if v == 5:
+                    continue
+                o = ((top + r) * sw + left + c) * 3
+                canvas[o:o + 3] = bytes(pal[v])
+
+    bg = bytes(pal[0])
+    canvas = bytearray(bg * (sw * sh))
+    exp = []
+    blit(canvas, rects[0], f0)
+    exp.append(bytes(canvas))
+    blit(canvas, rects[1], f1)
+    exp.append(bytes(canvas))
+    blit(canvas, rects[2], f2)
+    exp.append(bytes(canvas))
+    for r in range(3):                     # disposal 2: rect -> bg
+        o = ((3 + r) * sw + 4) * 3
+        canvas[o:o + 3 * 4] = bg * 4
+    pre3 = bytes(canvas)
+    blit(canvas, rects[3], f3)
+    exp.append(bytes(canvas))
+    canvas = bytearray(pre3)               # disposal 3: previous
+    blit(canvas, rects[4], f4)
+    exp.append(bytes(canvas))
+    assert frames == exp
+    # stills: frames-decoder == single-frame decoder, even interlaced
+    still = render_gif(4, 4, bytes(range(4)) * 4, pal[:5],
+                       interlaced=True)
+    w, h, _ch, rgb = decode_gif(still)
+    W2, H2, fr, d2, lp = decode_gif_frames(still)
+    assert (W2, H2, lp, d2) == (w, h, -1, [0]) and fr == [rgb]
+
+
 def test_gif_kind_routed_through_real_decoder(spark):
     """r6: the generic mm_features path classifies GIF payloads by
     magic and decodes them for real (exact feature vector), and a
