@@ -2205,6 +2205,19 @@ def _mm_gif_anim_frames(spark, sf_dir):
     return extract_gif_anim_frames(_t(spark, sf_dir, "documents"))
 
 
+def _mm_features_tiff_lzw(spark, sf_dir):
+    """LZW-compressed TIFF decode under the correctness gate (r7,
+    r6 VERDICT #4 — MSB-first early-change LZW per strip + the
+    horizontal-differencing predictor): doc_id%4 sweeps gray/RGB x
+    LE/BE x predictor 1/2; lossless, so the analytic sample formula
+    is the oracle and px_wsum pins strip splicing + predictor
+    inversion."""
+    from powerpoint_context_extractor_spark.operators.multimodal import (
+        extract_tiff_lzw_features,
+    )
+    return extract_tiff_lzw_features(_t(spark, sf_dir, "documents"))
+
+
 def _mm_audio_energy(spark, sf_dir):
     """Windowed audio energy over the real WAV decode (r6 — the
     VAD-style pre-filter): 4 windows of 16 samples, integer sum of
@@ -2838,6 +2851,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- round-7 additions (tail; earn their driver row when they
         # head a future round — COVERAGE.md rotation ledger) ---------------
         "mm_gif_anim_frames": _mm_gif_anim_frames,
+        "mm_features_tiff_lzw": _mm_features_tiff_lzw,
     }
 
 
@@ -3935,6 +3949,30 @@ def oracle_sql() -> dict[str, str]:
                CAST(SUM(v) AS BIGINT) AS px_sum,
                CAST(MIN(v) AS BIGINT) AS px_min,
                CAST(MAX(v) AS BIGINT) AS px_max
+        FROM px GROUP BY doc_id
+    """
+    d["mm_features_tiff_lzw"] = """
+        -- frozen LZW-TIFF rule (r7): ch = 3 if (doc_id%4)%2 else 1,
+        -- sample i = (doc_id*43 + i*3) % 256 over 16*8*ch; the LZW
+        -- and predictor layers are lossless so the formula IS the
+        -- decoded image; px_wsum pins sample order
+        WITH par AS (
+          SELECT doc_id,
+                 CASE WHEN (doc_id % 4) % 2 = 1 THEN 3 ELSE 1 END AS ch
+          FROM documents
+        ), px AS (
+          SELECT p.doc_id, p.ch, t.i,
+                 (p.doc_id*43 + t.i*3) % 256 AS v
+          FROM par p, range(0, 384) t(i)
+          WHERE t.i < 128 * p.ch
+        )
+        SELECT doc_id,
+               CAST(16 AS BIGINT) AS width, CAST(8 AS BIGINT) AS height,
+               CAST(MAX(ch) AS BIGINT) AS channels,
+               CAST(SUM(v) AS BIGINT) AS px_sum,
+               CAST(MIN(v) AS BIGINT) AS px_min,
+               CAST(MAX(v) AS BIGINT) AS px_max,
+               CAST(SUM(i * v) AS BIGINT) AS px_wsum
         FROM px GROUP BY doc_id
     """
     d["mm_features_png16"] = """

@@ -1492,6 +1492,54 @@ def extract_tiff_features(docs: DataFrame) -> DataFrame:
         _batches, schema=PNG_FEATURE_SCHEMA)
 
 
+# --- LZW TIFF contract path (r7) --------------------------------------------
+
+def tiff_lzw_payload_for_doc(doc_id: int) -> bytes:
+    """Frozen LZW-TIFF rule (r7 — the scanned-document corpus's
+    dominant compression): doc_id%4 sweeps (gray LE pred1,
+    RGB LE pred2, gray BE pred2, RGB BE pred1), all Compression=5;
+    sample i = (doc_id*43 + i*3) % 256 over 16x8xch with
+    rows_per_strip=3, so every strip is an INDEPENDENT LZW stream and
+    the horizontal-differencing predictor rides under the hash on
+    half the docs. Lossless, so decode == formula bit-exactly."""
+    k = doc_id % 4
+    ch = 3 if k % 2 else 1
+    px = bytes((doc_id * 43 + i * 3) % 256
+               for i in range(PNG_W * PNG_H * ch))
+    return render_tiff(PNG_W, PNG_H, px, channels=ch,
+                       big_endian=k >= 2, rows_per_strip=3,
+                       compression=5, predictor=2 if k in (1, 2) else 1)
+
+
+def extract_tiff_lzw_features(docs: DataFrame) -> DataFrame:
+    """Render + decode a real LZW-compressed TIFF per documents row
+    (MSB-first early-change LZW per strip, optional predictor 2);
+    px_wsum pins sample ORDER — a decoder that mis-splices strips or
+    mis-applies the predictor keeps the sums but fails the wsum."""
+
+    def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..tiff import decode_tiff as _dec
+        out_cols = ("doc_id", "width", "height", "channels",
+                    "px_sum", "px_min", "px_max", "px_wsum")
+        for pdf in batches:
+            out = {k: [] for k in out_cols}
+            for doc_id in pdf["doc_id"].tolist():
+                w, h, ch, px = _dec(tiff_lzw_payload_for_doc(doc_id))
+                out["doc_id"].append(doc_id)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["channels"].append(ch)
+                out["px_sum"].append(sum(px))
+                out["px_min"].append(min(px))
+                out["px_max"].append(max(px))
+                out["px_wsum"].append(
+                    sum(i * v for i, v in enumerate(px)))
+            yield pd.DataFrame(out)
+
+    return docs.select("doc_id").mapInPandas(
+        _batches, schema=GIF_FEATURE_SCHEMA)
+
+
 # --- real-BMP contract path (r6) -------------------------------------------
 
 def bmp_payload_for_doc(doc_id: int) -> bytes:

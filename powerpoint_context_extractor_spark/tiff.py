@@ -6,11 +6,19 @@ tagged entries point at out-of-line values and strip data anywhere in
 the file — the part naive parsers get wrong, and worth covering in
 both endiannesses.
 
-Subset (honest ValueError outside it): single IFD, uncompressed
-(Compression=1) 8-bit grayscale or RGB, any strip layout
-(RowsPerStrip + StripOffsets/StripByteCounts arrays, SHORT or LONG),
-PlanarConfiguration chunky. LZW/JPEG-in-TIFF, tiles, and multi-page
-files raise.
+Subset (honest ValueError outside it): single IFD, 8-bit grayscale or
+RGB, any strip layout (RowsPerStrip + StripOffsets/StripByteCounts
+arrays, SHORT or LONG), PlanarConfiguration chunky, Compression 1
+(none) or 5 (TIFF6 LZW, r7) with Predictor 1 or 2 (horizontal
+differencing). JPEG-in-TIFF, tiles, and multi-page files raise.
+
+TIFF LZW vs GIF LZW (gif.py) — the two deliberately share nothing,
+because every detail flips: bits pack MSB-first (GIF: LSB-first);
+symbols are always 8-bit so Clear=256/EOI=257 are fixed; and the code
+width increments EARLY — when the next table slot reaches 2^width - 1,
+not 2^width — the spec's famous off-by-one that every reader
+implements (libtiff-compatible). Each strip is compressed
+independently, so strips stay parallel decode units.
 """
 
 from __future__ import annotations
@@ -27,27 +35,168 @@ _TAG_SPP = 277
 _TAG_ROWS_PER_STRIP = 278
 _TAG_STRIP_BYTES = 279
 _TAG_PLANAR = 284
+_TAG_PREDICTOR = 317
 
 _TYPE_SIZES = {1: 1, 3: 2, 4: 4}          # BYTE, SHORT, LONG
+
+_LZW_CLEAR, _LZW_EOI = 256, 257
+_LZW_MAX_WIDTH = 12
+_LZW_RESET_AT = 4094                       # libtiff's early-clear slot
+
+
+def tiff_lzw_encode(data: bytes) -> bytes:
+    """TIFF6 LZW: MSB-first bit packing, 8-bit symbols, EARLY width
+    change, clear at slot 4094. Widths are assigned by replaying the
+    DECODER's table growth over the code stream (the decoder lags the
+    encoder by one entry — per-code add starts at the second code
+    after a clear — so deriving widths from the encoder's own table
+    count is the classic off-by-one; same replay trick as gif.py)."""
+    # phase 1: the raw code stream, from the encoder's own table
+    codes = [_LZW_CLEAR]
+    table = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    buf = b""
+    for b in data:
+        nb = buf + bytes([b])
+        if nb in table:
+            buf = nb
+            continue
+        codes.append(table[buf])
+        table[nb] = next_code
+        next_code += 1
+        if next_code == _LZW_RESET_AT:
+            codes.append(_LZW_CLEAR)
+            table = {bytes([i]): i for i in range(256)}
+            next_code = 258
+        buf = bytes([b])
+    if buf:
+        codes.append(table[buf])
+    codes.append(_LZW_EOI)
+    # phase 2: widths by decoder replay (widen when the decoder's
+    # next free slot hits 2^width - 1 — the early change)
+    out = bytearray()
+    acc = 0
+    nbits = 0
+    width = 9
+    dec_next = 258
+    prev_seen = False
+    for code in codes:
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            out.append((acc >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+        if code == _LZW_CLEAR:
+            width, dec_next, prev_seen = 9, 258, False
+        elif code == _LZW_EOI:
+            break
+        else:
+            if prev_seen:
+                dec_next += 1
+            else:
+                prev_seen = True
+            if dec_next == (1 << width) - 1 and width < _LZW_MAX_WIDTH:
+                width += 1
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def tiff_lzw_decode(data: bytes, n_expected: int) -> bytes:
+    """Inverse of :func:`tiff_lzw_encode` (and of any libtiff-written
+    stream in the same subset); stops at EOI or ``n_expected``."""
+    out = bytearray()
+    table: list = []
+    width = 9
+    prev: bytes | None = None
+    acc = 0
+    nbits = 0
+    pos = 0
+    while len(out) < n_expected:
+        while nbits < width:
+            if pos >= len(data):
+                raise ValueError("tiff: truncated LZW stream")
+            acc = (acc << 8) | data[pos]
+            pos += 1
+            nbits += 8
+        code = (acc >> (nbits - width)) & ((1 << width) - 1)
+        nbits -= width
+        if code == _LZW_CLEAR:
+            table = [bytes([i]) for i in range(256)] + [b"", b""]
+            width = 9
+            prev = None
+            continue
+        if code == _LZW_EOI:
+            break
+        if not table:
+            raise ValueError("tiff: LZW data before first clear code")
+        if prev is None:
+            if code >= len(table):
+                raise ValueError("tiff: bad first code after clear")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+        elif code == len(table):
+            entry = prev + prev[:1]              # KwKwK
+        else:
+            raise ValueError("tiff: code beyond table")
+        out.extend(entry)
+        if prev is not None:
+            table.append(prev + entry[:1])
+        # EARLY change: widen when the NEXT slot to fill == 2^width - 1
+        if len(table) == (1 << width) - 1 and width < _LZW_MAX_WIDTH:
+            width += 1
+        prev = entry
+    if len(out) < n_expected:
+        raise ValueError("tiff: LZW stream ended short of pixel count")
+    return bytes(out[:n_expected])
+
+
+def _predict2_encode(rows: bytes, row_bytes: int, channels: int) -> bytes:
+    """Predictor=2 horizontal differencing: each sample stores the
+    delta to the previous sample of the SAME channel in the row."""
+    out = bytearray(rows)
+    for r0 in range(0, len(rows), row_bytes):
+        for i in range(row_bytes - 1, channels - 1, -1):
+            out[r0 + i] = (rows[r0 + i] - rows[r0 + i - channels]) & 0xFF
+    return bytes(out)
+
+
+def _predict2_decode(rows: bytearray, row_bytes: int,
+                     channels: int) -> None:
+    for r0 in range(0, len(rows), row_bytes):
+        for i in range(channels, row_bytes):
+            rows[r0 + i] = (rows[r0 + i] + rows[r0 + i - channels]) & 0xFF
 
 
 def render_tiff(width: int, height: int, pixels: bytes,
                 channels: int = 1, big_endian: bool = False,
-                rows_per_strip: int = 4) -> bytes:
-    """Encode 8-bit gray (channels=1) or RGB (3) pixels as an
-    uncompressed strip-organized TIFF in either byte order."""
+                rows_per_strip: int = 4, compression: int = 1,
+                predictor: int = 1) -> bytes:
+    """Encode 8-bit gray (channels=1) or RGB (3) pixels as a
+    strip-organized TIFF in either byte order; compression 1 (none)
+    or 5 (LZW, r7), predictor 1 or 2 (LZW only, per spec)."""
     if channels not in (1, 3):
         raise ValueError("tiff: channels must be 1 or 3")
     if len(pixels) != width * height * channels:
         raise ValueError("tiff: pixels length != w*h*channels")
     if width <= 0 or height <= 0 or rows_per_strip <= 0:
         raise ValueError("tiff: bad dimensions")
+    if compression not in (1, 5) or predictor not in (1, 2):
+        raise ValueError("tiff: compression must be 1/5, predictor 1/2")
+    if predictor == 2 and compression != 5:
+        raise ValueError("tiff: predictor 2 requires LZW compression")
     e = ">" if big_endian else "<"
     row_bytes = width * channels
     strips = []
     for y0 in range(0, height, rows_per_strip):
         rows = min(rows_per_strip, height - y0)
-        strips.append(pixels[y0 * row_bytes:(y0 + rows) * row_bytes])
+        raw = pixels[y0 * row_bytes:(y0 + rows) * row_bytes]
+        if predictor == 2:
+            raw = _predict2_encode(raw, row_bytes, channels)
+        if compression == 5:
+            raw = tiff_lzw_encode(raw)
+        strips.append(raw)
     # layout: header(8) | strip data | [bps array if RGB] |
     #         [offset/count arrays if >2 strips] | IFD
     pos = 8
@@ -83,13 +232,15 @@ def render_tiff(width: int, height: int, pixels: bytes,
     entry(_TAG_WIDTH, 4, [width])
     entry(_TAG_HEIGHT, 4, [height])
     entry(_TAG_BPS, 3, [8] * channels)
-    entry(_TAG_COMPRESSION, 3, [1])
+    entry(_TAG_COMPRESSION, 3, [compression])
     entry(_TAG_PHOTOMETRIC, 3, [1 if channels == 1 else 2])
     entry(_TAG_STRIP_OFFSETS, 4, strip_offsets)
     entry(_TAG_SPP, 3, [channels])
     entry(_TAG_ROWS_PER_STRIP, 4, [rows_per_strip])
     entry(_TAG_STRIP_BYTES, 4, [len(s) for s in strips])
     entry(_TAG_PLANAR, 3, [1])
+    if predictor == 2:
+        entry(_TAG_PREDICTOR, 3, [2])
     ifd_off = extra_base + len(extra)
     out = bytearray()
     out += (b"MM" if big_endian else b"II")
@@ -153,17 +304,30 @@ def decode_tiff(data: bytes) -> tuple:
     comp = tags.get(_TAG_COMPRESSION, [1])[0]
     bps = tags.get(_TAG_BPS, [8])
     planar = tags.get(_TAG_PLANAR, [1])[0]
-    if comp != 1:
+    predictor = tags.get(_TAG_PREDICTOR, [1])[0]
+    if comp not in (1, 5):
         raise ValueError(f"tiff: compression {comp} unsupported "
-                         "(subset is uncompressed)")
+                         "(subset is none/LZW)")
+    if predictor not in (1, 2):
+        raise ValueError(f"tiff: predictor {predictor} unsupported")
     if channels not in (1, 3) or any(b != 8 for b in bps) or planar != 1:
         raise ValueError("tiff: subset is 8-bit chunky gray/RGB")
+    row_bytes = width * channels
+    rps = tags.get(_TAG_ROWS_PER_STRIP, [height])[0]
     px = bytearray()
-    for off, cnt in zip(tags[_TAG_STRIP_OFFSETS],
-                        tags[_TAG_STRIP_BYTES]):
+    offsets = tags[_TAG_STRIP_OFFSETS]
+    for s, (off, cnt) in enumerate(zip(offsets, tags[_TAG_STRIP_BYTES])):
         strip = data[off:off + cnt]
         if len(strip) != cnt:
             raise ValueError("tiff: truncated strip")
+        if comp == 5:
+            rows = min(rps, height - s * rps)
+            if rows <= 0:
+                raise ValueError("tiff: more strips than image rows")
+            raw = bytearray(tiff_lzw_decode(strip, rows * row_bytes))
+            if predictor == 2:
+                _predict2_decode(raw, row_bytes, channels)
+            strip = bytes(raw)
         px += strip
     if len(px) < width * height * channels:
         raise ValueError("tiff: strips shorter than image")
