@@ -1501,12 +1501,14 @@ def _dedup_prefix_jaccard(spark, sf_dir):
     (df, token) order, then integer-exact verification — the
     non-approximate sibling of MinHash/LSH. The oracle is BRUTE FORCE
     all-pairs in SQL, so a green row proves the prefix filter loses
-    no qualifying pair."""
+    no qualifying pair. The r7 degenerate-bucket guard runs in-plan
+    (error mode, cap 2000; the sf0.01 corpus maxes at ~400) — the
+    raise_error path is pinned separately by pytest."""
     from powerpoint_context_extractor_spark.operators.dedup import (
         prefix_jaccard_join,
     )
     return prefix_jaccard_join(_docs_with_near_dups(spark, sf_dir),
-                               threshold_bp=9000)
+                               threshold_bp=9000, bucket_cap=2000)
 
 
 def _dedup_minhash_lsh(spark, sf_dir):

@@ -456,7 +456,9 @@ def paragraph_dedup(docs: DataFrame, id_col: str = "doc_id",
 
 def prefix_jaccard_join(docs: DataFrame, threshold_bp: int = 5000,
                         id_col: str = "doc_id",
-                        text_col: str = "text") -> DataFrame:
+                        text_col: str = "text",
+                        bucket_cap: int | None = None,
+                        on_degenerate: str = "error") -> DataFrame:
     """EXACT all-pairs Jaccard similarity self-join via prefix
     filtering (Chaudhuri/Xiao PPJoin family, public method) — the
     non-approximate sibling of MinHash/LSH: every pair with distinct-
@@ -472,15 +474,30 @@ def prefix_jaccard_join(docs: DataFrame, threshold_bp: int = 5000,
     Scale shape: one combiner df-count per token; one window over the
     doc's own tokens (shuffle on doc id — each group is one doc's
     token list, inherently bounded); candidate generation is an
-    equi-join on prefix tokens only — by construction each doc
-    exposes its RAREST tokens, so the join buckets are the small df
-    tails, not the stopword heads (the degenerate-bucket shape LSH
-    needs a cap for cannot arise here); verification compares the
-    two token arrays directly, integer math only (inter*10000 >=
-    t*union — no division in the gate, so no rounding edge)."""
+    equi-join on prefix tokens only — each doc exposes its RAREST
+    tokens, so buckets are usually the small df tails, not stopword
+    heads. USUALLY is not ALWAYS (r6 VERDICT #5): k documents
+    sharing one genuinely rare token (a boilerplate license sentence
+    duplicated across a crawl) still put k docs in that token's
+    bucket and generate k^2/2 candidate pairs. ``bucket_cap`` guards
+    that shape: with ``on_degenerate='error'`` any prefix bucket
+    larger than the cap fails the job in-plan with the offending
+    token named (exactness preserved — nothing is silently dropped);
+    with ``'star'`` an over-cap bucket emits only (representative =
+    min id, other) pairs — O(k) instead of O(k^2), mirroring
+    dedup_minhash_lsh_capped — at the DOCUMENTED cost of exactness
+    inside those buckets (recover groups via connected components).
+    Verification compares the two token arrays directly, integer
+    math only (inter*10000 >= t*union — no division in the gate, so
+    no rounding edge)."""
     from pyspark.sql import Window as W
     if not 1 <= threshold_bp <= 10000:
         raise ValueError("prefix_jaccard_join: threshold_bp in [1,10000]")
+    if on_degenerate not in ("error", "star"):
+        raise ValueError("prefix_jaccard_join: on_degenerate must be "
+                         "'error' or 'star'")
+    if bucket_cap is not None and bucket_cap < 2:
+        raise ValueError("prefix_jaccard_join: bucket_cap must be >= 2")
     arrs = docs.select(F.col(id_col).alias("id"),
                        F.array_distinct(tokens_col(text_col)).alias("ts"))
     toks = arrs.select("id", F.explode("ts").alias("tok"))
@@ -491,10 +508,45 @@ def prefix_jaccard_join(docs: DataFrame, threshold_bp: int = 5000,
               .withColumn("_n", F.count(F.lit(1)).over(W.partitionBy("id"))))
     prefix = ranked.filter(F.expr(
         f"_rn <= _n - ((({threshold_bp} * _n) + 9999) div 10000) + 1"))
+    if bucket_cap is not None:
+        sizes = prefix.groupBy("tok").agg(
+            F.count(F.lit(1)).alias("_bsz"))
+        sized = prefix.join(sizes, "tok")
+        if on_degenerate == "error":
+            # the guard lives in a FILTER condition so it cannot be
+            # pruned: any row of an over-cap bucket that reaches the
+            # join first trips raise_error with the token named
+            guard = F.when(
+                F.col("_bsz") > bucket_cap,
+                F.expr(
+                    "raise_error(concat('prefix_jaccard_join: "
+                    "degenerate prefix bucket: token ', tok, "
+                    "' appears in ', cast(_bsz as string), "
+                    f"' prefixes (cap {bucket_cap}); pass "
+                    "on_degenerate=star or raise bucket_cap'))"
+                )).otherwise(F.lit(True))
+            prefix = sized.filter(guard).drop("_bsz")
+            cand_extra = None
+        else:                                  # star
+            wtok = W.partitionBy("tok")
+            starred = sized.withColumn("_rep", F.min("id").over(wtok))
+            prefix = (starred.filter(F.col("_bsz") <= bucket_cap)
+                      .drop("_bsz", "_rep"))
+            # over-cap buckets: O(k) star pairs around the min-id rep
+            cand_extra = (starred.filter(
+                (F.col("_bsz") > bucket_cap)
+                & (F.col("id") != F.col("_rep")))
+                .select(F.col("_rep").alias("ida"),
+                        F.col("id").alias("idb")))
+    else:
+        cand_extra = None
     cand = (prefix.select(F.col("id").alias("ida"), "tok")
             .join(prefix.select(F.col("id").alias("idb"), "tok"), "tok")
             .filter(F.col("ida") < F.col("idb"))
-            .select("ida", "idb").distinct())
+            .select("ida", "idb"))
+    if cand_extra is not None:
+        cand = cand.unionByName(cand_extra)
+    cand = cand.distinct()
     out = (cand
            .join(arrs.select(F.col("id").alias("ida"),
                              F.col("ts").alias("tsa")), "ida")

@@ -2893,6 +2893,51 @@ def test_prefix_jaccard_join_equals_brute_force(spark):
         dedup.prefix_jaccard_join(docs, threshold_bp=0)
 
 
+def test_prefix_jaccard_degenerate_bucket_guard(spark):
+    """r7 (r6 VERDICT #5): 200 docs sharing ONE genuinely rare token
+    (the duplicated-boilerplate shape) build a k^2/2 candidate bucket
+    — error mode trips raise_error naming the token; star mode bounds
+    that bucket to O(k) representative pairs while the NON-degenerate
+    corpus's output stays exactly the uncapped answer."""
+    from pyspark.errors import SparkRuntimeException
+
+    from powerpoint_context_extractor_spark.operators import dedup
+
+    # each doc: the shared token 'boiler' + ONE unique token; at
+    # t=0.3 the prefix is both tokens, so 'boiler' (df=200) builds
+    # one 200-doc bucket -> 19900 candidate pairs uncapped
+    rows = [(i, f"boiler u{i}") for i in range(200)]
+    degen = spark.createDataFrame(rows, "doc_id long, text string")
+    with pytest.raises(SparkRuntimeException,
+                       match="degenerate prefix bucket"):
+        dedup.prefix_jaccard_join(
+            degen, threshold_bp=3000, bucket_cap=50).collect()
+    # star mode: the over-cap bucket emits ONLY (rep=0, other) pairs
+    # — O(k) not O(k^2) — and verification still runs on them
+    # (J = 1/3 = 3333bp >= 3000): exactly the 199 rep pairs survive
+    starred = {(r["doc_a"], r["doc_b"]): r["jac_bp"]
+               for r in dedup.prefix_jaccard_join(
+                   degen, threshold_bp=3000, bucket_cap=50,
+                   on_degenerate="star").collect()}
+    assert starred == {(0, i): 3333 for i in range(1, 200)}
+    # non-degenerate corpus: both modes equal the uncapped answer
+    texts = {1: "a b c d e f g h", 2: "a b c d e f g zz",
+             3: "a b c d e f g h", 4: "p q r s t u v w"}
+    clean = spark.createDataFrame(list(texts.items()),
+                                  "doc_id long, text string")
+    base = sorted(map(tuple, dedup.prefix_jaccard_join(
+        clean, threshold_bp=7000).collect()))
+    for mode in ("error", "star"):
+        got = sorted(map(tuple, dedup.prefix_jaccard_join(
+            clean, threshold_bp=7000, bucket_cap=50,
+            on_degenerate=mode).collect()))
+        assert got == base, mode
+    with pytest.raises(ValueError, match="on_degenerate"):
+        dedup.prefix_jaccard_join(clean, on_degenerate="drop")
+    with pytest.raises(ValueError, match="bucket_cap"):
+        dedup.prefix_jaccard_join(clean, bucket_cap=1)
+
+
 def test_png_adam7_interlace_decode_identical():
     """r6: Adam7-interlaced PNGs (all channel counts, palette, odd
     dims with empty passes, every filter type) decode to the SAME
