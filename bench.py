@@ -152,8 +152,15 @@ def main() -> None:
     else:
         ceiling = ceil_pre if ceil_pre is not None else ceil_post
     share = round(docs_per_sec / ceiling, 4) if ceiling else None
+    # error bars (r6 VERDICT #6): the share against BOTH window edges
+    # bounds how much the host drifted across the Spark passes — a
+    # wide [share_post, share_pre] interval says "noisy window", a
+    # tight one makes the paired share trustworthy
+    share_pre = round(docs_per_sec / ceil_pre, 4) if ceil_pre else None
+    share_post = round(docs_per_sec / ceil_post, 4) if ceil_post else None
     log(f"  paired ceiling: {ceiling and round(ceiling, 1)} docs/s raw "
-        f"kernel -> share_of_ceiling {share}")
+        f"kernel -> share_of_ceiling {share} "
+        f"(bounds: pre {share_pre} / post {share_post})")
 
     # full pipeline: extraction + snapshot commit + lineage commit
     sink = os.path.join(REPO, ".bench_cache", f"sink-{uuid.uuid4().hex[:8]}")
@@ -163,14 +170,26 @@ def main() -> None:
     finally:
         shutil.rmtree(sink, ignore_errors=True)
 
-    # representative contract queries at the sf dir
+    # representative contract queries at the sf dir — min-of-2 each
+    # (r6 VERDICT #2): these are sub-second operator plans on sf0.1
+    # tables, so a single pass measures scheduler/host phase, not the
+    # operator (r6's headline-visible dedup_exact 3.8x was reproduced
+    # as host noise); the second pass is the steady state and min-of-2
+    # makes a round-over-round swing mean something
     qs = entry_mod.queries()
     for name in ("flagship_extract", "q1_pricing_summary",
                  "j3_broadcast_dim_chain", "o2_top1_per_group",
                  "w_running_sum", "dedup_exact", "t1_explode_tokens"):
         if name in qs:
-            timed(name, lambda n=name: qs[n](spark, sf_dir)
-                  .write.format("noop").mode("overwrite").save())
+            walls = []
+            for _rep in range(2):
+                t = time.monotonic()
+                qs[name](spark, sf_dir).write.format("noop") \
+                    .mode("overwrite").save()
+                walls.append(time.monotonic() - t)
+            timings[name] = round(min(walls), 3)
+            log(f"  {name}: {timings[name]}s "
+                f"(passes: {[round(w, 2) for w in walls]})")
 
     total = round(sum(timings.values()), 3)
     result = {
@@ -184,6 +203,8 @@ def main() -> None:
         "ceiling_pre": round(ceil_pre, 1) if ceil_pre else None,
         "ceiling_post": round(ceil_post, 1) if ceil_post else None,
         "share_of_ceiling": share,
+        "share_pre": share_pre,
+        "share_post": share_post,
         "n_pages": n_pages,
         "cpus": cpus,
     }
