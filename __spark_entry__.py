@@ -414,6 +414,120 @@ def _capstone_web_pipeline_v2(spark, sf_dir):
                          & (F.col("ratio_bp") <= 9000)).cast("long")))
 
 
+# capstone v3 corpus rule (frozen; oracle literals interpolated):
+# - stopword enrichment on all but doc_id%7==3 (those fail the gate's
+#   distinct-stop-word rule, like the raw synthetic corpus does)
+# - a shared 20-token boilerplate PREFIX on doc_id%13==0 (its chunk 0
+#   is corpus-duplicated -> paragraph dedup removes it; its internal
+#   8-grams are duplicated -> substring trim covers tokens 1..20)
+# - a canary 8-gram SUFFIX on doc_id%17==5 that also terminates every
+#   benchmark doc -> decontamination drops exactly those docs
+CAP_BOILER = " ".join(f"bp{i:02d}" for i in range(20))
+CAP_CANARY = "zq1 zq2 zq3 zq4 zq5 zq6 zq7 zq8"
+CAP_STOPS = " the cost of and that data"
+
+
+def _capstone_pretrain_corpus(spark, sf_dir):
+    """Pretraining-corpus capstone v3 (r7, r6 VERDICT #7): the
+    round-5/6 curation operators composed in ONE lazy plan — Gopher
+    v2 quality gate -> paragraph dedup + substring span-trim ->
+    benchmark decontamination (eval set = doc_id%101==0, excluded
+    from the corpus and its 8-token windows broadcast) -> mixture
+    resampling WITH upsampling (the skewed d0..d3 rule, 80% output
+    fraction) carrying the T=2 temperature share as metadata ->
+    distributed global order index over (domain, doc_id, rep) ->
+    WDS shard routing (shard_id = global_idx % 8; the physical tar
+    write is pinned by pytest, the routing is under this oracle).
+    Every filter bites on the planted corpus rule (see CAP_*): the
+    gate drops %7==3 and short docs, paragraph+trim stats move on
+    %13==0 docs (and the trim filter drops the short ones among
+    them), decontamination drops %17==5 docs. No stage collects or
+    materializes — the whole thing is one DataFrame; the plan audit
+    lives in tests/test_pipeline.py.
+
+    Scale note (honest): a lazy plan cannot SHARE subtrees, so every
+    multi-consumer stage re-executes its upstream — the audit pins
+    the resulting corpus-scan count (~150 column-pruned (doc_id,
+    text) scans at this composition depth). That is the cost of the
+    one-plan form this capstone exists to prove; a production run at
+    100 TB cuts the amplification multiplicatively by committing a
+    SnapshotTable boundary after the gate and after `kept` (the
+    exact seam sources/table_io.py provides), turning ~150 scans
+    into 3 stage-local handfuls without changing a single operator
+    call."""
+    from powerpoint_context_extractor_spark.operators.dedup import (
+        contamination_check, paragraph_dedup, substring_dedup_trim,
+    )
+    from powerpoint_context_extractor_spark.operators.sampling import (
+        global_order_index, mixture_sample_upsample, temperature_rates,
+    )
+    from powerpoint_context_extractor_spark.operators.textstats import (
+        quality_score_v2,
+    )
+    raw = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    enriched = (F.when(F.col("doc_id") % 7 == 3, F.col("text"))
+                .otherwise(F.concat(F.col("text"), F.lit(CAP_STOPS))))
+    txt = F.concat(
+        F.when(F.col("doc_id") % 13 == 0,
+               F.lit(CAP_BOILER + " ")).otherwise(F.lit("")),
+        enriched,
+        F.when(F.col("doc_id") % 17 == 5,
+               F.lit(" " + CAP_CANARY)).otherwise(F.lit("")))
+    d = raw.select("doc_id", txt.alias("text"))
+    gate = (quality_score_v2(d).filter(F.col("gopher_pass") == 1)
+            .select("doc_id"))
+    gated = d.join(gate, "doc_id")
+    para = paragraph_dedup(gated).select(
+        "doc_id", "total_paras", "kept_paras",
+        F.col("clean_md5").alias("para_md5"))
+    trim = substring_dedup_trim(gated).select(
+        "doc_id", "n_tokens", "removed_tokens",
+        F.col("clean_md5").alias("trim_md5"))
+    bench = (raw.filter(F.col("doc_id") % 101 == 0)
+             .select("doc_id",
+                     F.concat(enriched, F.lit(" " + CAP_CANARY))
+                     .alias("text")))
+    cont = contamination_check(
+        gated.filter(F.col("doc_id") % 101 != 0), bench).select(
+        "doc_id", "contaminated")
+    kept = (para.join(trim, "doc_id").join(cont, "doc_id")
+            .filter(F.col("contaminated") == 0)
+            .filter(F.col("kept_paras") * 2 >= F.col("total_paras"))
+            .filter(F.col("removed_tokens") * 4 <= F.col("n_tokens")))
+    dom = (F.when(F.col("doc_id") % 10 < 4, 0)
+           .when(F.col("doc_id") % 10 < 7, 1)
+           .when(F.col("doc_id") % 10 < 9, 2).otherwise(3))
+    keyed = kept.select("doc_id",
+                        F.format_string("d%d", dom).alias("domain"))
+    stats = kept.select("doc_id", "kept_paras", "removed_tokens",
+                        "para_md5", "trim_md5")
+    mix = mixture_sample_upsample(keyed, "domain", UPSAMPLE_WEIGHTS_BP,
+                                  out_fraction_bp=8000)
+    trates = (temperature_rates(keyed, "domain", out_fraction_bp=5000)
+              .select(F.col("_dom").alias("domain"),
+                      F.col("rate_bp").alias("temp_rate_bp")))
+    rows = (mix.join(F.broadcast(trates), "domain")
+            .join(stats, "doc_id")
+            .withColumn("row_id",
+                        F.col("doc_id") * 100 + F.col("rep")))
+    idx = global_order_index(
+        rows.select("row_id", "domain", "doc_id", "rep"),
+        ["domain", "doc_id", "rep"], id_col="row_id")
+    return (rows.join(idx, "row_id")
+            .select("doc_id", "domain",
+                    F.col("rep").cast("long").alias("rep"),
+                    F.col("rate_bp").cast("long").alias("rate_bp"),
+                    F.col("temp_rate_bp").cast("long")
+                    .alias("temp_rate_bp"),
+                    F.col("kept_paras").cast("long").alias("kept_paras"),
+                    F.col("removed_tokens").cast("long")
+                    .alias("removed_tokens"),
+                    "para_md5", "trim_md5",
+                    F.col("global_idx").cast("long").alias("global_idx"),
+                    (F.col("global_idx") % 8).cast("long")
+                    .alias("shard_id")))
+
+
 def _dedup_url_latest(spark, sf_dir):
     """URL-level capture dedup, the CC-index rule: canonicalize messy
     urls (case/port/tracking variants collapse to one key), then per
@@ -2854,6 +2968,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # head a future round — COVERAGE.md rotation ledger) ---------------
         "mm_gif_anim_frames": _mm_gif_anim_frames,
         "mm_features_tiff_lzw": _mm_features_tiff_lzw,
+        "capstone_pretrain_corpus": _capstone_pretrain_corpus,
     }
 
 
@@ -4832,6 +4947,148 @@ def oracle_sql() -> dict[str, str]:
     """
     _uwrows = ", ".join(f"('{d_}', {w})"
                         for d_, w in sorted(UPSAMPLE_WEIGHTS_BP.items()))
+    d["capstone_pretrain_corpus"] = f"""
+        -- the full r7 curation DAG, every stage the first-principles
+        -- mirror of its own contract oracle: gopher gate -> paragraph
+        -- dedup + substring trim -> decontamination (eval set =
+        -- doc_id%101==0) -> upsampling mixture + temperature share ->
+        -- global order -> shard routing
+        WITH doc AS (
+          SELECT doc_id,
+                 (CASE WHEN doc_id % 13 = 0
+                       THEN '{CAP_BOILER} ' ELSE '' END)
+                 || (CASE WHEN doc_id % 7 = 3 THEN text
+                          ELSE text || '{CAP_STOPS}' END)
+                 || (CASE WHEN doc_id % 17 = 5
+                          THEN ' {CAP_CANARY}' ELSE '' END) AS text
+          FROM documents),
+        benchdoc AS (
+          SELECT (CASE WHEN doc_id % 7 = 3 THEN text
+                       ELSE text || '{CAP_STOPS}' END)
+                 || ' {CAP_CANARY}' AS text
+          FROM documents WHERE doc_id % 101 = 0),
+        t AS (SELECT doc_id, text, string_split(text, ' ') AS ts
+              FROM doc),
+        g AS ({_g_feats} FROM t),
+        gp AS (SELECT doc_id, {_g_pass} FROM g),
+        gd AS (SELECT doc.doc_id, doc.text FROM doc JOIN gp
+               USING (doc_id) WHERE gopher_pass = 1),
+        ptoks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM gd),
+        pflat AS (SELECT doc_id, unnest(ts) AS tok,
+                         unnest(range(1, len(ts)+1)) AS i FROM ptoks),
+        paras AS (SELECT doc_id, (i-1)//20 AS cn,
+                         string_agg(tok, ' ' ORDER BY i) AS para
+                  FROM pflat GROUP BY doc_id, (i-1)//20),
+        pfreq AS (SELECT para, count(DISTINCT doc_id) AS nd
+                  FROM paras GROUP BY para),
+        pstat AS (SELECT p.doc_id, count(*) AS total_paras,
+                         sum(CASE WHEN f.nd < 2 THEN 1 ELSE 0 END)
+                           AS kept_paras,
+                         md5(coalesce(string_agg(
+                             CASE WHEN f.nd < 2 THEN p.para END,
+                             chr(10)||chr(10) ORDER BY p.cn), ''))
+                           AS para_md5
+                  FROM paras p JOIN pfreq f USING (para)
+                  GROUP BY p.doc_id),
+        w AS (SELECT doc_id, ts, len(ts) AS m,
+                     CASE WHEN len(ts) >= 8
+                          THEN [array_to_string(ts[i:i+7], ' ')
+                                for i in range(1, len(ts) - 6)]
+                          ELSE [array_to_string(ts, ' ')] END AS ws
+              FROM ptoks),
+        ex AS (SELECT doc_id, unnest(ws) AS win,
+                      unnest(range(1, len(ws) + 1)) AS pos FROM w),
+        f AS (SELECT win, count(DISTINCT doc_id) AS nd
+              FROM ex GROUP BY win),
+        dupl AS (SELECT ex.doc_id, list(ex.pos) AS dups
+                 FROM ex JOIN f USING (win) WHERE f.nd >= 2
+                 GROUP BY ex.doc_id),
+        jn AS (SELECT w.doc_id, w.ts, w.m,
+                      coalesce(dd.dups, CAST([] AS BIGINT[])) AS dups
+               FROM w LEFT JOIN dupl dd USING (doc_id)),
+        kp AS (SELECT doc_id, ts, m,
+                      [x for x in range(1, m + 1)
+                       if len([p for p in dups
+                               if x >= p and x <= least(p + 7, m)]) = 0]
+                        AS kj
+               FROM jn),
+        tstat AS (SELECT doc_id, m AS n_tokens,
+                         m - len(kj) AS removed_tokens,
+                         md5(coalesce(array_to_string(
+                             [ts[CAST(x AS BIGINT)] for x in kj], ' '),
+                             '')) AS trim_md5
+                  FROM kp),
+        bt AS (SELECT string_split(text, ' ') AS ts FROM benchdoc),
+        bw AS (SELECT DISTINCT unnest(
+                 CASE WHEN len(ts) >= 8
+                      THEN [array_to_string(ts[i:i+7], ' ')
+                            for i in range(1, len(ts) - 6)]
+                      ELSE [array_to_string(ts, ' ')] END) AS win
+               FROM bt),
+        cw AS (SELECT doc_id, unnest(ws) AS win FROM w
+               WHERE doc_id % 101 <> 0),
+        cstat AS (SELECT cw.doc_id,
+                         CASE WHEN sum(CASE WHEN bw.win IS NOT NULL
+                                            THEN 1 ELSE 0 END) > 0
+                              THEN 1 ELSE 0 END AS contaminated
+                  FROM cw LEFT JOIN bw USING (win) GROUP BY cw.doc_id),
+        kept AS (SELECT p.doc_id, p.kept_paras, p.para_md5,
+                        s.removed_tokens, s.trim_md5
+                 FROM pstat p JOIN tstat s USING (doc_id)
+                 JOIN cstat c USING (doc_id)
+                 WHERE c.contaminated = 0
+                   AND p.kept_paras * 2 >= p.total_paras
+                   AND s.removed_tokens * 4 <= s.n_tokens),
+        src AS (SELECT doc_id,
+                       printf('d%d', CASE WHEN doc_id % 10 < 4 THEN 0
+                                          WHEN doc_id % 10 < 7 THEN 1
+                                          WHEN doc_id % 10 < 9 THEN 2
+                                          ELSE 3 END) AS domain
+                FROM kept),
+        cnt AS (SELECT domain, count(*) AS c FROM src GROUP BY domain),
+        n AS (SELECT sum(c) AS nt FROM cnt),
+        wt AS (SELECT * FROM (VALUES {_uwrows}) AS t(domain, wbp)),
+        rates AS (SELECT cnt.domain,
+                         (((nt * 8000) // 10000) * wbp // 10000)
+                         * 10000 // c AS rate_bp
+                  FROM cnt JOIN wt USING (domain), n),
+        tagg AS (SELECT sum(c) AS nt,
+                        sum(CAST(floor(sqrt(c)) AS BIGINT)) AS sw
+                 FROM cnt),
+        trates AS (SELECT domain,
+                          least(10000, (((nt * 5000) // 10000)
+                                * CAST(floor(sqrt(c)) AS BIGINT) // sw)
+                               * 10000 // c) AS temp_rate_bp
+                   FROM cnt, tagg),
+        sel AS (SELECT s.doc_id, s.domain, r.rate_bp,
+                       (('0x' || substr(md5(printf('mix%d', s.doc_id)),
+                                        1, 8))
+                        ::BIGINT % 1000000007) % 10000 AS h
+                FROM src s JOIN rates r USING (domain)),
+        nc AS (SELECT doc_id, domain, rate_bp,
+                      rate_bp // 10000
+                      + CASE WHEN h < rate_bp % 10000 THEN 1 ELSE 0 END
+                        AS n_copies
+               FROM sel),
+        mixrows AS (SELECT doc_id, domain, rate_bp,
+                           CAST(unnest(range(CAST(n_copies AS BIGINT)))
+                                AS BIGINT) AS rep
+                    FROM nc WHERE n_copies > 0),
+        idx AS (SELECT m.*, row_number() OVER (
+                    ORDER BY m.domain, m.doc_id, m.rep) - 1
+                      AS global_idx
+                FROM mixrows m)
+        SELECT i.doc_id, i.domain, CAST(i.rep AS BIGINT) AS rep,
+               CAST(i.rate_bp AS BIGINT) AS rate_bp,
+               CAST(tr.temp_rate_bp AS BIGINT) AS temp_rate_bp,
+               CAST(k.kept_paras AS BIGINT) AS kept_paras,
+               CAST(k.removed_tokens AS BIGINT) AS removed_tokens,
+               k.para_md5, k.trim_md5,
+               CAST(i.global_idx AS BIGINT) AS global_idx,
+               CAST(i.global_idx % 8 AS BIGINT) AS shard_id
+        FROM idx i JOIN kept k USING (doc_id)
+        JOIN trates tr USING (domain)
+    """
     d["sample_mixture_domains_v2"] = f"""
         -- upsampling mixture math mirrored from
         -- sampling.mixture_sample_upsample: rate_bp UNCAPPED, row

@@ -180,6 +180,26 @@ def reservoir_sample(docs: DataFrame, stratum_col: str, k: int,
             .select(id_col, "stratum", F.col("rk").cast("long").alias("rk")))
 
 
+def temperature_rates(docs: DataFrame, domain_col: str,
+                      out_fraction_bp: int = 5000) -> DataFrame:
+    """The T=2 per-domain acceptance-rate table behind
+    :func:`temperature_sample`, exposed (r7) so composed pipelines
+    can carry the temperature share as metadata without re-deriving
+    it: emits (_dom, rate_bp) — tiny, broadcast-joinable."""
+    from pyspark.sql import Window as W
+    counts = docs.groupBy(F.col(domain_col).alias("_dom")).agg(
+        F.count(F.lit(1)).alias("_cnt"))
+    win = W.partitionBy(F.lit(1))
+    return (counts
+            .withColumn("_w", F.floor(F.sqrt(F.col("_cnt"))).cast("long"))
+            .withColumn("_n", F.sum("_cnt").over(win))
+            .withColumn("_sw", F.sum("_w").over(win))
+            .withColumn("rate_bp", F.least(F.lit(10000), F.expr(
+                f"(((_n * {int(out_fraction_bp)}) div 10000)"
+                " * _w div _sw) * 10000 div _cnt")))
+            .select("_dom", "rate_bp"))
+
+
 def temperature_sample(docs: DataFrame, domain_col: str,
                        out_fraction_bp: int = 5000,
                        id_col: str = "doc_id",
@@ -204,18 +224,7 @@ def temperature_sample(docs: DataFrame, domain_col: str,
     per domain, weights derived on the tiny counts table (single-
     partition window over thousands of domain rows is free), rates
     broadcast back; the corpus never shuffles."""
-    from pyspark.sql import Window as W
-    counts = docs.groupBy(F.col(domain_col).alias("_dom")).agg(
-        F.count(F.lit(1)).alias("_cnt"))
-    win = W.partitionBy(F.lit(1))
-    rates = (counts
-             .withColumn("_w", F.floor(F.sqrt(F.col("_cnt"))).cast("long"))
-             .withColumn("_n", F.sum("_cnt").over(win))
-             .withColumn("_sw", F.sum("_w").over(win))
-             .withColumn("rate_bp", F.least(F.lit(10000), F.expr(
-                 f"(((_n * {int(out_fraction_bp)}) div 10000)"
-                 " * _w div _sw) * 10000 div _cnt")))
-             .select("_dom", "rate_bp"))
+    rates = temperature_rates(docs, domain_col, out_fraction_bp)
     h = portable_hash(F.format_string(f"{salt}%d", F.col(id_col))) % 10000
     return (docs.select(F.col(id_col), F.col(domain_col).alias("domain"),
                         h.alias("_h"))
