@@ -2334,6 +2334,18 @@ def _mm_features_tiff_lzw(spark, sf_dir):
     return extract_tiff_lzw_features(_t(spark, sf_dir, "documents"))
 
 
+def _mm_features_flac_vb(spark, sf_dir):
+    """Variable-blocksize FLAC decode under the correctness gate (r7,
+    r6 VERDICT #8 — the last fixed-subset gap): six uneven frames
+    with starting-sample varints (verified in sequence by the
+    decoder), fixed predictors on even docs / LPC on odd. Lossless,
+    so the analytic sample formula is the oracle."""
+    from powerpoint_context_extractor_spark.operators.multimodal import (
+        extract_flac_vb_features,
+    )
+    return extract_flac_vb_features(_t(spark, sf_dir, "documents"))
+
+
 def _mm_audio_energy(spark, sf_dir):
     """Windowed audio energy over the real WAV decode (r6 — the
     VAD-style pre-filter): 4 windows of 16 samples, integer sum of
@@ -2969,6 +2981,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_gif_anim_frames": _mm_gif_anim_frames,
         "mm_features_tiff_lzw": _mm_features_tiff_lzw,
         "capstone_pretrain_corpus": _capstone_pretrain_corpus,
+        "mm_features_flac_vb": _mm_features_flac_vb,
     }
 
 
@@ -4358,6 +4371,24 @@ def oracle_sql() -> dict[str, str]:
         -- formula bit-exactly
         WITH s AS (
           SELECT d.doc_id, ((d.doc_id*89 + t.i*31) % 4001) - 2000 AS v
+          FROM documents d, range(0, 64) t(i)
+        )
+        SELECT doc_id,
+               CAST(8000 AS BIGINT) AS sample_rate,
+               CAST(64 AS BIGINT) AS n_samples,
+               CAST(8 AS BIGINT) AS duration_ms,
+               CAST(sum(abs(v)) AS BIGINT) AS abs_sum,
+               CAST(min(v) AS BIGINT) AS s_min,
+               CAST(max(v) AS BIGINT) AS s_max
+        FROM s GROUP BY doc_id
+    """
+    d["mm_features_flac_vb"] = """
+        -- frozen variable-blocksize rule (r7): mono 16-bit, 64
+        -- samples over six uneven frames, sample i =
+        -- ((doc_id*97 + i*43) % 4001) - 2000; lossless decode ==
+        -- formula bit-exactly
+        WITH s AS (
+          SELECT d.doc_id, ((d.doc_id*97 + t.i*43) % 4001) - 2000 AS v
           FROM documents d, range(0, 64) t(i)
         )
         SELECT doc_id,

@@ -11,8 +11,10 @@ mono or stereo — independent channels AND all three decorrelations
 bits), CONSTANT / VERBATIM / FIXED(0-4) / LPC subframes (any order
 and quantized-coefficient precision on decode; the encoder emits an
 order-2 model), Rice residual method 0 with any partition order and
-the 5-bit raw-bits escape, wasted-bits shifting, fixed-blocksize
-streams.
+the 5-bit raw-bits escape, wasted-bits shifting, fixed- AND
+variable-blocksize streams (r7: the strategy bit switches the frame
+varint between frame index and starting sample; both are verified
+in sequence on decode).
 STREAMINFO is required first; other metadata blocks are skipped.
 Frame header CRC-8 and whole-frame CRC-16 are verified; the
 STREAMINFO MD5 of the unencoded audio is written by the encoder and
@@ -253,13 +255,19 @@ _STEREO_CODES = {"independent": None, "left_side": 8,
 def render_flac(samples: list, sample_rate: int = 8000,
                 channels: int = 1, bps: int = 16,
                 block_size: int = 4096, use_lpc: bool = False,
-                stereo_mode: str = "independent") -> bytes:
+                stereo_mode: str = "independent",
+                block_sizes: list | None = None) -> bytes:
     """Encode interleaved integer ``samples`` as a FLAC stream
     (constant / verbatim / fixed(2) — or order-2 LPC with
     ``use_lpc`` — subframes, rice partition order 0). ``stereo_mode``
     picks a decorrelation for 2-channel input: left_side / right_side
     / mid_side store a (bps+1)-bit difference channel, per spec.
-    Lossless in every mode: decode_flac returns exactly ``samples``."""
+    ``block_sizes`` (r7) switches to a VARIABLE-blocksize stream:
+    frame f holds ``block_sizes[f]`` samples (sum must equal the
+    total), the blocking-strategy bit is 1, and the frame-header
+    varint carries the starting SAMPLE number instead of the frame
+    index — the last fixed-subset gap. Lossless in every mode:
+    decode_flac returns exactly ``samples``."""
     if channels not in (1, 2):
         raise ValueError("flac: 1 or 2 channels only")
     if stereo_mode not in _STEREO_CODES:
@@ -284,8 +292,19 @@ def render_flac(samples: list, sample_rate: int = 8000,
         for c in range(channels):
             raw += int(chans[c][i]).to_bytes(nbytes, "little", signed=True)
     md5 = hashlib.md5(bytes(raw)).digest()
-    sizes = [min(block_size, n_total - off) or block_size
-             for off in range(0, max(n_total, 1), block_size)]
+    if block_sizes is not None:
+        if (not block_sizes or sum(block_sizes) != n_total
+                or any(not 1 <= b <= 65535 for b in block_sizes)):
+            raise ValueError("flac: block_sizes must be in [1, 65535] "
+                             "and sum to the per-channel sample count")
+        sizes = list(block_sizes)
+        offs = [sum(sizes[:i]) for i in range(len(sizes))]
+        variable = True
+    else:
+        sizes = [min(block_size, n_total - off) or block_size
+                 for off in range(0, max(n_total, 1), block_size)]
+        offs = list(range(0, n_total, block_size))
+        variable = False
     w = _BitWriter()
     w.put(min(sizes) if n_total else block_size, 16)
     w.put(max(sizes) if n_total else block_size, 16)
@@ -298,12 +317,12 @@ def render_flac(samples: list, sample_rate: int = 8000,
     streaminfo = w.bytes() + md5
     out = bytearray(b"fLaC")
     out += bytes([0x80]) + len(streaminfo).to_bytes(3, "big") + streaminfo
-    for fi, off in enumerate(range(0, n_total, block_size)):
-        bs = min(block_size, n_total - off)
+    for fi, off in enumerate(offs):
+        bs = sizes[fi]
         fw = _BitWriter()
         fw.put(0b11111111111110, 14)
         fw.put(0, 1)                  # reserved
-        fw.put(0, 1)                  # fixed blocksize stream
+        fw.put(1 if variable else 0, 1)      # blocking strategy
         fw.put(0b0111, 4)             # blocksize: 16-bit at header end
         fw.put(0b0000, 4)             # rate: from STREAMINFO
         chan_code = _STEREO_CODES[stereo_mode]
@@ -313,7 +332,9 @@ def render_flac(samples: list, sample_rate: int = 8000,
         fw.put(0, 1)                  # reserved
         fw.pad_to_byte()
         hdr = bytearray(fw.bytes())
-        hdr += _utf8_number(fi)
+        # variable streams number frames by starting SAMPLE, fixed by
+        # frame index (the spec's one semantic use of the strategy bit)
+        hdr += _utf8_number(off if variable else fi)
         hdr += struct.pack(">H", bs - 1)
         hdr.append(_crc8(bytes(hdr)))
         bw = _BitWriter()
@@ -416,22 +437,26 @@ def decode_flac(data: bytes) -> tuple:
         raise ValueError("flac: more than 2 channels unsupported")
     chans: list = [[] for _ in range(channels)]
     got = 0
+    n_frames = 0
     while got < n_total:
         start = pos
         r = _BitReader(data, pos)
         if r.get(14) != 0b11111111111110:
             raise ValueError("flac: bad frame sync")
         r.get(1)
-        r.get(1)                      # blocking strategy
+        variable = bool(r.get(1))     # blocking strategy
         bs_code = r.get(4)
         rate_code = r.get(4)
         chan_code = r.get(4)
         bps_code = r.get(3)
         r.get(1)
-        # frame/sample number: UTF-8-style varint
+        # frame/sample number: UTF-8-style varint. VERIFIED (r7):
+        # variable-blocksize streams number frames by starting
+        # sample, fixed streams by frame index — an out-of-sequence
+        # value means a lost/reordered frame, not just noise
         first = r.get(8)
         if first < 0x80:
-            pass
+            fnum = first
         else:
             n_cont = 0
             mask = 0x40
@@ -440,9 +465,16 @@ def decode_flac(data: bytes) -> tuple:
                 mask >>= 1
             if n_cont < 1:
                 raise ValueError("flac: bad frame number coding")
+            fnum = first & (mask - 1)
             for _ in range(n_cont):
-                if r.get(8) & 0xC0 != 0x80:
+                b = r.get(8)
+                if b & 0xC0 != 0x80:
                     raise ValueError("flac: bad frame number coding")
+                fnum = (fnum << 6) | (b & 0x3F)
+        if fnum != (got if variable else n_frames):
+            raise ValueError(
+                f"flac: frame number {fnum} out of sequence "
+                f"(expected {got if variable else n_frames})")
         if bs_code == 0:
             raise ValueError("flac: reserved block size code")
         if bs_code == 0b0110:
@@ -513,6 +545,7 @@ def decode_flac(data: bytes) -> tuple:
             raise ValueError("flac: frame CRC-16 mismatch")
         pos = r.byte + 2
         got += bs
+        n_frames += 1
     if got != n_total:
         raise ValueError("flac: sample count mismatch")
     out = []

@@ -1255,6 +1255,52 @@ def extract_flac_features(docs: DataFrame) -> DataFrame:
         _batches, schema=WAV_FEATURE_SCHEMA)
 
 
+# --- variable-blocksize FLAC contract path (r7) -----------------------------
+
+FLAC_VB_SIZES = [16, 7, 25, 9, 5, 2]           # sums to FLAC_N = 64
+
+
+def flac_vb_samples_for_doc(doc_id: int) -> list:
+    """Frozen rule: sample i = ((doc_id*97 + i*43) % 4001) - 2000."""
+    return [((doc_id * 97 + i * 43) % 4001) - 2000 for i in range(FLAC_N)]
+
+
+def flac_vb_payload_for_doc(doc_id: int) -> bytes:
+    """Deterministic VARIABLE-blocksize FLAC (r7, r6 VERDICT #8): six
+    uneven frames (16/7/25/9/5/2 samples) whose headers carry
+    starting-SAMPLE varints under the strategy bit — the last
+    fixed-subset gap; LPC on odd docs so both predictor paths ride
+    the uneven frames."""
+    return render_flac(flac_vb_samples_for_doc(doc_id), sample_rate=8000,
+                       channels=1, bps=16, use_lpc=bool(doc_id % 2),
+                       block_sizes=FLAC_VB_SIZES)
+
+
+def extract_flac_vb_features(docs: DataFrame) -> DataFrame:
+    """Render + decode a variable-blocksize FLAC per documents row;
+    same exact-stats shape as :func:`extract_flac_features`."""
+
+    def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("doc_id", "sample_rate", "n_samples",
+                                   "duration_ms", "abs_sum", "s_min",
+                                   "s_max")}
+            for doc_id in pdf["doc_id"].tolist():
+                rate, _ch, samples = decode_flac(
+                    flac_vb_payload_for_doc(doc_id))
+                out["doc_id"].append(doc_id)
+                out["sample_rate"].append(rate)
+                out["n_samples"].append(len(samples))
+                out["duration_ms"].append(len(samples) * 1000 // rate)
+                out["abs_sum"].append(sum(abs(s) for s in samples))
+                out["s_min"].append(min(samples))
+                out["s_max"].append(max(samples))
+            yield pd.DataFrame(out)
+
+    return docs.select("doc_id").mapInPandas(
+        _batches, schema=WAV_FEATURE_SCHEMA)
+
+
 # --- sub-8-bit PNG contract path (r6) --------------------------------------
 
 def png_lowdepth_payload_for_doc(doc_id: int) -> bytes:

@@ -551,6 +551,36 @@ def test_flac_roundtrip_and_integrity():
         render_flac([1 << 20], bps=16)
     with pytest.raises(ValueError, match="channels"):
         render_flac([0, 0, 0], channels=3)
+    # VARIABLE-blocksize streams (r7): uneven frame sizes roundtrip
+    # bit-exactly in every stereo/LPC mode, the frame varint carries
+    # the starting sample (pinned by the out-of-sequence check), and
+    # bad size lists are rejected
+    mono = [(i * 13) % 2000 - 1000 for i in range(130)]
+    for sizes in ([16, 32, 7, 75], [1, 129], [130]):
+        vb = render_flac(mono, block_sizes=sizes)
+        assert decode_flac(vb) == (8000, 1, mono), sizes
+    st2 = (ext * 2)[:256]
+    for mode in ("left_side", "mid_side"):
+        vb = render_flac(st2, channels=2, stereo_mode=mode,
+                         use_lpc=True, block_sizes=[16, 48, 64])
+        assert decode_flac(vb)[2] == st2, mode
+    for bad in ([16], [0, 130], []):
+        with pytest.raises(ValueError, match="block_sizes"):
+            render_flac(mono, block_sizes=bad)
+    # out-of-sequence frame number: splice frame 2's varint (a fixed
+    # 16-frame stream numbers frames 0..; patch one header's varint
+    # byte from 1 -> 3 and recompute nothing -> CRC-8 catches it; to
+    # hit the SEQUENCE check itself, re-encode frame numbers shifted
+    # via block_sizes misuse is impossible — so pin it through the
+    # decoder directly on a hand-spliced stream
+    fixed = bytearray(render_flac(mono[:32], block_size=16))
+    # locate both frames' syncs (0xFF 0xF8) and swap the frames
+    i = fixed.find(b"\xff\xf8")
+    j = fixed.find(b"\xff\xf8", i + 2)
+    assert 0 < i < j
+    swapped = bytes(fixed[:i]) + bytes(fixed[j:]) + bytes(fixed[i:j])
+    with pytest.raises(ValueError):
+        decode_flac(swapped)
 
 
 def test_flac_kind_routed_through_real_decoder(spark):
