@@ -2346,6 +2346,18 @@ def _mm_features_flac_vb(spark, sf_dir):
     return extract_flac_vb_features(_t(spark, sf_dir, "documents"))
 
 
+def _mm_features_tiff_tiled(spark, sf_dir):
+    """Tiled multi-page TIFF decode under the correctness gate (r7 —
+    the remaining scanned-document shapes: IFD chains + tile grids
+    with zero-padded partial edge tiles, LZW + predictor 2 inside
+    every tile): 2 pages per doc, one output row per page; px_wsum
+    pins tile-grid blitting. Oracle is the analytic sample formula."""
+    from powerpoint_context_extractor_spark.operators.multimodal import (
+        extract_tiff_tiled_features,
+    )
+    return extract_tiff_tiled_features(_t(spark, sf_dir, "documents"))
+
+
 def _mm_audio_energy(spark, sf_dir):
     """Windowed audio energy over the real WAV decode (r6 — the
     VAD-style pre-filter): 4 windows of 16 samples, integer sum of
@@ -2976,7 +2988,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_charset_breakdown": _text_charset_breakdown,
         "text_charset_cjk": _text_charset_cjk,
         "flagship_extract": _flagship_extract,
-        "warc_extract": _warc_extract,
+        "warc_extract": _warc_extract,        "mm_features_tiff_tiled": _mm_features_tiff_tiled,
     }
 
 
@@ -4099,6 +4111,30 @@ def oracle_sql() -> dict[str, str]:
                CAST(MAX(v) AS BIGINT) AS px_max,
                CAST(SUM(i * v) AS BIGINT) AS px_wsum
         FROM px GROUP BY doc_id
+    """
+    d["mm_features_tiff_tiled"] = """
+        -- frozen tiled multi-page rule (r7): 2 pages, ch = 3 on odd
+        -- docs, page p sample i = (doc_id*47 + p*13 + i*5) % 256
+        -- over 16*8*ch; tiling + LZW + predictor are lossless so the
+        -- formula IS the page; px_wsum pins tile placement
+        WITH par AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 2 = 1 THEN 3 ELSE 1 END AS ch
+          FROM documents
+        ), px AS (
+          SELECT p.doc_id, g.p AS page_id, p.ch, t.i,
+                 (p.doc_id*47 + g.p*13 + t.i*5) % 256 AS v
+          FROM par p, range(0, 2) g(p), range(0, 384) t(i)
+          WHERE t.i < 128 * p.ch
+        )
+        SELECT doc_id, CAST(page_id AS BIGINT) AS page_id,
+               CAST(16 AS BIGINT) AS width, CAST(8 AS BIGINT) AS height,
+               CAST(MAX(ch) AS BIGINT) AS channels,
+               CAST(SUM(v) AS BIGINT) AS px_sum,
+               CAST(MIN(v) AS BIGINT) AS px_min,
+               CAST(MAX(v) AS BIGINT) AS px_max,
+               CAST(SUM(i * v) AS BIGINT) AS px_wsum
+        FROM px GROUP BY doc_id, page_id
     """
     d["mm_features_png16"] = """
         -- frozen 16-bit rule (r6): ch = (1,3,4)[doc_id%3], sample i =

@@ -1538,6 +1538,62 @@ def extract_tiff_features(docs: DataFrame) -> DataFrame:
         _batches, schema=PNG_FEATURE_SCHEMA)
 
 
+# --- tiled multi-page TIFF contract path (r7) --------------------------------
+
+TIFF_PAGES = 2
+
+
+def tiff_tiled_payload_for_doc(doc_id: int) -> bytes:
+    """Frozen tiled multi-page rule (r7 — the scanned-document file
+    shape: one IFD per sheet, tile grids with padded edges): 2 pages
+    of 16x8, ch = 3 on odd docs, page p sample i =
+    (doc_id*47 + p*13 + i*5) % 256; tiles are 5x3 (so the 16/5 and
+    8/3 edges exercise the zero-padded partial tiles), LZW +
+    predictor 2 throughout, big-endian on doc_id%2==1."""
+    from ..tiff import render_tiff_pages
+    ch = 3 if doc_id % 2 else 1
+    pages = []
+    for p in range(TIFF_PAGES):
+        px = bytes((doc_id * 47 + p * 13 + i * 5) % 256
+                   for i in range(PNG_W * PNG_H * ch))
+        pages.append((PNG_W, PNG_H, px, ch))
+    return render_tiff_pages(pages, big_endian=bool(doc_id % 2),
+                             compression=5, predictor=2, tile=(5, 3))
+
+
+def extract_tiff_tiled_features(docs: DataFrame) -> DataFrame:
+    """Render + decode a tiled 2-page TIFF per documents row; emits
+    one row per PAGE with exact stats; px_wsum pins tile blitting
+    (a tile placed at the wrong grid position keeps the sums but
+    fails the wsum)."""
+
+    def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..tiff import decode_tiff_pages as _dec
+        cols = ("doc_id", "page_id", "width", "height", "channels",
+                "px_sum", "px_min", "px_max", "px_wsum")
+        for pdf in batches:
+            out = {k: [] for k in cols}
+            for doc_id in pdf["doc_id"].tolist():
+                for p, (w, h, ch, px) in enumerate(
+                        _dec(tiff_tiled_payload_for_doc(doc_id))):
+                    out["doc_id"].append(doc_id)
+                    out["page_id"].append(p)
+                    out["width"].append(w)
+                    out["height"].append(h)
+                    out["channels"].append(ch)
+                    out["px_sum"].append(sum(px))
+                    out["px_min"].append(min(px))
+                    out["px_max"].append(max(px))
+                    out["px_wsum"].append(
+                        sum(i * v for i, v in enumerate(px)))
+            yield pd.DataFrame(out)
+
+    return docs.select("doc_id").mapInPandas(
+        _batches, schema="doc_id long, page_id long, width long, "
+                         "height long, channels long, px_sum long, "
+                         "px_min long, px_max long, px_wsum long")
+
+
 # --- LZW TIFF contract path (r7) --------------------------------------------
 
 def tiff_lzw_payload_for_doc(doc_id: int) -> bytes:

@@ -6,11 +6,14 @@ tagged entries point at out-of-line values and strip data anywhere in
 the file — the part naive parsers get wrong, and worth covering in
 both endiannesses.
 
-Subset (honest ValueError outside it): single IFD, 8-bit grayscale or
-RGB, any strip layout (RowsPerStrip + StripOffsets/StripByteCounts
-arrays, SHORT or LONG), PlanarConfiguration chunky, Compression 1
-(none) or 5 (TIFF6 LZW, r7) with Predictor 1 or 2 (horizontal
-differencing). JPEG-in-TIFF, tiles, and multi-page files raise.
+Subset (honest ValueError outside it): 8-bit grayscale or RGB,
+strip layouts (RowsPerStrip + StripOffsets/StripByteCounts arrays,
+SHORT or LONG) AND tiled layouts (r7: full tw x th tiles, zero-padded
+edges, blitted by grid position), multi-page IFD chains (r7:
+``decode_tiff_pages`` walks the chain with loop detection;
+``decode_tiff`` returns page 0), PlanarConfiguration chunky,
+Compression 1 (none) or 5 (TIFF6 LZW, r7) with Predictor 1 or 2
+(horizontal differencing). JPEG-in-TIFF raises.
 
 TIFF LZW vs GIF LZW (gif.py) — the two deliberately share nothing,
 because every detail flips: bits pack MSB-first (GIF: LSB-first);
@@ -36,6 +39,10 @@ _TAG_ROWS_PER_STRIP = 278
 _TAG_STRIP_BYTES = 279
 _TAG_PLANAR = 284
 _TAG_PREDICTOR = 317
+_TAG_TILE_WIDTH = 322
+_TAG_TILE_LENGTH = 323
+_TAG_TILE_OFFSETS = 324
+_TAG_TILE_BYTES = 325
 
 _TYPE_SIZES = {1: 1, 3: 2, 4: 4}          # BYTE, SHORT, LONG
 
@@ -169,13 +176,14 @@ def _predict2_decode(rows: bytearray, row_bytes: int,
             rows[r0 + i] = (rows[r0 + i] + rows[r0 + i - channels]) & 0xFF
 
 
-def render_tiff(width: int, height: int, pixels: bytes,
-                channels: int = 1, big_endian: bool = False,
-                rows_per_strip: int = 4, compression: int = 1,
-                predictor: int = 1) -> bytes:
-    """Encode 8-bit gray (channels=1) or RGB (3) pixels as a
-    strip-organized TIFF in either byte order; compression 1 (none)
-    or 5 (LZW, r7), predictor 1 or 2 (LZW only, per spec)."""
+def _build_page(width: int, height: int, pixels: bytes, channels: int,
+                e: str, base: int, rows_per_strip: int,
+                compression: int, predictor: int,
+                tile: tuple | None) -> tuple:
+    """One IFD's worth of a TIFF file at absolute offset ``base``:
+    returns (page_bytes, absolute_ifd_offset, next_ptr_offset) where
+    next_ptr_offset locates the 4-byte next-IFD pointer (written as 0
+    here; a multi-page writer patches it)."""
     if channels not in (1, 3):
         raise ValueError("tiff: channels must be 1 or 3")
     if len(pixels) != width * height * channels:
@@ -186,23 +194,41 @@ def render_tiff(width: int, height: int, pixels: bytes,
         raise ValueError("tiff: compression must be 1/5, predictor 1/2")
     if predictor == 2 and compression != 5:
         raise ValueError("tiff: predictor 2 requires LZW compression")
-    e = ">" if big_endian else "<"
     row_bytes = width * channels
-    strips = []
-    for y0 in range(0, height, rows_per_strip):
-        rows = min(rows_per_strip, height - y0)
-        raw = pixels[y0 * row_bytes:(y0 + rows) * row_bytes]
-        if predictor == 2:
-            raw = _predict2_encode(raw, row_bytes, channels)
-        if compression == 5:
-            raw = tiff_lzw_encode(raw)
-        strips.append(raw)
-    # layout: header(8) | strip data | [bps array if RGB] |
-    #         [offset/count arrays if >2 strips] | IFD
-    pos = 8
-    strip_offsets = []
-    for s in strips:
-        strip_offsets.append(pos)
+    chunks = []
+    if tile is not None:
+        tw, th = tile
+        if tw <= 0 or th <= 0:
+            raise ValueError("tiff: bad tile size")
+        # tiles are FULL tw x th rasters; right/bottom edges pad with 0
+        trow = tw * channels
+        for ty0 in range(0, height, th):
+            for tx0 in range(0, width, tw):
+                t = bytearray(trow * th)
+                for r in range(min(th, height - ty0)):
+                    src = (ty0 + r) * row_bytes + tx0 * channels
+                    n = min(tw, width - tx0) * channels
+                    t[r * trow:r * trow + n] = pixels[src:src + n]
+                raw = bytes(t)
+                if predictor == 2:
+                    raw = _predict2_encode(raw, trow, channels)
+                if compression == 5:
+                    raw = tiff_lzw_encode(raw)
+                chunks.append(raw)
+    else:
+        for y0 in range(0, height, rows_per_strip):
+            rows = min(rows_per_strip, height - y0)
+            raw = pixels[y0 * row_bytes:(y0 + rows) * row_bytes]
+            if predictor == 2:
+                raw = _predict2_encode(raw, row_bytes, channels)
+            if compression == 5:
+                raw = tiff_lzw_encode(raw)
+            chunks.append(raw)
+    # layout: chunk data | out-of-line arrays | IFD
+    pos = base
+    chunk_offsets = []
+    for s in chunks:
+        chunk_offsets.append(pos)
         pos += len(s)
     extra = bytearray()
     extra_base = pos
@@ -234,37 +260,77 @@ def render_tiff(width: int, height: int, pixels: bytes,
     entry(_TAG_BPS, 3, [8] * channels)
     entry(_TAG_COMPRESSION, 3, [compression])
     entry(_TAG_PHOTOMETRIC, 3, [1 if channels == 1 else 2])
-    entry(_TAG_STRIP_OFFSETS, 4, strip_offsets)
     entry(_TAG_SPP, 3, [channels])
-    entry(_TAG_ROWS_PER_STRIP, 4, [rows_per_strip])
-    entry(_TAG_STRIP_BYTES, 4, [len(s) for s in strips])
     entry(_TAG_PLANAR, 3, [1])
+    if tile is not None:
+        entry(_TAG_TILE_WIDTH, 4, [tile[0]])
+        entry(_TAG_TILE_LENGTH, 4, [tile[1]])
+        entry(_TAG_TILE_OFFSETS, 4, chunk_offsets)
+        entry(_TAG_TILE_BYTES, 4, [len(s) for s in chunks])
+    else:
+        entry(_TAG_STRIP_OFFSETS, 4, chunk_offsets)
+        entry(_TAG_ROWS_PER_STRIP, 4, [rows_per_strip])
+        entry(_TAG_STRIP_BYTES, 4, [len(s) for s in chunks])
     if predictor == 2:
         entry(_TAG_PREDICTOR, 3, [2])
     ifd_off = extra_base + len(extra)
     out = bytearray()
-    out += (b"MM" if big_endian else b"II")
-    out += struct.pack(e + "H", 42)
-    out += struct.pack(e + "I", ifd_off)
-    for s in strips:
+    for s in chunks:
         out += s
     out += extra
     out += struct.pack(e + "H", len(entries))
     for tag, typ, n, val4 in sorted(entries):
         out += struct.pack(e + "HHI", tag, typ, n) + val4
-    out += struct.pack(e + "I", 0)             # no next IFD
+    next_ptr = base + len(out)
+    out += struct.pack(e + "I", 0)             # next IFD (patchable)
+    return bytes(out), ifd_off, next_ptr
+
+
+def render_tiff(width: int, height: int, pixels: bytes,
+                channels: int = 1, big_endian: bool = False,
+                rows_per_strip: int = 4, compression: int = 1,
+                predictor: int = 1,
+                tile: tuple | None = None) -> bytes:
+    """Encode 8-bit gray (channels=1) or RGB (3) pixels as a TIFF in
+    either byte order; compression 1 (none) or 5 (LZW, r7),
+    predictor 1 or 2 (LZW only, per spec); ``tile=(tw, th)`` (r7)
+    writes a TILED layout (full tw x th tiles, zero-padded edges)
+    instead of strips."""
+    return render_tiff_pages(
+        [(width, height, pixels, channels)], big_endian=big_endian,
+        rows_per_strip=rows_per_strip, compression=compression,
+        predictor=predictor, tile=tile)
+
+
+def render_tiff_pages(pages: list, big_endian: bool = False,
+                      rows_per_strip: int = 4, compression: int = 1,
+                      predictor: int = 1,
+                      tile: tuple | None = None) -> bytes:
+    """Multi-page TIFF (r7): ``pages`` is a list of (width, height,
+    pixels, channels); IFDs chain through their next pointers — the
+    scanned-document shape (one page per sheet)."""
+    if not pages:
+        raise ValueError("tiff: at least one page required")
+    e = ">" if big_endian else "<"
+    out = bytearray()
+    out += (b"MM" if big_endian else b"II")
+    out += struct.pack(e + "H", 42)
+    head_ptr = len(out)
+    out += struct.pack(e + "I", 0)             # first-IFD ptr (patched)
+    prev_ptr = None
+    for (w, h, px, ch) in pages:
+        body, ifd_off, next_ptr = _build_page(
+            w, h, px, ch, e, len(out), rows_per_strip, compression,
+            predictor, tile)
+        out += body
+        patch_at = head_ptr if prev_ptr is None else prev_ptr
+        out[patch_at:patch_at + 4] = struct.pack(e + "I", ifd_off)
+        prev_ptr = next_ptr
     return bytes(out)
 
 
-def decode_tiff(data: bytes) -> tuple:
-    """-> (width, height, channels, pixel bytes)."""
-    if len(data) < 8 or data[:2] not in (b"II", b"MM"):
-        raise ValueError("tiff: bad byte-order mark")
-    e = "<" if data[:2] == b"II" else ">"
-    (magic,) = struct.unpack(e + "H", data[2:4])
-    if magic != 42:
-        raise ValueError("tiff: bad magic number")
-    (ifd_off,) = struct.unpack(e + "I", data[4:8])
+def _read_ifd(data: bytes, e: str, ifd_off: int) -> tuple:
+    """-> (tags dict, next_ifd_offset)."""
     if ifd_off + 2 > len(data):
         raise ValueError("tiff: truncated IFD offset")
     (n_entries,) = struct.unpack(e + "H", data[ifd_off:ifd_off + 2])
@@ -290,14 +356,20 @@ def decode_tiff(data: bytes) -> tuple:
                                        (k + 1) * _TYPE_SIZES[typ]])[0]
                      for k in range(n)]
     nxt_off = ifd_off + 2 + 12 * n_entries
+    nxt = 0
     if nxt_off + 4 <= len(data):
         (nxt,) = struct.unpack(e + "I", data[nxt_off:nxt_off + 4])
-        if nxt:
-            raise ValueError("tiff: multi-page files unsupported")
-    for req in (_TAG_WIDTH, _TAG_HEIGHT, _TAG_STRIP_OFFSETS,
-                _TAG_STRIP_BYTES):
-        if req not in tags:
-            raise ValueError(f"tiff: missing required tag {req}")
+    return tags, nxt
+
+
+def _decode_page(data: bytes, e: str, tags: dict) -> tuple:
+    tiled = _TAG_TILE_OFFSETS in tags
+    req = ((_TAG_TILE_WIDTH, _TAG_TILE_LENGTH, _TAG_TILE_OFFSETS,
+            _TAG_TILE_BYTES) if tiled
+           else (_TAG_STRIP_OFFSETS, _TAG_STRIP_BYTES))
+    for t in (_TAG_WIDTH, _TAG_HEIGHT) + req:
+        if t not in tags:
+            raise ValueError(f"tiff: missing required tag {t}")
     width = tags[_TAG_WIDTH][0]
     height = tags[_TAG_HEIGHT][0]
     channels = tags.get(_TAG_SPP, [1])[0]
@@ -313,6 +385,35 @@ def decode_tiff(data: bytes) -> tuple:
     if channels not in (1, 3) or any(b != 8 for b in bps) or planar != 1:
         raise ValueError("tiff: subset is 8-bit chunky gray/RGB")
     row_bytes = width * channels
+    if tiled:
+        tw, th = tags[_TAG_TILE_WIDTH][0], tags[_TAG_TILE_LENGTH][0]
+        if tw <= 0 or th <= 0:
+            raise ValueError("tiff: bad tile size")
+        trow = tw * channels
+        across = (width + tw - 1) // tw
+        down = (height + th - 1) // th
+        offs, cnts = tags[_TAG_TILE_OFFSETS], tags[_TAG_TILE_BYTES]
+        if len(offs) != across * down:
+            raise ValueError("tiff: tile count != grid size")
+        px = bytearray(width * height * channels)
+        for ti, (off, cnt) in enumerate(zip(offs, cnts)):
+            chunk = data[off:off + cnt]
+            if len(chunk) != cnt:
+                raise ValueError("tiff: truncated tile")
+            if comp == 5:
+                raw = bytearray(tiff_lzw_decode(chunk, trow * th))
+                if predictor == 2:
+                    _predict2_decode(raw, trow, channels)
+                chunk = bytes(raw)
+            if len(chunk) < trow * th:
+                raise ValueError("tiff: tile shorter than tw*th")
+            ty0 = (ti // across) * th
+            tx0 = (ti % across) * tw
+            for r in range(min(th, height - ty0)):
+                dst = (ty0 + r) * row_bytes + tx0 * channels
+                n = min(tw, width - tx0) * channels
+                px[dst:dst + n] = chunk[r * trow:r * trow + n]
+        return width, height, channels, bytes(px)
     rps = tags.get(_TAG_ROWS_PER_STRIP, [height])[0]
     px = bytearray()
     offsets = tags[_TAG_STRIP_OFFSETS]
@@ -332,3 +433,33 @@ def decode_tiff(data: bytes) -> tuple:
     if len(px) < width * height * channels:
         raise ValueError("tiff: strips shorter than image")
     return width, height, channels, bytes(px[:width * height * channels])
+
+
+def decode_tiff_pages(data: bytes) -> list:
+    """Full multi-page decode (r7): walks the IFD chain and returns
+    [(width, height, channels, pixel bytes), ...] in page order."""
+    if len(data) < 8 or data[:2] not in (b"II", b"MM"):
+        raise ValueError("tiff: bad byte-order mark")
+    e = "<" if data[:2] == b"II" else ">"
+    (magic,) = struct.unpack(e + "H", data[2:4])
+    if magic != 42:
+        raise ValueError("tiff: bad magic number")
+    (ifd_off,) = struct.unpack(e + "I", data[4:8])
+    pages = []
+    seen = set()
+    while ifd_off:
+        if ifd_off in seen:
+            raise ValueError("tiff: IFD chain loops")
+        seen.add(ifd_off)
+        tags, ifd_off = _read_ifd(data, e, ifd_off)
+        pages.append(_decode_page(data, e, tags))
+    if not pages:
+        raise ValueError("tiff: no IFDs")
+    return pages
+
+
+def decode_tiff(data: bytes) -> tuple:
+    """-> (width, height, channels, pixel bytes) of the FIRST page
+    (r7: later pages no longer raise — read them via
+    :func:`decode_tiff_pages`)."""
+    return decode_tiff_pages(data)[0]
