@@ -528,6 +528,19 @@ def _capstone_pretrain_corpus(spark, sf_dir):
                     .alias("shard_id")))
 
 
+def _pipeline_pack_sequences(spark, sf_dir):
+    """GPT-style sequence packing metadata (r7): the corpus token
+    stream in doc_id order cut into fixed 512-token training
+    sequences, documents splitting across pack boundaries — per doc
+    the exclusive global token offset (distributed two-level prefix
+    sum, no single-partition window) and its first/last pack ids.
+    Oracle is the plain SQL running-sum window."""
+    from powerpoint_context_extractor_spark.operators.sampling import (
+        pack_sequences,
+    )
+    return pack_sequences(_t(spark, sf_dir, "documents"), seq_len=512)
+
+
 def _dedup_url_latest(spark, sf_dir):
     """URL-level capture dedup, the CC-index rule: canonicalize messy
     urls (case/port/tracking variants collapse to one key), then per
@@ -2989,6 +3002,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_charset_cjk": _text_charset_cjk,
         "flagship_extract": _flagship_extract,
         "warc_extract": _warc_extract,        "mm_features_tiff_tiled": _mm_features_tiff_tiled,
+        "pipeline_pack_sequences": _pipeline_pack_sequences,
     }
 
 
@@ -5736,6 +5750,23 @@ def oracle_sql() -> dict[str, str]:
         SELECT domain, CAST(q AS BIGINT) AS q, CAST(v AS BIGINT) AS value
         FROM r, (VALUES (50), (90), (99)) AS t(q)
         WHERE rn = (q * cnt + 99) // 100
+    """
+    d["pipeline_pack_sequences"] = """
+        -- exclusive running token sum in doc_id order, cut at 512
+        WITH t AS (SELECT doc_id, len(string_split(text, ' ')) AS n
+                   FROM documents),
+        o AS (SELECT doc_id, n,
+                     coalesce(SUM(n) OVER (ORDER BY doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING), 0) AS off
+              FROM t)
+        SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+               CAST(off AS BIGINT) AS tok_offset,
+               CAST(off // 512 AS BIGINT) AS pack_first,
+               CAST((off + greatest(n, 1) - 1) // 512 AS BIGINT)
+                 AS pack_last,
+               CAST(off % 512 AS BIGINT) AS offset_in_pack
+        FROM o
     """
     d["sample_global_index"] = """
         -- plain global row_number the distributed rank must equal

@@ -324,3 +324,109 @@ def global_order_index(docs: DataFrame, order_cols: list,
             .select(F.col("id").alias(id_col),
                     (F.col("_lr") + F.col("_off")).cast("long")
                     .alias("global_idx")))
+
+
+def global_running_offset(docs: DataFrame, order_cols: list,
+                          value_col: str, id_col: str = "doc_id",
+                          n_parts: int = 32) -> DataFrame:
+    """Exclusive global running sum of ``value_col`` in a total order
+    (r7) — the cumulative-offset sibling of :func:`global_order_index`
+    and the primitive behind GPT-style sequence packing: row i's
+    ``offset`` is the sum of values over all rows strictly before it.
+
+    Same scale shape: range-partition + local sort (one skew-sampled
+    shuffle), per-partition exclusive prefix sums map-side inside
+    Arrow batches (a running accumulator, no window), per-partition
+    TOTALS turned into partition base offsets with a window over the
+    n_parts-row table, broadcast back. The order key must be unique
+    (pass the id as the last order column). Emits (id, value, offset).
+    """
+    import pandas as pd
+    if not order_cols:
+        raise ValueError("global_running_offset: order_cols required")
+    ranged = (docs.repartitionByRange(n_parts, *[F.col(c) for c in
+                                                 order_cols])
+              .sortWithinPartitions(*order_cols)
+              .withColumn("_pid", F.spark_partition_id()))
+
+    def _local_cumsum(batches):
+        acc = 0                  # running sum across the
+        for pdf in batches:      # partition's Arrow batches
+            vals = pdf["__v"].astype("int64").tolist()
+            offs = []
+            for v in vals:
+                offs.append(acc)
+                acc += v
+            yield pd.DataFrame({
+                "_pid": pdf["_pid"],
+                "id": pdf["__id"],
+                "v": vals,
+                "_lo": offs})
+
+    keyed = (ranged.withColumn("__id", F.col(id_col))
+             .withColumn("__v", F.col(value_col).cast("long")))
+    id_type = docs.schema[id_col].dataType.simpleString()
+    local = keyed.mapInPandas(
+        _local_cumsum,
+        schema=f"_pid int, id {id_type}, v long, _lo long")
+    from pyspark.sql import Window as W
+    totals = local.groupBy("_pid").agg(F.sum("v").alias("_t"))
+    offsets = (totals
+               .withColumn("_off", F.coalesce(F.sum("_t").over(
+                   W.orderBy("_pid").rowsBetween(
+                       W.unboundedPreceding, -1)), F.lit(0)))
+               .select("_pid", "_off"))
+    return (local.join(F.broadcast(offsets), "_pid")
+            .select(F.col("id").alias(id_col),
+                    F.col("v").cast("long").alias("value"),
+                    (F.col("_lo") + F.col("_off")).cast("long")
+                    .alias("offset")))
+
+
+def pack_sequences(docs: DataFrame, seq_len: int,
+                   order_cols: list | None = None,
+                   tokens_expr=None, id_col: str = "doc_id",
+                   text_col: str = "text",
+                   n_parts: int = 32) -> DataFrame:
+    """GPT-style sequence packing metadata (r7): concatenate every
+    document's tokens in one fixed total order and cut the stream
+    into fixed ``seq_len`` training sequences — documents SPLIT
+    ACROSS pack boundaries, the standard pretraining layout (no
+    padding waste, unlike greedy bin packing). Per doc emits
+    (id, n_tokens, tok_offset, pack_first, pack_last,
+    offset_in_pack):
+
+      tok_offset     = exclusive running sum of n_tokens in order
+      pack_first     = tok_offset div seq_len
+      pack_last      = (tok_offset + n_tokens - 1) div seq_len
+                       (== pack_first - 1 + 0 rows for empty docs:
+                        empty docs emit pack_last = pack_first and
+                        offset math still holds)
+      offset_in_pack = tok_offset % seq_len
+
+    A dataloader seeking pack p reads the docs with
+    pack_first <= p <= pack_last — an interval join this table
+    serves; the whole derivation is integer math over
+    :func:`global_running_offset`, so it is oracle-exact and
+    shuffle-bounded by the one range partition."""
+    if seq_len <= 0:
+        raise ValueError("pack_sequences: seq_len must be > 0")
+    if tokens_expr is None:
+        from .dedup import tokens_col
+        tokens_expr = F.size(tokens_col(text_col))
+    if order_cols is None:
+        order_cols = [id_col]
+    counted = docs.select(F.col(id_col),
+                          tokens_expr.cast("long").alias("_nt"))
+    off = global_running_offset(counted, order_cols, "_nt",
+                                id_col=id_col, n_parts=n_parts)
+    return off.select(
+        F.col(id_col),
+        F.col("value").alias("n_tokens"),
+        F.col("offset").alias("tok_offset"),
+        F.expr(f"offset div {int(seq_len)}").cast("long")
+        .alias("pack_first"),
+        F.expr(f"(offset + greatest(value, 1) - 1) div {int(seq_len)}")
+        .cast("long").alias("pack_last"),
+        (F.col("offset") % seq_len).cast("long")
+        .alias("offset_in_pack"))

@@ -3142,3 +3142,61 @@ def test_hash_classifier_zero_shuffle_and_values(spark):
     plan = textstats.hash_classifier_score(docs) \
         ._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_pack_sequences_and_running_offset(spark):
+    """r7: GPT-style sequence packing — the distributed two-level
+    prefix sum equals the plain python cumsum (incl. an empty doc and
+    docs straddling pack boundaries), pack ids/offsets satisfy the
+    layout invariants, and the only Window in the plan runs over the
+    tiny per-partition totals table, never the corpus."""
+    from powerpoint_context_extractor_spark.operators import sampling
+    texts = {1: "a b c d e f g",          # 7 tokens
+             2: ("x " * 11).strip(),       # 11
+             3: "",                        # empty text -> 1 token ([''],
+             #                               the split-on-space contract
+             #                               DuckDB string_split mirrors)
+             4: ("y " * 25).strip(),       # 25: straddles boundaries
+             5: "z"}                       # 1
+    docs = spark.createDataFrame(
+        list(texts.items()), "doc_id long, text string")
+    out = {r["doc_id"]: r for r in sampling.pack_sequences(
+        docs, seq_len=10, n_parts=3).collect()}
+    off = 0
+    for k in sorted(texts):
+        n = len(texts[k].split(" "))
+        r = out[k]
+        assert r["n_tokens"] == n, (k, r)
+        assert r["tok_offset"] == off
+        assert r["pack_first"] == off // 10
+        assert r["pack_last"] == (off + max(n, 1) - 1) // 10
+        assert r["offset_in_pack"] == off % 10
+        off += n
+    # doc 4 (25 tokens at offset 19) spans packs 1..4
+    assert (out[4]["pack_first"], out[4]["pack_last"]) == (1, 4)
+    # the empty-text doc holds one '' token at a well-defined position
+    assert out[3]["n_tokens"] == 1
+    assert out[3]["tok_offset"] + 1 == out[4]["tok_offset"]
+    # offset primitive directly: matches a one-level window oracle
+    vals = spark.createDataFrame(
+        [(i, (i * 7) % 13 + 1) for i in range(200)],
+        "doc_id long, nt long")
+    got = {r["doc_id"]: (r["value"], r["offset"])
+           for r in sampling.global_running_offset(
+               vals, ["doc_id"], "nt", n_parts=5).collect()}
+    acc = 0
+    for i in range(200):
+        v = (i * 7) % 13 + 1
+        assert got[i] == (v, acc), i
+        acc += v
+    # plan shape: the corpus itself is never windowed — the one
+    # Window node operates on the n_parts-row totals table
+    plan = sampling.global_running_offset(
+        vals, ["doc_id"], "nt", n_parts=5)._jdf \
+        .queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Window") <= 1
+    with pytest.raises(ValueError, match="order_cols"):
+        sampling.global_running_offset(vals, [], "nt")
+    with pytest.raises(ValueError, match="seq_len"):
+        sampling.pack_sequences(docs, seq_len=0)
