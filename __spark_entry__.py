@@ -528,6 +528,24 @@ def _capstone_pretrain_corpus(spark, sf_dir):
                     .alias("shard_id")))
 
 
+def _text_bm25_topk(spark, sf_dir):
+    """BM25 retrieval under the correctness gate (r7): 5 queries (the
+    first 6 tokens of every doc_id%97==0 document) ranked over the
+    whole corpus via inverted postings — integer rank-equivalent BM25
+    (k1=6/5, b=3/4, exact rational avgdl, integer idf surrogate), so
+    the scores themselves sit under the oracle hash; broadcast query
+    terms, two-level top-k."""
+    from powerpoint_context_extractor_spark.operators.textstats import (
+        bm25_topk,
+    )
+    d = _t(spark, sf_dir, "documents")
+    qs = (d.filter(F.col("doc_id") % 97 == 0)
+          .select(F.col("doc_id").alias("query_id"),
+                  F.array_join(F.slice(F.split(F.lower("text"), " "),
+                                       1, 6), " ").alias("q_text")))
+    return bm25_topk(d, qs, k=10)
+
+
 def _pipeline_pack_sequences(spark, sf_dir):
     """GPT-style sequence packing metadata (r7): the corpus token
     stream in doc_id order cut into fixed 512-token training
@@ -3003,6 +3021,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "flagship_extract": _flagship_extract,
         "warc_extract": _warc_extract,        "mm_features_tiff_tiled": _mm_features_tiff_tiled,
         "pipeline_pack_sequences": _pipeline_pack_sequences,
+        "text_bm25_topk": _text_bm25_topk,
     }
 
 
@@ -5750,6 +5769,43 @@ def oracle_sql() -> dict[str, str]:
         SELECT domain, CAST(q AS BIGINT) AS q, CAST(v AS BIGINT) AS value
         FROM r, (VALUES (50), (90), (99)) AS t(q)
         WHERE rn = (q * cnt + 99) // 100
+    """
+    d["text_bm25_topk"] = """
+        -- integer rank-equivalent BM25 mirrored from
+        -- textstats.bm25_topk: idf = (N*1000)//df, score =
+        -- idf * 22*T*tf // (10*T*tf + 3*T + 9*dl*N)
+        WITH toks AS (
+          SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+          FROM documents
+        ),
+        tok3 AS (SELECT doc_id, term FROM toks WHERE len(term) >= 3),
+        tf AS (SELECT doc_id, term, count(*) AS tf
+               FROM tok3 GROUP BY doc_id, term),
+        dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+        tot AS (SELECT count(*) AS n FROM documents),
+        ts AS (SELECT sum(tf) AS t FROM tf),
+        q AS (SELECT doc_id AS query_id,
+                     array_to_string(
+                       (string_split(lower(text), ' '))[1:6], ' ') AS qt
+              FROM documents WHERE doc_id % 97 = 0),
+        qterm AS (SELECT DISTINCT query_id, term FROM (
+                    SELECT query_id,
+                           unnest(string_split(qt, ' ')) AS term
+                    FROM q) WHERE len(term) >= 3),
+        m AS (SELECT qt.query_id, tf.doc_id,
+                     ((n * 1000) // df) * (22 * t * tf)
+                     // (10 * t * tf + 3 * t + 9 * dl.dl * n) AS s
+              FROM tf JOIN qterm qt USING (term)
+              JOIN dft USING (term) JOIN dl USING (doc_id), tot, ts),
+        pd AS (SELECT query_id, doc_id, sum(s) AS score
+               FROM m GROUP BY query_id, doc_id),
+        r AS (SELECT *, row_number() OVER (
+                 PARTITION BY query_id
+                 ORDER BY score DESC, doc_id) AS rank FROM pd)
+        SELECT query_id, doc_id, CAST(score AS BIGINT) AS score,
+               CAST(rank AS BIGINT) AS rank
+        FROM r WHERE rank <= 10
     """
     d["pipeline_pack_sequences"] = """
         -- exclusive running token sum in doc_id order, cut at 512

@@ -651,3 +651,75 @@ def confusable_skeleton(docs: DataFrame, id_col: str = "doc_id",
         (n_conf > 0).cast("long").alias("flagged"),
         F.md5(F.translate(t, CONFUSABLE_SRC, CONFUSABLE_DST))
         .alias("skeleton_md5"))
+
+
+def bm25_topk(docs: DataFrame, queries: DataFrame, k: int = 10,
+              id_col: str = "doc_id", text_col: str = "text",
+              q_id_col: str = "query_id", q_text_col: str = "q_text",
+              buckets: int = 32) -> DataFrame:
+    """BM25 retrieval over inverted postings (r7) — the lexical
+    ranking every retrieval/dedup-against-index pipeline starts from
+    (Robertson/Sparck-Jones, public method), in the integer-exact
+    rank-equivalent form this repo's oracles demand:
+
+      k1 = 6/5, b = 3/4 (the standard 1.2/0.75), avgdl = T/N kept as
+      the exact rational (T = corpus token count, N = docs), idf =
+      the monotone integer surrogate (N*1000) div df (same device as
+      :func:`tfidf_topk` — no float log drift), so with everything
+      multiplied through by 10*T the per-term score is
+
+        score = idf * (22*T*tf) div (10*T*tf + 3*T + 9*dl*N)
+
+      summed over the query's distinct matching terms; top-k docs per
+      query by (score desc, doc_id).
+
+    Scale shape: postings = two combiner-friendly aggregations (tf,
+    then df over the collapsed tf table); doc lengths ride the same
+    tf table (sum per doc); the query side — eval queries are tiny —
+    reduces to distinct (query, term) and BROADCASTS onto the
+    postings, so the corpus-sized side never shuffles for the match;
+    per-(query, doc) partial scores combine map-side; the final
+    top-k is TWO-LEVEL (bucket by doc id, k per bucket, then k per
+    query) because a web-scale query matches billions of docs — a
+    single partitionBy(query) window would funnel them into one
+    task. Emits (query_id, doc_id, score, rank)."""
+    if k < 1:
+        raise ValueError("bm25_topk: k must be >= 1")
+    toks = (docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("term"))
+        .filter(F.length("term") >= 3))
+    tf = toks.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf"))
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    tot = docs.select(F.count(F.lit(1)).alias("n_docs"))
+    tsum = tf.agg(F.sum("tf").alias("t_tokens"))
+    qterms = (queries.select(
+        F.col(q_id_col).alias("query_id"),
+        F.explode(F.split(F.lower(F.col(q_text_col)), " "))
+        .alias("term"))
+        .filter(F.length("term") >= 3).distinct())
+    scored = (tf.join(F.broadcast(qterms), "term")
+              .join(df_t, "term")
+              .join(dl, "doc_id")
+              .join(F.broadcast(tot))
+              .join(F.broadcast(tsum))
+              .withColumn("_s", F.expr(
+                  "((n_docs * 1000) div df) * (22 * t_tokens * tf) div "
+                  "(10 * t_tokens * tf + 3 * t_tokens "
+                  "+ 9 * dl * n_docs)")))
+    per_doc = (scored.groupBy("query_id", "doc_id")
+               .agg(F.sum("_s").alias("score")))
+    w1 = Window.partitionBy(
+        "query_id", F.col("doc_id") % buckets).orderBy(
+        F.col("score").desc(), "doc_id")
+    stage1 = (per_doc.withColumn("_r1", F.row_number().over(w1))
+              .filter(F.col("_r1") <= k))
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), "doc_id")
+    return (stage1.withColumn("rank", F.row_number().over(w2))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "doc_id",
+                    F.col("score").cast("long").alias("score"),
+                    F.col("rank").cast("long").alias("rank")))

@@ -3200,3 +3200,45 @@ def test_pack_sequences_and_running_offset(spark):
         sampling.global_running_offset(vals, [], "nt")
     with pytest.raises(ValueError, match="seq_len"):
         sampling.pack_sequences(docs, seq_len=0)
+
+
+def test_bm25_topk_ranking_and_two_level(spark):
+    """r7: integer BM25 — exact-match docs outrank partial matches,
+    higher tf wins at equal length, LONGER docs with the same tf are
+    length-penalized below shorter ones, the two-level top-k equals
+    the one-level window, and rare query terms outweigh common ones
+    via the integer idf."""
+    from pyspark.sql import Window as W
+
+    from powerpoint_context_extractor_spark.operators import textstats
+    docs = spark.createDataFrame([
+        (1, "apple banana cherry"),            # both terms, short
+        (2, "apple banana apple banana"),      # both terms, tf=2
+        (3, "apple filler filler filler filler filler"),  # partial+long
+        (4, "apple banana " + "pad " * 20),    # both terms, long
+        (5, "cherry dates eggs"),              # no match
+        (6, "banana banana banana"),           # one term, tf=3
+    ], "doc_id long, text string")
+    qs = spark.createDataFrame([(100, "apple banana")],
+                               "query_id long, q_text string")
+    out = textstats.bm25_topk(docs, qs, k=10, buckets=4).collect()
+    ranked = [r["doc_id"] for r in sorted(out, key=lambda r: r["rank"])]
+    assert set(ranked) == {1, 2, 3, 4, 6}       # doc 5 never matches
+    pos = {d: i for i, d in enumerate(ranked)}
+    assert pos[2] < pos[1]          # tf=2 beats tf=1 (similar length)
+    assert pos[1] < pos[4]          # same tf, shorter doc wins
+    assert pos[1] < pos[3]          # two matched terms beat one
+    # two-level == one-level on a bigger corpus
+    big = spark.createDataFrame(
+        [(i, f"apple t{i % 7:02d} u{i % 11:02d} v{i:03d}")
+         for i in range(300)],
+        "doc_id long, text string")
+    q2 = spark.createDataFrame([(1, "apple t03"), (2, "u05 v299")],
+                               "query_id long, q_text string")
+    two = sorted(map(tuple, textstats.bm25_topk(
+        big, q2, k=7, buckets=8).collect()))
+    one = sorted(map(tuple, textstats.bm25_topk(
+        big, q2, k=7, buckets=1).collect()))
+    assert two == one and len(two) == 14
+    with pytest.raises(ValueError, match="bm25"):
+        textstats.bm25_topk(docs, qs, k=0)
