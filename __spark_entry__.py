@@ -1306,6 +1306,20 @@ def _agg_theta_intersect(spark, sf_dir):
     return theta_intersect(d, "k", "src", "g0", "g1", k=32)
 
 
+def _agg_theta_anotb(spark, sf_dir):
+    """Theta-sketch set DIFFERENCE (r7 — completing the set algebra
+    next to agg_theta_intersect): |g0 \\ g1| estimated from the KMV
+    sketches alone; same frozen key rule, integer-exact, always one
+    row."""
+    from powerpoint_context_extractor_spark.operators.sketches import (
+        theta_a_not_b,
+    )
+    d = _t(spark, sf_dir, "documents").select(
+        F.format_string("g%d", F.col("doc_id") % 3).alias("src"),
+        F.format_string("k%d", F.col("doc_id") % 200).alias("k"))
+    return theta_a_not_b(d, "k", "src", "g0", "g1", k=32)
+
+
 def _agg_count_min(spark, sf_dir):
     """Count-min frequency sketch (r6 — the linear-mergeable
     frequency matrix): a skewed key stream ('hot' on every 4th doc)
@@ -3022,6 +3036,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_extract": _warc_extract,        "mm_features_tiff_tiled": _mm_features_tiff_tiled,
         "pipeline_pack_sequences": _pipeline_pack_sequences,
         "text_bm25_topk": _text_bm25_topk,
+        "agg_theta_anotb": _agg_theta_anotb,
     }
 
 
@@ -6306,6 +6321,43 @@ def oracle_sql() -> dict[str, str]:
                CAST(th.theta AS BIGINT) AS theta,
                CAST(n.cnt * 4294967296 // th.theta AS BIGINT)
                  AS est_intersection
+        FROM n, th
+    """
+    d["agg_theta_anotb"] = """
+        -- theta a-not-b mirrored from sketches.theta_a_not_b
+        WITH src AS (
+          SELECT printf('g%d', doc_id % 3) AS src,
+                 ('0x' || substr(md5(printf('k%d', doc_id % 200)),
+                                 1, 8))::BIGINT AS hval
+          FROM documents WHERE doc_id % 3 IN (0, 1)
+        ),
+        dist AS (SELECT DISTINCT src, hval FROM src),
+        ranked AS (
+          SELECT src, hval,
+                 row_number() OVER (PARTITION BY src
+                                    ORDER BY hval) AS rank
+          FROM dist
+        ),
+        keep AS (SELECT * FROM ranked WHERE rank <= 32),
+        th AS (SELECT MIN(g_theta) AS theta FROM (
+                 SELECT src,
+                        coalesce(max(CASE WHEN rank = 32
+                                          THEN hval END),
+                                 4294967296) AS g_theta
+                 FROM keep GROUP BY src)),
+        aonly AS (
+          SELECT a.hval FROM keep a
+          WHERE a.src = 'g0' AND a.hval NOT IN (
+            SELECT hval FROM keep WHERE src = 'g1')
+        ),
+        n AS (
+          SELECT COUNT(*) AS cnt FROM aonly, th
+          WHERE aonly.hval < th.theta
+        )
+        SELECT CAST(n.cnt AS BIGINT) AS n_a_only,
+               CAST(th.theta AS BIGINT) AS theta,
+               CAST(n.cnt * 4294967296 // th.theta AS BIGINT)
+                 AS est_a_not_b
         FROM n, th
     """
     d["agg_count_min"] = """

@@ -187,3 +187,38 @@ def theta_intersect(df: DataFrame, key_col: str, group_col: str,
                     F.col("theta").cast("long"),
                     F.expr("n_common * 4294967296 div theta")
                     .cast("long").alias("est_intersection")))
+
+
+def theta_a_not_b(df: DataFrame, key_col: str, group_col: str,
+                  group_a: str, group_b: str, k: int = 32) -> DataFrame:
+    """Set-DIFFERENCE cardinality |A \\ B| from the two groups' KMV
+    sketches (r7 — completing the theta set algebra next to
+    :func:`theta_intersect`; the DataSketches a-not-b, public
+    method): theta = min of the groups' k-th hashes (2^32 for an
+    exact, sub-k group); the estimate counts A's retained hashes
+    below theta that do NOT appear in B's sketch, scaled by
+    2^32 div theta. Integer-exact end to end, and ALWAYS exactly one
+    row (n_a_only, theta, est_a_not_b) — (0, theta, 0) when A's
+    sketch is fully covered by B's.
+
+    Scale shape: identical to theta_intersect — everything downstream
+    of theta_sketch touches at most 2k rows; the anti-join runs on
+    the k-row sketches, never the data."""
+    sk = theta_sketch(
+        df.filter(F.col(group_col).isin(group_a, group_b)),
+        key_col, group_col, k=k)
+    thetas = (sk.groupBy(group_col)
+              .agg(F.coalesce(
+                  F.max(F.when(F.col("rank") == k, F.col("hval"))),
+                  F.lit(1 << 32)).alias("g_theta")))
+    theta = thetas.agg(F.min("g_theta").alias("theta"))
+    a = sk.filter(F.col(group_col) == group_a).select("hval")
+    b = sk.filter(F.col(group_col) == group_b).select("hval")
+    only = a.join(b, "hval", "left_anti").join(F.broadcast(theta))
+    n = (only.filter(F.col("hval") < F.col("theta"))
+         .agg(F.count(F.lit(1)).alias("n_a_only")))
+    return (n.join(F.broadcast(theta))
+            .select(F.col("n_a_only").cast("long"),
+                    F.col("theta").cast("long"),
+                    F.expr("n_a_only * 4294967296 div theta")
+                    .cast("long").alias("est_a_not_b")))

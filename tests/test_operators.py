@@ -3242,3 +3242,26 @@ def test_bm25_topk_ranking_and_two_level(spark):
     assert two == one and len(two) == 14
     with pytest.raises(ValueError, match="bm25"):
         textstats.bm25_topk(docs, qs, k=0)
+
+
+def test_theta_a_not_b_estimates_difference(spark):
+    """r7: the KMV a-not-b estimate lands near the planted |A\\B| =
+    2000 (A = 1000 shared + 2000 own keys), and A fully covered by B
+    still emits exactly ONE row with n_a_only = 0 and estimate 0."""
+    from powerpoint_context_extractor_spark.operators.sketches import (
+        theta_a_not_b,
+    )
+    rows = ([("ga", f"shared{i}") for i in range(1000)]
+            + [("gb", f"shared{i}") for i in range(1000)]
+            + [("ga", f"a{i}") for i in range(2000)]
+            + [("gb", f"b{i}") for i in range(2000)])
+    df = spark.createDataFrame(rows, "grp string, k string")
+    out = theta_a_not_b(df, "k", "grp", "ga", "gb", k=256).collect()
+    assert len(out) == 1
+    assert 900 <= out[0]["est_a_not_b"] <= 3400, out[0]
+    sub = spark.createDataFrame(
+        [("ga", f"x{i}") for i in range(40)]
+        + [("gb", f"x{i}") for i in range(200)], "grp string, k string")
+    cov = theta_a_not_b(sub, "k", "grp", "ga", "gb", k=64).collect()
+    assert len(cov) == 1
+    assert cov[0]["n_a_only"] == 0 and cov[0]["est_a_not_b"] == 0
