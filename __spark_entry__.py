@@ -2403,6 +2403,17 @@ def _mm_features_tiff_tiled(spark, sf_dir):
     return extract_tiff_tiled_features(_t(spark, sf_dir, "documents"))
 
 
+def _mm_gif_anim_cuts(spark, sf_dir):
+    """Scene cuts over composed animated-GIF frames (r7): SAD between
+    consecutive canvases of the 4-frame fixture; the oracle rebuilds
+    BOTH canvases per pair from the closed-form disposal formula and
+    sums per-channel absolute differences."""
+    from powerpoint_context_extractor_spark.operators.multimodal import (
+        extract_gif_anim_cuts,
+    )
+    return extract_gif_anim_cuts(_t(spark, sf_dir, "documents"))
+
+
 def _mm_audio_energy(spark, sf_dir):
     """Windowed audio energy over the real WAV decode (r6 — the
     VAD-style pre-filter): 4 windows of 16 samples, integer sum of
@@ -3037,6 +3048,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_pack_sequences": _pipeline_pack_sequences,
         "text_bm25_topk": _text_bm25_topk,
         "agg_theta_anotb": _agg_theta_anotb,
+        "mm_gif_anim_cuts": _mm_gif_anim_cuts,
     }
 
 
@@ -4057,6 +4069,48 @@ def oracle_sql() -> dict[str, str]:
                         + (3*p+2)*((j*83)%256)) AS BIGINT) AS px_wsum,
                CAST((doc_id % 6 + 1) * 4 AS BIGINT) AS delay_cs
         FROM idx GROUP BY doc_id, f
+    """
+    d["mm_gif_anim_cuts"] = """
+        -- per consecutive composed-frame pair: SAD from the SAME
+        -- closed-form canvas formula as mm_gif_anim_frames, frames
+        -- f and f-1 self-joined per pixel
+        WITH cell AS (
+          SELECT doc_id, f.f AS f, p.p AS p,
+                 (doc_id*31 + p.p) % 15 AS base,
+                 CASE WHEN (p.p // 8) BETWEEN 1 AND 2
+                       AND (p.p % 8) BETWEEN 2 AND 5
+                      THEN ((p.p // 8) - 1) * 4 + (p.p % 8) - 2
+                 END AS q
+          FROM documents, range(0, 4) f(f), range(0, 32) p(p)
+        ),
+        idx AS (
+          SELECT doc_id, f, p,
+                 CASE
+                   WHEN q IS NULL OR f = 0 THEN base
+                   WHEN (doc_id*17 + f*7 + q*3) % 16 = 15
+                     THEN CASE WHEN f = 1 THEN base ELSE 0 END
+                   ELSE (doc_id*17 + f*7 + q*3) % 16
+                 END AS j
+          FROM cell
+        ),
+        pair AS (
+          SELECT a.doc_id, a.f AS frame_id, a.j AS ja, b.j AS jb
+          FROM idx a JOIN idx b
+            ON a.doc_id = b.doc_id AND a.p = b.p AND b.f = a.f - 1
+          WHERE a.f >= 1
+        ),
+        sads AS (
+          SELECT doc_id, frame_id,
+                 SUM(abs((ja*37)%256 - (jb*37)%256)
+                     + abs((ja*59)%256 - (jb*59)%256)
+                     + abs((ja*83)%256 - (jb*83)%256)) AS sad
+          FROM pair GROUP BY doc_id, frame_id
+        )
+        SELECT doc_id, CAST(frame_id AS BIGINT) AS frame_id,
+               CAST(sad AS BIGINT) AS sad,
+               CAST(CASE WHEN sad > 6000 THEN 1 ELSE 0 END AS BIGINT)
+                 AS is_cut
+        FROM sads
     """
     d["mm_audio_energy"] = """
         -- windowed sum of squares over the WAV sample rule

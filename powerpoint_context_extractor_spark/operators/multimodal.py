@@ -1861,6 +1861,37 @@ def extract_gif_anim_frames(docs: DataFrame) -> DataFrame:
                          "px_wsum long, delay_cs long")
 
 
+def extract_gif_anim_cuts(docs: DataFrame) -> DataFrame:
+    """Scene-cut detection over COMPOSED animated-GIF frames (r7 —
+    the r6 VERDICT #3 'feed the scene-cut operator' half): per
+    consecutive composed-canvas pair of the 4-frame animation
+    fixture, integer SAD + thresholded is_cut — the still/animation
+    triage a vision-curation pipeline runs on web GIFs. Emits
+    (doc_id, frame_id, sad, is_cut), frame_id the LATTER frame."""
+    from ..gif import decode_gif_frames
+
+    def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("doc_id", "frame_id", "sad",
+                                   "is_cut")}
+            for doc_id in pdf["doc_id"].tolist():
+                _w, _h, frames, _d, _l = decode_gif_frames(
+                    gif_anim_frames_payload_for_doc(doc_id))
+                for f in range(1, len(frames)):
+                    sad = sum(abs(a - b) for a, b in
+                              zip(frames[f - 1], frames[f]))
+                    out["doc_id"].append(doc_id)
+                    out["frame_id"].append(f)
+                    out["sad"].append(sad)
+                    out["is_cut"].append(
+                        1 if sad > SCENE_CUT_THRESHOLD else 0)
+            yield pd.DataFrame(out)
+
+    return docs.select("doc_id").mapInPandas(
+        _batches,
+        schema="doc_id long, frame_id long, sad long, is_cut long")
+
+
 def probe_gif_anim_features(docs: DataFrame) -> DataFrame:
     """Probe a real (hand-framed) animated GIF per documents row —
     frame walk + GCE delays + NETSCAPE loop count, no pixel decode."""
