@@ -2403,6 +2403,38 @@ def _mm_features_tiff_tiled(spark, sf_dir):
     return extract_tiff_tiled_features(_t(spark, sf_dir, "documents"))
 
 
+def _web_robots_allow(spark, sf_dir):
+    """RFC 9309 Allow/Disallow longest-match precedence (r7): four
+    frozen robots bodies (none / disallow-only / disallow+deeper
+    allow / equal-length tie) parsed by the HOF group state machine,
+    verdicts folded in-plan; the oracle recomputes the analytic truth
+    table from the (host, path-kind) rule."""
+    from powerpoint_context_extractor_spark.operators.robots import (
+        apply_robots_v2,
+    )
+    d = _t(spark, sf_dir, "documents")
+    path = (F.when(F.col("doc_id") % 3 == 0,
+                   F.format_string("/docs/pub/p%d", F.col("doc_id")))
+            .when(F.col("doc_id") % 3 == 1,
+                  F.format_string("/docs/p%d", F.col("doc_id")))
+            .otherwise(F.format_string("/other/p%d", F.col("doc_id"))))
+    pages = d.select("doc_id",
+                     F.format_string("h%d.example", F.col("doc_id") % 4)
+                     .alias("host"), path.alias("path"))
+    robots = spark.range(1, 4).select(
+        F.format_string("h%d.example", F.col("id")).alias("host"),
+        F.when(F.col("id") == 1,
+               F.lit("User-agent: *\nDisallow: /docs"))
+        .when(F.col("id") == 2,
+              F.lit("User-agent: *\nDisallow: /docs\n"
+                    "Allow: /docs/pub"))
+        .otherwise(F.lit("User-agent: *\nAllow: /\nDisallow: /"))
+        .alias("robots_txt"))
+    return (apply_robots_v2(pages, robots)
+            .select("doc_id", "host", "path",
+                    F.col("allowed").cast("long").alias("allowed")))
+
+
 def _mm_gif_anim_cuts(spark, sf_dir):
     """Scene cuts over composed animated-GIF frames (r7): SAD between
     consecutive canvases of the 4-frame fixture; the oracle rebuilds
@@ -3049,6 +3081,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bm25_topk": _text_bm25_topk,
         "agg_theta_anotb": _agg_theta_anotb,
         "mm_gif_anim_cuts": _mm_gif_anim_cuts,
+        "web_robots_allow": _web_robots_allow,
     }
 
 
@@ -4069,6 +4102,24 @@ def oracle_sql() -> dict[str, str]:
                         + (3*p+2)*((j*83)%256)) AS BIGINT) AS px_wsum,
                CAST((doc_id % 6 + 1) * 4 AS BIGINT) AS delay_cs
         FROM idx GROUP BY doc_id, f
+    """
+    d["web_robots_allow"] = """
+        -- analytic truth table for the frozen robots rule: h0 no
+        -- robots; h1 Disallow /docs; h2 Disallow /docs + Allow
+        -- /docs/pub (longer allow wins); h3 Allow / + Disallow /
+        -- (equal length: allow wins)
+        SELECT doc_id,
+               printf('h%d.example', doc_id % 4) AS host,
+               CASE doc_id % 3
+                 WHEN 0 THEN printf('/docs/pub/p%d', doc_id)
+                 WHEN 1 THEN printf('/docs/p%d', doc_id)
+                 ELSE printf('/other/p%d', doc_id) END AS path,
+               CAST(CASE
+                 WHEN doc_id % 4 IN (0, 3) THEN 1
+                 WHEN doc_id % 3 = 2 THEN 1
+                 WHEN doc_id % 4 = 2 AND doc_id % 3 = 0 THEN 1
+                 ELSE 0 END AS BIGINT) AS allowed
+        FROM documents
     """
     d["mm_gif_anim_cuts"] = """
         -- per consecutive composed-frame pair: SAD from the SAME

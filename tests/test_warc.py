@@ -176,3 +176,39 @@ def test_wet_roundtrip_unicode_and_type_filter(spark, tmp_path):
     assert warc.read_wet(spark, str(p)).count() == 0
     # ...while the wet reader on wet files is what read_warc skips
     assert warc.read_warc(spark, out).count() == 0
+
+
+def test_robots_allow_longest_match_precedence(spark):
+    """r7: RFC 9309 §2.2.2 — the longest matching rule wins, Allow
+    beats Disallow at equal length, rule order within the group is
+    irrelevant, non-* groups stay ignored, and pages without robots
+    stay allowed."""
+    from powerpoint_context_extractor_spark.operators.robots import (
+        apply_robots_v2,
+    )
+    robots = spark.createDataFrame([
+        ("a.example",
+         "User-agent: *\nDisallow: /search\nAllow: /search/about"),
+        ("b.example",       # same rules, opposite order: same verdicts
+         "User-agent: *\nAllow: /search/about\nDisallow: /search"),
+        ("c.example",       # equal length tie -> allow
+         "User-agent: *\nAllow: /x\nDisallow: /x"),
+        ("d.example",       # other agent's group never applies
+         "User-agent: badbot\nDisallow: /\n\n"
+         "User-agent: *\nDisallow: /private"),
+    ], "host string, robots_txt string")
+    pages = spark.createDataFrame([
+        (1, "a.example", "/search/q"),          # blocked
+        (2, "a.example", "/search/about/team"),  # allowed (longer)
+        (3, "a.example", "/other"),              # allowed (no match)
+        (4, "b.example", "/search/q"),
+        (5, "b.example", "/search/about/team"),
+        (6, "c.example", "/x/y"),                # tie -> allowed
+        (7, "d.example", "/anything"),           # badbot rule ignored
+        (8, "d.example", "/private/x"),          # star rule applies
+        (9, "nohost.example", "/whatever"),      # no robots -> allowed
+    ], "doc_id long, host string, path string")
+    got = {r["doc_id"]: r["allowed"]
+           for r in apply_robots_v2(pages, robots).collect()}
+    assert got == {1: 0, 2: 1, 3: 1, 4: 0, 5: 1, 6: 1, 7: 1, 8: 0,
+                   9: 1}
