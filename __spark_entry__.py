@@ -2405,7 +2405,7 @@ def _mm_features_tiff_tiled(spark, sf_dir):
 
 def _web_robots_allow(spark, sf_dir):
     """RFC 9309 Allow/Disallow longest-match precedence (r7): four
-    frozen robots bodies (none / disallow-only / disallow+deeper
+    frozen robots bodies (none / disallow+wildcard / disallow+deeper
     allow / equal-length tie) parsed by the HOF group state machine,
     verdicts folded in-plan; the oracle recomputes the analytic truth
     table from the (host, path-kind) rule."""
@@ -2424,7 +2424,8 @@ def _web_robots_allow(spark, sf_dir):
     robots = spark.range(1, 4).select(
         F.format_string("h%d.example", F.col("id")).alias("host"),
         F.when(F.col("id") == 1,
-               F.lit("User-agent: *\nDisallow: /docs"))
+               F.lit("User-agent: *\nDisallow: /docs\n"
+                     "Disallow: /other/*7$"))
         .when(F.col("id") == 2,
               F.lit("User-agent: *\nDisallow: /docs\n"
                     "Allow: /docs/pub"))
@@ -4105,9 +4106,10 @@ def oracle_sql() -> dict[str, str]:
     """
     d["web_robots_allow"] = """
         -- analytic truth table for the frozen robots rule: h0 no
-        -- robots; h1 Disallow /docs; h2 Disallow /docs + Allow
-        -- /docs/pub (longer allow wins); h3 Allow / + Disallow /
-        -- (equal length: allow wins)
+        -- robots; h1 Disallow /docs + wildcard Disallow /other/*7$
+        -- (blocks /other paths ending in 7); h2 Disallow /docs +
+        -- Allow /docs/pub (longer allow wins); h3 Allow / +
+        -- Disallow / (equal length: allow wins)
         SELECT doc_id,
                printf('h%d.example', doc_id % 4) AS host,
                CASE doc_id % 3
@@ -4116,7 +4118,9 @@ def oracle_sql() -> dict[str, str]:
                  ELSE printf('/other/p%d', doc_id) END AS path,
                CAST(CASE
                  WHEN doc_id % 4 IN (0, 3) THEN 1
-                 WHEN doc_id % 3 = 2 THEN 1
+                 WHEN doc_id % 3 = 2 THEN
+                   CASE WHEN doc_id % 4 = 1 AND doc_id % 10 = 7
+                        THEN 0 ELSE 1 END
                  WHEN doc_id % 4 = 2 AND doc_id % 3 = 0 THEN 1
                  ELSE 0 END AS BIGINT) AS allowed
         FROM documents

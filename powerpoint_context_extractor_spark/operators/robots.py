@@ -121,17 +121,43 @@ def apply_robots_v2(pages: DataFrame, robots: DataFrame,
                     host_col: str = "host",
                     path_col: str = "path") -> DataFrame:
     """RFC 9309 §2.2.2 access verdict (r7): among the group's Allow +
-    Disallow rules that PREFIX the path, the LONGEST match wins and
-    an Allow beats a Disallow of equal length; no matching rule (or
-    no robots.txt) means allowed. One HOF fold per page over the
-    tiny broadcast rules array — JVM codegen, zero shuffle."""
+    Disallow rules that MATCH the path, the LONGEST rule wins and an
+    Allow beats a Disallow of equal length; no matching rule (or no
+    robots.txt) means allowed. Rules may carry the §2.2.3 special
+    characters — ``*`` matches any span, a trailing ``$`` anchors the
+    match to the path end — compiled to an anchored regex IN-PLAN
+    (regexp_replace chain at parse time, ``rlike`` in the fold);
+    plain rules stay prefix probes. Precedence length is the rule's
+    LITERAL length (the de-facto crawler convention for wildcard
+    rules). One HOF fold per page over the tiny broadcast rules
+    array — JVM codegen, zero shuffle."""
     rules = parse_access_rules(robots, host_col)
+    # compile each rule once, parse-side: escape regex metachars,
+    # then '*' -> '.*'; a trailing '$' (already escaped to '\$')
+    # re-anchors; anchored at start
+    esc = lambda c: F.regexp_replace(  # noqa: E731
+        c, r"([.^$+?(){}\[\]\\|])", r"\\$1")
+    rules = rules.withColumn(
+        "rules",
+        F.transform(F.col("rules"), lambda r: F.struct(
+            r["rule"].alias("rule"),
+            F.concat(
+                F.lit("^"),
+                F.regexp_replace(
+                    F.regexp_replace(esc(r["rule"]), r"\*", ".*"),
+                    r"\\\$$", r"\$")).alias("pat"),
+            (r["rule"].contains("*")
+             | r["rule"].endswith("$")).alias("wild"),
+            r["allow"].alias("allow"))))
     joined = pages.join(F.broadcast(rules), host_col, "left")
     init = F.struct(F.lit(0).alias("best_len"),
                     F.lit(True).alias("best_allow"))
 
     def fold(acc, r):
-        m = F.col(path_col).startswith(r["rule"])
+        m = F.when(r["wild"],
+                   F.call_function("regexp_like",
+                                   F.col(path_col), r["pat"])) \
+            .otherwise(F.col(path_col).startswith(r["rule"]))
         ln = F.length(r["rule"])
         better = m & (ln > acc["best_len"])
         tie_allow = m & (ln == acc["best_len"]) & r["allow"]
@@ -145,7 +171,8 @@ def apply_robots_v2(pages: DataFrame, robots: DataFrame,
     verdict = F.aggregate(
         F.coalesce(F.col("rules"),
                    F.array().cast(
-                       "array<struct<rule:string,allow:boolean>>")),
+                       "array<struct<rule:string,pat:string,"
+                       "wild:boolean,allow:boolean>>")),
         init, fold, lambda acc: acc["best_allow"])
     return joined.withColumn(
         "allowed", verdict.cast("long")).drop("rules")

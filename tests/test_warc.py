@@ -212,3 +212,34 @@ def test_robots_allow_longest_match_precedence(spark):
            for r in apply_robots_v2(pages, robots).collect()}
     assert got == {1: 0, 2: 1, 3: 1, 4: 0, 5: 1, 6: 1, 7: 1, 8: 0,
                    9: 1}
+
+
+def test_robots_wildcard_and_anchor_rules(spark):
+    """r7: RFC 9309 §2.2.3 special characters — '*' spans any text,
+    a trailing '$' anchors to the path end, regex metacharacters in
+    paths stay literal, and wildcard rules join the longest-literal
+    precedence contest."""
+    from powerpoint_context_extractor_spark.operators.robots import (
+        apply_robots_v2,
+    )
+    robots = spark.createDataFrame([
+        ("a.example",
+         "User-agent: *\nDisallow: /*.pdf$\nDisallow: /tmp/*/draft"),
+        ("b.example",        # wildcard disallow vs longer plain allow
+         "User-agent: *\nDisallow: /p*te\nAllow: /private/ok"),
+        ("c.example",        # literal dot must not act as regex '.'
+         "User-agent: *\nDisallow: /a.b"),
+    ], "host string, robots_txt string")
+    pages = spark.createDataFrame([
+        (1, "a.example", "/x/file.pdf"),        # *.pdf$ -> blocked
+        (2, "a.example", "/x/file.pdf.html"),   # $ anchors -> allowed
+        (3, "a.example", "/tmp/v1/draft2"),     # span match -> blocked
+        (4, "a.example", "/tmp/draft"),         # needs middle seg -> ok
+        (5, "b.example", "/private/ok/x"),      # allow len 11 beats 5
+        (6, "b.example", "/private/no"),        # blocked by /p*te
+        (7, "c.example", "/a.b/x"),             # blocked (literal)
+        (8, "c.example", "/aXb/x"),             # '.' NOT a wildcard
+    ], "doc_id long, host string, path string")
+    got = {r["doc_id"]: r["allowed"]
+           for r in apply_robots_v2(pages, robots).collect()}
+    assert got == {1: 0, 2: 1, 3: 0, 4: 1, 5: 1, 6: 0, 7: 0, 8: 1}
