@@ -2711,6 +2711,24 @@ def _dedup_embedding_cosine(spark, sf_dir):
                                     threshold_micro=999000)
 
 
+def _dedup_semantic(spark, sf_dir):
+    """SemDeDup end to end (r7): IVF-bucketed cosine pairs over the
+    planted-copy corpus -> pointer-jumping connected components ->
+    keep the min id per duplicate group. Oracle = the same cell-
+    restricted pair SQL + a recursive-reachability fixpoint."""
+    from powerpoint_context_extractor_spark.operators.similarity import (
+        semantic_dedup,
+    )
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    planted = (emb.filter(F.col("vec_id") < 20)
+               .select((F.col("vec_id") + 1000000).alias("vec_id"),
+                       F.transform(F.col("embedding"),
+                                   lambda x: x * F.lit(1.25).cast("float"))
+                       .alias("embedding")))
+    return semantic_dedup(emb.unionByName(planted),
+                          threshold_micro=999000)
+
+
 def _x2_param_regex(spark, sf_dir):
     """Two-group parameter parse (reference scale_x(\\d+)_y(\\d+),
     `animations/extractor.py:354-359`): synthesize param strings from
@@ -3083,6 +3101,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_theta_anotb": _agg_theta_anotb,
         "mm_gif_anim_cuts": _mm_gif_anim_cuts,
         "web_robots_allow": _web_robots_allow,
+        "dedup_semantic": _dedup_semantic,
     }
 
 
@@ -3762,6 +3781,52 @@ def oracle_sql() -> dict[str, str]:
             SELECT id_a, id_b, cos_micro FROM c WHERE cos_micro >= 999000
         """,
     }
+    d["dedup_semantic"] = f"""
+        WITH RECURSIVE u AS (
+          SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+          UNION ALL
+          SELECT vec_id + 1000000,
+                 (list_transform(embedding,
+                    x -> (x * 1.25::FLOAT)::FLOAT))::DOUBLE[]
+          FROM embeddings WHERE vec_id < 20
+        ),
+        cents AS (SELECT vec_id AS cid, v AS cv FROM u WHERE vec_id < 8),
+        dd AS (SELECT u.vec_id, c.cid,
+                     list_reduce(list_prepend(0.0::DOUBLE,
+                       [(u.v[i]-c.cv[i])*(u.v[i]-c.cv[i])
+                        for i in range(1, len(u.v)+1)]),
+                       (x, y) -> x + y) AS d2
+              FROM u, cents c),
+        assign AS (SELECT vec_id, cid AS cluster
+                   FROM (SELECT vec_id, cid, row_number() OVER (
+                           PARTITION BY vec_id ORDER BY d2, cid) AS rn
+                         FROM dd) WHERE rn = 1),
+        base AS (SELECT u.vec_id, u.v, a.cluster
+                 FROM u JOIN assign a USING (vec_id)),
+        pr AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                      a.v AS va, b.v AS vb
+               FROM base a JOIN base b
+                 ON a.cluster = b.cluster AND a.vec_id < b.vec_id),
+        cc AS (SELECT id_a, id_b, CAST(ROUND(dot/(sqrt(na)*sqrt(nb))
+                     * 1000000) AS BIGINT) AS cos_micro
+              FROM (SELECT id_a, id_b,
+                      {_COS_FOLD.format(expr="va[i]*vb[i]", arr="va")} AS dot,
+                      {_COS_FOLD.format(expr="va[i]*va[i]", arr="va")} AS na,
+                      {_COS_FOLD.format(expr="vb[i]*vb[i]", arr="vb")} AS nb
+                    FROM pr)),
+        edges AS (
+          SELECT id_a AS src, id_b AS dst FROM cc WHERE cos_micro >= 999000
+          UNION ALL
+          SELECT id_b AS src, id_a AS dst FROM cc WHERE cos_micro >= 999000),
+        reach(src, node) AS (
+          SELECT vec_id, vec_id FROM u
+          UNION
+          SELECT r.src, e.dst FROM reach r JOIN edges e ON r.node = e.src)
+        SELECT src AS vec_id, CAST(MIN(node) AS BIGINT) AS rep_id,
+               CAST(CASE WHEN MIN(node) = src THEN 1 ELSE 0 END AS BIGINT)
+                 AS is_kept
+        FROM reach GROUP BY src
+    """
     # the materialized-index probe returns exactly the in-memory IVF
     # result (same deterministic assignment), so it shares the oracle
     # r4: the materialized index is the k-means layout probed nprobe=2;

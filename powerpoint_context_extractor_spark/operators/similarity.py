@@ -379,3 +379,32 @@ def ivf_topk_kmeans(emb: DataFrame, query_id: int, k: int = 10,
     return (cosine_to_query(cell, query_id, id_col, vec_col)
             .orderBy(F.col("cos_micro").desc(), F.col(id_col).asc())
             .limit(k))
+
+
+def semantic_dedup(emb: DataFrame, threshold_micro: int = 999000,
+                   n_centroids: int = 8, id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, public method) — semantic
+    near-duplicate REMOVAL, end to end (r7): cluster the embedding
+    space (IVF cells), form cosine pairs only WITHIN cells
+    (:func:`embedding_near_dup_pairs` — never a global self-join),
+    collapse transitive duplicate chains with pointer-jumping
+    connected components, and keep the MINIMUM id of every duplicate
+    group. Emits one row per vector: (vec_id, rep_id, is_kept) —
+    rep_id = the vector itself when it has no near-dups.
+
+    Scale shape: every stage is an already-audited primitive — the
+    pair join is per-cell, components converge in O(log diameter)
+    rounds with per-round lineage truncation, and the final fate join
+    is a plain left join on id."""
+    from .dedup import near_dup_clusters
+    pairs = embedding_near_dup_pairs(emb, threshold_micro, n_centroids,
+                                     id_col, vec_col)
+    ids = emb.select(F.col(id_col))
+    comp = near_dup_clusters(
+        ids, pairs.select(F.col("id_a"), F.col("id_b")), id_col=id_col)
+    return comp.select(
+        F.col(id_col),
+        F.col("cluster").cast("long").alias("rep_id"),
+        (F.col("cluster") == F.col(id_col)).cast("long")
+        .alias("is_kept"))
