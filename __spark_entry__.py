@@ -2366,6 +2366,18 @@ def _mm_gif_anim_frames(spark, sf_dir):
     return extract_gif_anim_frames(_t(spark, sf_dir, "documents"))
 
 
+def _mm_features_webp(spark, sf_dir):
+    """Real VP8L WebP decode under the correctness gate (r7 — the
+    last classic web image format): doc_id%4 sweeps plain /
+    subtract-green+LZ77 / all-14-predictor-modes / bundled palette;
+    every variant lossless, so the per-variant byte formula is the
+    oracle and px_wsum pins transform inversion + bundling order."""
+    from powerpoint_context_extractor_spark.operators.multimodal import (
+        extract_webp_features,
+    )
+    return extract_webp_features(_t(spark, sf_dir, "documents"))
+
+
 def _mm_features_tiff_lzw(spark, sf_dir):
     """LZW-compressed TIFF decode under the correctness gate (r7,
     r6 VERDICT #4 — MSB-first early-change LZW per strip + the
@@ -3102,6 +3114,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_gif_anim_cuts": _mm_gif_anim_cuts,
         "web_robots_allow": _web_robots_allow,
         "dedup_semantic": _dedup_semantic,
+        "mm_features_webp": _mm_features_webp,
     }
 
 
@@ -4308,6 +4321,34 @@ def oracle_sql() -> dict[str, str]:
                CAST(SUM(v) AS BIGINT) AS px_sum,
                CAST(MIN(v) AS BIGINT) AS px_min,
                CAST(MAX(v) AS BIGINT) AS px_max
+        FROM px GROUP BY doc_id
+    """
+    d["mm_features_webp"] = """
+        -- frozen VP8L rule (r7): per doc_id%4 variant k, rgba byte i
+        -- = (doc_id*m_k + i*s_k) % 256 for k<3 (m,s = 59/7, 61/11,
+        -- 67/13); k=3 is the 16-color palette formula with alpha 255
+        WITH px AS (
+          SELECT d.doc_id, t.i,
+                 CASE d.doc_id % 4
+                   WHEN 0 THEN (d.doc_id*59 + t.i*7) % 256
+                   WHEN 1 THEN (d.doc_id*61 + t.i*11) % 256
+                   WHEN 2 THEN (d.doc_id*67 + t.i*13) % 256
+                   ELSE CASE t.i % 4
+                     WHEN 3 THEN 255
+                     ELSE (((d.doc_id*31 + t.i // 4) % 16) *
+                           CASE t.i % 4 WHEN 0 THEN 37
+                                WHEN 1 THEN 59 ELSE 83 END) % 256
+                   END
+                 END AS v
+          FROM documents d, range(0, 512) t(i)
+        )
+        SELECT doc_id,
+               CAST(16 AS BIGINT) AS width, CAST(8 AS BIGINT) AS height,
+               CAST(4 AS BIGINT) AS channels,
+               CAST(SUM(v) AS BIGINT) AS px_sum,
+               CAST(MIN(v) AS BIGINT) AS px_min,
+               CAST(MAX(v) AS BIGINT) AS px_max,
+               CAST(SUM(i * v) AS BIGINT) AS px_wsum
         FROM px GROUP BY doc_id
     """
     d["mm_features_tiff_lzw"] = """

@@ -67,6 +67,8 @@ def _kind_of(raw: bytes) -> str:
             return "wav"
         if form == b"AVI ":
             return "avi"
+        if form == b"WEBP":
+            return "webp"
         return "riff"
     return kind
 
@@ -168,6 +170,13 @@ def _decode_payload(kind: str, payload: bytes) -> list:
         return [float(len(frames)), float(w), float(h), float(fps),
                 float(sum(frames[0]) % 997),
                 float(sum(frames[-1]) % 997)]
+    if kind == "webp":
+        # r7: REAL VP8L lossless decode (prefix codes, LZ77, cache,
+        # all four transforms); VP8/VP8X raise the honest subset error
+        from ..webp import decode_webp
+        w, h, nc, px = decode_webp(payload)
+        return [float(w), float(h), float(nc), float(sum(px) % 997),
+                float(min(px)), float(max(px))]
     return _decode_stub(payload)
 
 
@@ -1592,6 +1601,72 @@ def extract_tiff_tiled_features(docs: DataFrame) -> DataFrame:
         _batches, schema="doc_id long, page_id long, width long, "
                          "height long, channels long, px_sum long, "
                          "px_min long, px_max long, px_wsum long")
+
+
+# --- WebP (VP8L) contract path (r7) ------------------------------------------
+
+WEBP_W, WEBP_H = 16, 8
+
+
+def webp_payload_for_doc(doc_id: int) -> bytes:
+    """Frozen VP8L rule (r7 — the last classic web image format):
+    doc_id%4 sweeps the transform space, every variant LOSSLESS so
+    one analytic byte formula per variant is the oracle:
+
+      0: plain        rgba[i] = (doc_id*59 + i*7)  % 256
+      1: sg + lz77    rgba[i] = (doc_id*61 + i*11) % 256
+      2: predictor    rgba[i] = (doc_id*67 + i*13) % 256,
+         mode doc_id%14 (all 14 modes sweep across docs)
+      3: palette      pixel p = PNG_PALETTE[(doc_id*31+p) % 16], a=255
+         (sub-8-bit bundling: 16 colors -> 2 px per green byte)
+    """
+    from ..webp import render_webp
+    k = doc_id % 4
+    n = WEBP_W * WEBP_H * 4
+    if k == 0:
+        rgba = bytes((doc_id * 59 + i * 7) % 256 for i in range(n))
+        return render_webp(WEBP_W, WEBP_H, rgba)
+    if k == 1:
+        rgba = bytes((doc_id * 61 + i * 11) % 256 for i in range(n))
+        return render_webp(WEBP_W, WEBP_H, rgba, subtract_green=True,
+                           use_lz77=True)
+    if k == 2:
+        rgba = bytes((doc_id * 67 + i * 13) % 256 for i in range(n))
+        return render_webp(WEBP_W, WEBP_H, rgba,
+                           predictor_mode=doc_id % 14)
+    rgba = bytearray()
+    for p in range(WEBP_W * WEBP_H):
+        r, g, b = PNG_PALETTE[(doc_id * 31 + p) % 16]
+        rgba += bytes((r, g, b, 255))
+    return render_webp(WEBP_W, WEBP_H, bytes(rgba), use_palette=True)
+
+
+def extract_webp_features(docs: DataFrame) -> DataFrame:
+    """Render + decode a real VP8L WebP per documents row and emit
+    exact RGBA statistics; px_wsum pins pixel ORDER (a mis-applied
+    transform or mis-bundled palette keeps sums, fails wsum)."""
+    from ..webp import decode_webp
+
+    def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("doc_id", "width", "height",
+                                   "channels", "px_sum", "px_min",
+                                   "px_max", "px_wsum")}
+            for doc_id in pdf["doc_id"].tolist():
+                w, h, ch, px = decode_webp(webp_payload_for_doc(doc_id))
+                out["doc_id"].append(doc_id)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["channels"].append(ch)
+                out["px_sum"].append(sum(px))
+                out["px_min"].append(min(px))
+                out["px_max"].append(max(px))
+                out["px_wsum"].append(
+                    sum(i * v for i, v in enumerate(px)))
+            yield pd.DataFrame(out)
+
+    return docs.select("doc_id").mapInPandas(
+        _batches, schema=GIF_FEATURE_SCHEMA)
 
 
 # --- LZW TIFF contract path (r7) --------------------------------------------

@@ -3300,3 +3300,68 @@ def test_semantic_dedup_keeps_min_id_per_group(spark):
         assert kept == (1 if rep == vid else 0)
         assert out[rep] == (rep, 1)            # reps keep themselves
     assert sum(k for _, k in out.values()) >= 19   # >= one per residue
+
+
+def test_webp_vp8l_roundtrip_all_paths(spark):
+    """r7: the VP8L codec contract — random-RGBA roundtrips through
+    plain / subtract-green / LZ77 / all 14 predictor modes / color
+    transform / every palette bundling width; stacked transforms
+    invert in reverse order; edge dims (1x1, single row/col); the
+    generic mm path classifies RIFF+WEBP and decodes for real while
+    lossy VP8 stays an honest error; truncation rejected."""
+    import random
+
+    from powerpoint_context_extractor_spark.operators.multimodal import (
+        _kind_of, extract_features,
+    )
+    from powerpoint_context_extractor_spark.webp import (
+        decode_webp, render_webp,
+    )
+    rng = random.Random(7)
+    w, h = 13, 9
+    base, v = [], [128, 128, 128]
+    for i in range(w * h):
+        for c in range(3):
+            v[c] = max(0, min(255, v[c] + rng.randrange(-9, 10)))
+        base += [v[0], v[1], v[2], 255 if i % 5 else 200]
+    rgba = bytes(base)
+    for mode in range(14):
+        assert decode_webp(render_webp(w, h, rgba,
+                                       predictor_mode=mode)) \
+            == (w, h, 4, rgba), mode
+    for kw in ({}, {"subtract_green": True}, {"use_lz77": True},
+               {"color_mul": (33, 236, 7)},
+               {"subtract_green": True, "color_mul": (33, 236, 7),
+                "predictor_mode": 11, "use_lz77": True}):
+        assert decode_webp(render_webp(w, h, rgba, **kw)) \
+            == (w, h, 4, rgba), kw
+    for ncol in (2, 4, 16, 17, 200):
+        pal = [(rng.randrange(256), rng.randrange(256),
+                rng.randrange(256), 255) for _ in range(ncol)]
+        px = []
+        for i in range(w * h):
+            px += list(pal[(i * 7 + i // w) % ncol])
+        pr = bytes(px)
+        assert decode_webp(render_webp(w, h, pr, use_palette=True)) \
+            == (w, h, 4, pr), ncol
+    for (ww, hh) in ((1, 1), (1, 6), (6, 1)):
+        r2 = bytes(rng.randrange(256) for _ in range(ww * hh * 4))
+        assert decode_webp(render_webp(ww, hh, r2,
+                                       predictor_mode=11)) \
+            == (ww, hh, 4, r2)
+    good = render_webp(4, 4, bytes(range(64)))
+    assert _kind_of(good) == "webp"
+    lossy = bytearray(good)
+    lossy[12:16] = b"VP8 "
+    rows = extract_features(spark.createDataFrame(
+        [(1, bytearray(good)), (2, bytes(lossy))],
+        "doc_id long, payload binary")).collect()
+    by_id = {r["doc_id"]: r for r in rows}
+    assert by_id[1]["kind"] == "webp" and by_id[1]["error"] is None
+    assert by_id[1]["features"][0] == 4.0     # width
+    assert by_id[2]["error"] is not None      # lossy: honest error
+    with pytest.raises(ValueError):
+        decode_webp(good[:30])
+    with pytest.raises(ValueError, match="palette excludes"):
+        render_webp(2, 2, bytes(16), use_palette=True,
+                    subtract_green=True)
