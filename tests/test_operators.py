@@ -1209,7 +1209,7 @@ def test_wav_kind_routed_through_real_decoder(spark):
     RIFF stays on the stub."""
     from powerpoint_context_extractor_spark.operators import multimodal as mm
     raw = mm.wav_payload_for_doc(3)
-    other_riff = b"RIFF" + (len(raw) - 8).to_bytes(4, "little") + b"WEBP" \
+    other_riff = b"RIFF" + (len(raw) - 8).to_bytes(4, "little") + b"ACON" \
         + raw[12:]
     df = spark.createDataFrame(
         [(3, bytearray(raw)), (4, bytearray(other_riff))],
