@@ -12,12 +12,14 @@ color (per-block cross-channel deltas), subtract-green, and
 color-indexing incl. sub-8-bit pixel bundling for palettes <= 16.
 VP8 (lossy) and VP8X (extended) chunks raise.
 
-Encoder twin: single prefix group, no color cache, canonical prefix
-codes built from histograms (code-length code machinery, rep/zero-run
-symbols 16/17/18), optional subtract-green, optional greedy LZ77 with
-plain distance codes, optional palette (color-indexing) with
-bundling. The twin exists so every decoder path is roundtrip-pinned;
-compression ratio is not the goal.
+Encoder twin: single prefix group, canonical prefix codes built from
+histograms (code-length code machinery, rep/zero-run symbols
+16/17/18), optional subtract-green, optional greedy LZ77 with plain
+distance codes, optional color cache (replaying the decoder's
+insert-on-every-pixel discipline; orthogonal to LZ77 in the twin),
+optional palette (color-indexing) with bundling. The twin exists so
+every decoder path is roundtrip-pinned; compression ratio is not the
+goal.
 
 Bit-level notes (the parts everyone gets wrong):
 - the stream is LSB-first per byte (like GIF, unlike JPEG/FLAC);
@@ -691,11 +693,37 @@ def _tokenize(px: list, use_lz77: bool) -> list:
 
 
 def _encode_entropy_image(w: _Writer, px: list, top_level: bool,
-                          use_lz77: bool = False) -> None:
-    w.bits(0, 1)                               # no color cache
+                          use_lz77: bool = False,
+                          cache_bits: int = 0) -> None:
+    if cache_bits:
+        w.bits(1, 1)
+        w.bits(cache_bits, 4)
+    else:
+        w.bits(0, 1)                           # no color cache
     if top_level:
         w.bits(0, 1)                           # no meta prefix
+    if cache_bits and use_lz77:
+        # copies would also have to replay cache inserts; the twin
+        # keeps the two features orthogonal (the DECODER handles both
+        # together — each is pinned by its own roundtrip)
+        raise ValueError("webp: encoder cache excludes lz77")
     toks = _tokenize(px, use_lz77)
+    cache_size = (1 << cache_bits) if cache_bits else 0
+    if cache_size:
+        # rewrite literals whose pixel sits in the running cache as
+        # cache references, replaying the decoder's
+        # insert-on-every-pixel discipline
+        cache = [None] * cache_size
+        toks2 = []
+        for t in toks:
+            p = t[1]
+            slot = (_CACHE_MUL * p & 0xFFFFFFFF) >> (32 - cache_bits)
+            if cache[slot] == p:
+                toks2.append(("cache", slot))
+            else:
+                toks2.append(t)
+            cache[slot] = p
+        toks = toks2
     gh: dict = {}
     rh: dict = {}
     bh: dict = {}
@@ -708,12 +736,14 @@ def _encode_entropy_image(w: _Writer, px: list, top_level: bool,
             rh[r] = rh.get(r, 0) + 1
             bh[b] = bh.get(b, 0) + 1
             ah[a] = ah.get(a, 0) + 1
+        elif t[0] == "cache":
+            gh[280 + t[1]] = gh.get(280 + t[1], 0) + 1
         else:
             ls, _, _ = _prefix_for_value(t[1])
             gh[256 + ls] = gh.get(256 + ls, 0) + 1
             ds, _, _ = _prefix_for_value(t[2] + 120)
             dh[ds] = dh.get(ds, 0) + 1
-    green = _write_prefix_code(w, gh, 256 + 24)
+    green = _write_prefix_code(w, gh, 256 + 24 + cache_size)
     red = _write_prefix_code(w, rh, 256)
     blue = _write_prefix_code(w, bh, 256)
     alpha = _write_prefix_code(w, ah, 256)
@@ -725,6 +755,8 @@ def _encode_entropy_image(w: _Writer, px: list, top_level: bool,
             w.code(*red[r])
             w.code(*blue[b])
             w.code(*alpha[a])
+        elif t[0] == "cache":
+            w.code(*green[280 + t[1]])
         else:
             ls, extra, ebits = _prefix_for_value(t[1])
             w.code(*green[256 + ls])
@@ -742,6 +774,7 @@ def render_webp(width: int, height: int, rgba: bytes,
                 color_mul: tuple | None = None,
                 use_palette: bool = False,
                 use_lz77: bool = False,
+                cache_bits: int = 0,
                 pred_size_bits: int = 2) -> bytes:
     """Encode RGBA pixels as a lossless WebP (VP8L). Transforms are
     applied forward in the order [subtract-green, color, predictor]
@@ -853,7 +886,8 @@ def render_webp(width: int, height: int, rgba: bytes,
                 res.append(_pack(a0 - a1, r0 - r1, g0 - g1, b0 - b1))
             px = res
     w.bits(0, 1)                               # no more transforms
-    _encode_entropy_image(w, px, top_level=True, use_lz77=use_lz77)
+    _encode_entropy_image(w, px, top_level=True, use_lz77=use_lz77,
+                          cache_bits=cache_bits)
     payload = w.bytes()
     out = bytearray(b"RIFF")
     body = b"WEBPVP8L" + struct.pack("<I", len(payload)) + payload

@@ -3349,6 +3349,18 @@ def test_webp_vp8l_roundtrip_all_paths(spark):
         assert decode_webp(render_webp(ww, hh, r2,
                                        predictor_mode=11)) \
             == (ww, hh, 4, r2)
+    # color cache: repetitive pixels roundtrip at several cache sizes
+    # and the cache-bearing stream is smaller than the plain one
+    pal6 = [(i * 37 % 256, i * 59 % 256, i * 83 % 256, 255)
+            for i in range(6)]
+    rep = b"".join(bytes(pal6[(i * 5 + 1) % 6]) for i in range(96))
+    for cb in (1, 4, 11):
+        assert decode_webp(render_webp(12, 8, rep, cache_bits=cb)) \
+            == (12, 8, 4, rep), cb
+    assert len(render_webp(12, 8, rep, cache_bits=4)) \
+        < len(render_webp(12, 8, rep))
+    with pytest.raises(ValueError, match="cache excludes"):
+        render_webp(12, 8, rep, cache_bits=4, use_lz77=True)
     good = render_webp(4, 4, bytes(range(64)))
     assert _kind_of(good) == "webp"
     lossy = bytearray(good)
