@@ -2366,6 +2366,18 @@ def _mm_gif_anim_frames(spark, sf_dir):
     return extract_gif_anim_frames(_t(spark, sf_dir, "documents"))
 
 
+def _mm_features_tiff_jpeg(spark, sf_dir):
+    """New-style JPEG-in-TIFF under the correctness gate (r7 — the
+    last TIFF compression in the subset): two 8-row strips, each a
+    standalone baseline JPEG; constant 8x8 blocks make the decode an
+    exact integer formula (the mm_features_jpeg reconstruction rule),
+    and px_wsum pins strip stitching."""
+    from powerpoint_context_extractor_spark.operators.multimodal import (
+        extract_tiff_jpeg_features,
+    )
+    return extract_tiff_jpeg_features(_t(spark, sf_dir, "documents"))
+
+
 def _mm_features_webp(spark, sf_dir):
     """Real VP8L WebP decode under the correctness gate (r7 — the
     last classic web image format): doc_id%4 sweeps plain /
@@ -3115,6 +3127,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_robots_allow": _web_robots_allow,
         "dedup_semantic": _dedup_semantic,
         "mm_features_webp": _mm_features_webp,
+        "mm_features_tiff_jpeg": _mm_features_tiff_jpeg,
     }
 
 
@@ -4322,6 +4335,34 @@ def oracle_sql() -> dict[str, str]:
                CAST(MIN(v) AS BIGINT) AS px_min,
                CAST(MAX(v) AS BIGINT) AS px_max
         FROM px GROUP BY doc_id
+    """
+    d["mm_features_tiff_jpeg"] = """
+        -- frozen JPEG-in-TIFF rule (r7): pixel (y, x) of the 16x16
+        -- image reconstructs from block value v = (doc_id*29 +
+        -- (y//8)*53 + (x//8)*97) % 256 through the exact baseline
+        -- formula rec = clamp(2*halfaway(64*(v-128)/128) + 128)
+        WITH px AS (
+          SELECT d.doc_id, t.i,
+                 (d.doc_id*29 + ((t.i // 16) // 8)*53
+                  + ((t.i % 16) // 8)*97) % 256 AS v
+          FROM documents d, range(0, 256) t(i)
+        ), rec AS (
+          SELECT doc_id, i,
+                 least(255, greatest(0,
+                   2 * (CASE WHEN v >= 128
+                             THEN (128*(v-128) + 128) // 256
+                             ELSE -((128*(128-v) + 128) // 256) END)
+                   + 128)) AS r
+          FROM px
+        )
+        SELECT doc_id,
+               CAST(16 AS BIGINT) AS width, CAST(16 AS BIGINT) AS height,
+               CAST(1 AS BIGINT) AS channels,
+               CAST(SUM(r) AS BIGINT) AS px_sum,
+               CAST(MIN(r) AS BIGINT) AS px_min,
+               CAST(MAX(r) AS BIGINT) AS px_max,
+               CAST(SUM(i * r) AS BIGINT) AS px_wsum
+        FROM rec GROUP BY doc_id
     """
     d["mm_features_webp"] = """
         -- frozen VP8L rule (r7): per doc_id%4 variant k, rgba byte i

@@ -1603,6 +1603,52 @@ def extract_tiff_tiled_features(docs: DataFrame) -> DataFrame:
                          "px_min long, px_max long, px_wsum long")
 
 
+# --- JPEG-in-TIFF contract path (r7) -----------------------------------------
+
+def tiff_jpeg_payload_for_doc(doc_id: int) -> bytes:
+    """Frozen JPEG-in-TIFF rule (r7 — the scanned-document archive
+    shape: every strip a standalone baseline JPEG): 16x16 gray, two
+    8-row strips, block (s, bx) constant at
+    v = (doc_id*29 + s*53 + bx*97) % 256 — constant blocks survive
+    the DCT as a pure DC term, so the decoded value is the exact
+    integer formula the mm_features_jpeg oracle already uses."""
+    k = bytearray(16 * 16)
+    for y in range(16):
+        for x in range(16):
+            v = (doc_id * 29 + (y // 8) * 53 + (x // 8) * 97) % 256
+            k[y * 16 + x] = v
+    return render_tiff(16, 16, bytes(k), channels=1,
+                       big_endian=bool(doc_id % 2), rows_per_strip=8,
+                       compression=7)
+
+
+def extract_tiff_jpeg_features(docs: DataFrame) -> DataFrame:
+    """Render + decode a JPEG-in-TIFF per documents row; px_wsum pins
+    strip stitching order."""
+    from ..tiff import decode_tiff as _dec
+
+    def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        out_cols = ("doc_id", "width", "height", "channels",
+                    "px_sum", "px_min", "px_max", "px_wsum")
+        for pdf in batches:
+            out = {c: [] for c in out_cols}
+            for doc_id in pdf["doc_id"].tolist():
+                w, h, ch, px = _dec(tiff_jpeg_payload_for_doc(doc_id))
+                out["doc_id"].append(doc_id)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["channels"].append(ch)
+                out["px_sum"].append(sum(px))
+                out["px_min"].append(min(px))
+                out["px_max"].append(max(px))
+                out["px_wsum"].append(
+                    sum(i * v for i, v in enumerate(px)))
+            yield pd.DataFrame(out)
+
+    return docs.select("doc_id").mapInPandas(
+        _batches, schema=GIF_FEATURE_SCHEMA)
+
+
 # --- WebP (VP8L) contract path (r7) ------------------------------------------
 
 WEBP_W, WEBP_H = 16, 8

@@ -12,8 +12,10 @@ SHORT or LONG) AND tiled layouts (r7: full tw x th tiles, zero-padded
 edges, blitted by grid position), multi-page IFD chains (r7:
 ``decode_tiff_pages`` walks the chain with loop detection;
 ``decode_tiff`` returns page 0), PlanarConfiguration chunky,
-Compression 1 (none) or 5 (TIFF6 LZW, r7) with Predictor 1 or 2
-(horizontal differencing). JPEG-in-TIFF raises.
+Compression 1 (none), 5 (TIFF6 LZW, r7) with Predictor 1 or 2
+(horizontal differencing), or 7 (new-style JPEG-in-TIFF, r7: each
+strip is a complete baseline JPEG decoded by the in-repo jpeg.py —
+gray, 8-aligned strip dims; tiles and shared JPEGTables raise).
 
 TIFF LZW vs GIF LZW (gif.py) — the two deliberately share nothing,
 because every detail flips: bits pack MSB-first (GIF: LSB-first);
@@ -190,10 +192,22 @@ def _build_page(width: int, height: int, pixels: bytes, channels: int,
         raise ValueError("tiff: pixels length != w*h*channels")
     if width <= 0 or height <= 0 or rows_per_strip <= 0:
         raise ValueError("tiff: bad dimensions")
-    if compression not in (1, 5) or predictor not in (1, 2):
-        raise ValueError("tiff: compression must be 1/5, predictor 1/2")
+    if compression not in (1, 5, 7) or predictor not in (1, 2):
+        raise ValueError("tiff: compression must be 1/5/7, "
+                         "predictor 1/2")
     if predictor == 2 and compression != 5:
         raise ValueError("tiff: predictor 2 requires LZW compression")
+    if compression == 7:
+        # new-style JPEG-in-TIFF (r7): each strip is a complete
+        # baseline JPEG from the in-repo codec — gray only, strip
+        # dims multiples of 8 (the codec's no-partial-MCU subset)
+        if channels != 1:
+            raise ValueError("tiff: JPEG-in-TIFF subset is grayscale")
+        if tile is not None:
+            raise ValueError("tiff: JPEG-in-TIFF subset is strips")
+        if width % 8 or rows_per_strip % 8 or height % 8:
+            raise ValueError("tiff: JPEG-in-TIFF needs 8-aligned "
+                             "width/strip rows")
     row_bytes = width * channels
     chunks = []
     if tile is not None:
@@ -223,6 +237,9 @@ def _build_page(width: int, height: int, pixels: bytes, channels: int,
                 raw = _predict2_encode(raw, row_bytes, channels)
             if compression == 5:
                 raw = tiff_lzw_encode(raw)
+            elif compression == 7:
+                from .jpeg import render_jpeg_gray
+                raw = render_jpeg_gray(width, rows, raw)
             chunks.append(raw)
     # layout: chunk data | out-of-line arrays | IFD
     pos = base
@@ -377,9 +394,11 @@ def _decode_page(data: bytes, e: str, tags: dict) -> tuple:
     bps = tags.get(_TAG_BPS, [8])
     planar = tags.get(_TAG_PLANAR, [1])[0]
     predictor = tags.get(_TAG_PREDICTOR, [1])[0]
-    if comp not in (1, 5):
+    if comp not in (1, 5, 7):
         raise ValueError(f"tiff: compression {comp} unsupported "
-                         "(subset is none/LZW)")
+                         "(subset is none/LZW/JPEG)")
+    if comp == 7 and (_TAG_TILE_OFFSETS in tags or channels != 1):
+        raise ValueError("tiff: JPEG-in-TIFF subset is gray strips")
     if predictor not in (1, 2):
         raise ValueError(f"tiff: predictor {predictor} unsupported")
     if channels not in (1, 3) or any(b != 8 for b in bps) or planar != 1:
@@ -429,6 +448,13 @@ def _decode_page(data: bytes, e: str, tags: dict) -> tuple:
             if predictor == 2:
                 _predict2_decode(raw, row_bytes, channels)
             strip = bytes(raw)
+        elif comp == 7:
+            from .jpeg import decode_jpeg
+            rows = min(rps, height - s * rps)
+            jw, jh, jnc, jpx = decode_jpeg(strip)
+            if (jw, jh, jnc) != (width, rows, 1):
+                raise ValueError("tiff: JPEG strip dims mismatch")
+            strip = jpx
         px += strip
     if len(px) < width * height * channels:
         raise ValueError("tiff: strips shorter than image")

@@ -3377,3 +3377,41 @@ def test_webp_vp8l_roundtrip_all_paths(spark):
     with pytest.raises(ValueError, match="palette excludes"):
         render_webp(2, 2, bytes(16), use_palette=True,
                     subtract_green=True)
+
+
+def test_tiff_jpeg_compression_roundtrip():
+    """r7: Compression=7 (new-style JPEG-in-TIFF) — MCU-constant
+    strips roundtrip exactly through the DCT, arbitrary content
+    equals per-strip decode_jpeg stitching, both byte orders work,
+    and the subset guards (gray-only, 8-aligned, strips-only) hold."""
+    import random
+
+    from powerpoint_context_extractor_spark.jpeg import (
+        decode_jpeg, render_jpeg_gray,
+    )
+    from powerpoint_context_extractor_spark.tiff import (
+        decode_tiff, render_tiff,
+    )
+    w, h = 16, 16
+    px = bytes(((x // 8) * 64 + (y // 8) * 32 + 40) % 256
+               for y in range(h) for x in range(w))
+    for be in (False, True):
+        t = render_tiff(w, h, px, channels=1, big_endian=be,
+                        rows_per_strip=8, compression=7)
+        assert decode_tiff(t) == (w, h, 1, px), be
+    rng = random.Random(2)
+    px2 = bytes(rng.randrange(256) for _ in range(w * h))
+    t = render_tiff(w, h, px2, channels=1, rows_per_strip=8,
+                    compression=7)
+    exp = b"".join(
+        decode_jpeg(render_jpeg_gray(w, 8, px2[i * w * 8:
+                                               (i + 1) * w * 8]))[3]
+        for i in range(2))
+    assert decode_tiff(t) == (w, h, 1, exp)
+    with pytest.raises(ValueError, match="8-aligned"):
+        render_tiff(12, 8, bytes(96), compression=7)
+    with pytest.raises(ValueError, match="grayscale"):
+        render_tiff(16, 16, bytes(16 * 16 * 3), channels=3,
+                    compression=7)
+    with pytest.raises(ValueError, match="strips"):
+        render_tiff(16, 16, px, compression=7, tile=(8, 8))
