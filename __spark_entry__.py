@@ -2366,6 +2366,17 @@ def _mm_gif_anim_frames(spark, sf_dir):
     return extract_gif_anim_frames(_t(spark, sf_dir, "documents"))
 
 
+def _mm_audio_resample(spark, sf_dir):
+    """Integer-exact linear resampling over the real WAV decode (r7):
+    even docs 8000->16000, odd docs 8000->6000; the shifted-numerator
+    floor makes Spark div and DuckDB // agree on negative samples, so
+    every output sample is a pure SQL expression of doc_id."""
+    from powerpoint_context_extractor_spark.operators.multimodal import (
+        extract_audio_resample,
+    )
+    return extract_audio_resample(_t(spark, sf_dir, "documents"))
+
+
 def _mm_features_tiff_jpeg(spark, sf_dir):
     """New-style JPEG-in-TIFF under the correctness gate (r7 — the
     last TIFF compression in the subset): two 8-row strips, each a
@@ -3128,6 +3139,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_semantic": _dedup_semantic,
         "mm_features_webp": _mm_features_webp,
         "mm_features_tiff_jpeg": _mm_features_tiff_jpeg,
+        "mm_audio_resample": _mm_audio_resample,
     }
 
 
@@ -4335,6 +4347,43 @@ def oracle_sql() -> dict[str, str]:
                CAST(MIN(v) AS BIGINT) AS px_min,
                CAST(MAX(v) AS BIGINT) AS px_max
         FROM px GROUP BY doc_id
+    """
+    d["mm_audio_resample"] = """
+        -- linear resample mirrored from wav.resample_linear over the
+        -- WAV sample rule v_i = ((doc_id*73 + i*29) % 4001) - 2000:
+        -- output j at source pos j*8000/dst, y = floor-interp with
+        -- the +2000 shift; n_out = 63*dst//8000 + 1
+        WITH par AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 2 = 0 THEN 16000 ELSE 6000 END
+                   AS dst
+          FROM documents
+        ),
+        o AS (
+          SELECT p.doc_id, p.dst, j.j,
+                 (j.j * 8000) // p.dst AS i0,
+                 (j.j * 8000) % p.dst AS f
+          FROM par p, range(0, 127) j(j)
+          WHERE j.j <= (63 * p.dst) // 8000
+        ),
+        y AS (
+          SELECT o.doc_id, o.dst, o.j,
+                 CASE WHEN o.f = 0
+                      THEN ((o.doc_id*73 + o.i0*29) % 4001) - 2000
+                      ELSE ((((o.doc_id*73 + o.i0*29) % 4001) - 2000
+                             + 2000) * (o.dst - o.f)
+                            + (((o.doc_id*73 + (o.i0+1)*29) % 4001)
+                               - 2000 + 2000) * o.f) // o.dst - 2000
+                 END AS w
+          FROM o
+        )
+        SELECT doc_id, CAST(MAX(dst) AS BIGINT) AS dst_rate,
+               CAST(COUNT(*) AS BIGINT) AS n_out,
+               CAST(SUM(abs(w)) AS BIGINT) AS abs_sum,
+               CAST(MIN(w) AS BIGINT) AS s_min,
+               CAST(MAX(w) AS BIGINT) AS s_max,
+               CAST(SUM(j * w) AS BIGINT) AS s_wsum
+        FROM y GROUP BY doc_id
     """
     d["mm_features_tiff_jpeg"] = """
         -- frozen JPEG-in-TIFF rule (r7): pixel (y, x) of the 16x16

@@ -1603,6 +1603,43 @@ def extract_tiff_tiled_features(docs: DataFrame) -> DataFrame:
                          "px_min long, px_max long, px_wsum long")
 
 
+# --- audio resampling contract path (r7) -------------------------------------
+
+def extract_audio_resample(docs: DataFrame) -> DataFrame:
+    """Decode the real PCM16 WAV fixture and rate-normalize it with
+    integer-exact linear resampling (r7): even docs upsample
+    8000 -> 16000, odd docs downsample 8000 -> 6000 — the
+    normalization pass every audio-training pipeline runs. Emits
+    (doc_id, dst_rate, n_out, abs_sum, s_min, s_max, s_wsum);
+    s_wsum pins sample ORDER and the interpolation phase."""
+    from ..wav import decode_wav, resample_linear
+
+    def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ("doc_id", "dst_rate", "n_out", "abs_sum", "s_min",
+                "s_max", "s_wsum")
+        for pdf in batches:
+            out = {c: [] for c in cols}
+            for doc_id in pdf["doc_id"].tolist():
+                rate, _ch, samples = decode_wav(
+                    wav_payload_for_doc(doc_id))
+                dst = 16000 if doc_id % 2 == 0 else 6000
+                y = resample_linear(samples, rate, dst)
+                out["doc_id"].append(doc_id)
+                out["dst_rate"].append(dst)
+                out["n_out"].append(len(y))
+                out["abs_sum"].append(sum(abs(v) for v in y))
+                out["s_min"].append(min(y))
+                out["s_max"].append(max(y))
+                out["s_wsum"].append(
+                    sum(j * v for j, v in enumerate(y)))
+            yield pd.DataFrame(out)
+
+    return docs.select("doc_id").mapInPandas(
+        _batches, schema="doc_id long, dst_rate long, n_out long, "
+                         "abs_sum long, s_min long, s_max long, "
+                         "s_wsum long")
+
+
 # --- JPEG-in-TIFF contract path (r7) -----------------------------------------
 
 def tiff_jpeg_payload_for_doc(doc_id: int) -> bytes:

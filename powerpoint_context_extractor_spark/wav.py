@@ -249,3 +249,34 @@ def decode_wav(data: bytes) -> tuple:
     if len(samples) % n_channels != 0:
         raise ValueError("wav: data length not a whole number of frames")
     return sample_rate, n_channels, samples
+
+
+def resample_linear(samples: list, src_rate: int, dst_rate: int) -> list:
+    """Integer-exact linear resampling (r7 — the rate-normalization
+    pass every audio-training pipeline runs before feature
+    extraction): output j sits at source position j*src/dst (exact
+    rational); y = floor((x[i]*(dst-f) + x[i+1]*f) / dst) with
+    f = (j*src) % dst. The floor is computed on an offset-shifted
+    non-negative numerator so Spark's truncating ``div`` and DuckDB's
+    flooring ``//`` agree bit-for-bit on negative samples (the
+    documented cross-engine division trap). n_out =
+    (n-1)*dst div src + 1, so positions never pass the last sample."""
+    if src_rate <= 0 or dst_rate <= 0:
+        raise ValueError("resample_linear: rates must be positive")
+    n = len(samples)
+    if n == 0:
+        return []
+    lo = min(0, min(samples))
+    shift = -lo                                # makes numerators >= 0
+    n_out = (n - 1) * dst_rate // src_rate + 1
+    out = []
+    for j in range(n_out):
+        pos = j * src_rate
+        i, f = divmod(pos, dst_rate)
+        if f == 0:
+            out.append(samples[i])
+            continue
+        a = ((samples[i] + shift) * (dst_rate - f)
+             + (samples[i + 1] + shift) * f)
+        out.append(a // dst_rate - shift)
+    return out

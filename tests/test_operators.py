@@ -3415,3 +3415,26 @@ def test_tiff_jpeg_compression_roundtrip():
                     compression=7)
     with pytest.raises(ValueError, match="strips"):
         render_tiff(16, 16, px, compression=7, tile=(8, 8))
+
+
+def test_resample_linear_integer_exactness():
+    """r7: integer linear resampling — 2x upsampling interleaves
+    exact midpoints, decimation picks every source sample it lands
+    on, identity rate is a no-op, upsample-then-decimate returns the
+    original, and negative samples floor identically to the SQL
+    mirror (the shifted-numerator rule)."""
+    from powerpoint_context_extractor_spark.wav import resample_linear
+    x = [0, 100, -200, 300]
+    assert resample_linear(x, 8000, 16000) == [0, 50, 100, -50, -200,
+                                               50, 300]
+    assert resample_linear(x, 8000, 4000) == [0, -200]
+    assert resample_linear(x, 8000, 8000) == x
+    assert resample_linear([], 8000, 16000) == []
+    assert resample_linear([-5, 4, -3], 3, 2) == [-5, 0]
+    up = resample_linear(x, 1, 2)
+    assert up[::2] == x
+    # floor (not truncate) on negative interpolations: midpoint of
+    # -5 and -4 must be -5, never -4 (what truncation would give)
+    assert resample_linear([-5, -4], 1, 2)[1] == -5
+    with pytest.raises(ValueError, match="rates"):
+        resample_linear(x, 0, 100)
