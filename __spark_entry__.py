@@ -2062,6 +2062,48 @@ def _table_time_travel(spark, sf_dir):
         spark, snapshot_id=s2["snapshot_id"]).select("doc_id")
 
 
+def _table_pruned_read(spark, sf_dir):
+    """Manifest-stats file skipping (r7 — the Iceberg column-stats
+    prune, one level above parquet row groups): four range-disjoint
+    appends, then a [130, 260] range read that SKIPS the untouched
+    files by footer min/max alone (pytest pins the skip count); the
+    residual filter still applies. Oracle: the plain range SELECT."""
+    import uuid as _uuid
+
+    from powerpoint_context_extractor_spark.sources.table_io import (
+        SnapshotTable,
+    )
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    tbl = SnapshotTable(os.path.join(
+        _session_root(), f"prn_{_uuid.uuid4().hex[:10]}"))
+    for k in range(4):
+        tbl.append(docs.filter((F.col("doc_id") >= k * 125)
+                               & (F.col("doc_id") < (k + 1) * 125))
+                   .coalesce(1), f"run-{k}")
+    out = tbl.read_pruned(spark, "doc_id", 130, 260)
+    return out.select("doc_id")
+
+
+def _table_read_changes(spark, sf_dir):
+    """Incremental (CDC-style) read since a checkpointed snapshot
+    (r7): three appends split by doc_id % 3; reading changes since
+    the FIRST returns exactly the later two thirds. Oracle: the same
+    % 3 complement in SQL."""
+    import uuid as _uuid
+
+    from powerpoint_context_extractor_spark.sources.table_io import (
+        SnapshotTable,
+    )
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    tbl = SnapshotTable(os.path.join(
+        _session_root(), f"cdc_{_uuid.uuid4().hex[:10]}"))
+    s1 = tbl.append(docs.filter(F.col("doc_id") % 3 == 0), "run-a")
+    tbl.append(docs.filter(F.col("doc_id") % 3 == 1), "run-b")
+    tbl.append(docs.filter(F.col("doc_id") % 3 == 2), "run-c")
+    return (tbl.read_changes(spark, s1["snapshot_id"])
+            .select("doc_id"))
+
+
 def _f_dpp_partition_prune(spark, sf_dir):
     """Dynamic partition pruning (r6 — the 100 TB star-join lever):
     documents written lang-partitioned, joined to a tiny filtered dim
@@ -3140,6 +3182,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_features_webp": _mm_features_webp,
         "mm_features_tiff_jpeg": _mm_features_tiff_jpeg,
         "mm_audio_resample": _mm_audio_resample,
+        "table_pruned_read": _table_pruned_read,
+        "table_read_changes": _table_read_changes,
     }
 
 
@@ -4347,6 +4391,12 @@ def oracle_sql() -> dict[str, str]:
                CAST(MIN(v) AS BIGINT) AS px_min,
                CAST(MAX(v) AS BIGINT) AS px_max
         FROM px GROUP BY doc_id
+    """
+    d["table_pruned_read"] = """
+        SELECT doc_id FROM documents WHERE doc_id BETWEEN 130 AND 260
+    """
+    d["table_read_changes"] = """
+        SELECT doc_id FROM documents WHERE doc_id % 3 IN (1, 2)
     """
     d["mm_audio_resample"] = """
         -- linear resample mirrored from wav.resample_linear over the

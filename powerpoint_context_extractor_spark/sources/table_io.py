@@ -555,3 +555,90 @@ class SnapshotTable:
         snapshots — the probe side of the resume anti-join (U3)."""
         df = self.read(spark)
         return None if df is None else df.select(key_col)
+
+
+def _footer_minmax(path: str, col: str):
+    """Column min/max from the parquet footer — metadata only, no
+    data pages (the Iceberg manifest column-stats analog). Returns
+    None when any row group lacks stats (then the file cannot be
+    skipped safely)."""
+    import pyarrow.parquet as pq
+    md = pq.ParquetFile(path).metadata
+    idx = None
+    for i in range(md.num_columns):
+        if md.schema.column(i).name == col:
+            idx = i
+            break
+    if idx is None:
+        return None
+    lo = hi = None
+    for rg in range(md.num_row_groups):
+        st = md.row_group(rg).column(idx).statistics
+        if st is None or not st.has_min_max:
+            return None
+        lo = st.min if lo is None else min(lo, st.min)
+        hi = st.max if hi is None else max(hi, st.max)
+    return (lo, hi) if lo is not None else None
+
+
+def _pruned_files(self, col: str, lo, hi) -> tuple:
+    """(surviving files, skipped count) for a [lo, hi] range predicate
+    on ``col`` using footer stats only — the manifest-level file-skip
+    every table format performs before any scan. Files without stats
+    survive (never skip blind)."""
+    keep = []
+    skipped = 0
+    for f in self.data_files():
+        rng = _footer_minmax(f, col)
+        if rng is None or (rng[1] >= lo and rng[0] <= hi):
+            keep.append(f)
+        else:
+            skipped += 1
+    return keep, skipped
+
+
+def _read_pruned(self, spark: SparkSession, col: str, lo, hi):
+    """Range read with manifest-stats file skipping (r7): only files
+    whose footer [min, max] intersects [lo, hi] are scanned; the
+    residual filter still applies (stats prune FILES, not rows).
+    Returns None for an empty table or fully-pruned range."""
+    files, _ = self._pruned_files(col, lo, hi)
+    if not files:
+        return None
+    return (spark.read.parquet(*files)
+            .filter((F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi))))
+
+
+def _read_changes(self, spark: SparkSession, since_snapshot_id: str):
+    """Incremental (CDC-style) read: the rows committed strictly
+    AFTER ``since_snapshot_id`` in manifest order (r7 — the
+    incremental-pipeline primitive: consumers checkpoint a snapshot
+    id and read only what landed since). Requires the post-anchor
+    history to be APPEND-ONLY — a replace commit (compaction/merge)
+    rewrites old rows and would make 'new rows since' ambiguous, so
+    it raises instead of silently double-counting. Returns None when
+    nothing landed since."""
+    entries = self._entries()
+    idx = None
+    for i, e in enumerate(entries):
+        if e["snapshot_id"] == since_snapshot_id:
+            idx = i
+            break
+    if idx is None:
+        raise ValueError(
+            f"read_changes: unknown snapshot {since_snapshot_id!r}")
+    later = entries[idx + 1:]
+    if any(e.get("replaces") for e in later):
+        raise ValueError(
+            "read_changes: a replace commit (compaction/merge) exists "
+            "after the anchor snapshot; incremental semantics need an "
+            "append-only suffix — re-anchor past the replace")
+    files = [f for e in later for f in e["files"]]
+    if not files:
+        return None
+    return spark.read.parquet(*files)
+
+
+SnapshotTable._pruned_files = _pruned_files
+SnapshotTable.read_pruned = _read_pruned
+SnapshotTable.read_changes = _read_changes

@@ -398,3 +398,44 @@ def test_merge_aborts_on_concurrent_append(spark, tmp_path):
     tbl._validate_optimistic(cur_ids)
     with pytest.raises(RuntimeError, match="optimistic-concurrency"):
         tbl._validate_optimistic(set())    # pretends no snapshot seen
+
+
+def test_stats_pruning_and_incremental_read(spark, tmp_path):
+    """r7: footer-stats file skipping prunes exactly the out-of-range
+    files (metadata only — the skip count is pinned), fully-pruned
+    ranges return None, stats-less columns never skip blind; and
+    read_changes returns exactly the post-anchor appends, returns
+    None for nothing-new, raises on unknown anchors and on
+    replace-commits after the anchor."""
+    import pytest
+
+    from powerpoint_context_extractor_spark.sources.table_io import (
+        SnapshotTable,
+    )
+    tbl = SnapshotTable(str(tmp_path / "t"))
+    snaps = []
+    for k in range(4):
+        df = spark.createDataFrame(
+            [(k * 100 + i, f"v{k}-{i}") for i in range(100)],
+            "k long, v string").coalesce(1)
+        snaps.append(tbl.append(df, f"run-{k}"))
+    files, skipped = tbl._pruned_files("k", 150, 260)
+    assert skipped == 2 and len(files) == 2       # files 0 and 3 skip
+    got = sorted(r["k"] for r in
+                 tbl.read_pruned(spark, "k", 150, 260).collect())
+    assert got == list(range(150, 261))
+    assert tbl.read_pruned(spark, "k", 10_000, 20_000) is None
+    # string column has stats too; a bogus column never skips
+    f2, s2 = tbl._pruned_files("nope", 0, 1)
+    assert s2 == 0 and len(f2) == 4
+    # incremental read: everything after snapshot 1
+    inc = sorted(r["k"] for r in
+                 tbl.read_changes(spark,
+                                  snaps[1]["snapshot_id"]).collect())
+    assert inc == list(range(200, 400))
+    assert tbl.read_changes(spark, snaps[3]["snapshot_id"]) is None
+    with pytest.raises(ValueError, match="unknown snapshot"):
+        tbl.read_changes(spark, "nope")
+    tbl.compact(spark, run_id="c")
+    with pytest.raises(ValueError, match="replace commit"):
+        tbl.read_changes(spark, snaps[1]["snapshot_id"])
