@@ -528,6 +528,33 @@ def _capstone_pretrain_corpus(spark, sf_dir):
                     .alias("shard_id")))
 
 
+def _text_pii_scrub(spark, sf_dir):
+    """PII redaction under the correctness gate (r7): planted emails
+    (doc_id%3==0), phone numbers (%4==1), and IPv4s (%5==2) appended
+    per the frozen rule; counts + scrubbed-text md5 both under the
+    hash, so pattern semantics AND replacement order are pinned
+    cross-engine."""
+    from powerpoint_context_extractor_spark.operators.textstats import (
+        pii_scrub,
+    )
+    d = _t(spark, sf_dir, "documents")
+    planted = F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 3 == 0,
+               F.format_string(" contact user%d@example.com now",
+                               F.col("doc_id"))).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 4 == 1,
+               F.format_string(" call +1 555-%04d soon",
+                               F.col("doc_id") % 10000))
+        .otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 5 == 2,
+               F.format_string(" from 10.0.%d.%d today",
+                               F.col("doc_id") % 256,
+                               (F.col("doc_id") * 7) % 256))
+        .otherwise(F.lit("")))
+    return pii_scrub(d.select("doc_id", planted.alias("text")))
+
+
 def _text_bm25_topk(spark, sf_dir):
     """BM25 retrieval under the correctness gate (r7): 5 queries (the
     first 6 tokens of every doc_id%97==0 document) ranked over the
@@ -3184,6 +3211,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_audio_resample": _mm_audio_resample,
         "table_pruned_read": _table_pruned_read,
         "table_read_changes": _table_read_changes,
+        "text_pii_scrub": _text_pii_scrub,
     }
 
 
@@ -4391,6 +4419,61 @@ def oracle_sql() -> dict[str, str]:
                CAST(MIN(v) AS BIGINT) AS px_min,
                CAST(MAX(v) AS BIGINT) AS px_max
         FROM px GROUP BY doc_id
+    """
+    d["text_pii_scrub"] = """
+        -- the same planted rule + the same frozen regex subset;
+        -- DuckDB regexp_replace needs the 'g' flag for global
+        WITH v AS (
+          SELECT doc_id,
+                 text
+                 || CASE WHEN doc_id % 3 = 0
+                    THEN printf(' contact user%d@example.com now',
+                                doc_id) ELSE '' END
+                 || CASE WHEN doc_id % 4 = 1
+                    THEN printf(' call +1 555-%04d soon',
+                                doc_id % 10000) ELSE '' END
+                 || CASE WHEN doc_id % 5 = 2
+                    THEN printf(' from 10.0.%d.%d today',
+                                doc_id % 256, (doc_id * 7) % 256)
+                    ELSE '' END AS text
+          FROM documents
+        ),
+        s1 AS (
+          SELECT doc_id,
+                 len(regexp_extract_all(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                   AS n_email,
+                 regexp_replace(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                   '<EMAIL>', 'g') AS t
+          FROM v
+        ),
+        s2 AS (
+          SELECT doc_id, n_email,
+                 len(regexp_extract_all(t,
+                   '\\+[0-9]{1,3}[- ][0-9]{3,4}[- ][0-9]{4,7}'))
+                   AS n_phone,
+                 regexp_replace(t,
+                   '\\+[0-9]{1,3}[- ][0-9]{3,4}[- ][0-9]{4,7}',
+                   '<PHONE>', 'g') AS t
+          FROM s1
+        ),
+        s3 AS (
+          SELECT doc_id, n_email, n_phone,
+                 len(regexp_extract_all(t,
+                   '\\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\\b')) AS n_ip,
+                 regexp_replace(t,
+                   '\\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\\b',
+                   '<IP>', 'g') AS t
+          FROM s2
+        )
+        SELECT doc_id, CAST(n_email AS BIGINT) AS n_email,
+               CAST(n_phone AS BIGINT) AS n_phone,
+               CAST(n_ip AS BIGINT) AS n_ip,
+               CAST(CASE WHEN n_email + n_phone + n_ip > 0
+                         THEN 1 ELSE 0 END AS BIGINT) AS has_pii,
+               md5(t) AS clean_md5
+        FROM s3
     """
     d["table_pruned_read"] = """
         SELECT doc_id FROM documents WHERE doc_id BETWEEN 130 AND 260

@@ -723,3 +723,39 @@ def bm25_topk(docs: DataFrame, queries: DataFrame, k: int = 10,
             .select("query_id", "doc_id",
                     F.col("score").cast("long").alias("score"),
                     F.col("rank").cast("long").alias("rank")))
+
+
+# PII patterns (frozen for the oracle; deliberately inside the
+# RE2 ∩ Java-regex dialect subset — no backreferences, no lookaround)
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = (r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b")
+PII_PHONE = r"\+[0-9]{1,3}[- ][0-9]{3,4}[- ][0-9]{4,7}"
+
+
+def pii_scrub(docs: DataFrame, id_col: str = "doc_id",
+              text_col: str = "text") -> DataFrame:
+    """PII redaction (r7) — the scrub pass every released training
+    corpus runs (public method; e.g. the C4/ROOTS-style regex
+    filters): emails, international-format phone numbers, and IPv4
+    addresses are counted and replaced with fixed tags
+    (``<EMAIL>``/``<PHONE>``/``<IP>``). Counts + the md5 of the
+    scrubbed text ride under the oracle; patterns live in the
+    RE2 ∩ Java dialect subset so Spark and DuckDB agree char for
+    char. Order matters and is FROZEN: emails first (an email must
+    not first lose its digits to the phone pattern), then phones,
+    then IPs. Map-only, zero shuffle, built-ins end to end."""
+    t = F.col(text_col)
+    n_email = F.size(F.regexp_extract_all(t, F.lit(PII_EMAIL), 0))
+    scrub1 = F.regexp_replace(t, PII_EMAIL, "<EMAIL>")
+    n_phone = F.size(F.regexp_extract_all(scrub1, F.lit(PII_PHONE), 0))
+    scrub2 = F.regexp_replace(scrub1, PII_PHONE, "<PHONE>")
+    n_ip = F.size(F.regexp_extract_all(scrub2, F.lit(PII_IPV4), 0))
+    scrub3 = F.regexp_replace(scrub2, PII_IPV4, "<IP>")
+    return docs.select(
+        F.col(id_col),
+        n_email.cast("long").alias("n_email"),
+        n_phone.cast("long").alias("n_phone"),
+        n_ip.cast("long").alias("n_ip"),
+        ((n_email > 0) | (n_phone > 0) | (n_ip > 0)).cast("long")
+        .alias("has_pii"),
+        F.md5(scrub3.cast("binary")).alias("clean_md5"))

@@ -3438,3 +3438,34 @@ def test_resample_linear_integer_exactness():
     assert resample_linear([-5, -4], 1, 2)[1] == -5
     with pytest.raises(ValueError, match="rates"):
         resample_linear(x, 0, 100)
+
+
+def test_pii_scrub_patterns_and_order(spark):
+    """r7: emails scrub before phones (an email's digits never
+    half-match the phone pattern), every tag lands, counts are
+    per-occurrence, pii-free text passes through with has_pii=0 and
+    an unchanged md5."""
+    import hashlib
+
+    from powerpoint_context_extractor_spark.operators.textstats import (
+        pii_scrub,
+    )
+    docs = spark.createDataFrame([
+        (1, "mail a.b+c@ex-ample.org and b@x.io twice"),
+        (2, "call +44 201 1234567 or +1 555-0199 now"),
+        (3, "host 192.168.0.1 and 10.0.255.254 up"),
+        (4, "clean text with no identifiers at all"),
+        (5, "mix u@v.com then +1 555-1234 then 8.8.8.8"),
+    ], "doc_id long, text string")
+    got = {r["doc_id"]: r for r in pii_scrub(docs).collect()}
+    assert (got[1]["n_email"], got[1]["n_phone"], got[1]["n_ip"]) \
+        == (2, 0, 0)
+    assert (got[2]["n_email"], got[2]["n_phone"]) == (0, 2)
+    assert got[3]["n_ip"] == 2
+    assert got[4]["has_pii"] == 0
+    assert got[4]["clean_md5"] == hashlib.md5(
+        b"clean text with no identifiers at all").hexdigest()
+    assert (got[5]["n_email"], got[5]["n_phone"], got[5]["n_ip"]) \
+        == (1, 1, 1)
+    assert got[5]["clean_md5"] == hashlib.md5(
+        b"mix <EMAIL> then <PHONE> then <IP>").hexdigest()
