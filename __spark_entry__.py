@@ -528,6 +528,21 @@ def _capstone_pretrain_corpus(spark, sf_dir):
                     .alias("shard_id")))
 
 
+def _text_code_detect(spark, sf_dir):
+    """Code-vs-prose routing (r7): every 6th doc gets a planted
+    code block (braces, semicolon-terminated and indented lines);
+    integer bp ratios + the frozen flag rule under the oracle."""
+    from powerpoint_context_extractor_spark.operators.textstats import (
+        code_detect,
+    )
+    d = _t(spark, sf_dir, "documents")
+    code = ("\nint main() {\n    int x = 1;\n    return x;\n}"
+            "\n    y = f(x);")
+    txt = F.when(F.col("doc_id") % 6 == 0,
+                 F.concat(F.col("text"), F.lit(code)))         .otherwise(F.col("text"))
+    return code_detect(d.select("doc_id", txt.alias("text")))
+
+
 def _text_pii_scrub(spark, sf_dir):
     """PII redaction under the correctness gate (r7): planted emails
     (doc_id%3==0), phone numbers (%4==1), and IPv4s (%5==2) appended
@@ -2089,6 +2104,41 @@ def _table_time_travel(spark, sf_dir):
         spark, snapshot_id=s2["snapshot_id"]).select("doc_id")
 
 
+def _capstone_incremental_dedup(spark, sf_dir):
+    """Incremental-pipeline capstone (r7): the CDC read composed with
+    exact dedup against the checkpointed past — anchor append
+    (doc_id%3==0), then two appends where the last REPLAYS 40 of the
+    anchor's texts under fresh ids; read_changes(anchor) anti-joined
+    on sha2(text) against the anchor snapshot keeps only genuinely
+    new content. This is the steady-state shape of a production
+    crawl: never rescan the corpus, never re-admit what a previous
+    run already committed. Oracle: the %3 complement."""
+    import uuid as _uuid
+
+    from powerpoint_context_extractor_spark.sources.table_io import (
+        SnapshotTable,
+    )
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    tbl = SnapshotTable(os.path.join(
+        _session_root(), f"inc_{_uuid.uuid4().hex[:10]}"))
+    s1 = tbl.append(docs.filter(F.col("doc_id") % 3 == 0), "anchor")
+    tbl.append(docs.filter(F.col("doc_id") % 3 == 1), "run-b")
+    replay = (docs.filter((F.col("doc_id") % 3 == 0)
+                          & (F.col("doc_id") < 120))
+              .select((F.col("doc_id") + 1000000).alias("doc_id"),
+                      "text"))
+    tbl.append(docs.filter(F.col("doc_id") % 3 == 2)
+               .unionByName(replay), "run-c")
+    new = tbl.read_changes(spark, s1["snapshot_id"])
+    anchor = (tbl.read_at(spark, snapshot_id=s1["snapshot_id"])
+              .select(F.sha2(F.col("text"), 256).alias("_h"))
+              .distinct())
+    return (new.join(anchor,
+                     F.sha2(F.col("text"), 256) == F.col("_h"),
+                     "left_anti")
+            .select("doc_id"))
+
+
 def _table_pruned_read(spark, sf_dir):
     """Manifest-stats file skipping (r7 — the Iceberg column-stats
     prune, one level above parquet row groups): four range-disjoint
@@ -3212,6 +3262,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_pruned_read": _table_pruned_read,
         "table_read_changes": _table_read_changes,
         "text_pii_scrub": _text_pii_scrub,
+        "text_code_detect": _text_code_detect,
+        "capstone_incremental_dedup": _capstone_incremental_dedup,
     }
 
 
@@ -4419,6 +4471,56 @@ def oracle_sql() -> dict[str, str]:
                CAST(MIN(v) AS BIGINT) AS px_min,
                CAST(MAX(v) AS BIGINT) AS px_max
         FROM px GROUP BY doc_id
+    """
+    d["capstone_incremental_dedup"] = """
+        -- changes since the anchor minus replayed anchor content:
+        -- exactly the %3 complement (the +1000000 replays share
+        -- their text with anchor docs and anti-join away)
+        SELECT doc_id FROM documents WHERE doc_id % 3 IN (1, 2)
+    """
+    d["text_code_detect"] = """
+        -- same planted rule + integer bp math; code-char count via
+        -- length difference after stripping the frozen symbol set
+        WITH v AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 6 = 0
+                      THEN text || chr(10) || 'int main() {' || chr(10)
+                           || '    int x = 1;' || chr(10)
+                           || '    return x;' || chr(10) || '}'
+                           || chr(10) || '    y = f(x);'
+                      ELSE text END AS text
+          FROM documents
+        ),
+        m AS (
+          SELECT doc_id,
+                 greatest(len(text), 1) AS n_chars,
+                 len(text) - len(list_aggregate(
+                   [x for x in string_split_regex(text, '')
+                    if NOT list_contains(
+                      ['{','}','(',')',';','=','<','>','[',']'], x)],
+                   'string_agg', '')) AS sym_raw,
+                 string_split(text, chr(10)) AS lines
+          FROM v
+        ),
+        b AS (
+          SELECT doc_id,
+                 (sym_raw * 10000) // n_chars AS symbol_bp,
+                 (len([ln for ln in lines
+                       if ln LIKE '    %' OR ln LIKE chr(9) || '%'])
+                  * 10000) // greatest(len(lines), 1) AS indent_bp,
+                 (len([ln for ln in lines
+                       if regexp_matches(ln, ';\\s*$')])
+                  * 10000) // greatest(len(lines), 1) AS semi_bp
+          FROM m
+        )
+        SELECT doc_id, CAST(symbol_bp AS BIGINT) AS symbol_bp,
+               CAST(indent_bp AS BIGINT) AS indent_bp,
+               CAST(semi_bp AS BIGINT) AS semi_bp,
+               CAST(CASE WHEN (symbol_bp >= 300
+                               AND (indent_bp > 0 OR semi_bp > 0))
+                              OR symbol_bp >= 800
+                         THEN 1 ELSE 0 END AS BIGINT) AS is_code
+        FROM b
     """
     d["text_pii_scrub"] = """
         -- the same planted rule + the same frozen regex subset;

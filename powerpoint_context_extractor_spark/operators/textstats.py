@@ -759,3 +759,32 @@ def pii_scrub(docs: DataFrame, id_col: str = "doc_id",
         ((n_email > 0) | (n_phone > 0) | (n_ip > 0)).cast("long")
         .alias("has_pii"),
         F.md5(scrub3.cast("binary")).alias("clean_md5"))
+
+
+def code_detect(docs: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Code-vs-prose detection (r7) — the routing filter a mixed web
+    corpus needs before language-specific pipelines: integer
+    basis-point ratios of code-ish characters ({}();=<> and []),
+    indented-line share, and semicolon-terminated-line share, with a
+    frozen rule-of-thumb flag (symbol_bp >= 300 AND (indent or semi
+    present), or symbol_bp >= 800 alone). Everything integer,
+    map-only, built-ins only."""
+    t = F.col(text_col)
+    n_chars = F.greatest(F.length(t), F.lit(1))
+    sym = (F.length(t) - F.length(F.translate(t, "{}();=<>[]", "")))
+    lines = F.split(t, "\n")
+    n_lines = F.greatest(F.size(lines), F.lit(1))
+    indented = F.size(F.filter(
+        lines, lambda ln: ln.startswith("    ") | ln.startswith("\t")))
+    semi = F.size(F.filter(lines, lambda ln: ln.rlike(";\\s*$")))
+    sym_bp = (sym * 10000 / n_chars).cast("long")
+    ind_bp = (indented * 10000 / n_lines).cast("long")
+    semi_bp = (semi * 10000 / n_lines).cast("long")
+    return docs.select(
+        F.col(id_col),
+        sym_bp.alias("symbol_bp"),
+        ind_bp.alias("indent_bp"),
+        semi_bp.alias("semi_bp"),
+        (((sym_bp >= 300) & ((ind_bp > 0) | (semi_bp > 0)))
+         | (sym_bp >= 800)).cast("long").alias("is_code"))
