@@ -737,16 +737,16 @@ def test_tiff_roundtrip_both_endiannesses():
         decode_tiff(b"XX" + good[2:])
     with pytest.raises(ValueError):
         decode_tiff(good[:-8])
-    # compression outside {1 none, 5 LZW} is an honest subset error:
-    # patch the IFD entry to 7 (JPEG-in-TIFF)
+    # compression outside {1 none, 5 LZW, 7 JPEG} is an honest subset
+    # error: patch the IFD entry to 6 (old-style JPEG)
     bad = bytearray(good)
     ifd = struct.unpack("<I", bad[4:8])[0]
     n = struct.unpack("<H", bad[ifd:ifd + 2])[0]
     for i in range(n):
         o = ifd + 2 + 12 * i
         if struct.unpack("<H", bad[o:o + 2])[0] == 259:
-            bad[o + 8:o + 10] = struct.pack("<H", 7)
-    with pytest.raises(ValueError, match="compression 7"):
+            bad[o + 8:o + 10] = struct.pack("<H", 6)
+    with pytest.raises(ValueError, match="compression 6"):
         decode_tiff(bytes(bad))
 
 
