@@ -5,7 +5,8 @@ in /root/reference/pptx_extractor/slides/extractor.py:165-293).
 
 Decoder subset (honest ValueError outside it): RIFF/WEBP container
 with one VP8L chunk; entropy-coded ARGB image with a single prefix
-group (meta-prefix images raise), optional color cache, LZ77 backward
+group or META prefix-code groups (the spatial entropy switching
+via a subsampled huffman image), optional color cache, LZ77 backward
 references (both the plain >120 distance codes and the 120-entry
 2D neighbor map), and ALL FOUR transforms — predictor (14 modes),
 color (per-block cross-channel deltas), subtract-green, and
@@ -257,24 +258,44 @@ def _prefix_for_value(v: int) -> tuple:
 
 def _decode_entropy_image(r: _Reader, w: int, h: int,
                           top_level: bool) -> list:
-    """-> list of w*h ARGB uint32 pixels."""
+    """-> list of w*h ARGB uint32 pixels. Top-level images may carry
+    META PREFIX CODES (r7): a subsampled huffman image whose pixel
+    (red << 8 | green) picks which of N prefix-code GROUPS decodes
+    each 2^bits x 2^bits tile — the spec's spatial entropy switching;
+    the group is selected at each SYMBOL's starting position."""
     cache_bits = 0
     if r.bits(1):
         cache_bits = r.bits(4)
         if not 1 <= cache_bits <= 11:
             raise ValueError("vp8l: bad color cache size")
+    meta = None
+    mbits = 0
+    mw = 0
+    n_groups = 1
     if top_level and r.bits(1):
-        raise ValueError("vp8l: meta prefix codes unsupported")
+        mbits = r.bits(3) + 2
+        mw = (w + (1 << mbits) - 1) >> mbits
+        mh = (h + (1 << mbits) - 1) >> mbits
+        mimg = _decode_entropy_image(r, mw, mh, top_level=False)
+        meta = [(p >> 8) & 0xFFFF for p in mimg]
+        n_groups = max(meta) + 1
     cache_size = (1 << cache_bits) if cache_bits else 0
-    green = _read_prefix_code(r, 256 + 24 + cache_size)
-    red = _read_prefix_code(r, 256)
-    blue = _read_prefix_code(r, 256)
-    alpha = _read_prefix_code(r, 256)
-    dist = _read_prefix_code(r, 40)
+    groups = []
+    for _gi in range(n_groups):
+        groups.append((_read_prefix_code(r, 256 + 24 + cache_size),
+                       _read_prefix_code(r, 256),
+                       _read_prefix_code(r, 256),
+                       _read_prefix_code(r, 256),
+                       _read_prefix_code(r, 40)))
+    green, red, blue, alpha, dist = groups[0]
     cache = [0] * cache_size
     out = []
     n = w * h
     while len(out) < n:
+        if meta is not None:
+            y, x = divmod(len(out), w)
+            gi = meta[(y >> mbits) * mw + (x >> mbits)]
+            green, red, blue, alpha, dist = groups[gi]
         s = green.read(r)
         if s < 256:
             g = s
@@ -775,6 +796,7 @@ def render_webp(width: int, height: int, rgba: bytes,
                 use_palette: bool = False,
                 use_lz77: bool = False,
                 cache_bits: int = 0,
+                meta_groups: int | None = None,
                 pred_size_bits: int = 2) -> bytes:
     """Encode RGBA pixels as a lossless WebP (VP8L). Transforms are
     applied forward in the order [subtract-green, color, predictor]
@@ -886,8 +908,14 @@ def render_webp(width: int, height: int, rgba: bytes,
                 res.append(_pack(a0 - a1, r0 - r1, g0 - g1, b0 - b1))
             px = res
     w.bits(0, 1)                               # no more transforms
-    _encode_entropy_image(w, px, top_level=True, use_lz77=use_lz77,
-                          cache_bits=cache_bits)
+    if meta_groups is not None:
+        if meta_groups < 2 or use_lz77 or cache_bits:
+            raise ValueError("webp: meta_groups needs >= 2 groups and "
+                             "excludes lz77/cache in the twin")
+        _encode_meta_entropy_image(w, px, eff_w, height, meta_groups)
+    else:
+        _encode_entropy_image(w, px, top_level=True, use_lz77=use_lz77,
+                              cache_bits=cache_bits)
     payload = w.bytes()
     out = bytearray(b"RIFF")
     body = b"WEBPVP8L" + struct.pack("<I", len(payload)) + payload
@@ -895,3 +923,49 @@ def render_webp(width: int, height: int, rgba: bytes,
         body += b"\x00"
     out += struct.pack("<I", len(body)) + body
     return bytes(out)
+
+
+def _encode_meta_entropy_image(w: _Writer, px: list, width: int,
+                               height: int, n_groups: int,
+                               mbits: int = 2) -> None:
+    """Top-level entropy image WITH meta prefix codes (r7): groups
+    laid out by meta-tile column index mod n_groups; literal-only
+    emission, each pixel coded by its tile's group codebooks."""
+    w.bits(0, 1)                               # no color cache
+    w.bits(1, 1)                               # meta prefix present
+    w.bits(mbits - 2, 3)
+    mw = (width + (1 << mbits) - 1) >> mbits
+    mh = (height + (1 << mbits) - 1) >> mbits
+    if n_groups > mw * mh:
+        raise ValueError("webp: more meta groups than meta tiles")
+    # linear tile index mod n_groups guarantees every group id in
+    # 0..G-1 appears (the decoder derives the group count from max)
+    midx = [_pack(255, 0, t % n_groups, 0) for t in range(mw * mh)]
+    _encode_entropy_image(w, midx, top_level=False)
+
+    def group_of(pos: int) -> int:
+        y, x = divmod(pos, width)
+        return (((y >> mbits) * mw + (x >> mbits)) % n_groups)
+
+    hists = [dict(g={}, r={}, b={}, a={}) for _ in range(n_groups)]
+    for pos, p in enumerate(px):
+        hs = hists[group_of(pos)]
+        a, rr, g, b = _chan(p)
+        for key, v in (("g", g), ("r", rr), ("b", b), ("a", a)):
+            hs[key][v] = hs[key].get(v, 0) + 1
+    codes = []
+    for gi in range(n_groups):
+        hs = hists[gi]
+        codes.append((
+            _write_prefix_code(w, hs["g"], 256 + 24),
+            _write_prefix_code(w, hs["r"], 256),
+            _write_prefix_code(w, hs["b"], 256),
+            _write_prefix_code(w, hs["a"], 256),
+            _write_prefix_code(w, {0: 1}, 40)))
+    for pos, p in enumerate(px):
+        gc, rc, bc, ac, _dc = codes[group_of(pos)]
+        a, rr, g, b = _chan(p)
+        w.code(*gc[g])
+        w.code(*rc[rr])
+        w.code(*bc[b])
+        w.code(*ac[a])

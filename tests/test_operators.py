@@ -3361,6 +3361,17 @@ def test_webp_vp8l_roundtrip_all_paths(spark):
         < len(render_webp(12, 8, rep))
     with pytest.raises(ValueError, match="cache excludes"):
         render_webp(12, 8, rep, cache_bits=4, use_lz77=True)
+    # meta prefix codes (r7): spatial entropy switching roundtrips at
+    # several group counts and composes with transforms; the twin
+    # keeps it orthogonal to lz77/cache
+    for g in (2, 3, 5):
+        assert decode_webp(render_webp(w, h, rgba, meta_groups=g)) \
+            == (w, h, 4, rgba), g
+    assert decode_webp(render_webp(
+        w, h, rgba, subtract_green=True, predictor_mode=7,
+        meta_groups=2)) == (w, h, 4, rgba)
+    with pytest.raises(ValueError, match="meta_groups"):
+        render_webp(w, h, rgba, meta_groups=2, use_lz77=True)
     good = render_webp(4, 4, bytes(range(64)))
     assert _kind_of(good) == "webp"
     lossy = bytearray(good)
