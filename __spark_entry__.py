@@ -2485,6 +2485,16 @@ def _mm_gif_anim_frames(spark, sf_dir):
     return extract_gif_anim_frames(_t(spark, sf_dir, "documents"))
 
 
+def _mm_audio_probe_ogg(spark, sf_dir):
+    """Ogg/Vorbis probe under the correctness gate (r7 — the page
+    walk + identification-header parse, CRC-verified, honest
+    no-decode): every field recomputed from the frozen doc_id rule."""
+    from powerpoint_context_extractor_spark.operators.multimodal import (
+        probe_ogg_features,
+    )
+    return probe_ogg_features(_t(spark, sf_dir, "documents"))
+
+
 def _mm_audio_resample(spark, sf_dir):
     """Integer-exact linear resampling over the real WAV decode (r7):
     even docs 8000->16000, odd docs 8000->6000; the shifted-numerator
@@ -3264,6 +3274,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pii_scrub": _text_pii_scrub,
         "text_code_detect": _text_code_detect,
         "capstone_incremental_dedup": _capstone_incremental_dedup,
+        "mm_audio_probe_ogg": _mm_audio_probe_ogg,
     }
 
 
@@ -4582,6 +4593,27 @@ def oracle_sql() -> dict[str, str]:
     """
     d["table_read_changes"] = """
         SELECT doc_id FROM documents WHERE doc_id % 3 IN (1, 2)
+    """
+    d["mm_audio_probe_ogg"] = """
+        -- frozen Ogg rule: pages = doc_id%4 + 2 (ident page + audio
+        -- pages), channels 1 + doc_id%2, rate by doc_id%3, nominal
+        -- (doc_id%9+1)*16000, last granule (doc_id%4+1)*(doc_id%7+1)
+        -- *1000
+        SELECT doc_id,
+               CAST(doc_id % 4 + 2 AS BIGINT) AS n_pages,
+               CAST(1 + doc_id % 2 AS BIGINT) AS channels,
+               CAST(CASE doc_id % 3 WHEN 0 THEN 8000
+                    WHEN 1 THEN 22050 ELSE 44100 END AS BIGINT)
+                 AS sample_rate,
+               CAST((doc_id % 9 + 1) * 16000 AS BIGINT)
+                 AS bitrate_nominal,
+               CAST((doc_id % 4 + 1) * (doc_id % 7 + 1) * 1000
+                    AS BIGINT) AS last_granule,
+               CAST(((doc_id % 4 + 1) * (doc_id % 7 + 1) * 1000 * 1000)
+                    // (CASE doc_id % 3 WHEN 0 THEN 8000
+                        WHEN 1 THEN 22050 ELSE 44100 END) AS BIGINT)
+                 AS duration_ms
+        FROM documents
     """
     d["mm_audio_resample"] = """
         -- linear resample mirrored from wav.resample_linear over the

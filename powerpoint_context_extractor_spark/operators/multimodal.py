@@ -1640,6 +1640,51 @@ def extract_audio_resample(docs: DataFrame) -> DataFrame:
                          "s_wsum long")
 
 
+# --- Ogg/Vorbis probe contract path (r7) -------------------------------------
+
+def ogg_payload_for_doc(doc_id: int) -> bytes:
+    """Frozen Ogg rule: channels 1 + doc_id%2, rate (8000, 22050,
+    44100)[doc_id%3], nominal bitrate (doc_id%9 + 1)*16000,
+    doc_id%4 + 1 audio pages with granules k*(doc_id%7 + 1)*1000."""
+    from ..oggprobe import build_ogg_vorbis
+    rates = (8000, 22050, 44100)
+    n_aud = doc_id % 4 + 1
+    step = (doc_id % 7 + 1) * 1000
+    return build_ogg_vorbis(1 + doc_id % 2, rates[doc_id % 3],
+                            (doc_id % 9 + 1) * 16000,
+                            [step * (k + 1) for k in range(n_aud)])
+
+
+def probe_ogg_features(docs: DataFrame) -> DataFrame:
+    """Probe a real Ogg Vorbis container per documents row — page
+    walk with CRC verification + identification-header parse, no
+    audio decode (the honest-probe pattern next to the MP3 probe).
+    duration_ms = last_granule * 1000 div rate."""
+    from ..oggprobe import probe_ogg_vorbis
+
+    def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ("doc_id", "n_pages", "channels", "sample_rate",
+                "bitrate_nominal", "last_granule", "duration_ms")
+        for pdf in batches:
+            out = {c: [] for c in cols}
+            for doc_id in pdf["doc_id"].tolist():
+                n, ch, rate, nom, gr = probe_ogg_vorbis(
+                    ogg_payload_for_doc(doc_id))
+                out["doc_id"].append(doc_id)
+                out["n_pages"].append(n)
+                out["channels"].append(ch)
+                out["sample_rate"].append(rate)
+                out["bitrate_nominal"].append(nom)
+                out["last_granule"].append(gr)
+                out["duration_ms"].append(gr * 1000 // rate)
+            yield pd.DataFrame(out)
+
+    return docs.select("doc_id").mapInPandas(
+        _batches, schema="doc_id long, n_pages long, channels long, "
+                         "sample_rate long, bitrate_nominal long, "
+                         "last_granule long, duration_ms long")
+
+
 # --- JPEG-in-TIFF contract path (r7) -----------------------------------------
 
 def tiff_jpeg_payload_for_doc(doc_id: int) -> bytes:

@@ -3480,3 +3480,32 @@ def test_pii_scrub_patterns_and_order(spark):
         == (1, 1, 1)
     assert got[5]["clean_md5"] == hashlib.md5(
         b"mix <EMAIL> then <PHONE> then <IP>").hexdigest()
+
+
+def test_ogg_vorbis_probe_contract():
+    """r7: the Ogg probe walks pages with real CRC verification
+    (the Ogg polynomial, not zlib's), parses the Vorbis
+    identification header, tracks the max granule, and raises
+    honestly on corrupt CRCs, multiplexed serials, non-Vorbis first
+    packets, and truncation."""
+    from powerpoint_context_extractor_spark.oggprobe import (
+        build_ogg_vorbis, ogg_crc, probe_ogg_vorbis,
+    )
+    d = build_ogg_vorbis(2, 44100, 128000, [4410, 8820, 13230])
+    assert probe_ogg_vorbis(d) == (4, 2, 44100, 128000, 13230)
+    # known CRC property: table-driven == bit-driven on a sample
+    assert ogg_crc(b"") == 0
+    mono = build_ogg_vorbis(1, 8000, 16000, [1000])
+    assert probe_ogg_vorbis(mono) == (2, 1, 8000, 16000, 1000)
+    bad = bytearray(d)
+    bad[40] ^= 1
+    with pytest.raises(ValueError):
+        probe_ogg_vorbis(bytes(bad))
+    with pytest.raises(ValueError, match="capture"):
+        probe_ogg_vorbis(b"NotOgg" + d)
+    with pytest.raises(ValueError, match="truncated"):
+        probe_ogg_vorbis(d[:-5])
+    # a second serial number = multiplexed stream: honest error
+    other = build_ogg_vorbis(1, 8000, 16000, [500], serial=888)
+    with pytest.raises(ValueError, match="multiplexed"):
+        probe_ogg_vorbis(d + other)
