@@ -2976,8 +2976,6 @@ def test_prefix_jaccard_degenerate_bucket_guard(spark):
     — error mode trips raise_error naming the token; star mode bounds
     that bucket to O(k) representative pairs while the NON-degenerate
     corpus's output stays exactly the uncapped answer."""
-    from pyspark.errors import SparkRuntimeException
-
     from powerpoint_context_extractor_spark.operators import dedup
 
     # each doc: the shared token 'boiler' + ONE unique token; at
@@ -2985,8 +2983,10 @@ def test_prefix_jaccard_degenerate_bucket_guard(spark):
     # one 200-doc bucket -> 19900 candidate pairs uncapped
     rows = [(i, f"boiler u{i}") for i in range(200)]
     degen = spark.createDataFrame(rows, "doc_id long, text string")
-    with pytest.raises(SparkRuntimeException,
-                       match="degenerate prefix bucket"):
+    # the raise_error surfaces as SparkRuntimeException or a raw
+    # Py4JJavaError depending on which stage trips first — match the
+    # message, not the wrapper
+    with pytest.raises(Exception, match="degenerate prefix bucket"):
         dedup.prefix_jaccard_join(
             degen, threshold_bp=3000, bucket_cap=50).collect()
     # star mode: the over-cap bucket emits ONLY (rep=0, other) pairs
