@@ -310,10 +310,10 @@ def _assemble(url: str, kept: list) -> KernelResult:
 
 
 # ---------------------------------------------------------------------------
-# Fast tokenizer: a single-pass scanner that drives the SAME _Extractor
-# handlers as html.parser (classification logic stays single-sourced).
-# ~2x the stdlib parser, which spends >half its time in per-event regex
-# bookkeeping (goahead/updatepos/parse_starttag — see bench notes).
+# Fast engine: a single-pass scanner with the _Extractor block logic
+# INLINED into the tokenizer loop (r8: the handler-dispatch layer was
+# ~60% of kernel time; the stdlib-driven _Extractor above remains the
+# reference implementation the differential tests compare against).
 # Behavior contract: byte-identical output to the stdlib engine — pinned
 # by tests/test_kernel.py differential tests over every fixture class,
 # the bulk corpus, and hypothesis-generated tag soup. The three
@@ -360,97 +360,301 @@ _CDATA_CLOSE = {
 }
 
 
-def _fast_feed(p: "_Extractor", s: str) -> None:
-    """Tokenize ``s`` and emit handle_starttag/endtag/data events with
-    html.parser(convert_charrefs=True) semantics."""
+def _fast_extract(s: str) -> list:
+    """Single-pass tokenizer + block classifier in ONE function frame:
+    returns the kept list [(block_id, tag, path, text)] with semantics
+    byte-identical to driving ``_Extractor`` via html.parser (the
+    differential/fuzz tests under tests/test_kernel.py pin it).
+
+    This is the r8 optimization-round rewrite of the former
+    ``_fast_feed`` + handler-dispatch engine (guide §1.2 "per-task
+    work"): the per-event bound-method calls, ``_Block`` dataclass
+    allocation, per-tag path f-strings through three helper methods,
+    and unconditional per-data-chunk char counting were ~60% of kernel
+    time at 5 KiB/page. Here the tokenizer manipulates local state
+    directly; link-density char counting is deferred to flush time and
+    only paid for blocks that actually contain ``<a>`` text (for
+    link-free blocks every keep rule reduces to ``0 <= total``, so no
+    counting is needed at all). Tolerant-parsing semantics (start-tag
+    endgame, CDATA mode, comment/marked-section closers, bogus-data
+    recovery) are ported verbatim from the previous engine, which was
+    itself a faithful port of html.parser's goahead.
+    """
+    stack: list = []     # frames: [tag, is_boiler, child_count, path]
+    drop_depth = 0
+    a_depth = 0
+    pre_depth = 0
+    blk_tag = None       # open block's tag (None = no open block)
+    blk_path = ""
+    blk_parts: list = []
+    blk_link = 0
+    kept: list = []
+    next_id = 0
+    root_children = 0
+
+    def _flush() -> None:
+        # twin of _Extractor._flush_block: classify + render one block.
+        # total_chars is derived from the joined parts (char counts are
+        # concatenation-invariant), and only when link_chars > 0.
+        nonlocal blk_tag, blk_parts, blk_link, next_id
+        tag = blk_tag
+        blk_tag = None
+        raw0 = "".join(blk_parts)
+        link = blk_link
+        blk_parts = []
+        blk_link = 0
+        raw = raw0 if raw0.isprintable() else _C0_STRIP("", raw0)
+        if tag == "pre":
+            text = raw.strip()
+        else:
+            text = " ".join(raw.split())
+        block_id = next_id
+        next_id += 1
+        if not text:
+            return
+        if link and tag not in HEADING_TAGS:
+            total = sum(map(len, raw0.split()))
+            if (2 if tag == "li" else 3) * link > total:
+                return
+        kept.append((block_id, tag, blk_path, text))
+
+    def _data(data: str) -> None:
+        # twin of _Extractor.handle_data (cold call sites; the two hot
+        # text sites are inlined in the main loop below)
+        nonlocal blk_tag, blk_path, blk_parts, blk_link
+        if drop_depth or not data:
+            return
+        if blk_tag is None:
+            if not data.strip():
+                return
+            pp = stack[-1][3] if stack else ""
+            blk_tag = "text"
+            blk_path = pp + ">#text" if pp else "#text"
+            blk_parts = []
+            blk_link = 0
+        blk_parts.append(data)
+        if a_depth:
+            blk_link += sum(map(len, data.split()))
+
+    def _end(tag: str) -> None:
+        # twin of _Extractor.handle_endtag
+        nonlocal drop_depth, a_depth, pre_depth
+        if tag in VOID_TAGS:
+            return
+        if stack and stack[-1][0] == tag:
+            depth = len(stack) - 1
+        else:
+            depth = -1
+            for idx in range(len(stack) - 1, -1, -1):
+                if stack[idx][0] == tag:
+                    depth = idx
+                    break
+            if depth < 0:
+                return                    # stray end tag: ignore
+        while len(stack) > depth:
+            frame = stack.pop()
+            ftag = frame[0]
+            if frame[1]:                  # boiler/drop frame
+                drop_depth -= 1
+                continue
+            if ftag == "a":
+                a_depth -= 1
+            if ftag in BLOCK_TAGS:
+                if ftag == "pre":
+                    pre_depth -= 1
+                if blk_tag is not None:
+                    _flush()
+            elif ftag in STRUCT_TAGS:
+                if blk_tag is not None:
+                    _flush()
+
+    def _bogus(i0: int) -> int:
+        """EOF-truncated construct: html.parser's close() emits it as
+        data up to the next '>'+1, else the next '<', else one char."""
+        k = find(">", i0 + 1)
+        if k >= 0:
+            k += 1
+        else:
+            k = find("<", i0 + 1)
+            if k < 0:
+                k = i0 + 1
+        _data(_unescape(s[i0:k]))
+        return k
+
     i, n = 0, len(s)
     find = s.find
-    # bound methods: ~1.5M attribute lookups per 10k docs otherwise
-    handle_data = p.handle_data
-    handle_starttag = p.handle_starttag
-    handle_endtag = p.handle_endtag
+    # global-name traffic: ~500 set/func lookups per 5 KiB page otherwise
+    VOID, DROPT, BLOCK, STRUCT = VOID_TAGS, DROP_TAGS, BLOCK_TAGS, STRUCT_TAGS
+    unescape = _unescape
+    cdata_close = _CDATA_CLOSE
+    is_boiler = _is_boiler_attrs
     while i < n:
         lt = find("<", i)
-        if lt < 0:
-            handle_data(_unescape(s[i:]))
-            break
-        if lt > i:
-            handle_data(_unescape(s[i:lt]))
+        if lt < 0 or lt > i:
+            # ---- text run (hot): inline twin of handle_data ----------
+            data = s[i:] if lt < 0 else s[i:lt]
+            if not drop_depth:
+                if "&" in data:
+                    data = unescape(data)
+                if blk_tag is not None:
+                    blk_parts.append(data)
+                    if a_depth:
+                        blk_link += sum(map(len, data.split()))
+                elif not data.isspace():
+                    pp = stack[-1][3] if stack else ""
+                    blk_tag = "text"
+                    blk_path = pp + ">#text" if pp else "#text"
+                    blk_parts = [data]
+                    blk_link = (sum(map(len, data.split()))
+                                if a_depth else 0)
+            if lt < 0:
+                break
         i = lt
         nxt = s[lt + 1:lt + 2]
         if nxt in _ASCII_ALPHA:
-            # faithful port of html.parser's check_for_whole_start_tag
-            # + parse_starttag endgame (which chars end the tag, when
-            # '/>' means self-closing vs a bare attr value, raw-data
-            # fallback on a malformed tail)
-            m = _STARTTAG_END.match(s, lt)
-            j = m.end()
-            after = s[j:j + 1]
-            if after == ">":
-                endpos = j + 1
-            elif after == "/" and s.startswith("/>", j):
-                endpos = j + 2
-            elif after == "" or after == "/" or after == "=" or \
-                    (after.isascii() and after.isalpha()):
-                i = _emit_bogus(p, s, lt)   # EOF-truncated start tag
-                continue
+            selfclose = False
+            gt = find(">", lt + 1)
+            body = s[lt + 1:gt] if gt > 0 else ""
+            if body and body.isalnum():
+                # ---- attr-less start tag fast path: '<name>' --------
+                # equivalent to the generic endgame below (tag name is
+                # the whole body, no attrs, tail '>')
+                tag = body.lower()
+                attrs: list = []
+                endpos = gt + 1
             else:
-                endpos = j                   # malformed tail: no '>'
-            tm = _TAGNAME.match(s, lt + 1)
-            tag = tm.group(1).lower()
-            attrs = []
-            k = tm.end()
-            while k < endpos:
-                am = _ATTRFIND.match(s, k)
-                if not am or am.end() == am.start():
-                    break
-                name, rest, value = am.group(1, 2, 3)
-                if not rest:
-                    value = None
-                elif value[:1] == "'" == value[-1:] or \
-                        value[:1] == '"' == value[-1:]:
-                    value = value[1:-1]
-                if value:
-                    value = _unescape(value)
-                attrs.append((name.lower(), value))
-                k = am.end()
-            tail = s[k:endpos].strip()
-            if tail not in (">", "/>"):
-                handle_data(s[lt:endpos])  # raw, like parse_starttag
+                # faithful port of html.parser's
+                # check_for_whole_start_tag + parse_starttag endgame
+                # (which chars end the tag, when '/>' means
+                # self-closing vs a bare attr value, raw-data fallback
+                # on a malformed tail)
+                m = _STARTTAG_END.match(s, lt)
+                j = m.end()
+                after = s[j:j + 1]
+                if after == ">":
+                    endpos = j + 1
+                elif after == "/" and s.startswith("/>", j):
+                    endpos = j + 2
+                elif after == "" or after == "/" or after == "=" or \
+                        (after.isascii() and after.isalpha()):
+                    i = _bogus(lt)       # EOF-truncated start tag
+                    continue
+                else:
+                    endpos = j           # malformed tail: no '>'
+                tm = _TAGNAME.match(s, lt + 1)
+                tag = tm.group(1).lower()
+                attrs = []
+                k = tm.end()
+                while k < endpos:
+                    am = _ATTRFIND.match(s, k)
+                    if not am or am.end() == am.start():
+                        break
+                    name, rest, value = am.group(1, 2, 3)
+                    if not rest:
+                        value = None
+                    elif value[:1] == "'" == value[-1:] or \
+                            value[:1] == '"' == value[-1:]:
+                        value = value[1:-1]
+                    if value:
+                        value = unescape(value)
+                    attrs.append((name.lower(), value))
+                    k = am.end()
+                tail = s[k:endpos].strip()
+                if tail not in (">", "/>"):
+                    _data(s[lt:endpos])  # raw, like parse_starttag
+                    i = endpos
+                    continue
+                selfclose = tail == "/>"
+            # ---- inline twin of handle_starttag ---------------------
+            if tag in VOID:
+                if blk_tag is not None and tag == "br":
+                    blk_parts.append("\n" if pre_depth else " ")
                 i = endpos
-                continue
-            if tail == "/>":
-                p.handle_startendtag(tag, attrs)
-                i = endpos
-                continue
-            handle_starttag(tag, attrs)
+                continue                  # endtag on a void is a no-op
+            if drop_depth or tag in DROPT or \
+                    (attrs and is_boiler(attrs)):
+                if blk_tag is not None:
+                    _flush()
+                drop_depth += 1
+                stack.append([tag, True, 0,
+                              stack[-1][3] if stack else ""])
+            else:
+                if stack:
+                    f = stack[-1]
+                    f[2] += 1
+                    parent = f[3]
+                    path = f"{parent}>{tag}:{f[2]}" if parent \
+                        else f"{tag}:{f[2]}"
+                else:
+                    root_children += 1
+                    path = f"{tag}:{root_children}"
+                if tag == "a":
+                    a_depth += 1
+                if tag in BLOCK:
+                    if blk_tag is not None:
+                        _flush()
+                    blk_tag = tag
+                    blk_path = path
+                    blk_parts = []
+                    blk_link = 0
+                    if tag == "pre":
+                        pre_depth += 1
+                elif tag in STRUCT:
+                    if blk_tag is not None:
+                        _flush()
+                stack.append([tag, False, 0, path])
             i = endpos
-            if tag in _CDATA_CLOSE:      # raw-text elements
-                # Exact port of html.parser (3.11) CDATA mode: everything
-                # up to the next FULL '</\s*tag\s*>' is one raw data chunk
-                # (no unescape); unterminated raw text at EOF is dropped
-                # (goahead breaks with cdata_elem set; close() only
-                # flushes when cdata_elem is None).
-                cm = _CDATA_CLOSE[tag].search(s, i)
+            if selfclose:
+                _end(tag)
+            elif tag in cdata_close:    # raw-text elements
+                # Exact port of html.parser (3.11) CDATA mode:
+                # everything up to the next FULL '</\s*tag\s*>' is one
+                # raw data chunk (always inside a DROPT subtree, so
+                # it is ignored); unterminated raw text at EOF is
+                # dropped (goahead breaks with cdata_elem set; close()
+                # only flushes when cdata_elem is None).
+                cm = cdata_close[tag].search(s, i)
                 if cm is None:
-                    break                     # drop unterminated raw text
-                if cm.start() > i:
-                    handle_data(s[i:cm.start()])
-                handle_endtag(tag)
+                    break                 # drop unterminated raw text
+                _end(tag)
                 i = cm.end()
         elif nxt == "/":
+            gt2 = find(">", lt + 2)
+            body = s[lt + 2:gt2] if gt2 > 0 else ""
+            if body and body.isalnum():
+                # ---- '</name>' fast path + well-formed single pop ----
+                tag = body.lower()
+                i = gt2 + 1
+                if stack and stack[-1][0] == tag and tag not in VOID:
+                    frame = stack.pop()
+                    if frame[1]:          # boiler/drop frame
+                        drop_depth -= 1
+                        continue
+                    if tag == "a":
+                        a_depth -= 1
+                    if tag in BLOCK:
+                        if tag == "pre":
+                            pre_depth -= 1
+                        if blk_tag is not None:
+                            _flush()
+                    elif tag in STRUCT:
+                        if blk_tag is not None:
+                            _flush()
+                    continue
+                _end(tag)                 # mismatched close: generic pop
+                continue
             em = _ENDTAG.match(s, lt)
             if em:
-                handle_endtag(em.group(1).lower())
+                _end(em.group(1).lower())
                 i = em.end()
                 continue
             gt = find(">", lt + 2)
             if gt < 0:
-                i = _emit_bogus(p, s, lt)
+                i = _bogus(lt)
                 continue
             tm = _TAGNAME.match(s, lt + 2)
             if tm:                        # junk-tolerant end tag </tag junk>
-                handle_endtag(tm.group(1).lower())
+                _end(tm.group(1).lower())
             # else: bogus comment ("</>"
             #  or "</ ...>") — ignored, no handler
             i = gt + 1
@@ -462,7 +666,7 @@ def _fast_feed(p: "_Extractor", s: str) -> None:
                 # hypothesis catch: '<!--<!-- >')
                 cm = _COMMENT_CLOSE.search(s, lt + 4)
                 if cm is None:
-                    i = _emit_bogus(p, s, lt)
+                    i = _bogus(lt)
                     continue
                 i = cm.end()              # comment: ignored
             elif s.startswith("<![", lt):
@@ -487,43 +691,41 @@ def _fast_feed(p: "_Extractor", s: str) -> None:
                     continue
                 if name in ("temp", "cdata", "ignore", "include",
                             "rcdata", "if", "else", "endif"):
-                    i = _emit_bogus(p, s, lt)   # unterminated section
+                    i = _bogus(lt)        # unterminated section
                     continue
                 gt = find(">", lt + 2)    # unknown keyword: total skip
                 if gt < 0:
-                    i = _emit_bogus(p, s, lt)
+                    i = _bogus(lt)
                     continue
                 i = gt + 1
             else:
                 gt = find(">", lt + 2)
                 if gt < 0:
-                    i = _emit_bogus(p, s, lt)
+                    i = _bogus(lt)
                     continue
                 i = gt + 1                # declaration/bogus: ignored
         elif nxt == "?":
             gt = find(">", lt + 2)
             if gt < 0:
-                i = _emit_bogus(p, s, lt)
+                i = _bogus(lt)
                 continue
             i = gt + 1                    # processing instr: ignored
         else:
-            handle_data("<")            # lone '<' is text
+            # lone '<' is text — inline twin of handle_data("<")
+            if not drop_depth and blk_tag is not None:
+                blk_parts.append("<")
+                if a_depth:
+                    blk_link += 1
+            elif not drop_depth:
+                pp = stack[-1][3] if stack else ""
+                blk_tag = "text"
+                blk_path = pp + ">#text" if pp else "#text"
+                blk_parts = ["<"]
+                blk_link = 1 if a_depth else 0
             i = lt + 1
-    p._flush_block()
-
-
-def _emit_bogus(p: "_Extractor", s: str, i: int) -> int:
-    """EOF-truncated construct: html.parser's close() emits it as data
-    up to the next '>'+1, else the next '<', else one char."""
-    k = s.find(">", i + 1)
-    if k >= 0:
-        k += 1
-    else:
-        k = s.find("<", i + 1)
-        if k < 0:
-            k = i + 1
-    p.handle_data(_unescape(s[i:k]))
-    return k
+    if blk_tag is not None:
+        _flush()
+    return kept
 
 
 # --- charset detection (r3: the #1 real-corpus gap) -----------------------
@@ -706,12 +908,11 @@ def decode_html_bytes(content: bytes) -> tuple:
 
 def extract_html(url: str, html_text: str,
                  engine: str = "fast") -> KernelResult:
-    parser = _Extractor()
     if engine == "fast":
-        _fast_feed(parser, html_text)
-    else:                                 # stdlib reference engine
-        parser.feed(html_text)
-        parser.close()
+        return _assemble(url, _fast_extract(html_text))
+    parser = _Extractor()                 # stdlib reference engine
+    parser.feed(html_text)
+    parser.close()
     return _assemble(url, parser.kept)
 
 

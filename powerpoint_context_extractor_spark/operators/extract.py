@@ -161,6 +161,48 @@ def repartition_for_extract(df: DataFrame, num_partitions: int,
                           F.pmod(F.xxhash64(F.col(key)), F.lit(num_partitions)))
 
 
+def _spread_small_input(df: DataFrame, key: str = "doc_id") -> DataFrame:
+    """Scale-adaptive parallelism guard (r8, guide §2.5 "input skew"):
+    a parquet ROW GROUP is the minimum scan-task unit, so a file with
+    one giant row group scans as one working task no matter how small
+    the byte-split size is configured — ``getNumPartitions()`` still
+    reports many (empty) splits, which is why this checks footers, not
+    splits. Measured: flagship_extract at sf1.0 ran its whole 50k-doc
+    kernel map behind one core (9.0s for ~1.3s of spread kernel work).
+
+    Detection is metadata-only and early-exits: if the scan has >=
+    cores input files there is nothing to do (each file is >= 1 row
+    group); otherwise read at most ``cores`` local parquet footers.
+    When under-parallel, hash-spread rows by the unique ``key`` —
+    deterministic per row (guide §2.5: never rand-derived), so task
+    retries are stable and the row set is unchanged. On a real corpus
+    the input has >= cores row groups and this is a no-op, keeping the
+    map-only no-payload-shuffle invariant."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    try:
+        files = df.inputFiles()
+    except Exception:  # noqa: BLE001 — non-file source: leave as-is
+        return df
+    if not files or len(files) >= target:
+        return df
+    from urllib.parse import urlparse
+    import pyarrow.parquet as pq
+    groups = 0
+    for uri in files:
+        if groups >= target:
+            break
+        parsed = urlparse(uri)
+        if parsed.scheme not in ("file", "") or not uri.endswith(".parquet"):
+            return df                     # remote/non-parquet: leave as-is
+        try:
+            groups += pq.ParquetFile(parsed.path or uri).metadata.num_row_groups
+        except Exception:  # noqa: BLE001 — unreadable footer: leave as-is
+            return df
+    if groups >= target:
+        return df
+    return df.repartition(target, F.col(key))
+
+
 DOC_EXTRACT_SCHEMA = T.StructType([
     T.StructField("url", T.StringType(), False),
     T.StructField("title", T.StringType(), True),
@@ -200,7 +242,7 @@ def extract_wrapped_documents(docs: DataFrame,
     parser is graded by the same oracle as the HTML DOM walk."""
     fn = {"html": "page_for_document", "pdf": "pdf_page_for_document",
           "pdf15": "pdf15_page_for_document"}[wrap]
-    return docs.select("doc_id", "text").mapInPandas(
+    return _spread_small_input(docs.select("doc_id", "text")).mapInPandas(
         _make_doc_kernel_batches(fn), schema=DOC_EXTRACT_SCHEMA)
 
 
@@ -249,7 +291,7 @@ def extract_documents_charset(docs: DataFrame) -> DataFrame:
     Because the wrap is the invertible flagship wrap and all testdata
     text is ASCII, the expected text AND charset label are both pure
     SQL expressions — DuckDB grades the sniffer itself."""
-    return docs.select("doc_id", "text").mapInPandas(
+    return _spread_small_input(docs.select("doc_id", "text")).mapInPandas(
         _charset_kernel_batches, schema=CHARSET_EXTRACT_SCHEMA)
 
 
@@ -275,7 +317,7 @@ def extract_documents_cjk(docs: DataFrame) -> DataFrame:
     the WHATWG mapping (cp932/gbk/cp949/big5hkscs) — decoding with the
     narrow national-standard codec replace-mangles the extension char
     and fails the md5 check."""
-    return docs.select("doc_id", "text").mapInPandas(
+    return _spread_small_input(docs.select("doc_id", "text")).mapInPandas(
         _cjk_kernel_batches, schema=CHARSET_EXTRACT_SCHEMA)
 
 
@@ -317,7 +359,7 @@ def extract_documents_utf16_nobom(docs: DataFrame) -> DataFrame:
     shunted to latin-1 mojibake, now resolved by the common-script
     orientation scorer. The kernel must label the encoding AND recover
     the exact text (md5 vs the SQL reconstruction)."""
-    return docs.select("doc_id", "text").mapInPandas(
+    return _spread_small_input(docs.select("doc_id", "text")).mapInPandas(
         _nobom_kernel_batches, schema=CHARSET_EXTRACT_SCHEMA)
 
 
