@@ -84,8 +84,15 @@ def _flagship_extract_sql(spark, sf_dir):
     from powerpoint_context_extractor_spark.functions.sqlsurface import (
         register_sql_extraction,
     )
+    from powerpoint_context_extractor_spark.operators.extract import (
+        _spread_small_input,
+    )
     register_sql_extraction(spark)
-    _t(spark, sf_dir, "documents").createOrReplaceTempView("_docs_sql_v")
+    # r8: same single-row-group parallelism guard as the mapInArrow path
+    # (operators/extract._spread_small_input) — the LATERAL UDTF below
+    # otherwise runs the whole kernel in one task
+    _spread_small_input(
+        _t(spark, sf_dir, "documents")).createOrReplaceTempView("_docs_sql_v")
     return spark.sql(
         "SELECT e.url, e.title, e.text, e.n_blocks "
         "FROM _docs_sql_v d, LATERAL extract_doc(d.doc_id, d.text) e")
@@ -445,16 +452,21 @@ def _capstone_pretrain_corpus(spark, sf_dir):
     materializes — the whole thing is one DataFrame; the plan audit
     lives in tests/test_pipeline.py.
 
-    Scale note (honest): a lazy plan cannot SHARE subtrees, so every
-    multi-consumer stage re-executes its upstream — the audit pins
-    the resulting corpus-scan count (~150 column-pruned (doc_id,
-    text) scans at this composition depth). That is the cost of the
-    one-plan form this capstone exists to prove; a production run at
-    100 TB cuts the amplification multiplicatively by committing a
-    SnapshotTable boundary after the gate and after `kept` (the
-    exact seam sources/table_io.py provides), turning ~150 scans
-    into 3 stage-local handfuls without changing a single operator
-    call."""
+    Scale note (r8 optimization — capstone v4 in place): a lazy plan
+    cannot SHARE subtrees, so in the r7 one-plan form every
+    multi-consumer stage re-executed its upstream — ~150
+    column-pruned (doc_id, text) corpus scans at this composition
+    depth (plans/r08/capstone_pretrain_corpus_before.txt). This is
+    exactly the amplification the v3 docstring said production would
+    remove, so r8 ships it: the three multi-consumer stages (`gated`,
+    `kept`, `rows`) are each committed through a SnapshotTable
+    boundary (sources/table_io.py — the same seam every other table
+    query uses) into session-scoped scratch, freshly computed from
+    the parquet inputs on EVERY invocation (nothing persists across
+    runs; the scratch dir is a new mkdtemp per call). Row set,
+    schema, and oracle are unchanged — the plan audit in
+    tests/test_pipeline.py now pins the scan count at a stage-local
+    handful instead of ~150."""
     from powerpoint_context_extractor_spark.operators.dedup import (
         contamination_check, paragraph_dedup, substring_dedup_trim,
     )
@@ -464,6 +476,21 @@ def _capstone_pretrain_corpus(spark, sf_dir):
     from powerpoint_context_extractor_spark.operators.textstats import (
         quality_score_v2,
     )
+    from powerpoint_context_extractor_spark.sources.table_io import (
+        SnapshotTable,
+    )
+    tmp = _session_tmpdir("capstone_v4_")
+
+    def _boundary(df, name):
+        """Commit one multi-consumer stage through a SnapshotTable and
+        read it back: downstream consumers scan the committed files
+        instead of re-executing the whole upstream subtree."""
+        tbl = SnapshotTable(os.path.join(tmp, name))
+        snap = tbl.append(df, "capstone-v4")
+        if not snap["files"]:
+            return df.limit(0)
+        return df.sparkSession.read.parquet(*snap["files"])
+
     raw = _t(spark, sf_dir, "documents").select("doc_id", "text")
     enriched = (F.when(F.col("doc_id") % 7 == 3, F.col("text"))
                 .otherwise(F.concat(F.col("text"), F.lit(CAP_STOPS))))
@@ -476,7 +503,7 @@ def _capstone_pretrain_corpus(spark, sf_dir):
     d = raw.select("doc_id", txt.alias("text"))
     gate = (quality_score_v2(d).filter(F.col("gopher_pass") == 1)
             .select("doc_id"))
-    gated = d.join(gate, "doc_id")
+    gated = _boundary(d.join(gate, "doc_id"), "gated")
     para = paragraph_dedup(gated).select(
         "doc_id", "total_paras", "kept_paras",
         F.col("clean_md5").alias("para_md5"))
@@ -490,10 +517,12 @@ def _capstone_pretrain_corpus(spark, sf_dir):
     cont = contamination_check(
         gated.filter(F.col("doc_id") % 101 != 0), bench).select(
         "doc_id", "contaminated")
-    kept = (para.join(trim, "doc_id").join(cont, "doc_id")
-            .filter(F.col("contaminated") == 0)
-            .filter(F.col("kept_paras") * 2 >= F.col("total_paras"))
-            .filter(F.col("removed_tokens") * 4 <= F.col("n_tokens")))
+    kept = _boundary(
+        para.join(trim, "doc_id").join(cont, "doc_id")
+        .filter(F.col("contaminated") == 0)
+        .filter(F.col("kept_paras") * 2 >= F.col("total_paras"))
+        .filter(F.col("removed_tokens") * 4 <= F.col("n_tokens")),
+        "kept")
     dom = (F.when(F.col("doc_id") % 10 < 4, 0)
            .when(F.col("doc_id") % 10 < 7, 1)
            .when(F.col("doc_id") % 10 < 9, 2).otherwise(3))
@@ -506,10 +535,12 @@ def _capstone_pretrain_corpus(spark, sf_dir):
     trates = (temperature_rates(keyed, "domain", out_fraction_bp=5000)
               .select(F.col("_dom").alias("domain"),
                       F.col("rate_bp").alias("temp_rate_bp")))
-    rows = (mix.join(F.broadcast(trates), "domain")
-            .join(stats, "doc_id")
-            .withColumn("row_id",
-                        F.col("doc_id") * 100 + F.col("rep")))
+    rows = _boundary(
+        mix.join(F.broadcast(trates), "domain")
+        .join(stats, "doc_id")
+        .withColumn("row_id",
+                    F.col("doc_id") * 100 + F.col("rep")),
+        "rows")
     idx = global_order_index(
         rows.select("row_id", "domain", "doc_id", "rep"),
         ["domain", "doc_id", "rep"], id_col="row_id")
@@ -1085,12 +1116,23 @@ def _j3_broadcast_dim_chain(spark, sf_dir):
 
 
 def _o2_top1_per_group(spark, sf_dir):
+    """Top-1 per group as a hash AGGREGATE, not a window (r8, guide
+    §2.3 "aggregate before you shuffle"): max over (o_totalprice,
+    -o_orderkey) picks exactly the row_number()==1 row of the original
+    ORDER BY (o_totalprice DESC, o_orderkey ASC) — struct comparison
+    is lexicographic and the keys carry no NULLs — but partial
+    aggregation collapses each map partition to one row per custkey
+    before the exchange and both window sorts disappear (plan:
+    2×Sort + 2×WindowGroupLimit + Window -> 2×HashAggregate;
+    plans/r08/o2_top1_per_group_{before,after}.txt)."""
     o = _t(spark, sf_dir, "orders")
-    w = W.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(),
-                                           F.col("o_orderkey").asc())
-    return (o.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
-            .select("o_custkey", "o_orderkey",
-                    _CENTS("o_totalprice").alias("top_cents")))
+    top = F.max(F.struct(F.col("o_totalprice").alias("tp"),
+                         (-F.col("o_orderkey")).alias("neg_key")))
+    return (o.groupBy("o_custkey").agg(top.alias("top"))
+            .select("o_custkey",
+                    (-F.col("top.neg_key")).alias("o_orderkey"),
+                    F.round(F.col("top.tp") * 100).cast("long")
+                    .alias("top_cents")))
 
 
 def _a3_groupby_distinct(spark, sf_dir):

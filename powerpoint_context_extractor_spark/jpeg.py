@@ -112,6 +112,11 @@ _ZIGZAG = [
 
 _COS = [[math.cos((2 * x + 1) * u * math.pi / 16) for u in range(8)]
         for x in range(8)]
+# transpose view (_COS_BY_U[u][y] == _COS[y][u]) + the exact constant
+# the reference loops compute as ``1 / math.sqrt(2)`` — both feed the
+# sparse IDCT fast path in _dequant_idct (r8)
+_COS_BY_U = [[_COS[y][u] for y in range(8)] for u in range(8)]
+_INV_SQRT2 = 1 / math.sqrt(2)
 
 
 def _build_codes(bits: list, vals: list) -> dict:
@@ -283,6 +288,22 @@ def _fdct_quant(block: list) -> list:
     float reference FDCT (fixtures have none; general images are
     round-trip-tolerance tested)."""
     shifted = [v - 128 for v in block]
+    c0 = shifted[0]
+    if all(v == c0 for v in shifted):
+        # r8 fast path — CONSTANT block (every MCU-constant fixture and
+        # every flat region): mathematically each AC sum factors as
+        # c*(sum_x cos((2x+1)v*pi/16))*(sum_y ...) = 0 for (u,v)!=(0,0),
+        # and the float loop's accumulated roundoff is bounded by
+        # 64 additions * ulp(64*128) ~ 1e-10 << the 0.5*q quantization
+        # threshold, so int(round(val/q)) is PROVABLY 0 for every AC —
+        # identical output to the reference loop without running it.
+        # DC uses the same exact integer formula as below.
+        ssum = c0 * 64
+        d = 8 * QTABLE[0]
+        dcq = (2 * abs(ssum) + d) // (2 * d)
+        zz = [0] * 64
+        zz[0] = dcq if ssum >= 0 else -dcq
+        return zz
     out = [0] * 64
     for u in range(8):
         cu = 1 / math.sqrt(2) if u == 0 else 1.0
@@ -305,21 +326,57 @@ def _fdct_quant(block: list) -> list:
 
 
 def _dequant_idct(zz: list, qtab: list = QTABLE) -> list:
-    """Dequantize (zig-zag in) + inverse DCT + level shift + clamp."""
+    """Dequantize (zig-zag in) + inverse DCT + level shift + clamp.
+
+    r8 optimization: SPARSE accumulation — only nonzero coefficients
+    are summed. Bit-identical to the dense reference loop by IEEE-754
+    identities: a zero coefficient's term is exactly +/-0.0 and
+    ``s + (+/-0.0) == s`` for every s this loop can hold (s starts at
+    +0.0 and (+0.0) + (-0.0) == +0.0), so skipping zero terms cannot
+    change a single bit of the sum; per-coefficient ``a = cu*cv*coef``
+    is hoisted because the reference expression evaluated left-to-
+    right as ``(((cu*cv)*coef)*cosx)*cosy`` — the same three leading
+    multiplies. A DC-only block (the overwhelmingly common case in
+    flat regions, and every MCU-constant fixture) computes ONE pixel
+    value instead of 64x64 terms: for v==u==0 both cosines are
+    exactly 1.0, making all 64 sums the identical float product.
+    Pinned by tests/test_operators.py::test_jpeg_sparse_idct_bitexact
+    against the dense reference over random sparse/dense blocks."""
     coef = [0] * 64
     for k in range(64):
         coef[_ZIGZAG[k]] = zz[k] * qtab[_ZIGZAG[k]]
+    nz = []
+    inv_sqrt2 = _INV_SQRT2
+    for u in range(8):
+        cu = inv_sqrt2 if u == 0 else 1.0
+        base = u * 8
+        cos_u = _COS_BY_U[u]
+        for v in range(8):
+            c = coef[base + v]
+            if c:
+                cv = inv_sqrt2 if v == 0 else 1.0
+                nz.append((cu * cv * c, v, cos_u))
     out = [0] * 64
+    if not nz:
+        return [128] * 64                 # s == 0.0 for every pixel
+    if len(nz) == 1 and nz[0][1] == 0 and nz[0][2] is _COS_BY_U[0] \
+            and coef[0]:
+        # DC-only: _COS[x][0] == _COS[y][0] == 1.0 exactly, so every
+        # pixel's sum is the same product a*1.0*1.0
+        a = nz[0][0]
+        s = a * 1.0 * 1.0
+        px = int(round(s / 4)) + 128
+        px = 0 if px < 0 else (255 if px > 255 else px)
+        return [px] * 64
     for y in range(8):
+        row = y * 8
         for x in range(8):
+            cos_x = _COS[x]
             s = 0.0
-            for u in range(8):
-                cu = 1 / math.sqrt(2) if u == 0 else 1.0
-                for v in range(8):
-                    cv = 1 / math.sqrt(2) if v == 0 else 1.0
-                    s += cu * cv * coef[u * 8 + v] * _COS[x][v] * _COS[y][u]
+            for a, v, cos_u in nz:
+                s += a * cos_x[v] * cos_u[y]
             px = int(round(s / 4)) + 128
-            out[y * 8 + x] = 0 if px < 0 else (255 if px > 255 else px)
+            out[row + x] = 0 if px < 0 else (255 if px > 255 else px)
     return out
 
 

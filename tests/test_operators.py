@@ -1264,6 +1264,75 @@ def test_jpeg_roundtrip_and_subset_errors():
         decode_jpeg_gray(render_jpeg_gray(8, 8, bytes(64))[:20])
 
 
+def test_jpeg_sparse_idct_bitexact():
+    """r8 optimization pin: the sparse IDCT (zero coefficients skipped;
+    DC-only one-product fill) and the constant-block FDCT fast path
+    must be BIT-IDENTICAL to the dense reference loops they replaced —
+    checked here against verbatim copies of the r7 reference code over
+    DC-only, random-sparse, and fully dense blocks."""
+    import math as _math
+    import random as _random
+
+    from powerpoint_context_extractor_spark.jpeg import (
+        QTABLE, _COS, _ZIGZAG, _dequant_idct, _fdct_quant,
+    )
+
+    def idct_ref(zz, qtab=QTABLE):        # r7 dense reference, verbatim
+        coef = [0] * 64
+        for k in range(64):
+            coef[_ZIGZAG[k]] = zz[k] * qtab[_ZIGZAG[k]]
+        out = [0] * 64
+        for y in range(8):
+            for x in range(8):
+                s = 0.0
+                for u in range(8):
+                    cu = 1 / _math.sqrt(2) if u == 0 else 1.0
+                    for v in range(8):
+                        cv = 1 / _math.sqrt(2) if v == 0 else 1.0
+                        s += cu * cv * coef[u * 8 + v] * _COS[x][v] * _COS[y][u]
+                px = int(round(s / 4)) + 128
+                out[y * 8 + x] = 0 if px < 0 else (255 if px > 255 else px)
+        return out
+
+    def fdct_ref(block):                  # r7 reference, verbatim
+        shifted = [v - 128 for v in block]
+        out = [0] * 64
+        for u in range(8):
+            cu = 1 / _math.sqrt(2) if u == 0 else 1.0
+            for v in range(8):
+                if u == 0 and v == 0:
+                    continue
+                cv = 1 / _math.sqrt(2) if v == 0 else 1.0
+                s = 0.0
+                for y in range(8):
+                    for x in range(8):
+                        s += shifted[y * 8 + x] * _COS[x][v] * _COS[y][u]
+                val = 0.25 * cu * cv * s
+                q = QTABLE[u * 8 + v]
+                out[u * 8 + v] = int(round(val / q))
+        ssum = sum(shifted)
+        d = 8 * QTABLE[0]
+        dcq = (2 * abs(ssum) + d) // (2 * d)
+        out[0] = dcq if ssum >= 0 else -dcq
+        return [out[_ZIGZAG[k]] for k in range(64)]
+
+    rng = _random.Random(1208)
+    cases = [[0] * 64] + [[dc] + [0] * 63 for dc in (-900, -4, 3, 777)]
+    for _ in range(120):
+        nnz = rng.choice([1, 2, 3, 6, 12, 32, 64])
+        zz = [0] * 64
+        for _i in range(nnz):
+            zz[rng.randrange(64)] = rng.randrange(-200, 201)
+        cases.append(zz)
+    for zz in cases:
+        assert _dequant_idct(zz) == idct_ref(zz), zz
+    blocks = [[v] * 64 for v in (0, 1, 57, 127, 128, 200, 255)]
+    for _ in range(40):
+        blocks.append([rng.randrange(256) for _ in range(64)])
+    for b in blocks:
+        assert _fdct_quant(b) == fdct_ref(b), b[:8]
+
+
 def test_jpeg_progressive_decode_equals_baseline():
     """r6: the SOF2 spectral-selection path (DC scan + AC band scan
     with cross-block EOB runs, stream-defined huffman tables) decodes

@@ -300,12 +300,15 @@ def test_merge_upsert_semantics_and_history(spark, tmp_path):
 
 
 def test_capstone_pretrain_corpus_plan_and_wds(spark, sf_dir, tmp_path):
-    """r7 (r6 VERDICT #7): the pretraining capstone is ONE lazy plan —
-    no collect/cache/localCheckpoint anywhere (audited structurally:
-    the physical plan has no InMemoryTableScan and no scan of an RDD
-    checkpoint), the documents parquet is scanned a bounded number of
-    times, no BroadcastNestedLoopJoin appears, and the output rows
-    route into WDS tar shards that read back exactly."""
+    """r8 (capstone v4, r7 VERDICT #2): the pretraining capstone now
+    commits its three multi-consumer stages (gated/kept/rows) through
+    SnapshotTable boundaries, so the FINAL plan scans a stage-local
+    handful of parquet files instead of re-executing its upstream
+    ~150 times (the r7 one-plan amplification this audit used to pin
+    at <=170 corpus scans). Still no collect/cache/localCheckpoint
+    anywhere (no InMemoryTableScan, no RDD-checkpoint scan), no
+    BroadcastNestedLoopJoin, and the output rows route into WDS tar
+    shards that read back exactly."""
     import __spark_entry__ as entry_mod
     from powerpoint_context_extractor_spark.sources.wds import (
         read_wds_shards, write_wds_shards,
@@ -315,14 +318,12 @@ def test_capstone_pretrain_corpus_plan_and_wds(spark, sf_dir, tmp_path):
     final = plan.split("== Initial Plan ==")[0]
     assert "InMemoryTableScan" not in final          # nothing cached
     assert "BroadcastNestedLoopJoin" not in final    # no cross blowup
-    # a lazy plan cannot share subtrees, so each multi-consumer stage
-    # re-executes its upstream: the column-pruned corpus-scan count is
-    # PINNED here as the honest cost of the one-plan form (the
-    # capstone docstring's scale note says where production inserts
-    # SnapshotTable boundaries instead). A regression that silently
-    # doubles a subtree busts the ceiling.
+    # the snapshot boundaries collapse the subtree re-execution: the
+    # final plan joins the committed `rows` snapshot with the global
+    # order index over it — a handful of scans, not ~150. A
+    # regression that silently re-inlines a subtree busts the ceiling.
     n_scans = final.count("Scan parquet")
-    assert 1 <= n_scans <= 170, n_scans
+    assert 1 <= n_scans <= 12, n_scans
     rows = out.collect()
     assert rows, "capstone produced no rows at sf0.001"
     # contract invariants: contiguous global order, consistent shards
