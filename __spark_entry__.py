@@ -54,6 +54,23 @@ def _session_tmpdir(prefix: str) -> str:
 _CENTS = lambda c: F.round(F.col(c) * 100).cast("long")  # noqa: E731
 
 
+def _snapshot_boundary(df: DataFrame, tmp: str, name: str) -> DataFrame:
+    """Commit one multi-consumer intermediate through a SnapshotTable
+    under session scratch and read it back (r8 optimization seam):
+    downstream consumers scan the committed files instead of
+    re-executing the whole upstream subtree. Fresh per invocation —
+    the scratch dir is a new mkdtemp per call, so every run computes
+    from the parquet inputs."""
+    from powerpoint_context_extractor_spark.sources.table_io import (
+        SnapshotTable,
+    )
+    tbl = SnapshotTable(os.path.join(tmp, name))
+    snap = tbl.append(df, "boundary")
+    if not snap["files"]:
+        return df.limit(0)
+    return df.sparkSession.read.parquet(*snap["files"])
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the real extraction kernel over sf0.001 documents."""
     from powerpoint_context_extractor_spark.operators.extract import (
@@ -476,20 +493,10 @@ def _capstone_pretrain_corpus(spark, sf_dir):
     from powerpoint_context_extractor_spark.operators.textstats import (
         quality_score_v2,
     )
-    from powerpoint_context_extractor_spark.sources.table_io import (
-        SnapshotTable,
-    )
     tmp = _session_tmpdir("capstone_v4_")
 
     def _boundary(df, name):
-        """Commit one multi-consumer stage through a SnapshotTable and
-        read it back: downstream consumers scan the committed files
-        instead of re-executing the whole upstream subtree."""
-        tbl = SnapshotTable(os.path.join(tmp, name))
-        snap = tbl.append(df, "capstone-v4")
-        if not snap["files"]:
-            return df.limit(0)
-        return df.sparkSession.read.parquet(*snap["files"])
+        return _snapshot_boundary(df, tmp, name)
 
     raw = _t(spark, sf_dir, "documents").select("doc_id", "text")
     enriched = (F.when(F.col("doc_id") % 7 == 3, F.col("text"))
@@ -1821,19 +1828,31 @@ def _sim_ivf_recall(spark, sf_dir):
     — the approx-vs-exact accounting every ANN deployment needs. Both
     sides are deterministic, so even this is hash-exact-oracled."""
     from powerpoint_context_extractor_spark.operators.similarity import (
-        cosine_topk, ivf_topk_kmeans, kmeans_centroids,
+        _quantized, cosine_topk, ivf_topk_kmeans, kmeans_assign,
+        kmeans_centroids,
     )
     emb = _t(spark, sf_dir, "embeddings")
     cents = kmeans_centroids(emb)          # train once, probe many
     # ADVICE r3: skip qids absent at this scale factor instead of
-    # KeyError-ing — the oracle's IN-list filter degrades the same way
-    present = {r["vec_id"] for r in
-               emb.filter(F.col("vec_id").isin(list(_RECALL_QIDS)))
-               .select("vec_id").collect()}
+    # KeyError-ing — the oracle's IN-list filter degrades the same way.
+    # r8: ONE collect fetches presence AND the micro-unit query vectors
+    # (replacing one driver head() job per probe), and the cluster
+    # assignment is committed once through a snapshot boundary instead
+    # of re-evaluating the K x dim assignment expression inside every
+    # union branch (plan: ~15 embedding scans + 5 head() jobs -> 1
+    # assignment job + tiny-file scans; rows identical).
+    qvecs = {r["_id"]: list(r["vq"]) for r in
+             _quantized(emb.filter(F.col("vec_id")
+                                   .isin(list(_RECALL_QIDS))),
+                        "vec_id", "embedding").collect()}
+    assign = _snapshot_boundary(
+        kmeans_assign(emb, centroids=cents),
+        _session_tmpdir("ivf_recall_"), "assign")
     parts = []
-    for qid in (q for q in _RECALL_QIDS if q in present):
+    for qid in (q for q in _RECALL_QIDS if q in qvecs):
         ivf = ivf_topk_kmeans(emb, qid, k=10, n_centroids=8, nprobe=2,
-                              centroids=cents)
+                              centroids=cents, query_vec=qvecs[qid],
+                              assignment=assign)
         brute = cosine_topk(emb, qid, k=10)
         hits = ivf.select("vec_id").join(brute.select("vec_id"), "vec_id")
         parts.append(

@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from .extract import _spread_small_input
 from ..avi import (decode_avi, decode_bmp, render_avi,
                    render_avi_mjpeg, render_avi_rle8, render_bmp)
 from ..jpeg import (QTABLE, decode_jpeg, decode_jpeg_gray,
@@ -204,7 +205,8 @@ def extract_features(df: DataFrame, id_col: str = "doc_id",
     real Spark plumbing around the decoders (real PNG, stub others)."""
     narrow = df.select(F.col(id_col).alias("doc_id"),
                        F.col(bin_col).alias("payload"))
-    return narrow.mapInPandas(_feature_batches, schema=FEATURE_SCHEMA)
+    return _spread_small_input(narrow).mapInPandas(
+        _feature_batches, schema=FEATURE_SCHEMA)
 
 
 # --- real-PNG contract path ------------------------------------------------
@@ -311,14 +313,14 @@ def extract_png_interlaced_features(docs: DataFrame) -> DataFrame:
                 out["px_max"].append(max(px))
             yield pd.DataFrame(out)
 
-    return docs.select("doc_id").mapInPandas(
+    return _spread_small_input(docs.select("doc_id")).mapInPandas(
         _batches, schema=PNG_FEATURE_SCHEMA)
 
 
 def extract_png_features(docs: DataFrame) -> DataFrame:
     """Render + decode a real PNG per documents row and emit exact pixel
     statistics (see ``png_payload_for_doc`` for the oracle contract)."""
-    return docs.select("doc_id").mapInPandas(
+    return _spread_small_input(docs.select("doc_id")).mapInPandas(
         _png_feature_batches, schema=PNG_FEATURE_SCHEMA)
 
 
@@ -358,7 +360,7 @@ def extract_png_resized(docs: DataFrame, out_w: int = 4,
                 out["px_hex"].append(r.hex())
             yield pd.DataFrame(out)
 
-    return docs.select("doc_id").mapInPandas(
+    return _spread_small_input(docs.select("doc_id")).mapInPandas(
         _batches, schema=PNG_RESIZE_SCHEMA)
 
 
@@ -428,7 +430,7 @@ def extract_jpeg_features(docs: DataFrame) -> DataFrame:
                 out["px_max"].append(max(px))
             yield pd.DataFrame(out)
 
-    return docs.select("doc_id").mapInPandas(
+    return _spread_small_input(docs.select("doc_id")).mapInPandas(
         _batches, schema=JPEG_FEATURE_SCHEMA)
 
 
@@ -517,7 +519,7 @@ def extract_jpeg_color_prog_features(docs: DataFrame) -> DataFrame:
                 out["px_max"].append(max(px))
             yield pd.DataFrame(out)
 
-    return docs.select("doc_id").mapInPandas(
+    return _spread_small_input(docs.select("doc_id")).mapInPandas(
         _batches, schema=JPEG_COLOR_FEATURE_SCHEMA)
 
 
@@ -543,7 +545,7 @@ def extract_jpeg_color_features(docs: DataFrame) -> DataFrame:
                 out["px_max"].append(max(px))
             yield pd.DataFrame(out)
 
-    return docs.select("doc_id").mapInPandas(
+    return _spread_small_input(docs.select("doc_id")).mapInPandas(
         _batches, schema=JPEG_COLOR_FEATURE_SCHEMA)
 
 
@@ -603,7 +605,7 @@ def extract_video_frames(docs: DataFrame, every: int = 2) -> DataFrame:
                     out["px_max"].append(max(px))
             yield pd.DataFrame(out)
 
-    return docs.select("doc_id").mapInPandas(
+    return _spread_small_input(docs.select("doc_id")).mapInPandas(
         _batches, schema=FRAME_SAMPLE_SCHEMA)
 
 
@@ -657,7 +659,7 @@ def extract_video_rle8_frames(docs: DataFrame) -> DataFrame:
                     out["px_max"].append(max(px))
             yield pd.DataFrame(out)
 
-    return docs.select("doc_id").mapInPandas(
+    return _spread_small_input(docs.select("doc_id")).mapInPandas(
         _batches, schema=FRAME_SAMPLE_SCHEMA)
 
 
@@ -713,7 +715,7 @@ def extract_wav_features(docs: DataFrame) -> DataFrame:
                 out["s_max"].append(max(samples))
             yield pd.DataFrame(out)
 
-    return docs.select("doc_id").mapInPandas(
+    return _spread_small_input(docs.select("doc_id")).mapInPandas(
         _batches, schema=WAV_FEATURE_SCHEMA)
 
 
@@ -767,7 +769,7 @@ def extract_wav_stereo_features(docs: DataFrame) -> DataFrame:
                 out["s_max"].append(max(samples))
             yield pd.DataFrame(out)
 
-    return docs.select("doc_id").mapInPandas(
+    return _spread_small_input(docs.select("doc_id")).mapInPandas(
         _batches, schema=WAV_STEREO_SCHEMA)
 
 
@@ -852,7 +854,8 @@ def image_dhash(docs: DataFrame, payload_col: str | None = None) -> DataFrame:
                     out[f"band{b}"].append(rows[2 * b] * 256 + rows[2 * b + 1])
             yield pd.DataFrame(out)
 
-    return docs.select(*cols).mapInPandas(_batches, schema=IMAGE_DHASH_SCHEMA)
+    return _spread_small_input(docs.select(*cols)).mapInPandas(
+        _batches, schema=IMAGE_DHASH_SCHEMA)
 
 
 def image_near_dup_pairs(hashes: DataFrame, id_col: str = "doc_id",
@@ -940,7 +943,7 @@ def extract_wav_ulaw_features(docs: DataFrame) -> DataFrame:
                 out["s_max"].append(max(samples))
             yield pd.DataFrame(out)
 
-    return docs.select("doc_id").mapInPandas(
+    return _spread_small_input(docs.select("doc_id")).mapInPandas(
         _batches, schema=WAV_FEATURE_SCHEMA)
 
 
@@ -978,7 +981,7 @@ def extract_wav_adpcm_features(docs: DataFrame) -> DataFrame:
                 out["s_max"].append(max(samples))
             yield pd.DataFrame(out)
 
-    return docs.select("doc_id").mapInPandas(
+    return _spread_small_input(docs.select("doc_id")).mapInPandas(
         _batches, schema=WAV_FEATURE_SCHEMA)
 
 
@@ -1030,7 +1033,7 @@ def extract_jpeg_dri_features(docs: DataFrame) -> DataFrame:
                 out["px_max"].append(max(px))
             yield pd.DataFrame(out)
 
-    return docs.select("doc_id").mapInPandas(
+    return _spread_small_input(docs.select("doc_id")).mapInPandas(
         _batches, schema=JPEG_FEATURE_SCHEMA)
 
 
@@ -1071,7 +1074,7 @@ def extract_jpeg_prog_sa_features(docs: DataFrame) -> DataFrame:
                 out["px_max"].append(max(px))
             yield pd.DataFrame(out)
 
-    return docs.select("doc_id").mapInPandas(
+    return _spread_small_input(docs.select("doc_id")).mapInPandas(
         _batches, schema=JPEG_FEATURE_SCHEMA)
 
 
@@ -1095,7 +1098,7 @@ def extract_jpeg_prog_features(docs: DataFrame) -> DataFrame:
                 out["px_max"].append(max(px))
             yield pd.DataFrame(out)
 
-    return docs.select("doc_id").mapInPandas(
+    return _spread_small_input(docs.select("doc_id")).mapInPandas(
         _batches, schema=JPEG_FEATURE_SCHEMA)
 
 
@@ -1152,7 +1155,7 @@ def extract_gif_features(docs: DataFrame) -> DataFrame:
                     sum(i * v for i, v in enumerate(px)))
             yield pd.DataFrame(out)
 
-    return docs.select("doc_id").mapInPandas(
+    return _spread_small_input(docs.select("doc_id")).mapInPandas(
         _batches, schema=GIF_FEATURE_SCHEMA)
 
 
@@ -1215,7 +1218,7 @@ def extract_video_mjpeg_frames(docs: DataFrame) -> DataFrame:
                     out["px_max"].append(max(fr))
             yield pd.DataFrame(out)
 
-    return docs.select("doc_id").mapInPandas(
+    return _spread_small_input(docs.select("doc_id")).mapInPandas(
         _batches, schema=MJPEG_FRAME_SCHEMA)
 
 
@@ -1260,7 +1263,7 @@ def extract_flac_features(docs: DataFrame) -> DataFrame:
                 out["s_max"].append(max(samples))
             yield pd.DataFrame(out)
 
-    return docs.select("doc_id").mapInPandas(
+    return _spread_small_input(docs.select("doc_id")).mapInPandas(
         _batches, schema=WAV_FEATURE_SCHEMA)
 
 
@@ -1306,7 +1309,7 @@ def extract_flac_vb_features(docs: DataFrame) -> DataFrame:
                 out["s_max"].append(max(samples))
             yield pd.DataFrame(out)
 
-    return docs.select("doc_id").mapInPandas(
+    return _spread_small_input(docs.select("doc_id")).mapInPandas(
         _batches, schema=WAV_FEATURE_SCHEMA)
 
 
@@ -1347,7 +1350,7 @@ def extract_png_lowdepth_features(docs: DataFrame) -> DataFrame:
                 out["px_max"].append(max(px))
             yield pd.DataFrame(out)
 
-    return docs.select("doc_id").mapInPandas(
+    return _spread_small_input(docs.select("doc_id")).mapInPandas(
         _batches, schema=PNG_FEATURE_SCHEMA)
 
 
@@ -1385,7 +1388,7 @@ def extract_png16_features(docs: DataFrame) -> DataFrame:
                 out["px_max"].append(max(px))
             yield pd.DataFrame(out)
 
-    return docs.select("doc_id").mapInPandas(
+    return _spread_small_input(docs.select("doc_id")).mapInPandas(
         _batches, schema=PNG_FEATURE_SCHEMA)
 
 
@@ -1420,7 +1423,7 @@ def extract_video_scene_cuts(docs: DataFrame) -> DataFrame:
                         1 if sad > SCENE_CUT_THRESHOLD else 0)
             yield pd.DataFrame(out)
 
-    return docs.select("doc_id").mapInPandas(
+    return _spread_small_input(docs.select("doc_id")).mapInPandas(
         _batches,
         schema="doc_id long, frame_id long, sad long, is_cut long")
 
@@ -1471,7 +1474,7 @@ def extract_flac_ms_features(docs: DataFrame) -> DataFrame:
                 out["s_max"].append(max(samples))
             yield pd.DataFrame(out)
 
-    return docs.select("doc_id").mapInPandas(
+    return _spread_small_input(docs.select("doc_id")).mapInPandas(
         _batches, schema="doc_id long, sample_rate long, n_frames long, "
                          "l_abs_sum long, r_abs_sum long, s_min long, "
                          "s_max long")
@@ -1503,7 +1506,7 @@ def extract_image_histogram(docs: DataFrame, bins: int = 4) -> DataFrame:
                     out["n_px"].append(counts[b])
             yield pd.DataFrame(out)
 
-    return docs.select("doc_id").mapInPandas(
+    return _spread_small_input(docs.select("doc_id")).mapInPandas(
         _batches, schema="doc_id long, bin long, n_px long")
 
 
@@ -1543,7 +1546,7 @@ def extract_tiff_features(docs: DataFrame) -> DataFrame:
                 out["px_max"].append(max(px))
             yield pd.DataFrame(out)
 
-    return docs.select("doc_id").mapInPandas(
+    return _spread_small_input(docs.select("doc_id")).mapInPandas(
         _batches, schema=PNG_FEATURE_SCHEMA)
 
 
@@ -1597,7 +1600,7 @@ def extract_tiff_tiled_features(docs: DataFrame) -> DataFrame:
                         sum(i * v for i, v in enumerate(px)))
             yield pd.DataFrame(out)
 
-    return docs.select("doc_id").mapInPandas(
+    return _spread_small_input(docs.select("doc_id")).mapInPandas(
         _batches, schema="doc_id long, page_id long, width long, "
                          "height long, channels long, px_sum long, "
                          "px_min long, px_max long, px_wsum long")
@@ -1634,7 +1637,7 @@ def extract_audio_resample(docs: DataFrame) -> DataFrame:
                     sum(j * v for j, v in enumerate(y)))
             yield pd.DataFrame(out)
 
-    return docs.select("doc_id").mapInPandas(
+    return _spread_small_input(docs.select("doc_id")).mapInPandas(
         _batches, schema="doc_id long, dst_rate long, n_out long, "
                          "abs_sum long, s_min long, s_max long, "
                          "s_wsum long")
@@ -1679,7 +1682,7 @@ def probe_ogg_features(docs: DataFrame) -> DataFrame:
                 out["duration_ms"].append(gr * 1000 // rate)
             yield pd.DataFrame(out)
 
-    return docs.select("doc_id").mapInPandas(
+    return _spread_small_input(docs.select("doc_id")).mapInPandas(
         _batches, schema="doc_id long, n_pages long, channels long, "
                          "sample_rate long, bitrate_nominal long, "
                          "last_granule long, duration_ms long")
@@ -1727,7 +1730,7 @@ def extract_tiff_jpeg_features(docs: DataFrame) -> DataFrame:
                     sum(i * v for i, v in enumerate(px)))
             yield pd.DataFrame(out)
 
-    return docs.select("doc_id").mapInPandas(
+    return _spread_small_input(docs.select("doc_id")).mapInPandas(
         _batches, schema=GIF_FEATURE_SCHEMA)
 
 
@@ -1793,7 +1796,7 @@ def extract_webp_features(docs: DataFrame) -> DataFrame:
                     sum(i * v for i, v in enumerate(px)))
             yield pd.DataFrame(out)
 
-    return docs.select("doc_id").mapInPandas(
+    return _spread_small_input(docs.select("doc_id")).mapInPandas(
         _batches, schema=GIF_FEATURE_SCHEMA)
 
 
@@ -1841,7 +1844,7 @@ def extract_tiff_lzw_features(docs: DataFrame) -> DataFrame:
                     sum(i * v for i, v in enumerate(px)))
             yield pd.DataFrame(out)
 
-    return docs.select("doc_id").mapInPandas(
+    return _spread_small_input(docs.select("doc_id")).mapInPandas(
         _batches, schema=GIF_FEATURE_SCHEMA)
 
 
@@ -1875,7 +1878,7 @@ def extract_bmp_features(docs: DataFrame) -> DataFrame:
                 out["px_max"].append(max(px))
             yield pd.DataFrame(out)
 
-    return docs.select("doc_id").mapInPandas(
+    return _spread_small_input(docs.select("doc_id")).mapInPandas(
         _batches, schema=PNG_FEATURE_SCHEMA)
 
 
@@ -1918,7 +1921,7 @@ def probe_mp3_features(docs: DataFrame) -> DataFrame:
                 out["duration_ms"].append(dur)
             yield pd.DataFrame(out)
 
-    return docs.select("doc_id").mapInPandas(
+    return _spread_small_input(docs.select("doc_id")).mapInPandas(
         _batches, schema="doc_id long, n_frames long, sample_rate long,"
                          " min_kbps long, max_kbps long,"
                          " duration_ms long")
@@ -1955,7 +1958,7 @@ def extract_audio_energy(docs: DataFrame) -> DataFrame:
                         1 if en * 100 < mean else 0)
             yield pd.DataFrame(out)
 
-    return docs.select("doc_id").mapInPandas(
+    return _spread_small_input(docs.select("doc_id")).mapInPandas(
         _batches, schema="doc_id long, win_id long, energy long, "
                          "is_silent long")
 
@@ -2059,7 +2062,7 @@ def extract_gif_anim_frames(docs: DataFrame) -> DataFrame:
                     out["delay_cs"].append(delay)
             yield pd.DataFrame(out)
 
-    return docs.select("doc_id").mapInPandas(
+    return _spread_small_input(docs.select("doc_id")).mapInPandas(
         _batches, schema="doc_id long, frame_id long, px_sum long, "
                          "px_wsum long, delay_cs long")
 
@@ -2090,7 +2093,7 @@ def extract_gif_anim_cuts(docs: DataFrame) -> DataFrame:
                         1 if sad > SCENE_CUT_THRESHOLD else 0)
             yield pd.DataFrame(out)
 
-    return docs.select("doc_id").mapInPandas(
+    return _spread_small_input(docs.select("doc_id")).mapInPandas(
         _batches,
         schema="doc_id long, frame_id long, sad long, is_cut long")
 
@@ -2113,6 +2116,6 @@ def probe_gif_anim_features(docs: DataFrame) -> DataFrame:
                 out["loops"].append(loops)
             yield pd.DataFrame(out)
 
-    return docs.select("doc_id").mapInPandas(
+    return _spread_small_input(docs.select("doc_id")).mapInPandas(
         _batches, schema="doc_id long, n_frames long, "
                          "total_delay_cs long, loops long")

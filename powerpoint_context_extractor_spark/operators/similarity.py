@@ -343,10 +343,15 @@ def kmeans_centroids(emb: DataFrame, n_centroids: int = 8, iters: int = 3,
 
 def kmeans_assign(emb: DataFrame, n_centroids: int = 8, iters: int = 3,
                   id_col: str = "vec_id",
-                  vec_col: str = "embedding") -> DataFrame:
+                  vec_col: str = "embedding",
+                  centroids: list | None = None) -> DataFrame:
     """Final k-means cell per vector (the IVF layout key). Every step is
-    integer-exact, so the full clustering is DuckDB-oracle-checkable."""
-    cents = kmeans_centroids(emb, n_centroids, iters, id_col, vec_col)
+    integer-exact, so the full clustering is DuckDB-oracle-checkable.
+    Pass ``centroids`` (from kmeans_centroids) to skip re-training —
+    the amortization seam (r8) callers use to compute the assignment
+    ONCE and share it across many probes."""
+    cents = centroids if centroids is not None else kmeans_centroids(
+        emb, n_centroids, iters, id_col, vec_col)
     return (_quantized(emb, id_col, vec_col)
             .withColumn("cluster", _assign_expr(cents))
             .select(F.col("_id").alias(id_col), "cluster"))
@@ -356,25 +361,42 @@ def ivf_topk_kmeans(emb: DataFrame, query_id: int, k: int = 10,
                     n_centroids: int = 8, nprobe: int = 2, iters: int = 3,
                     id_col: str = "vec_id",
                     vec_col: str = "embedding",
-                    centroids: list | None = None) -> DataFrame:
+                    centroids: list | None = None,
+                    query_vec: list | None = None,
+                    assignment: DataFrame | None = None) -> DataFrame:
     """Multi-probe ANN over k-means cells: search the ``nprobe`` cells
     whose centroids are nearest the query vector (exact integer driver
     math), then exact cosine within the probed cells. nprobe trades
     scan fraction (~nprobe/K of the data) for recall. Pass
     ``centroids`` (from kmeans_centroids) to amortize training across
-    many probes — the deployment shape."""
+    many probes — the deployment shape. r8 adds the other two
+    amortization seams a many-query serving loop needs: ``query_vec``
+    (the query's micro-unit vector, skipping the per-probe driver
+    ``head()`` job) and ``assignment`` ((id_col, cluster) rows, e.g. a
+    materialized kmeans_assign output, replacing the per-probe
+    re-evaluation of the K x dim assignment expression over the whole
+    table). Both are pure plumbing: the probed cells and the returned
+    rows are identical with or without them."""
     cents = centroids if centroids is not None else kmeans_centroids(
         emb, n_centroids, iters, id_col, vec_col)
-    base = _quantized(emb, id_col, vec_col)
-    qrow = base.filter(F.col("_id") == query_id).head()
-    if qrow is None:
-        raise KeyError(f"query id {query_id} not in embeddings")
-    qv = list(qrow["vq"])
+    if query_vec is None:
+        qrow = (_quantized(emb, id_col, vec_col)
+                .filter(F.col("_id") == query_id).head())
+        if qrow is None:
+            raise KeyError(f"query id {query_id} not in embeddings")
+        qv = list(qrow["vq"])
+    else:
+        qv = list(query_vec)
     d2s = sorted((sum((x - y) * (x - y) for x, y in zip(qv, c)), cid)
                  for cid, c in enumerate(cents))
     probe = [cid for _, cid in d2s[:nprobe]]
-    cell_ids = (base.withColumn("cluster", _assign_expr(cents))
-                .filter(F.col("cluster").isin(probe)).select("_id"))
+    if assignment is None:
+        cell_ids = (_quantized(emb, id_col, vec_col)
+                    .withColumn("cluster", _assign_expr(cents))
+                    .filter(F.col("cluster").isin(probe)).select("_id"))
+    else:
+        cell_ids = (assignment.filter(F.col("cluster").isin(probe))
+                    .select(F.col(id_col).alias("_id")))
     cell = emb.join(cell_ids, F.col(id_col) == F.col("_id")).drop("_id")
     return (cosine_to_query(cell, query_id, id_col, vec_col)
             .orderBy(F.col("cos_micro").desc(), F.col(id_col).asc())

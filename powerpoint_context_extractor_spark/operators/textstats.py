@@ -12,6 +12,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from .extract import _spread_small_input
+
 P = 1_000_000_007
 
 # marker-token sets per language (frozen; mirrored in oracle SQL)
@@ -251,7 +253,9 @@ def normalize_nfc(docs: DataFrame, id_col: str = "doc_id",
                             for t, o in zip(nfc, src)],
             })
 
-    return docs.select(id_col, text_col).mapInPandas(_batches, schema=schema)
+    return _spread_small_input(docs.select(id_col, text_col),
+                               key=id_col).mapInPandas(
+        _batches, schema=schema)
 
 
 def bigram_coherence(docs: DataFrame, id_col: str = "doc_id",
@@ -480,7 +484,9 @@ def compression_ratio(docs: DataFrame, id_col: str = "doc_id",
             yield pd.DataFrame({id_col: ids, "raw_len": raws,
                                 "zlib_len": zs, "ratio_bp": bps})
 
-    return docs.select(id_col, text_col).mapInPandas(_batches, schema=schema)
+    return _spread_small_input(docs.select(id_col, text_col),
+                               key=id_col).mapInPandas(
+        _batches, schema=schema)
 
 
 def detect_heavy_hitters(df: DataFrame, key_col: str,

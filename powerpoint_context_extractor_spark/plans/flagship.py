@@ -46,7 +46,13 @@ def run_extraction(spark: SparkSession, pages: DataFrame, out_root: str,
 
     t0 = time.monotonic()
     extracted = extract_pages(pages, num_partitions=num_partitions)
-    snap = extracted_tbl.append(extracted, run_id)
+    # r8: url/text/spans are unique per row — parquet dictionary pages
+    # always overflow and fall back, costing ~11% of the write wall for
+    # zero size win (A/B in OPTIMIZATION_r08.md); low-cardinality tables
+    # (lineage below) keep the default dictionary encoding.
+    snap = extracted_tbl.append(
+        extracted, run_id,
+        write_options={"parquet.enable.dictionary": "false"})
     wall_ms = int((time.monotonic() - t0) * 1000)
 
     # Lineage (U4): column-pruned read-back of the just-committed files —

