@@ -99,10 +99,10 @@ def probe_ogg_vorbis(data: bytes) -> tuple:
     while pos < len(data):
         if data[pos:pos + 4] != b"OggS":
             raise ValueError("ogg: bad capture pattern")
+        if pos + 27 > len(data):                # before ANY fixed-field read
+            raise ValueError("ogg: truncated page header")
         if data[pos + 4] != 0:
             raise ValueError("ogg: unsupported stream structure version")
-        if pos + 27 > len(data):
-            raise ValueError("ogg: truncated page header")
         granule = struct.unpack("<q", data[pos + 6:pos + 14])[0]
         ser = struct.unpack("<I", data[pos + 14:pos + 18])[0]
         n_segs = data[pos + 26]

@@ -784,10 +784,21 @@ def code_detect(docs: DataFrame, id_col: str = "doc_id",
     indented = F.size(F.filter(
         lines, lambda ln: ln.startswith("    ") | ln.startswith("\t")))
     semi = F.size(F.filter(lines, lambda ln: ln.rlike(";\\s*$")))
-    sym_bp = (sym * 10000 / n_chars).cast("long")
-    ind_bp = (indented * 10000 / n_lines).cast("long")
-    semi_bp = (semi * 10000 / n_lines).cast("long")
-    return docs.select(
+    # integer `div`, not float `/` + cast: keeps the basis points exact
+    # integer math end to end (the cross-engine discipline the oracle's
+    # `//` uses) instead of relying on double rounding never crossing
+    # an integer boundary
+    base = docs.select(
+        F.col(id_col),
+        sym.cast("long").alias("_sym"),
+        n_chars.cast("long").alias("_nchars"),
+        indented.cast("long").alias("_ind"),
+        semi.cast("long").alias("_semi"),
+        n_lines.cast("long").alias("_nlines"))
+    sym_bp = F.expr("(_sym * 10000) div _nchars")
+    ind_bp = F.expr("(_ind * 10000) div _nlines")
+    semi_bp = F.expr("(_semi * 10000) div _nlines")
+    return base.select(
         F.col(id_col),
         sym_bp.alias("symbol_bp"),
         ind_bp.alias("indent_bp"),

@@ -508,7 +508,12 @@ def decode_webp(data: bytes) -> tuple:
     if r.bits(3) != 0:
         raise ValueError("vp8l: unknown version")
     # transforms (at most one of each kind), inverses applied in
-    # reverse read order
+    # reverse read order; each tuple carries the image width in
+    # effect WHEN THE TRANSFORM WAS READ — color indexing narrows the
+    # width for everything read after it, and by inverse time the
+    # unbundle has restored exactly the width each earlier transform
+    # saw, so the inverse must run at the read-time width, not the
+    # final one
     transforms = []
     seen = set()
     palette = None
@@ -523,9 +528,9 @@ def decode_webp(data: bytes) -> tuple:
             sw = (eff_w + (1 << size_bits) - 1) >> size_bits
             sh = (h + (1 << size_bits) - 1) >> size_bits
             sub = _decode_entropy_image(r, sw, sh, top_level=False)
-            transforms.append((t, size_bits, sub))
+            transforms.append((t, size_bits, sub, eff_w))
         elif t == 2:                           # subtract green
-            transforms.append((2, None, None))
+            transforms.append((2, None, None, eff_w))
         else:                                  # color indexing
             psize = r.bits(8) + 1
             praw = _decode_entropy_image(r, psize, 1, top_level=False)
@@ -540,13 +545,13 @@ def decode_webp(data: bytes) -> tuple:
                 palette.append(prev)
             wb = _palette_width_bits(psize)
             eff_w = (w + (1 << wb) - 1) >> wb
-            transforms.append((3, wb, palette))
+            transforms.append((3, wb, palette, eff_w))
     px = _decode_entropy_image(r, eff_w, h, top_level=True)
-    for t, arg, sub in reversed(transforms):
+    for t, arg, sub, tw in reversed(transforms):
         if t == 0:
-            _inverse_predictor(px, eff_w, h, sub, arg)
+            _inverse_predictor(px, tw, h, sub, arg)
         elif t == 1:
-            _inverse_color(px, eff_w, h, sub, arg)
+            _inverse_color(px, tw, h, sub, arg)
         elif t == 2:
             _inverse_subtract_green(px)
         else:                                  # unbundle + palette
@@ -556,7 +561,7 @@ def decode_webp(data: bytes) -> tuple:
             mask = (1 << bits_px) - 1
             flat = []
             for y in range(h):
-                row = px[y * eff_w:(y + 1) * eff_w]
+                row = px[y * tw:(y + 1) * tw]
                 cnt = 0
                 for p in row:
                     g = (p >> 8) & 0xFF
@@ -685,6 +690,13 @@ def _write_prefix_code(w: _Writer, hist: dict,
     return _canonical_codes(lengths)
 
 
+# Largest plain distance code (d + 120) whose prefix symbol fits the
+# 40-symbol distance alphabet: _prefix_for_value(v) yields symbol 39
+# for v = 1 << 20 and symbol 40 just past it, so matches farther than
+# this must be dropped (a 16384x16384 image can exceed it).
+_MAX_COPY_DIST = (1 << 20) - 120
+
+
 def _tokenize(px: list, use_lz77: bool) -> list:
     """-> list of ('lit', argb) / ('copy', length, distance)."""
     if not use_lz77:
@@ -695,7 +707,7 @@ def _tokenize(px: list, use_lz77: bool) -> list:
     n = len(px)
     while i < n:
         cand = last.get(px[i])
-        if cand is not None:
+        if cand is not None and i - cand <= _MAX_COPY_DIST:
             d = i - cand
             ln = 0
             while (i + ln < n and ln < 4096

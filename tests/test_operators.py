@@ -3578,3 +3578,95 @@ def test_ogg_vorbis_probe_contract():
     other = build_ogg_vorbis(1, 8000, 16000, [500], serial=888)
     with pytest.raises(ValueError, match="multiplexed"):
         probe_ogg_vorbis(d + other)
+    # a page truncated INSIDE the 27-byte fixed header is the same
+    # honest ValueError, not an IndexError from reading header fields
+    # before the length check
+    for cut in (b"OggS", b"OggS\x00" + b"\x00" * 10):
+        with pytest.raises(ValueError, match="truncated page header"):
+            probe_ogg_vorbis(mono + cut)
+
+
+def test_webp_vp8l_predictor_before_palette_width():
+    """ADVICE r7 (medium): a spec-legal VP8L stream may list PREDICTOR
+    before COLOR_INDEXING; the predictor sub-image is then read at the
+    FULL width and its inverse must run at that width too (the
+    unbundle has already restored it), not at the bundled width.
+    Hand-built 8x1 stream: palette holds residuals, the decoder's
+    reverse-order inverses must yield the running left-sum over ALL
+    eight pixels (the bundled-width bug only transformed the first)."""
+    import struct
+
+    from powerpoint_context_extractor_spark.webp import (
+        _encode_entropy_image, _pack, _Writer, decode_webp,
+    )
+    width, height = 8, 1
+    pal = [(1, 10, 20, 30), (2, 5, 7, 9)]      # (a, r, g, b) residuals
+    idx = [0, 1, 1, 0, 1, 0, 0, 1]
+    wr = _Writer()
+    wr.bits(0x2F, 8)
+    wr.bits(width - 1, 14)
+    wr.bits(height - 1, 14)
+    wr.bits(0, 1)                              # alpha hint
+    wr.bits(0, 3)                              # version
+    # PREDICTOR read FIRST, at full width: sw = (8+3)>>2 = 2 tiles
+    wr.bits(1, 1)
+    wr.bits(0, 2)
+    wr.bits(0, 3)                              # size_bits = 2
+    _encode_entropy_image(wr, [_pack(255, 0, 0, 0)] * 2,
+                          top_level=False)
+    # COLOR_INDEXING second: 2 colors -> 1 bit/px, bundled width 1
+    wr.bits(1, 1)
+    wr.bits(3, 2)
+    wr.bits(len(pal) - 1, 8)
+    deltas, prev = [], (0, 0, 0, 0)
+    for p in pal:
+        deltas.append(_pack(*((a - b) & 0xFF for a, b in zip(p, prev))))
+        prev = p
+    _encode_entropy_image(wr, deltas, top_level=False)
+    wr.bits(0, 1)                              # no more transforms
+    g = 0
+    for j, v in enumerate(idx):                # 8 indices in one byte
+        g |= v << j
+    _encode_entropy_image(wr, [_pack(255, 0, g, 0)], top_level=True)
+    payload = wr.bytes()
+    body = b"WEBPVP8L" + struct.pack("<I", len(payload)) + payload
+    if len(payload) & 1:
+        body += b"\x00"
+    data = b"RIFF" + struct.pack("<I", len(body)) + body
+    # expected: h=1 so the predictor inverse is a running left-sum of
+    # the palette residuals, seeded with opaque black at pixel 0
+    exp, acc = bytearray(), (255, 0, 0, 0)
+    for v in idx:
+        acc = tuple((a + b) & 0xFF for a, b in zip(acc, pal[v]))
+        exp += bytes((acc[1], acc[2], acc[3], acc[0]))
+    assert decode_webp(data) == (width, height, 4, bytes(exp))
+
+
+def test_webp_lz77_distance_alphabet_cap():
+    """ADVICE r7: greedy matches farther than the 40-symbol distance
+    alphabet can express ((1<<20) - 120 pixels) must fall back to
+    literals instead of emitting an unencodable symbol; matches at
+    exactly the cap still encode as symbol 39."""
+    from powerpoint_context_extractor_spark.webp import (
+        _MAX_COPY_DIST, _prefix_for_value, _tokenize,
+    )
+    assert _prefix_for_value(_MAX_COPY_DIST + 120)[0] == 39
+    assert _prefix_for_value(_MAX_COPY_DIST + 121)[0] == 40
+    # [7,8,9,7,8,9]: the greedy matcher's most-recent occurrence of 7
+    # is index 3, whose following pixels also match, so the far run
+    # matches at distance (middle + 3) exactly
+    head = [7, 8, 9, 7, 8, 9]
+    tail = [7, 8, 9]
+
+    def toks_for(middle_len):
+        mid = list(range(100, 100 + middle_len))
+        return _tokenize(head + mid + tail, use_lz77=True)
+
+    over = [t for t in toks_for(_MAX_COPY_DIST - 2)   # d = cap + 1
+            if t[0] == "copy" and t[2] + 120 > (1 << 20)]
+    assert over == []
+    # one pixel closer IS matchable, at exactly symbol 39
+    caps = [t for t in toks_for(_MAX_COPY_DIST - 3)   # d = cap
+            if t[0] == "copy" and t[2] > 4096]
+    assert caps == [("copy", 3, _MAX_COPY_DIST)]
+    assert _prefix_for_value(caps[0][2] + 120)[0] == 39
